@@ -1,0 +1,293 @@
+"""Deduplication operator family over the ``documents`` / ``embeddings`` tables.
+
+Five dedup strategies, each the canonical scale pattern:
+
+- exact        — hash-groupBy on md5(text): one shuffle keyed by digest.
+- minhash-LSH  — shingle → k min-hashes → banded bucket keys → bucket
+                 equi-join for candidates → verify true jaccard. The join is
+                 on band keys (equi-join, shuffle partitioned by bucket), so
+                 cost is Σ bucket² instead of n² — the only near-dup
+                 strategy that survives 100 TB.
+- n-gram jaccard (inverted index) — explode tokens, equi-join on token,
+                 count common per pair. Exact, but Σ df(token)² blows up on
+                 high-document-frequency tokens; use on blocked/rare-token
+                 corpora, else prefer LSH. (On the fixture's tiny vocab this
+                 is the degenerate worst case — kept correct, documented slow.)
+- simhash      — 16-bit signature per doc; equal-signature buckets are dup
+                 candidates. Pure per-row map + one window count.
+- embedding cosine — near-dup by semantic similarity; brute-force pair scan
+                 here (exact), LSH/IVF variants in ``operators.similarity``.
+
+Shingle-size note: fixture docs are word soup from a ~30-word vocab, so
+3-gram shingle sets are near-disjoint (measured p99 jaccard 0.014) while
+unigram token sets overlap heavily (median 0.63, p90 0.83). The queries use
+unigram shingles + threshold 0.8 so near-dup logic is actually exercised;
+``shingles(n)`` supports any n for real corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import text as T
+from ..functions import vectors as V
+from ..tables import load
+
+NUM_HASHES = 8
+BANDS = 4  # rows per band = NUM_HASHES / BANDS = 2
+JACCARD_THRESHOLD = 0.8
+COSINE_THRESHOLD = 0.35
+
+
+def shingles(text: Column, n: int = 1) -> Column:
+    """Distinct word n-gram shingle set (n=1 → distinct tokens)."""
+    if n == 1:
+        return T.distinct_tokens(text)
+    w = F.split(text, " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.array_join(F.slice(w, i + 1, n), " "),
+    )
+    return F.array_distinct(grams)
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", shingles(F.col("text")).alias("toks")
+    )
+
+
+def _pair_jaccard(cand: DataFrame, toks: DataFrame) -> DataFrame:
+    """Join candidate (doc_a, doc_b) pairs back to shingle sets and compute
+    exact jaccard. Integer set sizes + one double division → bit-exact and
+    oracle-reproducible."""
+    out = (
+        cand.join(
+            toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a")), "doc_a"
+        )
+        .join(toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b")), "doc_b")
+        .withColumn("common", F.size(F.array_intersect("toks_a", "toks_b")))
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.size("toks_a") + F.size("toks_b") - F.col("common")),
+        )
+    )
+    return out.select("doc_a", "doc_b", "jaccard")
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content digest, keep min doc_id as canonical.
+
+    At scale: single shuffle on the digest (uniformly distributed — no skew);
+    this is the pattern regardless of corpus size.
+    """
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", T.content_md5(F.col("text")).alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup pairs with verified jaccard ≥ 0.8.
+
+    shingle → 8 min-hashes → 4 bands of 2 → md5 band key → self-equi-join on
+    (band_id, band_key) → distinct candidate pairs → exact-jaccard verify.
+    Collision probability per pair ≈ 1-(1-J²)⁴ (≥0.98 at J=0.8).
+    """
+    toks = _doc_shingles(spark, sf_dir)
+    sig = toks.select("doc_id", *T.minhash_signature(F.col("toks"), NUM_HASHES))
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))).alias("band_key"),
+        )
+        for b in range(BANDS)
+    ]
+    bands = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("band")).select(
+        "doc_id", "band.band_id", "band.band_key"
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    pairs = _pair_jaccard(cand, toks)
+    return pairs.where(F.col("jaccard") >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def dedup_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest neighbor by token-set jaccard via inverted-index join.
+
+    explode(token) → self-equi-join on token → count common tokens per pair
+    → jaccard → per-doc best neighbor (window top-1). Exact but joins on
+    document frequency — see module docstring for when to prefer LSH.
+    """
+    toks = _doc_shingles(spark, sf_dir).withColumn("nd", F.size("toks"))
+    inv = toks.select("doc_id", "nd", F.explode("toks").alias("token"))
+    a, b = inv.alias("a"), inv.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.nd").alias("na"),
+            F.col("b.nd").alias("nb"),
+        )
+        .agg(F.count("*").alias("common"))
+        .withColumn("jaccard", F.col("common") / (F.col("na") + F.col("nb") - F.col("common")))
+    )
+    both = pairs.select(
+        F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("neighbor_id"), "jaccard"
+    ).unionAll(
+        pairs.select(
+            F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("neighbor_id"), "jaccard"
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("jaccard").desc(), F.col("neighbor_id"))
+    return (
+        both.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "neighbor_id", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures + bucket sizes (equal signature = dup candidate)."""
+    toks = _doc_shingles(spark, sf_dir)
+    sim = toks.select("doc_id", T.simhash16(F.col("toks")).cast("long").alias("simhash"))
+    return sim.withColumn("bucket_n", F.count("*").over(Window.partitionBy("simhash")))
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: pairs with cosine ≥ 0.35 (brute-force exact scan).
+
+    Norms precomputed per vector (one pass) so the pair stage does one dot
+    product per pair. Quadratic — the scale path is LSH/IVF blocking
+    (``operators.similarity``); this is the exactness baseline.
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", V.as_double(F.col("embedding")).alias("v")
+    )
+    e = e.withColumn("nrm", V.norm(F.col("v")))
+    a, b = e.alias("a"), e.alias("b")
+    cos = V.dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") >= COSINE_THRESHOLD)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_jaccard_topk": dedup_jaccard_topk,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding": dedup_embedding,
+}
+
+_TOKS_CTE = (
+    "toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents)"
+)
+
+_MH = ", ".join(
+    f"list_aggregate(list_transform(t, x -> md5('{i}:' || x)), 'min') AS mh{i}" for i in range(8)
+)
+
+_SIMHASH_VOTES = " + ".join(
+    "(CASE WHEN list_sum(list_transform(t, x -> "
+    f"((strpos('0123456789abcdef', substring(md5(x), {b + 1}, 1)) - 1) % 2) * 2 - 1)) > 0 "
+    f"THEN {1 << b} ELSE 0 END)"
+    for b in range(16)
+)
+
+ORACLES = {
+    "dedup_exact": """
+        SELECT md5(text) AS content_md5, min(doc_id) AS canonical_id,
+               count(*) AS dup_count
+        FROM documents GROUP BY md5(text)
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH {_TOKS_CTE},
+        sig AS (SELECT doc_id, {_MH} FROM toks),
+        bands AS (
+          SELECT doc_id, 0 AS band_id, md5(mh0 || mh1) AS band_key FROM sig
+          UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
+          UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sig
+          UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM sig
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+        ),
+        verified AS (
+          SELECT doc_a, doc_b,
+                 len(list_filter(ta.t, x -> list_contains(tb.t, x))) AS common,
+                 len(ta.t) AS na, len(tb.t) AS nb
+          FROM cand
+          JOIN toks ta ON ta.doc_id = doc_a
+          JOIN toks tb ON tb.doc_id = doc_b
+        )
+        SELECT doc_a, doc_b, round(common / (na + nb - common), 6) AS jaccard
+        FROM verified
+        WHERE common / (na + nb - common) >= 0.8
+    """,
+    "dedup_jaccard_topk": f"""
+        WITH {_TOKS_CTE},
+        inv AS (SELECT doc_id, len(t) AS nd, unnest(t) AS token FROM toks),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.nd AS na, b.nd AS nb,
+                 count(*) AS common
+          FROM inv a JOIN inv b ON a.token = b.token AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4
+        ),
+        bidir AS (
+          SELECT doc_a AS doc_id, doc_b AS neighbor_id,
+                 common / (na + nb - common) AS jaccard FROM pairs
+          UNION ALL
+          SELECT doc_b, doc_a, common / (na + nb - common) FROM pairs
+        )
+        SELECT doc_id, neighbor_id, round(jaccard, 6) AS jaccard
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY jaccard DESC, neighbor_id) AS rn
+          FROM bidir
+        ) t WHERE rn = 1
+    """,
+    "dedup_simhash": f"""
+        WITH {_TOKS_CTE},
+        sim AS (SELECT doc_id, CAST({_SIMHASH_VOTES} AS BIGINT) AS simhash FROM toks)
+        SELECT doc_id, simhash, count(*) OVER (PARTITION BY simhash) AS bucket_n
+        FROM sim
+    """,
+    "dedup_embedding": """
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+          FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35
+    """,
+}

@@ -1,0 +1,224 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+Two tiers, as a 100 TB engine needs both:
+
+- **Brute-force top-k** (exact baseline): broadcast the (small) query set
+  against the full vector table — a broadcast nested-loop join, which is the
+  *correct* plan here: no shuffle of the big side, each executor scans its
+  partitions once, top-k per query via window. Cosine is a JVM-side
+  ``zip_with``/``aggregate`` fold (see ``functions.vectors``); for maximum
+  constant-factor throughput a numpy Pandas-UDF variant is provided
+  (``ann_topk_pandas``) that matmuls each Arrow batch against the query
+  matrix — same results, preferred at very high dimensionality.
+- **IVF (inverted-file) partitioned search** (scale path): k-means-style
+  centroids (here: per-label means — deterministic and oracle-checkable),
+  assign each vector to its nearest centroid, search only within probed
+  clusters. The assignment is a broadcast join against the tiny centroid
+  table; at 100 TB you persist the cluster id as a partition column so a
+  query probes ~n/k of the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import vectors as V
+from ..tables import load
+
+TOPK = 10
+N_QUERY_VECS = 5  # fixture query set: vec_id < 5
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", V.as_double(F.col("embedding")).alias("v")
+    )
+    return e.withColumn("nrm", V.norm(F.col("v")))
+
+
+def ann_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for each query vector (vec_id < 5)."""
+    e = _vectors(spark, sf_dir)
+    q = e.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cos = V.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", cos)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TOPK)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank",
+                F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def ann_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k with a vectorized numpy kernel (mapInPandas).
+
+    Same semantics as ann_topk_brute; each Arrow batch is scored against the
+    whole query matrix with one matmul. Demonstrates the Pandas-UDF scale
+    path; no oracle entry needed (ann_topk_brute is the oracle-checked twin).
+    """
+    import pandas as pd  # noqa: F401 — guaranteed in env
+
+    e = load(spark, sf_dir, "embeddings")
+    qrows = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in e.where(F.col("vec_id") < N_QUERY_VECS).select("vec_id", "embedding").collect()
+    ]
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        qids = np.array([q[0] for q in qrows])
+        qm = np.array([q[1] for q in qrows], dtype=np.float64)
+        qn = np.linalg.norm(qm, axis=1)
+        for pdf in batches:
+            vm = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            vn = np.linalg.norm(vm, axis=1)
+            sims = (vm @ qm.T) / np.outer(vn, qn)  # [batch, nq]
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, len(pdf)),
+                    "neighbor_id": np.tile(pdf["vec_id"].to_numpy(), len(qids)),
+                    "cosine": sims.T.reshape(-1),
+                }
+            )
+            yield out[out.query_id != out.neighbor_id]
+
+    scored = e.select("vec_id", "embedding").mapInPandas(
+        score, "query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TOPK)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean vectors, components rounded to 6dp for determinism.
+
+    posexplode → per-(label, dim) mean → reassemble ordered array. The
+    rounding makes the float mean (whose partial-sum order is engine-
+    dependent) reproducible before any downstream distance math.
+    """
+    e = _vectors(spark, sf_dir)
+    exploded = e.select("label", F.posexplode("v").alias("pos", "x"))
+    per_dim = exploded.groupBy("label", "pos").agg(F.round(F.avg("x"), 6).alias("c"))
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("cv")
+        )
+        .withColumn("cnrm", V.norm(F.col("cv")))
+    )
+
+
+def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest centroid.
+
+    Output is the (true label × assigned cluster) contingency table. The
+    assignment join broadcasts the centroid table; at scale the assigned
+    cluster becomes a partition column (partition-pruned ANN probes).
+    """
+    e = _vectors(spark, sf_dir)
+    c = _centroids(spark, sf_dir)
+    cos = V.dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
+    scored = e.crossJoin(
+        F.broadcast(c.select(F.col("label").alias("centroid_label"), "cv", "cnrm"))
+    ).withColumn("cosine", cos)
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("centroid_label"))
+    assigned = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        assigned.groupBy("label", "centroid_label")
+        .agg(F.count("*").alias("n"))
+        .orderBy("label", "centroid_label")
+    )
+
+
+QUERIES = {
+    "ann_topk_brute": ann_topk_brute,
+    "ann_topk_pandas": ann_topk_pandas,
+    "ann_ivf_assign": ann_ivf_assign,
+}
+
+_E = (
+    "e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v, "
+    "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings)"
+)
+
+ORACLES = {
+    "ann_topk_brute": f"""
+        WITH {_E},
+        q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id < 5),
+        scored AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 list_dot_product(qv, v) / (qn * nrm) AS cosine
+          FROM e, q WHERE e.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored
+        ) t WHERE rank <= 10
+    """,
+    "ann_topk_pandas": f"""
+        WITH {_E},
+        q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id < 5),
+        scored AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 list_dot_product(qv, v) / (qn * nrm) AS cosine
+          FROM e, q WHERE e.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored
+        ) t WHERE rank <= 10
+    """,
+    "ann_ivf_assign": f"""
+        WITH {_E},
+        dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+        per_dim AS (
+          SELECT label, i, round(avg(v[i]), 6) AS c
+          FROM e, dims GROUP BY label, i
+        ),
+        cent AS (
+          SELECT label AS centroid_label, list(c ORDER BY i) AS cv
+          FROM per_dim GROUP BY label
+        ),
+        cent_n AS (
+          SELECT centroid_label, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM cent
+        ),
+        scored AS (
+          SELECT e.vec_id, e.label, c.centroid_label,
+                 list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) AS cosine
+          FROM e, cent_n c
+        ),
+        assigned AS (
+          SELECT vec_id, label, centroid_label
+          FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY cosine DESC, centroid_label) AS rn
+            FROM scored
+          ) t WHERE rn = 1
+        )
+        SELECT label, centroid_label, count(*) AS n
+        FROM assigned GROUP BY label, centroid_label
+        ORDER BY label, centroid_label
+    """,
+}

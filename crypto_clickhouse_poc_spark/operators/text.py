@@ -1,0 +1,162 @@
+"""Text-analysis query surface over the ``documents`` table.
+
+Large-scale training-data-pipeline operators: quality scoring, language-ID
+heuristic, token counting (whitespace + BPE-ish estimate), document
+fingerprinting, corpus token frequencies. All expressions are JVM-side
+built-ins (see ``functions.text``) — embarrassingly parallel per-document
+map work plus one corpus-level aggregation, so the plans are a single scan
+with no shuffle (per-doc) or one shuffle (corpus rollup): exactly what you
+want over 100 TB of text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..tables import load
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").withColumn("toks", T.tokens(F.col("text")))
+
+
+def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features + composite score.
+
+    type-token ratio, mean token length, stopword ratio, and a bounded
+    composite quality score — the standard cheap quality gates run before
+    expensive pipeline stages. Pure per-row map (no shuffle).
+    """
+    d = _docs(spark, sf_dir)
+    n_tokens = F.size("toks")
+    n_distinct = F.size(F.array_distinct("toks"))
+    ttr = n_distinct / n_tokens.cast("double")
+    avg_len = T.char_sum(F.col("toks")) / n_tokens.cast("double")
+    stop_ratio = T.stopword_count(F.col("toks")) / n_tokens.cast("double")
+    quality = (
+        F.least(n_tokens / F.lit(60.0), F.lit(1.0)) * 0.4 + ttr * 0.3 + (1 - stop_ratio) * 0.3
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").alias("n_chars_actual"),
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        F.round(ttr, 6).alias("type_token_ratio"),
+        F.round(avg_len, 6).alias("avg_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(quality, 6).alias("quality_score"),
+    )
+
+
+def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish estimate (ceil(chars/4))."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens_ws"),
+        T.bpe_ish_token_count(F.col("text")).alias("n_tokens_bpe"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: English-marker stopword ratio → en/unknown.
+
+    A real deployment swaps in a character-n-gram profile model (still a
+    per-row map); the query shape — per-doc score + thresholded label — is
+    identical.
+    """
+    d = _docs(spark, sf_dir)
+    n_tokens = F.size("toks")
+    en_ratio = T.stopword_count(F.col("toks")) / n_tokens.cast("double")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(en_ratio, 6).alias("en_marker_ratio"),
+        F.when(en_ratio >= 0.02, F.lit("en")).otherwise(F.lit("unknown")).alias("lang_guess"),
+    )
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: exact (md5 of text) + order-insensitive bag hash."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.content_md5(F.col("text")).alias("content_md5"),
+        T.bag_fingerprint(F.col("text")).alias("bag_md5"),
+    )
+
+
+def corpus_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies, top 20 (explode → hash-agg → top-K).
+
+    The explode multiplies rows by ~tokens/doc; the aggregate combines
+    map-side, so shuffle volume is ~|vocab| per partition, not corpus size.
+    """
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+QUERIES = {
+    "doc_stats": doc_stats,
+    "doc_token_counts": doc_token_counts,
+    "doc_langid": doc_langid,
+    "doc_fingerprints": doc_fingerprints,
+    "corpus_top_tokens": corpus_top_tokens,
+}
+
+# shared oracle fragments
+_TOKS = "string_split(text, ' ')"
+_NTOK = f"len({_TOKS})"
+_STOP = f"len(list_filter({_TOKS}, t -> t = 'the' OR t = 'a'))"
+_CHARSUM = f"list_sum(list_transform({_TOKS}, t -> length(t)))"
+
+ORACLES = {
+    "doc_stats": f"""
+        SELECT doc_id, lang, source,
+               length(text) AS n_chars_actual,
+               {_NTOK} AS n_tokens,
+               len(list_distinct({_TOKS})) AS n_distinct,
+               round(len(list_distinct({_TOKS})) * 1.0 / {_NTOK}, 6) AS type_token_ratio,
+               round({_CHARSUM} * 1.0 / {_NTOK}, 6) AS avg_token_len,
+               round({_STOP} * 1.0 / {_NTOK}, 6) AS stopword_ratio,
+               round(least({_NTOK} / 60.0, 1.0) * 0.4
+                     + (len(list_distinct({_TOKS})) * 1.0 / {_NTOK}) * 0.3
+                     + (1 - {_STOP} * 1.0 / {_NTOK}) * 0.3, 6) AS quality_score
+        FROM documents
+    """,
+    "doc_token_counts": f"""
+        SELECT doc_id,
+               {_NTOK} AS n_tokens_ws,
+               CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe,
+               length(text) AS n_chars
+        FROM documents
+    """,
+    "doc_langid": f"""
+        SELECT doc_id, lang,
+               round({_STOP} * 1.0 / {_NTOK}, 6) AS en_marker_ratio,
+               CASE WHEN {_STOP} * 1.0 / {_NTOK} >= 0.02 THEN 'en' ELSE 'unknown' END AS lang_guess
+        FROM documents
+    """,
+    "doc_fingerprints": f"""
+        SELECT doc_id,
+               md5(text) AS content_md5,
+               md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS bag_md5
+        FROM documents
+    """,
+    "corpus_top_tokens": f"""
+        SELECT token, count(*) AS freq
+        FROM (SELECT unnest({_TOKS}) AS token FROM documents) t
+        GROUP BY token ORDER BY freq DESC, token LIMIT 20
+    """,
+}

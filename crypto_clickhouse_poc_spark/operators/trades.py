@@ -1,0 +1,319 @@
+"""Reference-parity analytics queries (the crypto-trades query surface).
+
+The reference's five API endpoints + manual verification set
+(``api/server.py:57-200``, ``src/queries.sql:1-25`` in the reference tree) are
+re-expressed over the driver's ``events`` fixture table, which is the
+documented stand-in stream table (FIXTURES.md §B):
+
+- ``event_type``  ≙ trade ``symbol``
+- ``value``       ≙ trade ``price``
+- ``props.$.k``   ≙ trade ``qty`` (exercises ingest-side JSON extraction, S2/S3)
+- ``event_id % 2``≙ ``is_buyer_maker`` (deterministic 0/1 side)
+- ``max(ts)``     ≙ ``now()`` — the reference's sliding lookback windows are
+  anchored at query time; tests need a deterministic anchor, so every query
+  anchors at the table's max timestamp via a scalar aggregate (computed as a
+  broadcast single-row join — never a driver-side collect).
+
+Scale notes (100 TB): every query filters on ``ts`` first, so with the
+production table layout (month-partitioned, sorted-by-ts parquet — see
+``plans.layout``) the scan prunes partitions and row groups before anything
+else runs. Aggregations are plain hash-aggregates (partial+final, map-side
+combine); top-K uses ``TakeOrderedAndProject`` (no full sort). The anchor
+aggregate is a parquet-footer-stats MAX at scan level
+(``spark.sql.parquet.aggregatePushdown``).
+
+Operator coverage (SURVEY.md §2): P1-P8, A1-A11, F1-F6, O1-O4, C1.
+Exact-parity details honored: ClickHouse ``sumIf`` over an empty match-set
+yields 0 (not NULL) → ``when/otherwise(0)``; per-side VWAP is NULL when that
+side has no volume → ``nullif``; open/close tie-break deterministically on
+``(ts, event_id)`` (the reference's ``argMin``/``anyLast`` with trade_id
+tie-break intent, survey §2.4 A5/A6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load
+
+# "now()" for these queries: the deterministic anchor expression (oracle form).
+_SQL_ANCHOR = "(SELECT max(ts) FROM events)"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with the trade-surface columns: price, qty, side."""
+    return (
+        load(spark, sf_dir, "events")
+        .withColumn("price", F.col("value"))
+        .withColumn("qty", F.get_json_object("props", "$.k").cast("double"))
+        .withColumn("side", F.col("event_id") % 2)
+    )
+
+
+def _lookback(df: DataFrame, base: DataFrame, amount: str) -> DataFrame:
+    """Rows of ``df`` within ``anchor - INTERVAL amount`` (reference P5 window).
+
+    The anchor — the deterministic stand-in for ``now()`` — is max(ts) over
+    the *unfiltered* ``base`` table, attached as a broadcast single-row join:
+    stays lazy, no driver collect; at scale the MAX comes from parquet footer
+    stats (aggregate pushdown).
+    """
+    anchor = base.select(F.max("ts").alias("anchor_ts"))
+    return df.crossJoin(F.broadcast(anchor)).where(
+        F.col("ts") >= F.col("anchor_ts") - F.expr(f"INTERVAL {amount}")
+    )
+
+
+# --------------------------------------------------------------------------
+# verification set (reference src/queries.sql)
+# --------------------------------------------------------------------------
+
+
+def ev_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: global row count (reference src/queries.sql:2)."""
+    return _events(spark, sf_dir).agg(F.count("*").alias("n"))
+
+
+def ev_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: latest-N rows for one symbol in a lookback window.
+
+    Reference /live_trades (api/server.py:108-132): projection + equality +
+    time-range predicates, ORDER BY ts DESC LIMIT N. Spark plans
+    TakeOrderedAndProject — true top-K, no full sort. Tie-break on event_id
+    for a deterministic row set.
+    """
+    e = _events(spark, sf_dir)
+    return (
+        _lookback(e.where(F.col("event_type") == "click"), e, "24 HOURS")
+        .select("ts", "event_id", "user_id", "price", "qty", "side")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(100)
+    )
+
+
+def ev_minute_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A10: per-minute avg price + volume for one symbol (src/queries.sql:16-20)."""
+    e = _events(spark, sf_dir)
+    return (
+        _lookback(e.where(F.col("event_type") == "view"), e, "6 HOURS")
+        .groupBy(F.date_trunc("minute", F.col("ts")).alias("minute"))
+        .agg(
+            F.round(F.avg("price"), 6).alias("avg_price"),
+            F.sum("qty").alias("volume"),
+            F.count("*").alias("trades"),
+        )
+        .orderBy("minute")
+    )
+
+
+# --------------------------------------------------------------------------
+# the five API endpoint queries
+# --------------------------------------------------------------------------
+
+
+def ev_ohlcv_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/ohlcv: 1-minute OHLCV bars for one symbol (api/server.py:57-84).
+
+    open = price at min(ts, event_id); close = price at max(ts, event_id) —
+    the deterministic form of ClickHouse argMin/anyLast (survey A5/A6).
+    Single hash-aggregate; min_by/max_by on a struct key keeps it one pass.
+    """
+    e = _events(spark, sf_dir)
+    return (
+        _lookback(e.where(F.col("event_type") == "click"), e, "24 HOURS")
+        .groupBy(F.date_trunc("minute", F.col("ts")).alias("minute"))
+        .agg(
+            F.min_by("price", F.struct("ts", "event_id")).alias("open"),
+            F.max("price").alias("high"),
+            F.min("price").alias("low"),
+            F.max_by("price", F.struct("ts", "event_id")).alias("close"),
+            F.sum("qty").alias("volume"),
+            F.count("*").alias("trades"),
+        )
+        .orderBy("minute")
+    )
+
+
+def ev_top_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/top_symbols: volume leaders over a lookback (api/server.py:87-105)."""
+    e = _events(spark, sf_dir)
+    return (
+        _lookback(e, e, "7 DAYS")
+        .groupBy("event_type")
+        .agg(F.sum("qty").alias("volume"), F.count("*").alias("trades"))
+        .orderBy(F.col("volume").desc())
+        .limit(10)
+    )
+
+
+def _buy_sell_aggs() -> list:
+    """Shared conditional aggregates (survey A7/A8).
+
+    ClickHouse sumIf parity: empty match-set sums to 0 (not NULL) — hence
+    when/otherwise(0) rather than FILTER. VWAP is NULL when the side has no
+    volume (nullif guard), matching api/server.py:148-149.
+    """
+    buy_qty = F.when(F.col("side") == 0, F.col("qty")).otherwise(F.lit(0.0))
+    sell_qty = F.when(F.col("side") == 1, F.col("qty")).otherwise(F.lit(0.0))
+    buy_pq = F.when(F.col("side") == 0, F.col("price") * F.col("qty")).otherwise(F.lit(0.0))
+    sell_pq = F.when(F.col("side") == 1, F.col("price") * F.col("qty")).otherwise(F.lit(0.0))
+    return [
+        F.sum(buy_qty).alias("buy_volume"),
+        F.sum(sell_qty).alias("sell_volume"),
+        F.round(F.sum(buy_pq) / F.nullif(F.sum(buy_qty), F.lit(0.0)), 6).alias("buy_vwap"),
+        F.round(F.sum(sell_pq) / F.nullif(F.sum(sell_qty), F.lit(0.0)), 6).alias("sell_vwap"),
+    ]
+
+
+def ev_buy_sell_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/live_buy_sell: per-symbol buy/sell volume + VWAP + rate, top by total volume.
+
+    Reference api/server.py:135-169 — the CTE + lateral-alias query (C1/O3):
+    total_vol is derived from two sibling aggregates, then sorted on.
+    """
+    minutes = 3 * 24 * 60  # 3-day lookback, rate per minute (survey A9)
+    e = _events(spark, sf_dir)
+    agg = (
+        _lookback(e, e, "3 DAYS")
+        .groupBy("event_type")
+        .agg(
+            *_buy_sell_aggs(),
+            F.round(F.count("*") / F.lit(float(minutes)), 6).alias("trades_per_min"),
+        )
+    )
+    return (
+        agg.withColumn("total_vol", F.col("buy_volume") + F.col("sell_volume"))
+        .orderBy(F.col("total_vol").desc())
+        .limit(5)
+    )
+
+
+def ev_buy_sell_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/hist_buy_sell: per-minute buy/sell split for one symbol (api/server.py:172-200)."""
+    e = _events(spark, sf_dir)
+    return (
+        _lookback(e.where(F.col("event_type") == "purchase"), e, "2 DAYS")
+        .groupBy(F.date_trunc("minute", F.col("ts")).alias("minute"))
+        .agg(*_buy_sell_aggs(), F.count("*").alias("trades"))
+        .orderBy("minute")
+    )
+
+
+def ev_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReplacingMergeTree read-time dedup semantics (survey §1.4 X7).
+
+    "Keep the newest version per key" — here: latest event per
+    (user_id, event_type), tie-broken on event_id. Implemented as the
+    canonical row_number()=1 dedup view the engine exposes over any
+    versioned table (see plans.layout.dedup_view).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        _events(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "ts", "price")
+    )
+
+
+QUERIES = {
+    "ev_count": ev_count,
+    "ev_latest": ev_latest,
+    "ev_minute_trend": ev_minute_trend,
+    "ev_ohlcv_1m": ev_ohlcv_1m,
+    "ev_top_types": ev_top_types,
+    "ev_buy_sell_live": ev_buy_sell_live,
+    "ev_buy_sell_hist": ev_buy_sell_hist,
+    "ev_dedup_latest": ev_dedup_latest,
+}
+
+_EV = (
+    "SELECT *, value AS price, CAST(json_extract_string(props, '$.k') AS DOUBLE) AS qty, "
+    "event_id % 2 AS side FROM events"
+)
+
+_BUY_SELL_AGGS = """
+      sum(CASE WHEN side = 0 THEN qty ELSE 0.0 END) AS buy_volume,
+      sum(CASE WHEN side = 1 THEN qty ELSE 0.0 END) AS sell_volume,
+      round(sum(CASE WHEN side = 0 THEN price * qty ELSE 0.0 END)
+            / nullif(sum(CASE WHEN side = 0 THEN qty ELSE 0.0 END), 0.0), 6) AS buy_vwap,
+      round(sum(CASE WHEN side = 1 THEN price * qty ELSE 0.0 END)
+            / nullif(sum(CASE WHEN side = 1 THEN qty ELSE 0.0 END), 0.0), 6) AS sell_vwap
+"""
+
+ORACLES = {
+    "ev_count": "SELECT count(*) AS n FROM events",
+    "ev_latest": f"""
+        SELECT ts, event_id, user_id, price, qty, side
+        FROM ({_EV}) e
+        WHERE event_type = 'click' AND ts >= {_SQL_ANCHOR} - INTERVAL 24 HOUR
+        ORDER BY ts DESC, event_id DESC
+        LIMIT 100
+    """,
+    "ev_minute_trend": f"""
+        SELECT date_trunc('minute', ts) AS minute,
+               round(avg(price), 6) AS avg_price,
+               sum(qty) AS volume,
+               count(*) AS trades
+        FROM ({_EV}) e
+        WHERE event_type = 'view' AND ts >= {_SQL_ANCHOR} - INTERVAL 6 HOUR
+        GROUP BY 1 ORDER BY 1
+    """,
+    "ev_ohlcv_1m": f"""
+        WITH base AS (
+          SELECT date_trunc('minute', ts) AS minute, price, qty,
+                 row_number() OVER (PARTITION BY date_trunc('minute', ts)
+                                    ORDER BY ts, event_id) AS rn_a,
+                 row_number() OVER (PARTITION BY date_trunc('minute', ts)
+                                    ORDER BY ts DESC, event_id DESC) AS rn_d
+          FROM ({_EV}) e
+          WHERE event_type = 'click' AND ts >= {_SQL_ANCHOR} - INTERVAL 24 HOUR
+        )
+        SELECT minute,
+               max(CASE WHEN rn_a = 1 THEN price END) AS open,
+               max(price) AS high,
+               min(price) AS low,
+               max(CASE WHEN rn_d = 1 THEN price END) AS close,
+               sum(qty) AS volume,
+               count(*) AS trades
+        FROM base GROUP BY minute ORDER BY minute
+    """,
+    "ev_top_types": f"""
+        SELECT event_type, sum(qty) AS volume, count(*) AS trades
+        FROM ({_EV}) e
+        WHERE ts >= {_SQL_ANCHOR} - INTERVAL 7 DAY
+        GROUP BY event_type ORDER BY volume DESC LIMIT 10
+    """,
+    "ev_buy_sell_live": f"""
+        WITH base AS (
+          SELECT event_type, {_BUY_SELL_AGGS},
+                 round(count(*) / 4320.0, 6) AS trades_per_min
+          FROM ({_EV}) e
+          WHERE ts >= {_SQL_ANCHOR} - INTERVAL 3 DAY
+          GROUP BY event_type
+        )
+        SELECT *, buy_volume + sell_volume AS total_vol
+        FROM base ORDER BY total_vol DESC LIMIT 5
+    """,
+    "ev_buy_sell_hist": f"""
+        SELECT date_trunc('minute', ts) AS minute, {_BUY_SELL_AGGS},
+               count(*) AS trades
+        FROM ({_EV}) e
+        WHERE event_type = 'purchase' AND ts >= {_SQL_ANCHOR} - INTERVAL 2 DAY
+        GROUP BY 1 ORDER BY 1
+    """,
+    "ev_dedup_latest": f"""
+        SELECT user_id, event_type, ts, price
+        FROM (
+          SELECT user_id, event_type, ts, price,
+                 row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM ({_EV}) e
+        ) t WHERE rn = 1
+    """,
+}

