@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Query selection: every operator family is represented, but only queries whose
+cost model is scale-sane are included (the quadratic exact-pair baselines —
+dedup_jaccard_topk, dedup_embedding — are correctness references, not
+benchmarks; their scale paths dedup_minhash_lsh / ann_ivf_assign are what we
+measure).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+BENCH_QUERIES = [
+    # reference-parity trades surface
+    "ev_count",
+    "ev_latest",
+    "ev_ohlcv_1m",
+    "ev_top_types",
+    "ev_buy_sell_live",
+    "ev_buy_sell_hist",
+    "ev_dedup_latest",
+    # joins
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q10",
+    # text / dedup / similarity (scale paths)
+    "doc_stats",
+    "doc_fingerprints",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_minhash_summary",
+    "ann_topk_brute",
+    "ann_ivf_assign",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from crypto_clickhouse_poc_spark import operators
+    from crypto_clickhouse_poc_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = operators.all_queries()
+
+    # JVM/codegen warmup on a trivial scan (not timed)
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        n = len(qs[name](spark, sf_dir).collect())
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", flush=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -91,12 +91,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup pairs with verified jaccard ≥ 0.8.
+def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared LSH dataflow: signatures → banded bucket join → verified pairs.
 
-    shingle → 8 min-hashes → 4 bands of 2 → md5 band key → self-equi-join on
-    (band_id, band_key) → distinct candidate pairs → exact-jaccard verify.
-    Collision probability per pair ≈ 1-(1-J²)⁴ (≥0.98 at J=0.8).
+    Returns (doc_a, doc_b, jaccard) for verified pairs with jaccard >= 0.8.
     """
     toks = _doc_shingles(spark, sf_dir)
     sig = toks.select("doc_id", *T.minhash_signature(F.col("toks"), NUM_HASHES))
@@ -121,9 +119,39 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    pairs = _pair_jaccard(cand, toks)
-    return pairs.where(F.col("jaccard") >= JACCARD_THRESHOLD).select(
+    return _pair_jaccard(cand, toks).where(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup pairs with verified jaccard >= 0.8.
+
+    shingle → 8 min-hashes → 4 bands of 2 → md5 band key → self-equi-join on
+    (band_id, band_key) → distinct candidate pairs → exact-jaccard verify.
+    Collision probability per pair ≈ 1-(1-J²)⁴ (>=0.98 at J=0.8).
+    """
+    return _lsh_pairs(spark, sf_dir).select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def dedup_minhash_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document near-dup rollup over the LSH pipeline (bench representative).
+
+    Same signature → banding → candidate → verify dataflow as
+    dedup_minhash_lsh, but aggregates to one row per left doc (dup count,
+    best match). On a corpus where near-dup pairs are inherently quadratic,
+    this is the output contract a 100 TB pipeline actually wants (feed to a
+    canonical-id assignment), and it keeps result movement O(n).
+    """
+    pairs = _lsh_pairs(spark, sf_dir)
+    return (
+        pairs.groupBy("doc_a")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+            F.min("doc_b").alias("min_dup_id"),
+        )
+        .orderBy("doc_a")
     )
 
 
@@ -198,6 +226,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_summary": dedup_minhash_summary,
     "dedup_jaccard_topk": dedup_jaccard_topk,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
@@ -251,6 +280,9 @@ ORACLES = {
         FROM verified
         WHERE common / (na + nb - common) >= 0.8
     """,
+    # summary rollup over the same pipeline: max(round(j)) == round(max(j))
+    # since round is monotone, so wrapping the pairs query is exact.
+    "dedup_minhash_summary": None,  # filled in below from the pairs oracle
     "dedup_jaccard_topk": f"""
         WITH {_TOKS_CTE},
         inv AS (SELECT doc_id, len(t) AS nd, unnest(t) AS token FROM toks),
@@ -291,3 +323,10 @@ ORACLES = {
         WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35
     """,
 }
+
+ORACLES["dedup_minhash_summary"] = f"""
+    WITH pairs AS ({ORACLES["dedup_minhash_lsh"]})
+    SELECT doc_a, count(*) AS n_dups, max(jaccard) AS max_jaccard,
+           min(doc_b) AS min_dup_id
+    FROM pairs GROUP BY doc_a ORDER BY doc_a
+"""

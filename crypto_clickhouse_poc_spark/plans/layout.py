@@ -1,0 +1,133 @@
+"""Physical table layout: the Spark equivalent of the reference's engine clauses.
+
+Reference DDL (``sql/V1__create_trades_table.sql:13-20``) encodes four
+physical behaviors; each maps to a layout decision here (survey §4):
+
+- ``PARTITION BY toYYYYMM(ts)``          → parquet partition column ``p_month``
+  (``date_format(ts,'yyyyMM')``) + a query-rewrite helper that adds the
+  p_month predicate for any ts range → partition pruning.
+- ``ORDER BY (ts, symbol, trade_id)``    → ``sortWithinPartitions`` on write
+  → parquet row-group min/max stats give granule-skipping-equivalent scans.
+- ``ENGINE = ReplacingMergeTree(ingested_at)`` → ``dedup_view`` (read-time,
+  row_number over the sort key keeping max ingested_at) + ``compact``
+  (the background-merge analog that materializes the dedup).
+- ``TTL ts + INTERVAL 90 DAY DELETE``    → ``apply_retention`` (partition
+  drop — O(#partitions), never a data rewrite).
+
+At 100 TB: monthly partitions keep partition counts sane (~120 over 10
+years); within a partition, files are sorted by ts so every lookback query
+reads a suffix of row groups. Writes are append-only; compaction rewrites
+one partition at a time.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+PARTITION_COL = "p_month"
+
+
+def with_partition_col(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Derive the monthly partition column (reference toYYYYMM)."""
+    return df.withColumn(PARTITION_COL, F.date_format(F.col(ts_col), "yyyyMM"))
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    sort_cols: Sequence[str] = ("ts", "symbol", "trade_id"),
+    ts_col: str = "ts",
+    mode: str = "append",
+) -> None:
+    """Write with the trades layout: month-partitioned, sorted within files."""
+    (
+        with_partition_col(df, ts_col)
+        .repartition(F.col(PARTITION_COL))
+        .sortWithinPartitions(*sort_cols)
+        .write.mode(mode)
+        .partitionBy(PARTITION_COL)
+        .parquet(path)
+    )
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def month_pruned(df: DataFrame, ts_lo, ts_hi=None) -> DataFrame:
+    """Add the partition predicate for a ts range (the X1 rewrite helper).
+
+    Catalyst prunes on ``p_month`` (a partition column); the ts predicate
+    then prunes row groups within surviving partitions.
+    """
+    out = df.where(F.col(PARTITION_COL) >= F.date_format(F.lit(ts_lo), "yyyyMM")).where(
+        F.col("ts") >= F.lit(ts_lo)
+    )
+    if ts_hi is not None:
+        out = out.where(F.col(PARTITION_COL) <= F.date_format(F.lit(ts_hi), "yyyyMM")).where(
+            F.col("ts") <= F.lit(ts_hi)
+        )
+    return out
+
+
+def dedup_view(
+    df: DataFrame,
+    keys: Sequence[str] = ("ts", "symbol", "trade_id"),
+    version_col: str = "ingested_at",
+) -> DataFrame:
+    """Read-time ReplacingMergeTree semantics: latest version per sort key.
+
+    Window argmax (row_number=1 over version desc) — one shuffle on the key.
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col(version_col).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+    )
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    keys: Sequence[str] = ("ts", "symbol", "trade_id"),
+    version_col: str = "ingested_at",
+    sort_cols: Sequence[str] = ("ts", "symbol", "trade_id"),
+) -> None:
+    """Background-merge analog: rewrite the table with duplicates collapsed
+    and files re-sorted (also fixes small-file accumulation from streaming).
+
+    Local-mode implementation rewrites the whole table via a temp dir; a
+    cluster deployment runs this per-partition (only partitions with new
+    files since last compaction).
+    """
+    df = dedup_view(spark.read.parquet(path), keys, version_col)
+    tmp = path.rstrip("/") + ".compact.tmp"
+    (
+        df.repartition(F.col(PARTITION_COL))
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .partitionBy(PARTITION_COL)
+        .parquet(tmp)
+    )
+    dest = Path(path)
+    shutil.rmtree(dest)
+    Path(tmp).rename(dest)
+
+
+def apply_retention(path: str, cutoff_month: str) -> list[str]:
+    """TTL analog: drop whole month partitions older than ``cutoff_month``
+    (yyyyMM string). Returns dropped partition names. O(#partitions) —
+    never touches surviving data.
+    """
+    dropped = []
+    for p in sorted(Path(path).glob(f"{PARTITION_COL}=*")):
+        month = p.name.split("=", 1)[1]
+        if month < cutoff_month:
+            shutil.rmtree(p)
+            dropped.append(p.name)
+    return dropped

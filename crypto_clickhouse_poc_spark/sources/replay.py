@@ -1,0 +1,59 @@
+"""Deterministic replay source for streaming tests.
+
+The reference is fed by a live WebSocket; its test strategy (none — survey
+§5) is replaced here by replaying fixtures through the real streaming
+pipeline: trades → Binance-style JSON envelope lines → chunked files →
+``readStream`` with ``maxFilesPerTrigger=1``, so each chunk becomes one
+micro-batch (≙ one reference insert block). Normalizing the replayed events
+must reproduce the input exactly (FIXTURES.md A3 contract).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def trades_to_event_lines(rows: list[dict]) -> list[str]:
+    """Encode trade dicts as Binance combined-stream envelopes.
+
+    Field map is the inverse of ingest.normalize: symbol→s, trade_id→t,
+    price→p (string), qty→q (string), ts→T (epoch ms), is_buyer_maker→m.
+    """
+    out = []
+    for r in rows:
+        ev = {
+            "stream": f"{r['symbol'].lower()}@trade",
+            "data": {
+                "s": r["symbol"],
+                "t": r["trade_id"],
+                "p": f"{r['price']:.8f}",
+                "q": f"{r['qty']:.8f}",
+                "T": int(r["ts"].timestamp() * 1000),
+                "m": bool(r["is_buyer_maker"]),
+            },
+        }
+        out.append(json.dumps(ev))
+    return out
+
+
+def write_replay_chunks(lines: list[str], replay_dir: str, num_chunks: int = 4) -> None:
+    """Split event lines into numbered chunk files (one micro-batch each)."""
+    d = Path(replay_dir)
+    d.mkdir(parents=True, exist_ok=True)
+    per = max(1, (len(lines) + num_chunks - 1) // num_chunks)
+    for i in range(0, len(lines), per):
+        (d / f"chunk-{i // per:05d}.jsonl").write_text("\n".join(lines[i : i + per]) + "\n")
+
+
+def read_replay_stream(spark: SparkSession, replay_dir: str) -> DataFrame:
+    """Streaming DataFrame of raw JSON lines (column ``value``), one file per
+    trigger — deterministic micro-batch boundaries."""
+    return (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(replay_dir)
+        .withColumnRenamed("value", "value")
+    )

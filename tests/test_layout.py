@@ -1,0 +1,94 @@
+"""Physical layout tests: partitioned writes, partition pruning, read-time
+dedup (ReplacingMergeTree analog), compaction, retention."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from crypto_clickhouse_poc_spark.plans import layout
+
+
+def _utc(s: str) -> datetime:
+    return datetime.fromisoformat(s).replace(tzinfo=timezone.utc)
+
+
+def _trades_df(spark):
+    rows = []
+    for m, month in enumerate(("2024-01", "2024-02", "2024-03")):
+        for i in range(10):
+            rows.append(
+                (
+                    "BTCUSDT",
+                    m * 100 + i,
+                    100.0 + i,
+                    1.0,
+                    _utc(f"{month}-05 12:00:{i:02d}"),
+                    i % 2,
+                    _utc(f"{month}-05 12:00:{i:02d}"),
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "symbol string, trade_id long, price double, qty double, ts timestamp,"
+        " is_buyer_maker int, ingested_at timestamp",
+    )
+
+
+def test_write_table_partitions_and_sort(spark, tmp_path):
+    path = str(tmp_path / "trades")
+    layout.write_table(_trades_df(spark), path)
+    parts = sorted(p.name for p in (tmp_path / "trades").glob("p_month=*"))
+    assert parts == ["p_month=202401", "p_month=202402", "p_month=202403"]
+    assert layout.read_table(spark, path).count() == 30
+
+
+def test_month_pruned_hits_partition_filters(spark, tmp_path):
+    path = str(tmp_path / "trades")
+    layout.write_table(_trades_df(spark), path)
+    df = layout.read_table(spark, path)
+    pruned = layout.month_pruned(df, _utc("2024-02-01 00:00:00"), _utc("2024-02-28 00:00:00"))
+    assert pruned.count() == 10
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # the p_month predicates must land in PartitionFilters (pruning, not scan)
+    assert "PartitionFilters" in plan
+    assert plan.split("PartitionFilters")[1].split("]")[0].count("p_month") >= 2
+
+
+def test_dedup_view_keeps_latest_version(spark):
+    df = spark.createDataFrame(
+        [
+            ("BTCUSDT", 1, 100.0, 1.0, _utc("2024-01-01 00:00:00"), 0, _utc("2024-01-01 00:00:01")),
+            ("BTCUSDT", 1, 999.0, 9.0, _utc("2024-01-01 00:00:00"), 0, _utc("2024-01-01 00:00:05")),
+            ("BTCUSDT", 2, 101.0, 1.0, _utc("2024-01-01 00:00:00"), 0, _utc("2024-01-01 00:00:01")),
+        ],
+        "symbol string, trade_id long, price double, qty double, ts timestamp,"
+        " is_buyer_maker int, ingested_at timestamp",
+    )
+    out = {r["trade_id"]: r["price"] for r in layout.dedup_view(df).collect()}
+    assert out == {1: 999.0, 2: 101.0}  # max ingested_at wins
+
+
+def test_compact_collapses_duplicates(spark, tmp_path):
+    path = str(tmp_path / "trades")
+    df = _trades_df(spark)
+    layout.write_table(df, path)
+    # re-ingest the same rows with a later ingested_at (reconnect replay)
+    layout.write_table(
+        df.withColumn("ingested_at", F.col("ingested_at") + F.expr("INTERVAL 1 HOUR")), path
+    )
+    assert layout.read_table(spark, path).count() == 60
+    layout.compact(spark, path)
+    after = layout.read_table(spark, path)
+    assert after.count() == 30
+    # survivors are the later ingestion
+    assert after.where(F.col("ingested_at") == F.col("ts")).count() == 0
+
+
+def test_apply_retention_drops_old_months(spark, tmp_path):
+    path = str(tmp_path / "trades")
+    layout.write_table(_trades_df(spark), path)
+    dropped = layout.apply_retention(path, cutoff_month="202402")
+    assert dropped == ["p_month=202401"]
+    assert layout.read_table(spark, path).count() == 20

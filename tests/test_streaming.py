@@ -1,0 +1,218 @@
+"""Streaming semantics tests (SURVEY.md §5.3): replay a deterministic fixture
+through the real ingest pipeline and assert
+(a) normalize round-trip parity (stream result == batch input),
+(b) duplicate replay absorbed (ReplacingMergeTree analog),
+(c) bars partial-aggregate merge == batch recompute,
+(d) collector lifecycle + status surface,
+(e) synthetic Binance DataSource drives the same pipeline.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+
+from crypto_clickhouse_poc_spark.sources.replay import (
+    read_replay_stream,
+    trades_to_event_lines,
+    write_replay_chunks,
+)
+from crypto_clickhouse_poc_spark.streaming import bars, ingest
+from crypto_clickhouse_poc_spark.streaming.collector import Collector
+
+
+def _utc(s: str) -> datetime:
+    return datetime.fromisoformat(s).replace(tzinfo=timezone.utc)
+
+
+def _fixture_rows() -> list[dict]:
+    """20 trades, 2 symbols, spanning 3 minutes, with intra-second ties."""
+    rows = []
+    for i in range(20):
+        rows.append(
+            {
+                "symbol": "BTCUSDT" if i % 2 == 0 else "ETHUSDT",
+                "trade_id": 1000 + i,
+                "price": 100.0 + i * 0.25,
+                "qty": 0.5 + (i % 4) * 0.125,
+                "ts": _utc(f"2024-01-01 00:0{i // 8}:{(i * 7) % 60:02d}"),
+                "is_buyer_maker": i % 3 == 0,
+            }
+        )
+    return rows
+
+
+def _collect_trades(spark, path):
+    df = spark.read.parquet(path)
+    return sorted(
+        (r["symbol"], r["trade_id"], r["price"], r["qty"], r["ts"], r["is_buyer_maker"])
+        for r in df.collect()
+    )
+
+
+def _expected(rows):
+    return sorted(
+        (
+            r["symbol"],
+            r["trade_id"],
+            r["price"],
+            r["qty"],
+            r["ts"].replace(tzinfo=None),
+            int(r["is_buyer_maker"]),
+        )
+        for r in rows
+    )
+
+
+def test_replay_ingest_round_trip(spark, tmp_path):
+    rows = _fixture_rows()
+    replay_dir, dest, ckpt = (str(tmp_path / d) for d in ("replay", "trades", "ckpt"))
+    write_replay_chunks(trades_to_event_lines(rows), replay_dir, num_chunks=4)
+
+    q = ingest.start_ingest(
+        read_replay_stream(spark, replay_dir), dest, ckpt, trigger_sec=0
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert _collect_trades(spark, dest) == _expected(rows)
+    # partition column written (monthly layout)
+    assert (tmp_path / "trades" / "p_month=202401").exists()
+
+
+def test_replay_duplicates_absorbed(spark, tmp_path):
+    """Reconnect replay: the same chunk delivered twice lands once."""
+    rows = _fixture_rows()
+    lines = trades_to_event_lines(rows)
+    replay_dir, dest, ckpt = (str(tmp_path / d) for d in ("replay", "trades", "ckpt"))
+    # duplicate the full stream (second delivery of every event)
+    write_replay_chunks(lines + lines, replay_dir, num_chunks=6)
+
+    q = ingest.start_ingest(
+        read_replay_stream(spark, replay_dir), dest, ckpt, trigger_sec=0
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert _collect_trades(spark, dest) == _expected(rows)
+
+
+def test_partial_bars_merge_equals_batch(spark):
+    """The MV algebra: per-batch partials re-aggregated == one-shot batch."""
+    rows = _fixture_rows()
+    df = spark.createDataFrame(
+        [
+            (r["symbol"], r["trade_id"], r["price"], r["qty"], r["ts"], int(r["is_buyer_maker"]))
+            for r in rows
+        ],
+        "symbol string, trade_id long, price double, qty double, ts timestamp, is_buyer_maker int",
+    )
+    # three "insert blocks" splitting minute groups across batches
+    b1, b2, b3 = df.where("trade_id % 3 = 0"), df.where("trade_id % 3 = 1"), df.where(
+        "trade_id % 3 = 2"
+    )
+    partials = bars.partial_bars(b1).unionAll(bars.partial_bars(b2)).unionAll(
+        bars.partial_bars(b3)
+    )
+    merged = {
+        (r["minute"], r["symbol"]): (r["open"], r["high"], r["low"], r["close"],
+                                     round(r["volume"], 9), r["trades"])
+        for r in bars.reaggregate_bars(partials).collect()
+    }
+    direct = {
+        (r["minute"], r["symbol"]): (r["open"], r["high"], r["low"], r["close"],
+                                     round(r["volume"], 9), r["trades"])
+        for r in bars.bars_batch(df).collect()
+    }
+    assert merged == direct
+    assert len(direct) == 6  # 3 minutes × 2 symbols
+
+
+def test_streaming_bars_partials_pipeline(spark, tmp_path):
+    """End-to-end: replay → ingest table → partial-bars stream → merge view."""
+    rows = _fixture_rows()
+    replay_dir = str(tmp_path / "replay")
+    bars_dir, ckpt = str(tmp_path / "bars"), str(tmp_path / "ckpt_bars")
+    write_replay_chunks(trades_to_event_lines(rows), replay_dir, num_chunks=5)
+
+    trades_stream = ingest.normalize(read_replay_stream(spark, replay_dir))
+    q = bars.start_bars_partials(trades_stream, bars_dir, ckpt, trigger_sec=0)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    partials = spark.read.parquet(bars_dir)
+    # multiple micro-batches → at least one (minute,symbol) group has partials
+    assert partials.count() >= 6
+    batch_df = spark.createDataFrame(
+        [(r["symbol"], r["trade_id"], r["price"], r["qty"], r["ts"]) for r in rows],
+        "symbol string, trade_id long, price double, qty double, ts timestamp",
+    )
+    merged = {
+        (r["minute"], r["symbol"]): (r["open"], r["high"], r["low"], r["close"],
+                                     round(r["volume"], 9), r["trades"])
+        for r in bars.reaggregate_bars(partials).collect()
+    }
+    direct = {
+        (r["minute"], r["symbol"]): (r["open"], r["high"], r["low"], r["close"],
+                                     round(r["volume"], 9), r["trades"])
+        for r in bars.bars_batch(batch_df).collect()
+    }
+    assert merged == direct
+
+
+def test_collector_lifecycle(spark, tmp_path):
+    rows = _fixture_rows()
+    replay_dir, dest, ckpt = (str(tmp_path / d) for d in ("replay", "trades", "ckpt"))
+    write_replay_chunks(trades_to_event_lines(rows), replay_dir, num_chunks=2)
+
+    col = Collector(
+        spark,
+        lambda: ingest.start_ingest(
+            read_replay_stream(spark, replay_dir), dest, ckpt, trigger_sec=0
+        ),
+    )
+    assert col.status["state"] == "idle" and not col.status["running"]
+    col.start()
+    assert col.status["running"] and col.status["state"] == "running"
+    with pytest.raises(RuntimeError):
+        col.start()  # double-start rejected (reference 409, api/server.py:43-44)
+    col.process_available()
+    col.stop()
+    st = col.status
+    assert st["state"] == "idle" and not st["running"] and st["last_error"] is None
+    assert spark.read.parquet(dest).count() == len(rows)
+
+
+def test_synthetic_binance_source(spark, tmp_path):
+    """The DataSource-API source feeds the same normalize → sink pipeline."""
+    from crypto_clickhouse_poc_spark.sources.binance import BinanceTradesDataSource
+
+    spark.dataSource.register(BinanceTradesDataSource)
+    raw = (
+        spark.readStream.format("binance_trades")
+        .option("symbols", "btcusdt,ethusdt")
+        .option("rate", "50")
+        .option("limit", "100")
+        .load()
+    )
+    dest, ckpt = str(tmp_path / "trades"), str(tmp_path / "ckpt")
+    q = ingest.start_ingest(raw, dest, ckpt, trigger_sec=0, dedup=False)
+    try:
+        # limit=100 → two 50-event batches then empty batches
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    df = spark.read.parquet(dest)
+    assert df.count() == 100
+    assert set(r["symbol"] for r in df.select("symbol").distinct().collect()) == {
+        "BTCUSDT",
+        "ETHUSDT",
+    }
+    assert df.where("price IS NULL OR ts IS NULL").count() == 0
