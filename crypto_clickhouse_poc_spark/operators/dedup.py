@@ -95,31 +95,64 @@ def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared LSH dataflow: signatures → banded bucket join → verified pairs.
 
     Returns (doc_a, doc_b, jaccard) for verified pairs with jaccard >= 0.8.
+
+    Pair generation uses the *first-collision-band* trick: band i's equi-join
+    keeps a pair only if the pair did NOT already collide in any band j < i
+    (post-join inequality filters). Each candidate pair is therefore emitted
+    exactly once across the BANDS unioned joins — no global ``distinct``
+    shuffle over the (quadratic) candidate set. Token sets ride through the
+    band join, so jaccard verification is a map-side projection with no
+    join-back either: total shuffle volume is O(docs), never O(pairs).
     """
     toks = _doc_shingles(spark, sf_dir)
-    sig = toks.select("doc_id", *T.minhash_signature(F.col("toks"), NUM_HASHES))
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.md5(F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))).alias("band_key"),
-        )
-        for b in range(BANDS)
-    ]
-    bands = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("band")).select(
-        "doc_id", "band.band_id", "band.band_key"
+    sig = toks.select("doc_id", "toks", *T.minhash_signature(F.col("toks"), NUM_HASHES))
+    # ht: token set as sorted 64-bit hashes — intersections on longs are far
+    # cheaper than on strings, and jaccard needs only set *sizes*. (Token
+    # sets are tiny; a 64-bit collision within one doc is ~1e-17.)
+    d = sig.select(
+        "doc_id",
+        F.size("toks").alias("n"),
+        # NB: one-param lambda — F.xxhash64 is variadic and transform would
+        # otherwise hand it (element, index), salting the hash by position.
+        F.array_sort(F.transform("toks", lambda t: F.xxhash64(t))).alias("ht"),
+        *[
+            F.md5(F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))).alias(f"bk{b}")
+            for b in range(BANDS)
+        ],
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    a, b = d.alias("a"), d.alias("b")
+    common = F.size(F.array_intersect("a.ht", "b.ht"))
+    # jaccard >= T as exact integer cross-multiplication (T = num/den): one
+    # intersect per surviving pair, placed LAST in the conjunction so the
+    # cheap id/band-key compares short-circuit first. Use the *intended*
+    # rational (4/5), not float(0.8)'s exact ratio: double(0.8) sits just
+    # above 4/5, and a pair at exactly jaccard==4/5 must pass — IEEE division
+    # rounds 4/5 to double(0.8), so `>= 0.8` passes it in oracle SQL too.
+    from fractions import Fraction
+
+    frac = Fraction(JACCARD_THRESHOLD).limit_denominator(10**6)
+    num, den = frac.numerator, frac.denominator
+    parts = []
+    for i in range(BANDS):
+        cond = (F.col(f"a.bk{i}") == F.col(f"b.bk{i}")) & (
+            F.col("a.doc_id") < F.col("b.doc_id")
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    return _pair_jaccard(cand, toks).where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        for j in range(i):
+            cond = cond & (F.col(f"a.bk{j}") != F.col(f"b.bk{j}"))
+        cond = cond & ((den + num) * common >= num * (F.col("a.n") + F.col("b.n")))
+        parts.append(
+            a.join(b, cond).select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                (
+                    common / (F.col("a.n") + F.col("b.n") - common)
+                ).alias("jaccard"),
+            )
+        )
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionAll(p)
+    return cand
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
