@@ -42,6 +42,9 @@ BENCH_QUERIES = [
     "dedup_minhash_summary",
     "ann_topk_brute",
     "ann_ivf_assign",
+    # multimodal (binary payload + Arrow-batched Pandas-UDF kernels)
+    "mm_byte_features",
+    "mm_frame_sample",
 ]
 
 
