@@ -34,6 +34,9 @@ BENCH_QUERIES = [
     "tpch_q5",
     "tpch_q6",
     "tpch_q10",
+    # temporal joins (union-tag as-of sweep, bucketed range join)
+    "asof_last_click_price",
+    "range_click_activity",
     # text / dedup / similarity (scale paths)
     "doc_stats",
     "doc_fingerprints",
