@@ -219,6 +219,134 @@ def nation_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-shipment priority split (TPC-H Q12 shape, adapted: fixture has no
+    shipmode/receiptdate — "late" = shipped >30 days after order date).
+
+    orders ⋈ lineitem shuffles on orderkey; the CASE-conditional counts are
+    map-side partial aggregates.
+    """
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(late)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(urgent, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion revenue share (TPC-H Q14 shape): conditional-sum ratio.
+
+    part is broadcast; the whole query is one broadcast join + one global
+    aggregate — no shuffle of lineitem at all.
+    """
+    p = load(spark, sf_dir, "part")
+    l = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(100 * F.sum(promo) / F.sum(rev), 6).alias("promo_revenue_pct")
+        )
+    )
+
+
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers (TPC-H Q18 shape): HAVING-filtered aggregate
+    driving a semi-join back into the fact tables.
+
+    The qualifying-orderkey set (groupBy + having) is tiny → broadcast
+    left-semi join prunes lineitem/orders before the final aggregate.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 150)
+        .select("l_orderkey")
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        l.join(F.broadcast(big), "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue (TPC-H Q19 shape): disjunction of conjunctive
+    brand/size/quantity predicates across the join.
+
+    part is broadcast; the OR-of-ANDs stays a post-join filter (its p_ and
+    l_ legs each push down to their own scans where splittable).
+    """
+    p = load(spark, sf_dir, "part")
+    l = load(spark, sf_dir, "lineitem")
+    j = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    c1 = (
+        (F.col("p_brand") == "Brand#11")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(1, 11))
+    )
+    c2 = (
+        (F.col("p_brand") == "Brand#22")
+        & (F.col("p_size").between(1, 25))
+        & (F.col("l_quantity").between(10, 20))
+    )
+    c3 = (
+        (F.col("p_brand") == "Brand#15")
+        & (F.col("p_size").between(1, 35))
+        & (F.col("l_quantity").between(20, 30))
+    )
+    return j.where(c1 | c2 | c3).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+def region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate: order count/value by (region, nation) with subtotal
+    and grand-total rows — Spark's ``rollup`` ≡ ANSI GROUP BY ROLLUP.
+
+    Same shuffle as the plain groupBy; the rollup levels are computed in the
+    same hash-aggregate via grouping-set expansion.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("order_count"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        )
+        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+    )
+
+
 QUERIES = {
     "tpch_q1": tpch_q1,
     "tpch_q3": tpch_q3,
@@ -226,8 +354,13 @@ QUERIES = {
     "tpch_q5": tpch_q5,
     "tpch_q6": tpch_q6,
     "tpch_q10": tpch_q10,
+    "tpch_q12": tpch_q12,
+    "tpch_q14": tpch_q14,
+    "tpch_q18": tpch_q18,
+    "tpch_q19": tpch_q19,
     "top_order_per_customer": top_order_per_customer,
     "nation_order_rollup": nation_order_rollup,
+    "region_nation_rollup": region_nation_rollup,
 }
 
 ORACLES = {
@@ -297,6 +430,60 @@ ORACLES = {
         GROUP BY c_custkey, c_name, c_acctbal, n_name
         ORDER BY revenue DESC, c_custkey
         LIMIT 20
+    """,
+    "tpch_q12": """
+        SELECT l_returnflag,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem, orders
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+        GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "tpch_q14": """
+        SELECT round(100 * sum(CASE WHEN p_type = 'PROMO'
+                                    THEN l_extendedprice * (1 - l_discount)
+                                    ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey
+          AND l_shipdate >= TIMESTAMP '1996-09-01'
+          AND l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+    "tpch_q18": """
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               round(sum(l_quantity), 2) AS total_qty
+        FROM customer, orders, lineitem
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                             GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+          AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20
+    """,
+    "tpch_q19": """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey
+          AND ((p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
+                AND l_quantity BETWEEN 20 AND 30))
+    """,
+    "region_nation_rollup": """
+        SELECT r_name, n_name, count(*) AS order_count,
+               round(sum(o_totalprice), 2) AS total_value
+        FROM orders, customer, nation, region
+        WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+        ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
     """,
     "top_order_per_customer": """
         SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate

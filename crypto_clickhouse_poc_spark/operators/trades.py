@@ -221,6 +221,24 @@ def ev_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_user_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation surface (INTERSECT / EXCEPT / UNION over user sets).
+
+    Audience overlap: users who clicked AND purchased, clicked only,
+    purchased only. Each set op is a shuffle on user_id over the deduped
+    (tiny) id sets — the standard cohort algebra shape.
+    """
+    e = _events(spark, sf_dir)
+    clicks = e.where(F.col("event_type") == "click").select("user_id").distinct()
+    purchases = e.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    tagged = (
+        clicks.intersect(purchases).withColumn("grp", F.lit("both"))
+        .unionByName(clicks.subtract(purchases).withColumn("grp", F.lit("click_only")))
+        .unionByName(purchases.subtract(clicks).withColumn("grp", F.lit("purchase_only")))
+    )
+    return tagged.groupBy("grp").agg(F.count("*").alias("n_users")).orderBy("grp")
+
+
 QUERIES = {
     "ev_count": ev_count,
     "ev_latest": ev_latest,
@@ -230,6 +248,7 @@ QUERIES = {
     "ev_buy_sell_live": ev_buy_sell_live,
     "ev_buy_sell_hist": ev_buy_sell_hist,
     "ev_dedup_latest": ev_dedup_latest,
+    "ev_user_setops": ev_user_setops,
 }
 
 _EV = (
@@ -315,5 +334,17 @@ ORACLES = {
                                     ORDER BY ts DESC, event_id DESC) AS rn
           FROM ({_EV}) e
         ) t WHERE rn = 1
+    """,
+    "ev_user_setops": """
+        WITH clicks AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+        purchases AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+        tagged AS (
+          SELECT user_id, 'both' AS grp FROM (SELECT * FROM clicks INTERSECT SELECT * FROM purchases) t
+          UNION ALL
+          SELECT user_id, 'click_only' FROM (SELECT * FROM clicks EXCEPT SELECT * FROM purchases) t
+          UNION ALL
+          SELECT user_id, 'purchase_only' FROM (SELECT * FROM purchases EXCEPT SELECT * FROM clicks) t
+        )
+        SELECT grp, count(*) AS n_users FROM tagged GROUP BY grp ORDER BY grp
     """,
 }
