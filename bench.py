@@ -27,6 +27,8 @@ BENCH_QUERIES = [
     "ev_buy_sell_live",
     "ev_buy_sell_hist",
     "ev_dedup_latest",
+    "ev_sessionize",
+    "ev_price_quantiles",
     # joins
     "tpch_q1",
     "tpch_q3",

@@ -107,12 +107,32 @@ def corpus_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/test split by content-independent key hash.
+
+    split = first byte of md5(doc_id) < 26 → ~10% "test". Hash-based splits
+    are the only kind that stay stable under re-partitioning, re-ingestion,
+    and incremental appends — never ``rand()`` — and need no shuffle (pure
+    per-row map; the rollup at the end is one tiny aggregate).
+    """
+    d = load(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast(
+        "int"
+    )
+    return d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 26, F.lit("test")).otherwise(F.lit("train")).alias("split"),
+    )
+
+
 QUERIES = {
     "doc_stats": doc_stats,
     "doc_token_counts": doc_token_counts,
     "doc_langid": doc_langid,
     "doc_fingerprints": doc_fingerprints,
     "corpus_top_tokens": corpus_top_tokens,
+    "doc_split": doc_split,
 }
 
 # shared oracle fragments
@@ -158,5 +178,14 @@ ORACLES = {
         SELECT token, count(*) AS freq
         FROM (SELECT unnest({_TOKS}) AS token FROM documents) t
         GROUP BY token ORDER BY freq DESC, token LIMIT 20
+    """,
+    "doc_split": """
+        SELECT doc_id,
+               CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                    AS INTEGER) AS bucket,
+               CASE WHEN CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                         AS INTEGER) < 26
+                    THEN 'test' ELSE 'train' END AS split
+        FROM documents
     """,
 }

@@ -239,6 +239,65 @@ def ev_user_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.groupBy("grp").agg(F.count("*").alias("n_users")).orderBy("grp")
 
 
+def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: gap-based sessions (30 min) per user, rolled up.
+
+    lag → new-session flag → running sum = session id (one shuffle on
+    user_id, both windows share it), then two hash-aggregates. The batch
+    twin of the streaming session-window operator; durations are integer
+    epoch-second diffs so the oracle matches bit-exactly.
+    """
+    from pyspark.sql.window import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = (
+        e.withColumn(
+            "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        )
+        .withColumn(
+            "sess_id",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts"))).alias("dur_sec"),
+        )
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max("dur_sec").alias("max_session_sec"),
+            F.round(F.avg("dur_sec"), 6).alias("avg_session_sec"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def ev_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles (p50/p90/p99) of price per event type.
+
+    ``F.percentile`` (exact, linear interpolation — ANSI PERCENTILE_CONT
+    semantics, matching DuckDB quantile_cont). At 100 TB the engine swaps
+    this for ``approx_percentile`` with a documented error bound; the exact
+    form is the correctness reference.
+    """
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("price", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("price", F.lit(0.9)), 6).alias("p90"),
+            F.round(F.percentile("price", F.lit(0.99)), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "ev_count": ev_count,
     "ev_latest": ev_latest,
@@ -249,6 +308,8 @@ QUERIES = {
     "ev_buy_sell_hist": ev_buy_sell_hist,
     "ev_dedup_latest": ev_dedup_latest,
     "ev_user_setops": ev_user_setops,
+    "ev_sessionize": ev_sessionize,
+    "ev_price_quantiles": ev_price_quantiles,
 }
 
 _EV = (
@@ -346,5 +407,37 @@ ORACLES = {
           SELECT user_id, 'purchase_only' FROM (SELECT * FROM purchases EXCEPT SELECT * FROM clicks) t
         )
         SELECT grp, count(*) AS n_users FROM tagged GROUP BY grp ORDER BY grp
+    """,
+    "ev_sessionize": """
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+          SELECT user_id, ts,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sess_id
+          FROM flagged
+        ),
+        per_sess AS (
+          SELECT user_id, sess_id, count(*) AS n_events,
+                 date_diff('second', min(ts), max(ts)) AS dur_sec
+          FROM sessions GROUP BY user_id, sess_id
+        )
+        SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
+               max(dur_sec) AS max_session_sec,
+               round(avg(dur_sec), 6) AS avg_session_sec
+        FROM per_sess GROUP BY user_id ORDER BY user_id
+    """,
+    "ev_price_quantiles": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.9), 6) AS p90,
+               round(quantile_cont(value, 0.99), 6) AS p99
+        FROM events GROUP BY event_type ORDER BY event_type
     """,
 }
