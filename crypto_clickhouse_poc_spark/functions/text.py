@@ -90,14 +90,20 @@ def simhash16(toks: Column) -> Column:
     Bit b of the output is set iff the signed vote sum over tokens of
     (parity of hex digit b of md5(token)) * 2 - 1 is positive. Pure integer
     arithmetic → bit-identical in any engine.
+
+    md5 is computed ONCE per token (hashes array), then each bit's vote
+    folds over the precomputed hex strings — 16× fewer digest calls than
+    hashing inside every bit's fold.
     """
+    hashes = F.transform(toks, lambda t: F.md5(t))
+
     def vote(b: int) -> Column:
         # single-(acc, element)-param lambda; close over the bit position
         pos = b + 1
         return F.aggregate(
-            toks,
+            hashes,
             F.lit(0),
-            lambda acc, t: acc + _hex_digit_parity(F.substring(F.md5(t), pos, 1)) * 2 - 1,
+            lambda acc, h: acc + _hex_digit_parity(F.substring(h, pos, 1)) * 2 - 1,
         )
 
     total = F.lit(0)

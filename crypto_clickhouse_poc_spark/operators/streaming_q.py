@@ -1,0 +1,142 @@
+"""The streaming MV surfaced in the correctness gate.
+
+``stream_ohlcv_replay`` replays the ``events`` fixture through the REAL
+streaming ingest + incremental-bars pipeline (``streaming.ingest.normalize``
+→ ``foreachBatch`` partial bars, the reference's materialized-view dataflow,
+survey §2.8 T1/T2) and returns the read-time re-aggregated bars. Because
+partial-bar merge is exact (integer counts, integer-valued qty sums, min/max
+and carried-key open/close), the result equals the one-shot batch
+aggregation — which is precisely the DuckDB oracle. This puts the streaming
+path itself under the driver's hash-match gate instead of a weaker
+rows-only check.
+
+Replay encoding notes (determinism):
+- rows are sorted by (ts, trade_id) and chunked into 8 files; each file is
+  one micro-batch (``maxFilesPerTrigger=1`` + ``availableNow``), so
+  (minute, symbol) groups span batches and the partial-merge path is
+  genuinely exercised.
+- epoch-ms is computed with integer datetime arithmetic (never
+  ``.timestamp()`` floats — an exact-second ts must not round down a ms).
+- floats are serialized with ``repr`` (shortest round-trip), so
+  price/qty survive JSON → string-cast → double bit-exactly.
+
+The driver-side collect here is test scaffolding (building a fake stream
+from a batch fixture), not an engine pattern — production ingest reads a
+real source (WS/Kafka) and nothing touches the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import tempfile
+from datetime import datetime
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.replay import read_replay_stream
+from ..streaming import bars as B
+from ..streaming import ingest as I
+from .trades import _events
+
+_EPOCH = datetime(1970, 1, 1)
+_NUM_CHUNKS = 8
+
+
+def _epoch_ms(dt: datetime) -> int:
+    """Exact integer epoch-ms for a (session-UTC, tz-naive) datetime."""
+    delta = dt - _EPOCH
+    return (delta.days * 86400 + delta.seconds) * 1000 + delta.microseconds // 1000
+
+
+def stream_ohlcv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay events through the streaming MV; return merged 1-minute bars."""
+    rows = (
+        _events(spark, sf_dir)
+        .select(
+            F.col("event_type").alias("symbol"),
+            F.col("event_id").alias("trade_id"),
+            "price",
+            "qty",
+            "ts",
+            F.col("side").alias("is_buyer_maker"),
+        )
+        .orderBy("ts", "trade_id")
+        .collect()
+    )
+    lines = []
+    for r in rows:
+        ev = {
+            "stream": f"{r['symbol'].lower()}@trade",
+            "data": {
+                "s": r["symbol"],
+                "t": r["trade_id"],
+                "p": repr(r["price"]),
+                "q": repr(r["qty"]),
+                "T": _epoch_ms(r["ts"]),
+                "m": bool(r["is_buyer_maker"]),
+            },
+        }
+        lines.append(json.dumps(ev))
+
+    root = Path(tempfile.mkdtemp(prefix="stream_ohlcv_replay_"))
+    replay_dir, partials_dir, ckpt = root / "replay", root / "partials", root / "ckpt"
+    replay_dir.mkdir()
+    per = max(1, (len(lines) + _NUM_CHUNKS - 1) // _NUM_CHUNKS)
+    for i in range(0, len(lines), per):
+        (replay_dir / f"chunk-{i // per:05d}.jsonl").write_text(
+            "\n".join(lines[i : i + per]) + "\n"
+        )
+
+    trades = I.normalize(read_replay_stream(spark, str(replay_dir)))
+
+    def emit(batch: DataFrame, batch_id: int) -> None:
+        B.partial_bars(batch).write.mode("append").parquet(str(partials_dir))
+
+    q = (
+        trades.writeStream.foreachBatch(emit)
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    return (
+        B.reaggregate_bars(spark.read.parquet(str(partials_dir)))
+        .select("minute", "symbol", "open", "high", "low", "close", "volume", "trades")
+        .orderBy("minute", "symbol")
+    )
+
+
+QUERIES = {
+    "stream_ohlcv_replay": stream_ohlcv_replay,
+}
+
+ORACLES = {
+    # the batch recompute the streaming partials must merge to exactly
+    "stream_ohlcv_replay": """
+        WITH t AS (
+          SELECT event_type AS symbol, event_id AS trade_id, value AS price,
+                 CAST(json_extract_string(props, '$.k') AS DOUBLE) AS qty,
+                 date_trunc('second', ts) AS ts
+          FROM events
+        ),
+        base AS (
+          SELECT date_trunc('minute', ts) AS minute, symbol, price, qty,
+                 row_number() OVER (PARTITION BY date_trunc('minute', ts), symbol
+                                    ORDER BY ts, trade_id) AS rn_a,
+                 row_number() OVER (PARTITION BY date_trunc('minute', ts), symbol
+                                    ORDER BY ts DESC, trade_id DESC) AS rn_d
+          FROM t
+        )
+        SELECT minute, symbol,
+               max(CASE WHEN rn_a = 1 THEN price END) AS open,
+               max(price) AS high,
+               min(price) AS low,
+               max(CASE WHEN rn_d = 1 THEN price END) AS close,
+               sum(qty) AS volume,
+               count(*) AS trades
+        FROM base GROUP BY minute, symbol ORDER BY minute, symbol
+    """,
+}
