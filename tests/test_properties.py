@@ -1,0 +1,133 @@
+"""Property-based spot checks (SURVEY.md §5.4).
+
+Each property runs over deterministic pseudo-random trade sets (seeded —
+hypothesis-style generation without paying one Spark job per shrunk
+example):
+
+- partial-bars merge algebra: for ANY split of the input into micro-batches,
+  merging per-batch partial bars equals the one-shot batch aggregation.
+- dedup idempotence: re-ingesting any subset with a later ingested_at leaves
+  the canonical dedup view unchanged on the key set, keeping latest version.
+- OHLCV bar invariants: low <= open, close <= high; volume > 0; trades > 0.
+- partition-pruning rewrite: month_pruned == the plain ts-range filter.
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from crypto_clickhouse_poc_spark.plans import layout
+from crypto_clickhouse_poc_spark.streaming import bars
+from tests.conftest import SF_SMOKE
+
+SCHEMA = "symbol string, trade_id long, price double, qty double, ts timestamp, is_buyer_maker int, ingested_at timestamp"
+
+
+def _gen_trades(seed: int, n: int = 300) -> list[tuple]:
+    rng = random.Random(seed)
+    t0 = datetime(2024, 3, 1, 12, 0, 0)
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                rng.choice(["BTCUSDT", "ETHUSDT"]),
+                i,
+                round(rng.uniform(10, 500), 2),
+                float(rng.randint(1, 50)),
+                t0 + timedelta(seconds=rng.randint(0, 1800)),
+                rng.randint(0, 1),
+                t0 + timedelta(seconds=3600),
+            )
+        )
+    return rows
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_partial_bars_merge_equals_batch(spark, seed):
+    rows = _gen_trades(seed)
+    df = spark.createDataFrame(rows, SCHEMA)
+    batch = bars.bars_batch(df)
+
+    rng = random.Random(seed + 100)
+    cuts = sorted(rng.sample(range(1, len(rows)), 4))
+    pieces = [rows[a:b] for a, b in zip([0] + cuts, cuts + [len(rows)])]
+    partials = None
+    for piece in pieces:
+        p = bars.partial_bars(spark.createDataFrame(piece, SCHEMA))
+        partials = p if partials is None else partials.unionByName(p)
+    merged = bars.reaggregate_bars(partials)
+
+    assert _sorted_rows(merged) == _sorted_rows(batch)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_dedup_view_idempotent_reingestion(spark, seed):
+    rows = _gen_trades(seed, n=200)
+    df = spark.createDataFrame(rows, SCHEMA)
+    base = layout.dedup_view(df)
+
+    # replay a subset with a LATER ingested_at and a marker price bump
+    rng = random.Random(seed + 7)
+    replay = [
+        (s, tid, price + 1000.0, qty, ts, m, ing + timedelta(hours=1))
+        for (s, tid, price, qty, ts, m, ing) in rng.sample(rows, 50)
+    ]
+    dup = spark.createDataFrame(rows + replay, SCHEMA)
+    dd = layout.dedup_view(dup)
+
+    assert dd.count() == base.count()  # key set unchanged
+    # every replayed key now carries the replayed (latest) version
+    replayed = dd.where(F.col("price") > 1000.0).count()
+    assert replayed == len({(r[4], r[0], r[1]) for r in replay})
+
+
+@pytest.mark.parametrize("seed", [0])
+def test_ohlcv_bar_invariants(spark, seed):
+    rows = _gen_trades(seed)
+    b = bars.bars_batch(spark.createDataFrame(rows, SCHEMA))
+    bad = b.where(
+        (F.col("low") > F.col("high"))
+        | (F.col("open") < F.col("low"))
+        | (F.col("open") > F.col("high"))
+        | (F.col("close") < F.col("low"))
+        | (F.col("close") > F.col("high"))
+        | (F.col("volume") <= 0)
+        | (F.col("trades") <= 0)
+    )
+    assert bad.count() == 0
+
+
+def test_month_pruned_matches_plain_filter(spark):
+    rows = []
+    for m in (1, 2, 3):
+        rows += [
+            ("BTCUSDT", m * 1000 + i, 1.0 + i, 1.0, datetime(2024, m, 5, 10, 0, i), 0,
+             datetime(2024, 3, 31))
+            for i in range(10)
+        ]
+    df = layout.with_partition_col(spark.createDataFrame(rows, SCHEMA))
+    lo, hi = datetime(2024, 2, 1), datetime(2024, 3, 4)
+    pruned = layout.month_pruned(df, lo, hi)
+    plain = df.where((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)))
+    assert _sorted_rows(pruned.drop("p_month")) == _sorted_rows(plain.drop("p_month"))
+
+
+def test_sessionize_invariants(spark):
+    from crypto_clickhouse_poc_spark.operators.trades import ev_sessionize
+
+    s = ev_sessionize(spark, SF_SMOKE)
+    bad = s.where(
+        (F.col("n_sessions") <= 0)
+        | (F.col("n_sessions") > F.col("n_events"))
+        | (F.col("max_session_sec") < 0)
+        | (F.col("avg_session_sec") > F.col("max_session_sec"))
+    )
+    assert bad.count() == 0
