@@ -120,6 +120,11 @@ def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(BANDS)
         ],
     )
+    # The band joins reference this subplan 8 times (both sides × 4 bands);
+    # without a cache each reference recomputes the shingle + 8×md5 signature
+    # pass (~45% of query time measured at sf0.1). One row per doc with a
+    # short hash array — O(docs) memory, the right trade at any scale.
+    d = d.cache()
     a, b = d.alias("a"), d.alias("b")
     common = F.size(F.array_intersect("a.ht", "b.ht"))
     # jaccard >= T as exact integer cross-multiplication (T = num/den): one
