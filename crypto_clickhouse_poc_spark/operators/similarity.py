@@ -148,10 +148,56 @@ def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probed search (nprobe=1): top-k among vectors sharing the query's
+    nearest centroid.
+
+    The scale path brute-force can't walk: assign once (broadcast centroid
+    join), then a query touches only its probed cluster — with the cluster id
+    as a partition column this is partition pruning, reading ~n/k of the
+    data. Recall vs exact top-k is the standard IVF trade; both engines
+    compute the same deterministic assignment, so the oracle is exact.
+    """
+    e = _vectors(spark, sf_dir)
+    c = _centroids(spark, sf_dir)
+    cb = F.broadcast(c.select(F.col("label").alias("centroid_label"), "cv", "cnrm"))
+    cos_c = V.dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
+    wassign = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine_c").desc(), F.col("centroid_label")
+    )
+    assigned = (
+        e.crossJoin(cb)
+        .withColumn("cosine_c", cos_c)
+        .withColumn("rn", F.row_number().over(wassign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "v", "nrm", F.col("centroid_label").alias("cluster"))
+    )
+    q = assigned.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("cluster").alias("qcluster"),
+    )
+    cos = V.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    scored = (
+        assigned.join(F.broadcast(q), F.col("cluster") == F.col("qcluster"))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", cos)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TOPK)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank",
+                F.round("cosine", 6).alias("cosine"))
+    )
+
+
 QUERIES = {
     "ann_topk_brute": ann_topk_brute,
     "ann_topk_pandas": ann_topk_pandas,
     "ann_ivf_assign": ann_ivf_assign,
+    "ann_ivf_search": ann_ivf_search,
 }
 
 _E = (
@@ -182,6 +228,46 @@ ORACLES = {
           SELECT q.query_id, e.vec_id AS neighbor_id,
                  list_dot_product(qv, v) / (qn * nrm) AS cosine
           FROM e, q WHERE e.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored
+        ) t WHERE rank <= 10
+    """,
+    "ann_ivf_search": f"""
+        WITH {_E},
+        dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+        per_dim AS (
+          SELECT label, i, round(avg(v[i]), 6) AS c
+          FROM e, dims GROUP BY label, i
+        ),
+        cent AS (
+          SELECT label AS centroid_label, list(c ORDER BY i) AS cv
+          FROM per_dim GROUP BY label
+        ),
+        cent_n AS (
+          SELECT centroid_label, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM cent
+        ),
+        assigned AS (
+          SELECT vec_id, v, nrm, centroid_label AS cluster
+          FROM (
+            SELECT e.vec_id, e.v, e.nrm, c.centroid_label,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) DESC,
+                              c.centroid_label) AS rn
+            FROM e, cent_n c
+          ) t WHERE rn = 1
+        ),
+        q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, cluster AS qcluster
+              FROM assigned WHERE vec_id < 5),
+        scored AS (
+          SELECT q.query_id, a.vec_id AS neighbor_id,
+                 list_dot_product(qv, a.v) / (qn * a.nrm) AS cosine
+          FROM assigned a JOIN q ON a.cluster = q.qcluster
+          WHERE a.vec_id <> q.query_id
         )
         SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
         FROM (

@@ -86,6 +86,29 @@ def test_compact_collapses_duplicates(spark, tmp_path):
     assert after.where(F.col("ingested_at") == F.col("ts")).count() == 0
 
 
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Fact-fact join on co-bucketed tables must plan without an Exchange on
+    either side — the zero-shuffle orders ⋈ lineitem layout."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bux LOCATION '{tmp_path}/bux'")
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    l = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    layout.write_bucketed(o, "bux.orders_b", "o_orderkey", 8, sort_col="o_orderkey")
+    layout.write_bucketed(l, "bux.lineitem_b", "l_orderkey", 8, sort_col="l_orderkey")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("bux.lineitem_b").join(
+            spark.table("bux.orders_b"), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # correctness: same row count as the plain (shuffled) join
+        assert j.count() == l.join(o, F.col("l_orderkey") == F.col("o_orderkey")).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP DATABASE bux CASCADE")
+
+
 def test_apply_retention_drops_old_months(spark, tmp_path):
     path = str(tmp_path / "trades")
     layout.write_table(_trades_df(spark), path)
