@@ -126,6 +126,38 @@ def doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_K = 3  # k-gram size (rolling-hash unit)
+WINNOW_W = 4  # winnow window (one fingerprint selected per window)
+
+
+def doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS rolling-hash scheme).
+
+    Hash every word k-gram (the rolling-hash stream), slide a w-window over
+    the hash stream, keep each window's minimum — the classic guarantee:
+    any shared run of >= k+w-1 tokens between two docs shares >= 1 selected
+    fingerprint. All JVM-side higher-order functions over one row — the
+    per-doc work is O(tokens * w) with zero shuffle; the fingerprint
+    explosion feeds an inverted-index join for plagiarism/near-dup detection.
+    Docs shorter than k+w-1 tokens have no complete window and are filtered
+    (none at fixture scale; documented for generality).
+    """
+    d = load(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    d = d.where(F.size(w) >= WINNOW_K + WINNOW_W - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - WINNOW_K),
+        lambda i: F.md5(F.array_join(F.slice(w, i + 1, WINNOW_K), " ")),
+    )
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(grams) - WINNOW_W),
+            lambda i: F.array_min(F.slice(grams, i + 1, WINNOW_W)),
+        )
+    )
+    return d.select("doc_id", F.explode(fps).alias("fingerprint"))
+
+
 QUERIES = {
     "doc_stats": doc_stats,
     "doc_token_counts": doc_token_counts,
@@ -133,6 +165,7 @@ QUERIES = {
     "doc_fingerprints": doc_fingerprints,
     "corpus_top_tokens": corpus_top_tokens,
     "doc_split": doc_split,
+    "doc_winnow": doc_winnow,
 }
 
 # shared oracle fragments
@@ -187,5 +220,24 @@ ORACLES = {
                          AS INTEGER) < 26
                     THEN 'test' ELSE 'train' END AS split
         FROM documents
+    """,
+    "doc_winnow": """
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          WHERE len(string_split(text, ' ')) >= 6
+        ),
+        g AS (
+          SELECT doc_id,
+                 list_transform(range(1, len(w) - 3 + 2),
+                                i -> md5(array_to_string(w[i:i+2], ' '))) AS grams
+          FROM t
+        ),
+        f AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(grams) - 4 + 2),
+                                              i -> list_aggregate(grams[i:i+3], 'min'))) AS fps
+          FROM g
+        )
+        SELECT doc_id, unnest(fps) AS fingerprint FROM f
     """,
 }
