@@ -298,6 +298,25 @@ def ev_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregates: exact per-type unique users + total events.
+
+    count(DISTINCT x) expands to a two-phase plan (partial distinct on
+    (group, x), then final count) — Spark handles the expansion; at 100 TB
+    the drop-in replacement is ``approx_count_distinct`` (HLL++, mergeable
+    sketch, no second shuffle) when ±2% error is acceptable.
+    """
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "ev_count": ev_count,
     "ev_latest": ev_latest,
@@ -310,6 +329,7 @@ QUERIES = {
     "ev_user_setops": ev_user_setops,
     "ev_sessionize": ev_sessionize,
     "ev_price_quantiles": ev_price_quantiles,
+    "ev_user_counts": ev_user_counts,
 }
 
 _EV = (
@@ -438,6 +458,10 @@ ORACLES = {
                round(quantile_cont(value, 0.5), 6) AS p50,
                round(quantile_cont(value, 0.9), 6) AS p90,
                round(quantile_cont(value, 0.99), 6) AS p99
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "ev_user_counts": """
+        SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         FROM events GROUP BY event_type ORDER BY event_type
     """,
 }
