@@ -35,7 +35,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.replay import read_replay_stream
+from ..sources.replay import read_replay_stream, write_replay_chunks
 from ..streaming import bars as B
 from ..streaming import ingest as I
 from .trades import _events
@@ -82,12 +82,7 @@ def stream_ohlcv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = Path(tempfile.mkdtemp(prefix="stream_ohlcv_replay_"))
     replay_dir, partials_dir, ckpt = root / "replay", root / "partials", root / "ckpt"
-    replay_dir.mkdir()
-    per = max(1, (len(lines) + _NUM_CHUNKS - 1) // _NUM_CHUNKS)
-    for i in range(0, len(lines), per):
-        (replay_dir / f"chunk-{i // per:05d}.jsonl").write_text(
-            "\n".join(lines[i : i + per]) + "\n"
-        )
+    write_replay_chunks(lines, str(replay_dir), num_chunks=_NUM_CHUNKS)
 
     trades = I.normalize(read_replay_stream(spark, str(replay_dir)))
 

@@ -40,12 +40,24 @@ def trades_to_event_lines(rows: list[dict]) -> list[str]:
 
 
 def write_replay_chunks(lines: list[str], replay_dir: str, num_chunks: int = 4) -> None:
-    """Split event lines into numbered chunk files (one micro-batch each)."""
+    """Split event lines into numbered chunk files (one micro-batch each).
+
+    Spark's file source admits files in *modification-time* order, and files
+    written in the same millisecond replay in arbitrary order — so each chunk
+    gets an explicit ascending mtime matching its number, making batch order
+    (and therefore watermark progression) deterministic.
+    """
+    import os
+
     d = Path(replay_dir)
     d.mkdir(parents=True, exist_ok=True)
     per = max(1, (len(lines) + num_chunks - 1) // num_chunks)
+    base = 1_700_000_000  # any fixed epoch; only the ordering matters
     for i in range(0, len(lines), per):
-        (d / f"chunk-{i // per:05d}.jsonl").write_text("\n".join(lines[i : i + per]) + "\n")
+        chunk = i // per
+        p = d / f"chunk-{chunk:05d}.jsonl"
+        p.write_text("\n".join(lines[i : i + per]) + "\n")
+        os.utime(p, (base + chunk, base + chunk))
 
 
 def read_replay_stream(spark: SparkSession, replay_dir: str) -> DataFrame:

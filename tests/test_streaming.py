@@ -190,6 +190,61 @@ def test_collector_lifecycle(spark, tmp_path):
     assert spark.read.parquet(dest).count() == len(rows)
 
 
+def test_watermarked_final_bars(spark, tmp_path):
+    """The emit-final variant (survey T4 divergence): bars whose window
+    closed before the watermark are emitted once, in append mode, and equal
+    the batch recompute; the stream tail (watermark not yet past it) is
+    withheld rather than emitted partial."""
+    rows = _fixture_rows()
+    replay_dir = str(tmp_path / "replay")
+    bars_dir, ckpt = str(tmp_path / "bars_final"), str(tmp_path / "ckpt_final")
+    # time-ordered chunks so the watermark advances monotonically
+    ordered = sorted(rows, key=lambda r: (r["ts"], r["trade_id"]))
+    write_replay_chunks(trades_to_event_lines(ordered), replay_dir, num_chunks=5)
+    # append-mode emits a window only in a batch AFTER the watermark passes
+    # its close — two later straggler batches advance the watermark past
+    # every original minute (the stragglers' own minute stays open/withheld)
+    stragglers = [
+        {"symbol": "BTCUSDT", "trade_id": 9991 + k, "price": 1.0, "qty": 1.0,
+         "ts": _utc(f"2024-01-01 00:10:{k:02d}"), "is_buyer_maker": False}
+        for k in range(2)
+    ]
+    import os
+    from pathlib import Path
+    for k, line in enumerate(trades_to_event_lines(stragglers)):
+        (Path(replay_dir) / f"chunk-{5 + k:05d}.jsonl").write_text(line + "\n")
+    # the file source admits files in mtime order; make it the chunk order
+    # (same-millisecond writes would otherwise replay in arbitrary order)
+    for k, p in enumerate(sorted(Path(replay_dir).glob("chunk-*.jsonl"))):
+        os.utime(p, (1_700_000_000 + k, 1_700_000_000 + k))
+
+    trades_stream = ingest.normalize(read_replay_stream(spark, replay_dir))
+    q = bars.start_bars_final(trades_stream, bars_dir, ckpt, watermark="1 minute")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    emitted = {
+        (r["minute"], r["symbol"]): (r["open"], r["high"], r["low"], r["close"],
+                                     round(r["volume"], 9), r["trades"])
+        for r in spark.read.parquet(bars_dir).collect()
+    }
+    batch_df = spark.createDataFrame(
+        [(r["symbol"], r["trade_id"], r["price"], r["qty"], r["ts"]) for r in rows],
+        "symbol string, trade_id long, price double, qty double, ts timestamp",
+    )
+    direct = {
+        (r["minute"], r["symbol"]): (r["open"], r["high"], r["low"], r["close"],
+                                     round(r["volume"], 9), r["trades"])
+        for r in bars.bars_batch(batch_df).collect()
+    }
+    # every original bar emitted exactly once, equal to the batch recompute
+    assert emitted == direct
+    # the stragglers' own (still-open) window is withheld, not emitted partial
+    assert all(m.minute != 10 for m, _ in emitted)
+
+
 def test_synthetic_binance_source(spark, tmp_path):
     """The DataSource-API source feeds the same normalize → sink pipeline."""
     from crypto_clickhouse_poc_spark.sources.binance import BinanceTradesDataSource
