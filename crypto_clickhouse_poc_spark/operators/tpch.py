@@ -323,6 +323,80 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume shipping between two nations (TPC-H Q7 shape): supplier nation
+    × customer nation pair revenue by year.
+
+    Two independent dim chains (supplier→nation, orders→customer→nation)
+    enrich lineitem via broadcasts; the only fact shuffle is
+    lineitem ⋈ orders on orderkey. The symmetric nation-pair predicate is a
+    post-join filter on broadcast columns.
+    """
+    na, nb = "NATION_1", "NATION_2"
+    l = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = ((F.col("supp_nation") == na) & (F.col("cust_nation") == nb)) | (
+        (F.col("supp_nation") == nb) & (F.col("cust_nation") == na)
+    )
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sales opportunity (TPC-H Q22 shape): customers with
+    above-average balance and no orders since 1998 — scalar subquery +
+    anti-join (lapsed high-value customers).
+
+    The scalar average is a broadcast single-row cross join (never a
+    driver-side collect); the NOT EXISTS is a left-anti join on custkey,
+    which needs only the orders key column after the date pushdown.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregate: order count/value by (region, nation) with subtotal
     and grand-total rows — Spark's ``rollup`` ≡ ANSI GROUP BY ROLLUP.
@@ -354,8 +428,10 @@ QUERIES = {
     "tpch_q5": tpch_q5,
     "tpch_q6": tpch_q6,
     "tpch_q10": tpch_q10,
+    "tpch_q7": tpch_q7,
     "tpch_q12": tpch_q12,
     "tpch_q14": tpch_q14,
+    "tpch_q22": tpch_q22,
     "tpch_q18": tpch_q18,
     "tpch_q19": tpch_q19,
     "top_order_per_customer": top_order_per_customer,
@@ -430,6 +506,34 @@ ORACLES = {
         GROUP BY c_custkey, c_name, c_acctbal, n_name
         ORDER BY revenue DESC, c_custkey
         LIMIT 20
+    """,
+    "tpch_q7": """
+        SELECT supp_nation, cust_nation, l_year,
+               round(sum(volume), 2) AS revenue
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 year(l_shipdate) AS l_year,
+                 l_extendedprice * (1 - l_discount) AS volume
+          FROM supplier, lineitem, orders, customer, nation n1, nation n2
+          WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+            AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+            AND c_nationkey = n2.n_nationkey
+            AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            AND l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1998-01-01'
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+    "tpch_q22": """
+        SELECT c_mktsegment, count(*) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '1998-01-01')
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
     "tpch_q12": """
         SELECT l_returnflag,
