@@ -1,0 +1,131 @@
+"""The reference's five read endpoints as parameterized query functions.
+
+Each function mirrors one FastAPI handler in the reference
+(``api/server.py:57-200``) with the same parameters, result columns, and
+semantics — over the engine's real ``trades`` table (schema §1.5: symbol,
+trade_id, price, qty, ts, is_buyer_maker, ingested_at) — so a user of the
+reference can call the same queries with the same arguments. A serving
+shell (FastAPI or otherwise) is a trivial wrapper: call, ``collect()``,
+ISO-format timestamps (reference F9).
+
+Exact-parity details honored (survey §2.4):
+- ``sumIf`` over an empty match-set is 0, not NULL → ``when/otherwise(0)``.
+- per-side VWAP is NULL when that side has no volume → ``nullif`` guard.
+- open/close are deterministic argmin/argmax by (ts, trade_id) — the
+  reference's ``argMin``/``anyLast`` intent with the tie broken.
+- ``now()`` is an explicit ``anchor`` parameter (statement-time constant,
+  reference F2); pass None for wall-clock.
+
+Every query filters on ts first, so with the production layout
+(``plans.layout``: month partitions + sort-on-write) the scan prunes
+partitions and row groups before any other work.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _anchored(trades: DataFrame, anchor: datetime | None, amount: str) -> DataFrame:
+    base = F.lit(anchor) if anchor is not None else F.current_timestamp()
+    return trades.where(F.col("ts") >= base - F.expr(f"INTERVAL {amount}"))
+
+
+def _tid_key() -> Column:
+    return F.struct("ts", "trade_id")
+
+
+def ohlcv(
+    trades: DataFrame, symbol: str, minutes: int = 60, anchor: datetime | None = None
+) -> DataFrame:
+    """/ohlcv — 1-minute OHLCV bars for one symbol (api/server.py:57-84)."""
+    return (
+        _anchored(trades.where(F.col("symbol") == symbol), anchor, f"{minutes} MINUTES")
+        .groupBy(F.date_trunc("minute", F.col("ts")).alias("minute"))
+        .agg(
+            F.min_by("price", _tid_key()).alias("open"),
+            F.max("price").alias("high"),
+            F.min("price").alias("low"),
+            F.max_by("price", _tid_key()).alias("close"),
+            F.sum("qty").alias("volume"),
+            F.count("*").alias("trades"),
+        )
+        .orderBy("minute")
+    )
+
+
+def top_symbols(
+    trades: DataFrame, minutes: int = 10, limit: int = 10, anchor: datetime | None = None
+) -> DataFrame:
+    """/top_symbols — volume leaders over a lookback (api/server.py:87-105)."""
+    return (
+        _anchored(trades, anchor, f"{minutes} MINUTES")
+        .groupBy("symbol")
+        .agg(F.sum("qty").alias("volume"), F.count("*").alias("trades"))
+        .orderBy(F.col("volume").desc())
+        .limit(limit)
+    )
+
+
+def live_trades(
+    trades: DataFrame,
+    symbol: str,
+    window_sec: int = 60,
+    limit: int = 500,
+    anchor: datetime | None = None,
+) -> DataFrame:
+    """/live_trades — latest-N raw trades (api/server.py:108-132)."""
+    return (
+        _anchored(trades.where(F.col("symbol") == symbol), anchor, f"{window_sec} SECONDS")
+        .select("ts", "symbol", "price", "qty", "is_buyer_maker")
+        .orderBy(F.col("ts").desc(), F.col("trade_id").desc())
+        .limit(limit)
+    )
+
+
+def _side_aggs() -> list[Column]:
+    buy = F.col("is_buyer_maker") == 0  # taker buy (reference api/server.py:146)
+    sell = F.col("is_buyer_maker") == 1
+    buy_qty = F.when(buy, F.col("qty")).otherwise(F.lit(0.0))
+    sell_qty = F.when(sell, F.col("qty")).otherwise(F.lit(0.0))
+    buy_pq = F.when(buy, F.col("price") * F.col("qty")).otherwise(F.lit(0.0))
+    sell_pq = F.when(sell, F.col("price") * F.col("qty")).otherwise(F.lit(0.0))
+    return [
+        F.sum(buy_qty).alias("buy_volume"),
+        F.sum(sell_qty).alias("sell_volume"),
+        (F.sum(buy_pq) / F.nullif(F.sum(buy_qty), F.lit(0.0))).alias("buy_vwap"),
+        (F.sum(sell_pq) / F.nullif(F.sum(sell_qty), F.lit(0.0))).alias("sell_vwap"),
+    ]
+
+
+def live_buy_sell(
+    trades: DataFrame, minutes: int = 5, top: int = 10, anchor: datetime | None = None
+) -> DataFrame:
+    """/live_buy_sell — per-symbol side split + rate, top by total volume
+    (api/server.py:135-169; the CTE + lateral-alias query)."""
+    agg = (
+        _anchored(trades, anchor, f"{minutes} MINUTES")
+        .groupBy("symbol")
+        .agg(*_side_aggs(), (F.count("*") / F.lit(float(minutes))).alias("trades_per_min"))
+    )
+    return (
+        agg.withColumn("total_vol", F.col("buy_volume") + F.col("sell_volume"))
+        .orderBy(F.col("total_vol").desc())
+        .limit(top)
+    )
+
+
+def hist_buy_sell(
+    trades: DataFrame, symbol: str, minutes: int = 60, anchor: datetime | None = None
+) -> DataFrame:
+    """/hist_buy_sell — per-minute side split for one symbol
+    (api/server.py:172-200)."""
+    return (
+        _anchored(trades.where(F.col("symbol") == symbol), anchor, f"{minutes} MINUTES")
+        .groupBy(F.date_trunc("minute", F.col("ts")).alias("minute"))
+        .agg(*_side_aggs(), F.count("*").alias("trades"))
+        .orderBy("minute")
+    )

@@ -1,0 +1,86 @@
+"""Endpoint-function tests over the real trades schema: golden values on a
+hand-built fixture (SURVEY §5.2), including the reference's edge cases —
+NULL VWAP when one side is empty, sumIf-empty = 0, LIMIT caps, anchor
+windowing."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from crypto_clickhouse_poc_spark import api
+
+ANCHOR = datetime(2024, 1, 1, 1, 0, 0)
+
+
+def _utc(s: str) -> datetime:
+    return datetime.fromisoformat(s).replace(tzinfo=timezone.utc)
+
+
+def _trades(spark):
+    rows = [
+        # minute 00:58 — BTC: two buys (maker=0), one sell
+        ("BTCUSDT", 1, 100.0, 2.0, _utc("2024-01-01 00:58:01"), 0),
+        ("BTCUSDT", 2, 102.0, 1.0, _utc("2024-01-01 00:58:05"), 0),
+        ("BTCUSDT", 3, 101.0, 4.0, _utc("2024-01-01 00:58:30"), 1),
+        # minute 00:59 — BTC: buys only (sell side EMPTY → sell_vwap NULL)
+        ("BTCUSDT", 4, 105.0, 1.0, _utc("2024-01-01 00:59:10"), 0),
+        ("BTCUSDT", 5, 95.0, 3.0, _utc("2024-01-01 00:59:10"), 0),  # same ts, tid breaks tie
+        # ETH trades in window
+        ("ETHUSDT", 6, 10.0, 50.0, _utc("2024-01-01 00:59:00"), 1),
+        # outside the 60-minute lookback — must be excluded
+        ("BTCUSDT", 7, 1.0, 999.0, _utc("2023-12-31 23:00:00"), 0),
+    ]
+    return spark.createDataFrame(
+        [(s, t, p, q, ts, m, ts) for (s, t, p, q, ts, m) in rows],
+        "symbol string, trade_id long, price double, qty double, ts timestamp,"
+        " is_buyer_maker int, ingested_at timestamp",
+    )
+
+
+def test_ohlcv_bars_and_tie_break(spark):
+    out = {r["minute"].minute: r for r in api.ohlcv(_trades(spark), "BTCUSDT", 60, ANCHOR).collect()}
+    assert set(out) == {58, 59}
+    b58 = out[58]
+    assert (b58["open"], b58["high"], b58["low"], b58["close"]) == (100.0, 102.0, 100.0, 101.0)
+    assert (b58["volume"], b58["trades"]) == (7.0, 3)
+    # equal-ts open/close resolved by trade_id: open=tid4, close=tid5
+    b59 = out[59]
+    assert (b59["open"], b59["close"]) == (105.0, 95.0)
+
+
+def test_top_symbols_ordering_and_limit(spark):
+    out = api.top_symbols(_trades(spark), minutes=60, limit=1, anchor=ANCHOR).collect()
+    assert len(out) == 1
+    assert out[0]["symbol"] == "ETHUSDT" and out[0]["volume"] == 50.0
+
+
+def test_live_trades_latest_first_and_window(spark):
+    out = api.live_trades(_trades(spark), "BTCUSDT", window_sec=3600, limit=3, anchor=ANCHOR)
+    rows = out.collect()
+    assert len(rows) == 3
+    assert rows[0]["ts"] >= rows[1]["ts"] >= rows[2]["ts"]
+    # the 2023 row is outside the window even with a large limit
+    allr = api.live_trades(_trades(spark), "BTCUSDT", 3600, 500, ANCHOR).collect()
+    assert all(r["ts"].year == 2024 for r in allr)
+
+
+def test_hist_buy_sell_null_vwap_and_sumif_zero(spark):
+    out = {
+        r["minute"].minute: r
+        for r in api.hist_buy_sell(_trades(spark), "BTCUSDT", 60, ANCHOR).collect()
+    }
+    # minute 59: no sells → sell_volume 0 (sumIf parity), sell_vwap NULL
+    assert out[59]["sell_volume"] == 0.0
+    assert out[59]["sell_vwap"] is None
+    assert out[59]["buy_volume"] == 4.0
+    assert abs(out[59]["buy_vwap"] - (105.0 * 1 + 95.0 * 3) / 4.0) < 1e-12
+    # minute 58: both sides present
+    assert out[58]["sell_vwap"] == 101.0
+
+
+def test_live_buy_sell_total_vol_ordering(spark):
+    out = api.live_buy_sell(_trades(spark), minutes=60, top=2, anchor=ANCHOR).collect()
+    assert [r["symbol"] for r in out] == ["ETHUSDT", "BTCUSDT"]
+    btc = out[1]
+    assert btc["total_vol"] == btc["buy_volume"] + btc["sell_volume"] == 11.0
+    assert abs(btc["trades_per_min"] - 5 / 60.0) < 1e-12
