@@ -18,9 +18,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import dedup, multimodal, similarity, streaming_q, temporal, text, tpch, trades
+from . import dedup, multimodal, similarity, sqlapi, streaming_q, temporal, text, tpch, trades
 
-_MODULES = (trades, tpch, text, dedup, similarity, multimodal, temporal, streaming_q)
+_MODULES = (trades, tpch, text, dedup, similarity, multimodal, temporal, streaming_q, sqlapi)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
