@@ -317,6 +317,47 @@ def ev_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_minute_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-minute momentum: close, previous close (lag), percent change, and
+    5-minute moving average — the standard trading-signal window stack.
+
+    All three window expressions share ONE shuffle/sort (same partition and
+    ordering); the moving average uses a bounded rows frame, O(1) state per
+    row. Built over the minute bars, so the window input is already tiny
+    relative to the raw stream — the shape that scales.
+    """
+    from pyspark.sql.window import Window
+
+    e = _events(spark, sf_dir)
+    bars = (
+        e.where(F.col("event_type") == "click")
+        .groupBy(F.date_trunc("minute", F.col("ts")).alias("minute"))
+        .agg(F.max_by("price", F.struct("ts", "event_id")).alias("close"))
+    )
+    w = Window.orderBy("minute")
+    prev = F.lag("close").over(w)
+    return bars.select(
+        "minute",
+        "close",
+        prev.alias("prev_close"),
+        F.round((F.col("close") - prev) / prev * 100, 6).alias("pct_change"),
+        F.round(F.avg("close").over(w.rowsBetween(-4, 0)), 6).alias("ma5"),
+    ).orderBy("minute")
+
+
+def ev_type_user_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregate: event counts by (event_type, side) with all subtotal
+    combinations — the full grouping-sets lattice in one hash aggregate."""
+    e = _events(spark, sf_dir)
+    return (
+        e.cube("event_type", "side")
+        .agg(F.count("*").alias("n"), F.sum("qty").alias("volume"))
+        .orderBy(
+            F.col("event_type").asc_nulls_first(), F.col("side").asc_nulls_first()
+        )
+    )
+
+
 QUERIES = {
     "ev_count": ev_count,
     "ev_latest": ev_latest,
@@ -330,6 +371,8 @@ QUERIES = {
     "ev_sessionize": ev_sessionize,
     "ev_price_quantiles": ev_price_quantiles,
     "ev_user_counts": ev_user_counts,
+    "ev_minute_momentum": ev_minute_momentum,
+    "ev_type_user_cube": ev_type_user_cube,
 }
 
 _EV = (
@@ -463,5 +506,33 @@ ORACLES = {
     "ev_user_counts": """
         SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "ev_minute_momentum": f"""
+        WITH bars AS (
+          SELECT date_trunc('minute', ts) AS minute,
+                 max(CASE WHEN rn = 1 THEN price END) AS close
+          FROM (
+            SELECT ts, price,
+                   row_number() OVER (PARTITION BY date_trunc('minute', ts)
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM ({_EV}) e WHERE event_type = 'click'
+          ) t GROUP BY 1
+        )
+        SELECT minute, close,
+               lag(close) OVER w AS prev_close,
+               round((close - lag(close) OVER w) / lag(close) OVER w * 100, 6)
+                 AS pct_change,
+               round(avg(close) OVER (ORDER BY minute
+                                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
+                 AS ma5
+        FROM bars
+        WINDOW w AS (ORDER BY minute)
+        ORDER BY minute
+    """,
+    "ev_type_user_cube": f"""
+        SELECT event_type, side, count(*) AS n, sum(qty) AS volume
+        FROM ({_EV}) e
+        GROUP BY CUBE (event_type, side)
+        ORDER BY event_type NULLS FIRST, side NULLS FIRST
     """,
 }
