@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     # text / dedup / similarity (scale paths)
     "doc_stats",
     "doc_fingerprints",
+    "corpus_prepare",
     "dedup_exact",
     "dedup_simhash",
     "dedup_minhash_summary",

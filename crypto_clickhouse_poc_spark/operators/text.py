@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions import text as T
 from ..tables import load
@@ -158,6 +159,50 @@ def doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.explode(fps).alias("fingerprint"))
 
 
+def corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus preparation: quality gate → exact dedup → split →
+    rollup. The composition a training-data pipeline actually ships:
+
+    1. quality filter (cheap per-row gates first — prune before any shuffle),
+    2. exact dedup on content hash keeping the smallest doc_id (one shuffle
+       on the uniformly-distributed digest),
+    3. deterministic hash split (per-row map),
+    4. per-(split, lang) corpus accounting (tiny final aggregate).
+
+    The plan is: scan → filter/map → one dedup shuffle → one rollup shuffle.
+    At 100 TB each stage keeps its shape; only the digest shuffle moves data.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    stop_ratio = T.stopword_count(toks) / n_tokens.cast("double")
+    quality = (
+        F.least(n_tokens / F.lit(60.0), F.lit(1.0)) * 0.4
+        + (F.size(F.array_distinct(toks)) / n_tokens.cast("double")) * 0.3
+        + (1 - stop_ratio) * 0.3
+    )
+    gated = d.where(n_tokens >= 20).where(quality >= 0.6)
+    w = Window.partitionBy("content_md5").orderBy("doc_id")
+    canonical = (
+        gated.withColumn("content_md5", T.content_md5(F.col("text")))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    split = F.when(bucket < 26, F.lit("test")).otherwise(F.lit("train"))
+    return (
+        canonical.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(T.tokens(F.col("text")))).alias("n_tokens"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
 QUERIES = {
     "doc_stats": doc_stats,
     "doc_token_counts": doc_token_counts,
@@ -166,6 +211,7 @@ QUERIES = {
     "corpus_top_tokens": corpus_top_tokens,
     "doc_split": doc_split,
     "doc_winnow": doc_winnow,
+    "corpus_prepare": corpus_prepare,
 }
 
 # shared oracle fragments
@@ -239,5 +285,32 @@ ORACLES = {
           FROM g
         )
         SELECT doc_id, unnest(fps) AS fingerprint FROM f
+    """,
+    "corpus_prepare": f"""
+        WITH gated AS (
+          SELECT doc_id, text, lang,
+                 md5(text) AS content_md5
+          FROM documents
+          WHERE {_NTOK} >= 20
+            AND least({_NTOK} / 60.0, 1.0) * 0.4
+                + (len(list_distinct({_TOKS})) * 1.0 / {_NTOK}) * 0.3
+                + (1 - {_STOP} * 1.0 / {_NTOK}) * 0.3 >= 0.6
+        ),
+        canonical AS (
+          SELECT doc_id, text, lang
+          FROM (
+            SELECT *, row_number() OVER (PARTITION BY content_md5
+                                         ORDER BY doc_id) AS rn
+            FROM gated
+          ) t WHERE rn = 1
+        )
+        SELECT CASE WHEN CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                         AS INTEGER) < 26
+                    THEN 'test' ELSE 'train' END AS split,
+               lang,
+               count(*) AS n_docs,
+               sum({_NTOK}) AS n_tokens
+        FROM canonical
+        GROUP BY 1, 2 ORDER BY 1, 2
     """,
 }
