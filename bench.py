@@ -80,6 +80,9 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", flush=True)
 
+    ingest_rps = _ingest_throughput(spark)
+    print(f"# streaming ingest: {ingest_rps:,.0f} rows/s", flush=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -88,12 +91,41 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "ingest_rows_per_sec": round(ingest_rps),
                 "sf": sf,
             }
         ),
         flush=True,
     )
     spark.stop()
+
+
+def _ingest_throughput(spark, n_rows: int = 200_000) -> float:
+    """Streaming ingest rate: synthetic Binance source → normalize → dedup →
+    parquet sink (the full reference dataflow), rows/sec wall-clock."""
+    import shutil
+    import tempfile
+
+    from crypto_clickhouse_poc_spark.sources.binance import BinanceTradesDataSource
+    from crypto_clickhouse_poc_spark.streaming import ingest
+
+    spark.dataSource.register(BinanceTradesDataSource)
+    raw = (
+        spark.readStream.format("binance_trades")
+        .option("rate", str(n_rows // 4))
+        .option("limit", str(n_rows))
+        .load()
+    )
+    root = tempfile.mkdtemp(prefix="bench_ingest_")
+    t0 = time.perf_counter()
+    q = ingest.start_ingest(raw, f"{root}/trades", f"{root}/ckpt", trigger_sec=0)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    elapsed = time.perf_counter() - t0
+    shutil.rmtree(root, ignore_errors=True)
+    return n_rows / elapsed
 
 
 if __name__ == "__main__":
