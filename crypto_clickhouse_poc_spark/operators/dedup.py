@@ -193,6 +193,60 @@ def dedup_minhash_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: connected components over the verified
+    LSH pair graph, each doc labeled with its component's min doc_id — the
+    canonical-ID step that turns pairwise near-dups into "keep one per
+    cluster".
+
+    Iterative min-label propagation (the Pregel/GraphX pattern as plain
+    DataFrame ops): every round each node takes the min of its own label and
+    its neighbors' labels; converges in O(graph diameter) rounds — dense
+    near-dup clusters have tiny diameters, so a handful of shuffles on the
+    edge key. Each round materializes via ``localCheckpoint`` — iterative
+    plans MUST truncate lineage, or analysis cost (and eventually the
+    driver's heap) grows with every round; a cache alone does not cut the
+    logical plan. The loop stops when a round changes no label (driver-side
+    count — the standard fixpoint check). Output: (doc_id, cluster,
+    cluster_n) for every document (singletons are their own cluster).
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    e = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # undirected edges, both directions; checkpoint once — every round reuses it
+    edges = e.unionAll(
+        e.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint(eager=True)
+    labels = docs.select(F.col("doc_id"), F.col("doc_id").alias("lbl")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(20):  # safety bound far above any real diameter
+        nbr_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy("doc_a")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.doc_a, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select("doc_id", F.col("lbl").alias("cluster"))
+    sizes = out.groupBy("cluster").agg(F.count("*").alias("cluster_n"))
+    return out.join(sizes, "cluster").select("doc_id", "cluster", "cluster_n")
+
+
 def dedup_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact nearest neighbor by token-set jaccard via inverted-index join.
 
@@ -265,6 +319,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_summary": dedup_minhash_summary,
+    "dedup_clusters": dedup_clusters,
     "dedup_jaccard_topk": dedup_jaccard_topk,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
@@ -367,4 +422,30 @@ ORACLES["dedup_minhash_summary"] = f"""
     SELECT doc_a, count(*) AS n_dups, max(jaccard) AS max_jaccard,
            min(doc_b) AS min_dup_id
     FROM pairs GROUP BY doc_a ORDER BY doc_a
+"""
+
+# Connected components as a recursive transitive-closure CTE: reach(a, b)
+# enumerates every node reachable from a; the component label is the min
+# reachable node (including a itself). Closure size is bounded by
+# Σ component², viable at oracle scale (sf0.01).
+ORACLES["dedup_clusters"] = f"""
+    WITH RECURSIVE pairs AS ({ORACLES["dedup_minhash_lsh"]}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    lbl AS (
+      SELECT d.doc_id,
+             least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster
+      FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id, cluster,
+           count(*) OVER (PARTITION BY cluster) AS cluster_n
+    FROM lbl
 """
