@@ -245,11 +245,53 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio feature extraction: fixed one-second windows (fake
+    PCM16 mono: sample_rate × 2 bytes each) with per-window byte statistics.
+
+    The kernel fans out rows (one input row → n_windows output rows) inside
+    ``mapInPandas`` — the shape of frame-level audio featurization (VAD,
+    energy, fingerprinting) at scale: decode+window inside the kernel, keep
+    the plan a shuffle-free scan, let the row multiplier be windows/clip.
+    """
+
+    def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload, sr in zip(
+                pdf["media_id"], pdf["payload"], pdf["sample_rate"]
+            ):
+                win = int(sr) * AUDIO_BYTES_PER_SAMPLE
+                b = np.frombuffer(payload, dtype=np.uint8)
+                for w in range(0, len(b), win):
+                    chunk = b[w : w + win]
+                    rows.append(
+                        (
+                            int(mid),
+                            w // win,
+                            int(chunk.size),
+                            round(float(chunk.sum()) / chunk.size, 6),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "window_idx", "n_bytes", "mean_byte"]
+            )
+
+    m = media_table(spark, sf_dir).where(F.col("modality") == "audio")
+    return m.select("media_id", "payload", "sample_rate").mapInPandas(
+        kernel, "media_id long, window_idx long, n_bytes long, mean_byte double"
+    )
+
+
 QUERIES = {
     "mm_catalog": mm_catalog,
     "mm_byte_features": mm_byte_features,
     "mm_resize": mm_resize,
     "mm_frame_sample": mm_frame_sample,
+    "mm_audio_windows": mm_audio_windows,
 }
 
 # Media-table derivation shared by every oracle. Fixture text is pure ASCII,
@@ -322,5 +364,30 @@ ORACLES = {
                     AS BIGINT) AS frame_bytes,
                md5(substring(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64)) AS frame_md5
         FROM idx
+    """,
+    "mm_audio_windows": """
+        WITH media AS (
+          SELECT doc_id AS media_id, text,
+                 CAST(length(text) AS BIGINT) AS n_bytes,
+                 (8000 * (1 + doc_id % 3)) * 2 AS win
+          FROM documents WHERE doc_id % 3 = 1
+        ),
+        idx AS (
+          SELECT media_id, text, n_bytes, win,
+                 unnest(range(0, CAST(ceil(n_bytes * 1.0 / win) AS BIGINT))) AS window_idx
+          FROM media
+        ),
+        sliced AS (
+          SELECT media_id, window_idx,
+                 substring(text, CAST(window_idx * win + 1 AS INTEGER),
+                           CAST(win AS INTEGER)) AS chunk
+          FROM idx
+        )
+        SELECT media_id, window_idx,
+               CAST(length(chunk) AS BIGINT) AS n_bytes,
+               round(list_sum(list_transform(range(1, length(chunk) + 1),
+                                             i -> ascii(substring(chunk, i, 1))))
+                     * 1.0 / length(chunk), 6) AS mean_byte
+        FROM sliced
     """,
 }
