@@ -82,6 +82,54 @@ def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PROFILE_TOP_N = 20
+
+
+def doc_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-n-gram language ID (the classic Cavnar-Trenkle shape):
+    per-language top-N char-bigram profiles, each doc scored by profile
+    overlap, predicted language = argmax hits.
+
+    Two stages sharing one explode: (1) train — bigram frequencies per lang
+    → top-N per lang via window (tiny result, broadcast); (2) score — doc
+    bigrams ⋈ profiles (broadcast hash join), count hits per (doc, lang),
+    argmax. Docs whose bigrams miss every profile drop out (inner join) —
+    none at fixture scale. At 100 TB the profile table is still tiny
+    (langs × N rows): the scoring pass stays a broadcast join over one scan.
+
+    (Fixture caveat: the synthetic lang labels share one English-ish word
+    vocabulary, so profiles barely separate and measured accuracy is low —
+    the operator *shape* is what transfers to real multilingual corpora.)
+    """
+    d = load(spark, sf_dir, "documents")
+    bigrams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.length("text") - 2),
+            lambda i: F.substring(F.col("text"), i + 1, 2),
+        )
+    )
+    bg = d.select("doc_id", "lang", F.explode(bigrams).alias("g"))
+    wprof = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("g"))
+    prof = (
+        bg.groupBy("lang", "g")
+        .agg(F.count("*").alias("n"))
+        .withColumn("rn", F.row_number().over(wprof))
+        .where(F.col("rn") <= PROFILE_TOP_N)
+        .select(F.col("lang").alias("plang"), "g")
+    )
+    scores = (
+        bg.join(F.broadcast(prof), "g")
+        .groupBy("doc_id", "lang", "plang")
+        .agg(F.count("*").alias("hits"))
+    )
+    wpred = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(), F.col("plang"))
+    return (
+        scores.withColumn("rn", F.row_number().over(wpred))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", F.col("plang").alias("lang_pred"), "hits")
+    )
+
+
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: exact (md5 of text) + order-insensitive bag hash."""
     d = load(spark, sf_dir, "documents")
@@ -207,6 +255,7 @@ QUERIES = {
     "doc_stats": doc_stats,
     "doc_token_counts": doc_token_counts,
     "doc_langid": doc_langid,
+    "doc_langid_ngram": doc_langid_ngram,
     "doc_fingerprints": doc_fingerprints,
     "corpus_top_tokens": corpus_top_tokens,
     "doc_split": doc_split,
@@ -246,6 +295,33 @@ ORACLES = {
                round({_STOP} * 1.0 / {_NTOK}, 6) AS en_marker_ratio,
                CASE WHEN {_STOP} * 1.0 / {_NTOK} >= 0.02 THEN 'en' ELSE 'unknown' END AS lang_guess
         FROM documents
+    """,
+    "doc_langid_ngram": """
+        WITH bg AS (
+          SELECT doc_id, lang,
+                 unnest(list_distinct(list_transform(range(1, length(text)),
+                                                     i -> substring(text, i, 2)))) AS g
+          FROM documents
+        ),
+        freq AS (SELECT lang, g, count(*) AS n FROM bg GROUP BY lang, g),
+        prof AS (
+          SELECT lang AS plang, g
+          FROM (SELECT lang, g,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY n DESC, g) AS rn
+                FROM freq) t
+          WHERE rn <= 20
+        ),
+        scores AS (
+          SELECT b.doc_id, b.lang, p.plang, count(*) AS hits
+          FROM bg b JOIN prof p ON b.g = p.g
+          GROUP BY 1, 2, 3
+        )
+        SELECT doc_id, lang, plang AS lang_pred, hits
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY hits DESC, plang) AS rn
+              FROM scores) t
+        WHERE rn = 1
     """,
     "doc_fingerprints": f"""
         SELECT doc_id,
