@@ -358,6 +358,23 @@ def ev_type_user_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price distribution histogram: 20 equal-width buckets over a fixed
+    [0, 200) domain, count + volume per (event_type, bucket).
+
+    ``width_bucket`` keeps binning in the projection (no join against a
+    bucket table); one hash-aggregate on (type, bucket) — the
+    cardinality-bounded shape dashboard distributions need at any scale.
+    """
+    e = _events(spark, sf_dir)
+    bucket = F.width_bucket(F.col("price"), F.lit(0.0), F.lit(200.0), F.lit(20))
+    return (
+        e.groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"), F.sum("qty").alias("volume"))
+        .orderBy("event_type", "bucket")
+    )
+
+
 QUERIES = {
     "ev_count": ev_count,
     "ev_latest": ev_latest,
@@ -373,6 +390,7 @@ QUERIES = {
     "ev_user_counts": ev_user_counts,
     "ev_minute_momentum": ev_minute_momentum,
     "ev_type_user_cube": ev_type_user_cube,
+    "ev_price_histogram": ev_price_histogram,
 }
 
 _EV = (
@@ -534,5 +552,16 @@ ORACLES = {
         FROM ({_EV}) e
         GROUP BY CUBE (event_type, side)
         ORDER BY event_type NULLS FIRST, side NULLS FIRST
+    """,
+    # DuckDB has no width_bucket; same binning arithmetic spelled out
+    # (bucket width = (200-0)/20 = 10; below-range -> 0, at/above hi -> 21)
+    "ev_price_histogram": f"""
+        SELECT event_type,
+               CASE WHEN price < 0.0 THEN 0
+                    WHEN price >= 200.0 THEN 21
+                    ELSE CAST(floor(price / 10.0) AS BIGINT) + 1 END AS bucket,
+               count(*) AS n, sum(qty) AS volume
+        FROM ({_EV}) e
+        GROUP BY 1, 2 ORDER BY 1, 2
     """,
 }
