@@ -375,6 +375,51 @@ def ev_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_ohlcv_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled minute series: a continuous minute spine over the symbol's
+    active range, empty minutes carrying the previous close forward — the
+    continuity contract charting/backtesting needs over sparse bars.
+
+    spine = sequence(min minute, max minute) exploded from ONE aggregate row
+    (never a driver-side loop); forward fill = last(close, ignorenulls) over
+    the ordered window. Output row count is the spine length — bounded by
+    time range, independent of trade volume.
+    """
+    from pyspark.sql.window import Window
+
+    e = _events(spark, sf_dir)
+    bars = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("minute", F.col("ts")).alias("minute"))
+        .agg(
+            F.max_by("price", F.struct("ts", "event_id")).alias("close"),
+            F.sum("qty").alias("volume"),
+            F.count("*").alias("trades"),
+        )
+    )
+    spine = (
+        bars.agg(F.min("minute").alias("mn"), F.max("minute").alias("mx"))
+        .select(
+            F.explode(
+                F.sequence(F.col("mn"), F.col("mx"), F.expr("INTERVAL 1 MINUTE"))
+            ).alias("minute")
+        )
+    )
+    w = Window.orderBy("minute").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        spine.join(bars, "minute", "left")
+        .select(
+            "minute",
+            "close",
+            F.last("close", ignorenulls=True).over(w).alias("filled_close"),
+            F.coalesce("volume", F.lit(0.0)).alias("volume"),
+            F.coalesce("trades", F.lit(0)).alias("trades"),
+            F.when(F.col("close").isNull(), 1).otherwise(0).alias("is_gap"),
+        )
+        .orderBy("minute")
+    )
+
+
 QUERIES = {
     "ev_count": ev_count,
     "ev_latest": ev_latest,
@@ -391,6 +436,7 @@ QUERIES = {
     "ev_minute_momentum": ev_minute_momentum,
     "ev_type_user_cube": ev_type_user_cube,
     "ev_price_histogram": ev_price_histogram,
+    "ev_ohlcv_gapfill": ev_ohlcv_gapfill,
 }
 
 _EV = (
@@ -563,5 +609,31 @@ ORACLES = {
                count(*) AS n, sum(qty) AS volume
         FROM ({_EV}) e
         GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "ev_ohlcv_gapfill": f"""
+        WITH bars AS (
+          SELECT date_trunc('minute', ts) AS minute,
+                 max(CASE WHEN rn_d = 1 THEN price END) AS close,
+                 sum(qty) AS volume, count(*) AS trades
+          FROM (
+            SELECT ts, price, qty,
+                   row_number() OVER (PARTITION BY date_trunc('minute', ts)
+                                      ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM ({_EV}) e WHERE event_type = 'purchase'
+          ) t GROUP BY 1
+        ),
+        spine AS (
+          SELECT unnest(generate_series((SELECT min(minute) FROM bars),
+                                        (SELECT max(minute) FROM bars),
+                                        INTERVAL 1 MINUTE)) AS minute
+        )
+        SELECT s.minute, b.close,
+               last_value(b.close IGNORE NULLS)
+                 OVER (ORDER BY s.minute ROWS UNBOUNDED PRECEDING) AS filled_close,
+               coalesce(b.volume, 0.0) AS volume,
+               coalesce(b.trades, 0) AS trades,
+               CASE WHEN b.close IS NULL THEN 1 ELSE 0 END AS is_gap
+        FROM spine s LEFT JOIN bars b ON s.minute = b.minute
+        ORDER BY s.minute
     """,
 }
