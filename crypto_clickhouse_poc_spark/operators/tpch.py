@@ -397,6 +397,29 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17 shape): rows below 20% of
+    their part's average quantity.
+
+    The correlated per-part aggregate becomes an explicit groupBy + re-join
+    (what Catalyst's decorrelation produces anyway); the per-part threshold
+    table is small → broadcast, so lineitem is scanned once and never
+    shuffled.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#11")
+    thresh = (
+        l.groupBy(F.col("l_partkey").alias("t_partkey"))
+        .agg((0.2 * F.avg("l_quantity")).alias("qty_thresh"))
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(thresh), F.col("l_partkey") == F.col("t_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
 def region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregate: order count/value by (region, nation) with subtotal
     and grand-total rows — Spark's ``rollup`` ≡ ANSI GROUP BY ROLLUP.
@@ -432,6 +455,7 @@ QUERIES = {
     "tpch_q12": tpch_q12,
     "tpch_q14": tpch_q14,
     "tpch_q22": tpch_q22,
+    "tpch_q17": tpch_q17,
     "tpch_q18": tpch_q18,
     "tpch_q19": tpch_q19,
     "top_order_per_customer": top_order_per_customer,
@@ -557,6 +581,13 @@ ORACLES = {
         WHERE l_partkey = p_partkey
           AND l_shipdate >= TIMESTAMP '1996-09-01'
           AND l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+    "tpch_q17": """
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey AND p_brand = 'Brand#11'
+          AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                            WHERE l2.l_partkey = lineitem.l_partkey)
     """,
     "tpch_q18": """
         SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
