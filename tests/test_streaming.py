@@ -320,6 +320,87 @@ def test_ingest_checkpoint_recovery(spark, tmp_path):
     assert _collect_trades(spark, dest) == _expected(rows)
 
 
+def test_stateful_sessionization_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer: closed sessions emitted by the
+    stream equal the batch-computed sessions (each user's final session
+    stays open in-stream, so compare against batch minus last-per-user)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from crypto_clickhouse_poc_spark.streaming.sessions import sessionize_stream
+    from crypto_clickhouse_poc_spark.tables import load
+    from tests.conftest import SF_SMOKE as _SF
+
+    ev = load(spark, _SF, "events").select(
+        "user_id", F.date_trunc("second", "ts").alias("ts")
+    )
+    # 4 time-ordered parquet chunks (ascending mtime) → one micro-batch
+    # each, so sessions genuinely span state across batches
+    import os
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pdf = ev.orderBy("ts").toPandas()
+    per = (len(pdf) + 3) // 4
+    for k in range(4):
+        p = src / f"chunk-{k:05d}.parquet"
+        pdf.iloc[k * per : (k + 1) * per].to_parquet(
+            p, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        os.utime(p, (1_700_000_000 + k, 1_700_000_000 + k))
+    src = str(src)
+    stream = spark.readStream.schema("user_id long, ts timestamp").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out, ckpt = str(tmp_path / "sessions"), str(tmp_path / "ckpt_sess")
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["dur_sec"])
+        for r in spark.read.parquet(out).collect()
+    )
+
+    # batch expectation: lag/cumsum sessions, minus each user's last session
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = (
+        ev.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn(
+            "sess_id",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            (F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts"))).alias("dur_sec"),
+        )
+    )
+    last_per_user = sess.groupBy("user_id").agg(F.max("sess_id").alias("last_id"))
+    closed = sess.join(
+        last_per_user,
+        (sess.user_id == last_per_user.user_id) & (sess.sess_id == last_per_user.last_id),
+        "left_anti",
+    )
+    want = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["dur_sec"])
+        for r in closed.collect()
+    )
+    assert len(got) > 0
+    assert got == want
+
+
 def test_synthetic_binance_source(spark, tmp_path):
     """The DataSource-API source feeds the same normalize → sink pipeline."""
     from crypto_clickhouse_poc_spark.sources.binance import BinanceTradesDataSource
