@@ -82,3 +82,33 @@ def test_asof_sweep_is_single_key_shuffle_no_join(spark):
 def test_ann_broadcasts_small_side(spark, name):
     plan = _plan(spark, name)
     assert "Broadcast" in plan
+
+
+def test_q17_threshold_join_broadcasts(spark):
+    plan = _plan(spark, "tpch_q17")
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(p_brand,Brand#11)" in plan  # dim filter pushed
+
+
+def test_gapfill_spine_is_single_row_explode(spark):
+    plan = _plan(spark, "ev_ohlcv_gapfill")
+    assert "Generate explode" in plan or "Explode" in plan or "generate" in plan.lower()
+
+
+@pytest.mark.parametrize("name", ["tpch_q3", "tpch_q5", "tpch_q17", "asof_last_click_price"])
+def test_results_survive_broadcast_disable(spark, name):
+    """Forced-broadcast hints must degrade gracefully: with the broadcast
+    threshold off, plans fall back to shuffled joins and values are
+    unchanged — the property that makes the hints safe when a 'small' side
+    outgrows memory at 100 TB."""
+    def rows():
+        df = QS[name](spark, SF_CORRECT)
+        return sorted(tuple(str(x) for x in r) for r in df.collect())
+
+    base = rows()
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert rows() == base, name
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
