@@ -78,6 +78,30 @@ def test_hist_buy_sell_null_vwap_and_sumif_zero(spark):
     assert out[58]["sell_vwap"] == 101.0
 
 
+def test_ohlcv_over_partitioned_table_prunes(spark, tmp_path):
+    """The production read path end-to-end: month-partitioned sorted write →
+    month_pruned read → /ohlcv — partition filters reach the scan and the
+    bars match the in-memory computation."""
+    from crypto_clickhouse_poc_spark.plans import layout
+
+    path = str(tmp_path / "trades")
+    df = _trades(spark)
+    layout.write_table(df, path)
+    stored = layout.read_table(spark, path)
+    lo = _utc("2024-01-01 00:00:00")
+    pruned = layout.month_pruned(stored, lo)
+    out = api.ohlcv(pruned, "BTCUSDT", 60, ANCHOR)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert plan.split("PartitionFilters")[1].split("]")[0].count("p_month") >= 1
+    got = {r["minute"].minute: (r["open"], r["close"]) for r in out.collect()}
+    want = {
+        r["minute"].minute: (r["open"], r["close"])
+        for r in api.ohlcv(df, "BTCUSDT", 60, ANCHOR).collect()
+    }
+    assert got == want and set(got) == {58, 59}
+
+
 def test_live_buy_sell_total_vol_ordering(spark):
     out = api.live_buy_sell(_trades(spark), minutes=60, top=2, anchor=ANCHOR).collect()
     assert [r["symbol"] for r in out] == ["ETHUSDT", "BTCUSDT"]
