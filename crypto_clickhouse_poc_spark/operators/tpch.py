@@ -420,6 +420,35 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier (TPC-H Q15 shape): suppliers whose quarterly revenue
+    equals the maximum — the aggregate-view + scalar-max self-comparison.
+
+    The revenue view is computed once (one shuffle on suppkey); the scalar
+    max and the supplier dim both broadcast against it. Revenue is rounded
+    before the equality comparison in both engines so float summation order
+    can't break the max-match.
+    """
+    l = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    s = load(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
 def region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregate: order count/value by (region, nation) with subtotal
     and grand-total rows — Spark's ``rollup`` ≡ ANSI GROUP BY ROLLUP.
@@ -455,6 +484,7 @@ QUERIES = {
     "tpch_q12": tpch_q12,
     "tpch_q14": tpch_q14,
     "tpch_q22": tpch_q22,
+    "tpch_q15": tpch_q15,
     "tpch_q17": tpch_q17,
     "tpch_q18": tpch_q18,
     "tpch_q19": tpch_q19,
@@ -581,6 +611,21 @@ ORACLES = {
         WHERE l_partkey = p_partkey
           AND l_shipdate >= TIMESTAMP '1996-09-01'
           AND l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+    "tpch_q15": """
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier, revenue
+        WHERE s_suppkey = supplier_no
+          AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
     """,
     "tpch_q17": """
         SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly

@@ -420,6 +420,32 @@ def ev_ohlcv_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-active week, counted
+    in each subsequent week they return — the standard retention triangle.
+
+    Three cheap shuffles on user_id / (cohort, offset): distinct
+    user-weeks, per-user min week (the cohort), join back, count distinct
+    per (cohort, week offset). Weeks are Monday-truncated in both engines,
+    so the day difference is exactly divisible by 7.
+    """
+    e = _events(spark, sf_dir)
+    uw = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        uw.join(cohort, "user_id")
+        .withColumn(
+            "week_offset",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7).cast("long"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 QUERIES = {
     "ev_count": ev_count,
     "ev_latest": ev_latest,
@@ -437,6 +463,7 @@ QUERIES = {
     "ev_type_user_cube": ev_type_user_cube,
     "ev_price_histogram": ev_price_histogram,
     "ev_ohlcv_gapfill": ev_ohlcv_gapfill,
+    "ev_cohort_retention": ev_cohort_retention,
 }
 
 _EV = (
@@ -635,5 +662,21 @@ ORACLES = {
                CASE WHEN b.close IS NULL THEN 1 ELSE 0 END AS is_gap
         FROM spine s LEFT JOIN bars b ON s.minute = b.minute
         ORDER BY s.minute
+    """,
+    "ev_cohort_retention": """
+        WITH uw AS (
+          -- DuckDB date_trunc('week') yields DATE; cast for timestamp parity
+          SELECT DISTINCT user_id,
+                 CAST(date_trunc('week', ts) AS TIMESTAMP) AS week FROM events
+        ),
+        cohort AS (
+          SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id
+        )
+        SELECT c.cohort_week,
+               CAST(date_diff('day', c.cohort_week, u.week) // 7 AS BIGINT)
+                 AS week_offset,
+               count(DISTINCT u.user_id) AS n_users
+        FROM uw u JOIN cohort c ON u.user_id = c.user_id
+        GROUP BY 1, 2 ORDER BY 1, 2
     """,
 }
