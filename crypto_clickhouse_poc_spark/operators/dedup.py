@@ -92,9 +92,16 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared LSH dataflow: signatures → banded bucket join → verified pairs.
+    """Shared LSH dataflow over the fixture ``documents`` table (see
+    ``lsh_pairs_from_shingles`` for the dataflow itself)."""
+    return lsh_pairs_from_shingles(_doc_shingles(spark, sf_dir))
 
-    Returns (doc_a, doc_b, jaccard) for verified pairs with jaccard >= 0.8.
+
+def lsh_pairs_from_shingles(toks: DataFrame) -> DataFrame:
+    """MinHash-LSH near-dup pairs from any (doc_id, toks) DataFrame.
+
+    Returns (doc_a, doc_b, jaccard) for verified pairs with
+    jaccard >= JACCARD_THRESHOLD.
 
     Pair generation uses the *first-collision-band* trick: band i's equi-join
     keeps a pair only if the pair did NOT already collide in any band j < i
@@ -104,7 +111,6 @@ def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     band join, so jaccard verification is a map-side projection with no
     join-back either: total shuffle volume is O(docs), never O(pairs).
     """
-    toks = _doc_shingles(spark, sf_dir)
     sig = toks.select("doc_id", "toks", *T.minhash_signature(F.col("toks"), NUM_HASHES))
     # ht: token set as sorted 64-bit hashes — intersections on longs are far
     # cheaper than on strings, and jaccard needs only set *sizes*. (Token

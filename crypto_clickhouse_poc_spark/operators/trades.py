@@ -446,6 +446,45 @@ def ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_user_counts_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based distinct counts: HyperLogLog++ per event type (rsd 2%).
+
+    The scale path for ev_user_counts — mergeable sketch, single shuffle, no
+    distinct expansion. Approximate by nature, so there is deliberately NO
+    oracle entry: the driver records the weaker rows-only check, and the
+    exact twin (ev_user_counts) carries the value-level correctness burden.
+    """
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def ev_price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based quantiles: approx_percentile (Greenwald-Khanna style)
+    per event type — the scale path for ev_price_quantiles. No oracle entry
+    by design (approximate); rows-only check, exact twin carries values.
+    """
+    e = _events(spark, sf_dir)
+    pct = F.expr("approx_percentile(price, array(0.5, 0.9, 0.99), 10000)")
+    return (
+        e.groupBy("event_type")
+        .agg(pct.alias("p"))
+        .select(
+            "event_type",
+            F.col("p")[0].alias("p50"),
+            F.col("p")[1].alias("p90"),
+            F.col("p")[2].alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "ev_count": ev_count,
     "ev_latest": ev_latest,
@@ -464,6 +503,9 @@ QUERIES = {
     "ev_price_histogram": ev_price_histogram,
     "ev_ohlcv_gapfill": ev_ohlcv_gapfill,
     "ev_cohort_retention": ev_cohort_retention,
+    # approximate twins: intentionally absent from ORACLES (rows-only check)
+    "ev_user_counts_approx": ev_user_counts_approx,
+    "ev_price_quantiles_approx": ev_price_quantiles_approx,
 }
 
 _EV = (

@@ -1,0 +1,68 @@
+"""Algorithmic quality of the MinHash-LSH pipeline on a NON-degenerate
+corpus (the fixture's word-soup docs all look alike; this synthesizes a
+realistic one): planted near-duplicates must be recovered (recall) and
+unrelated docs must not pair (precision is exact by construction — the
+pipeline verifies true jaccard, so any emitted pair IS >= the threshold;
+what LSH can lose is recall)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from crypto_clickhouse_poc_spark.operators.dedup import (
+    JACCARD_THRESHOLD,
+    lsh_pairs_from_shingles,
+    shingles,
+)
+
+
+def _corpus(seed: int, n_base: int = 60, n_dups: int = 20, vocab: int = 2000):
+    """Base docs of ~80 distinct tokens from a large vocab (near-disjoint
+    pairs), plus perturbed copies at ~95% overlap (true jaccard ≈ 0.9)."""
+    rng = random.Random(seed)
+    words = [f"w{i}" for i in range(vocab)]
+    docs, truth = [], set()
+    for i in range(n_base):
+        toks = rng.sample(words, 80)
+        docs.append((i, " ".join(toks)))
+    for k in range(n_dups):
+        src = k  # perturb the first n_dups base docs
+        toks = docs[src][1].split()
+        keep = toks[:]
+        for _ in range(4):  # swap 4 of 80 tokens (~0.905 jaccard)
+            keep[rng.randrange(len(keep))] = rng.choice(words)
+        dup_id = 1000 + k
+        docs.append((dup_id, " ".join(keep)))
+        truth.add((src, dup_id))
+    return docs, truth
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_lsh_finds_planted_near_dups(spark, seed):
+    docs, truth = _corpus(seed)
+    df = spark.createDataFrame(docs, "doc_id long, text string").select(
+        "doc_id", shingles(F.col("text")).alias("toks")
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_pairs_from_shingles(df).collect()
+    }
+    # every emitted pair is exact-verified >= threshold (precision exact);
+    # planted dups may fall below threshold if perturbation overshoots, so
+    # score recall only on planted pairs whose TRUE jaccard >= threshold
+    toks = {r["doc_id"]: set(r["toks"]) for r in df.collect()}
+    eligible = {
+        (a, b)
+        for (a, b) in truth
+        if len(toks[a] & toks[b]) / len(toks[a] | toks[b]) >= JACCARD_THRESHOLD
+    }
+    assert len(eligible) >= 10  # the corpus actually plants hard positives
+    found = eligible & pairs
+    recall = len(found) / len(eligible)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} below 0.9"
+    # no unrelated base pair sneaks in (true jaccard ~0 on a 2000-word vocab)
+    false_pairs = {p for p in pairs if p not in truth}
+    assert not false_pairs

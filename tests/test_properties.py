@@ -120,6 +120,32 @@ def test_month_pruned_matches_plain_filter(spark):
     assert _sorted_rows(pruned.drop("p_month")) == _sorted_rows(plain.drop("p_month"))
 
 
+def test_approx_aggregates_near_exact(spark):
+    """The sketch twins (rows-only in the driver gate) stay within their
+    documented error of the exact queries."""
+    from crypto_clickhouse_poc_spark.operators.trades import (
+        ev_price_quantiles,
+        ev_price_quantiles_approx,
+        ev_user_counts,
+        ev_user_counts_approx,
+    )
+
+    exact_u = {r["event_type"]: r["n_users"] for r in ev_user_counts(spark, SF_SMOKE).collect()}
+    approx_u = {
+        r["event_type"]: r["n_users_approx"]
+        for r in ev_user_counts_approx(spark, SF_SMOKE).collect()
+    }
+    for k, n in exact_u.items():
+        assert abs(approx_u[k] - n) <= max(2, 0.1 * n), (k, n, approx_u[k])
+
+    exact_q = {r["event_type"]: r["p50"] for r in ev_price_quantiles(spark, SF_SMOKE).collect()}
+    approx_q = {
+        r["event_type"]: r["p50"] for r in ev_price_quantiles_approx(spark, SF_SMOKE).collect()
+    }
+    for k, v in exact_q.items():
+        assert abs(approx_q[k] - v) <= 0.1 * abs(v) + 1.0, (k, v, approx_q[k])
+
+
 def test_sessionize_invariants(spark):
     from crypto_clickhouse_poc_spark.operators.trades import ev_sessionize
 
