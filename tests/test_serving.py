@@ -1,0 +1,77 @@
+"""End-to-end HTTP surface test: every reference route served over Spark,
+JSON shape and values checked through a real socket."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+from datetime import datetime, timezone
+
+import pytest
+
+from crypto_clickhouse_poc_spark.serving import AnalyticsServer
+
+ANCHOR = datetime(2024, 1, 1, 1, 0, 0)
+
+
+def _utc(s: str) -> datetime:
+    return datetime.fromisoformat(s).replace(tzinfo=timezone.utc)
+
+
+@pytest.fixture()
+def server(spark):
+    rows = [
+        ("BTCUSDT", 1, 100.0, 2.0, _utc("2024-01-01 00:58:01"), 0),
+        ("BTCUSDT", 2, 102.0, 1.0, _utc("2024-01-01 00:58:05"), 0),
+        ("BTCUSDT", 3, 101.0, 4.0, _utc("2024-01-01 00:58:30"), 1),
+        ("ETHUSDT", 6, 10.0, 50.0, _utc("2024-01-01 00:59:00"), 1),
+    ]
+    trades = spark.createDataFrame(
+        [(s, t, p, q, ts, m, ts) for (s, t, p, q, ts, m) in rows],
+        "symbol string, trade_id long, price double, qty double, ts timestamp,"
+        " is_buyer_maker int, ingested_at timestamp",
+    )
+    srv = AnalyticsServer(lambda: trades, anchor=ANCHOR)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def _get(srv, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}{path}", timeout=60) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_ohlcv_route(server):
+    status, body = _get(server, "/ohlcv?symbol=BTCUSDT&minutes=60")
+    assert status == 200
+    assert len(body) == 1
+    bar = body[0]
+    assert bar["minute"] == "2024-01-01T00:58:00"  # ISO-formatted (F9)
+    assert (bar["open"], bar["high"], bar["low"], bar["close"]) == (100.0, 102.0, 100.0, 101.0)
+    assert bar["trades"] == 3
+
+
+def test_top_symbols_route(server):
+    status, body = _get(server, "/top_symbols?minutes=60&limit=2")
+    assert status == 200
+    assert [b["symbol"] for b in body] == ["ETHUSDT", "BTCUSDT"]
+
+
+def test_live_trades_route_and_unknown(server):
+    status, body = _get(server, "/live_trades?symbol=BTCUSDT&window_sec=3600&limit=2")
+    assert status == 200 and len(body) == 2
+    assert body[0]["ts"] >= body[1]["ts"]
+    try:
+        urllib.request.urlopen(f"http://127.0.0.1:{server.port}/nope", timeout=60)
+        raise AssertionError("expected 404")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+
+
+def test_buy_sell_routes(server):
+    status, body = _get(server, "/live_buy_sell?minutes=60&top=10")
+    assert status == 200 and len(body) == 2
+    status, body = _get(server, "/hist_buy_sell?symbol=BTCUSDT&minutes=60")
+    assert status == 200 and len(body) == 1
+    assert body[0]["buy_volume"] == 3.0 and body[0]["sell_volume"] == 4.0
