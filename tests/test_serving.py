@@ -69,6 +69,63 @@ def test_live_trades_route_and_unknown(server):
         assert e.code == 404
 
 
+def test_collector_control_routes(spark, tmp_path):
+    """POST /collector/start|stop and GET /collector/status drive a real
+    replay-fed ingest stream; double start surfaces as 409 (reference
+    api/server.py:43-44)."""
+    from crypto_clickhouse_poc_spark.sources.replay import (
+        read_replay_stream,
+        trades_to_event_lines,
+        write_replay_chunks,
+    )
+    from crypto_clickhouse_poc_spark.streaming import ingest
+    from crypto_clickhouse_poc_spark.streaming.collector import Collector
+
+    rows = [
+        {
+            "symbol": "BTCUSDT",
+            "trade_id": i,
+            "price": 100.0 + i,
+            "qty": 1.0,
+            "ts": _utc(f"2024-01-01 00:00:{i:02d}"),
+            "is_buyer_maker": False,
+        }
+        for i in range(10)
+    ]
+    replay_dir, dest, ckpt = (str(tmp_path / d) for d in ("replay", "trades", "ckpt"))
+    write_replay_chunks(trades_to_event_lines(rows), replay_dir, num_chunks=2)
+    col = Collector(
+        spark,
+        lambda: ingest.start_ingest(
+            read_replay_stream(spark, replay_dir), dest, ckpt, trigger_sec=0
+        ),
+    )
+    srv = AnalyticsServer(lambda: spark.read.parquet(dest), collector=col)
+    srv.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/collector/start", method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert json.loads(r.read()) == {"started": True}
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            raise AssertionError("expected 409")
+        except urllib.error.HTTPError as e:
+            assert e.code == 409
+        col.process_available()
+        _, status = _get(srv, "/collector/status")
+        assert status["running"] is True and status["state"] == "running"
+        stop = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/collector/stop", method="POST"
+        )
+        with urllib.request.urlopen(stop, timeout=60) as r:
+            assert json.loads(r.read()) == {"stopped": True}
+        assert spark.read.parquet(dest).count() == 10
+    finally:
+        srv.stop()
+
+
 def test_buy_sell_routes(server):
     status, body = _get(server, "/live_buy_sell?minutes=60&top=10")
     assert status == 200 and len(body) == 2
