@@ -29,6 +29,8 @@ BENCH_QUERIES = [
     "ev_dedup_latest",
     "ev_sessionize",
     "ev_price_quantiles",
+    "ev_ohlcv_gapfill",
+    "ev_cohort_retention",
     # joins
     "tpch_q1",
     "tpch_q3",
