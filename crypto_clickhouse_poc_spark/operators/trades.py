@@ -485,6 +485,54 @@ def ev_price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: view → click → purchase, each stage strictly after
+    the previous one (per user), with per-stage user counts and conversion.
+
+    Sequential dependence is three chained aggregates: t1 = first view,
+    t2 = first click after t1, t3 = first purchase after t2 — each stage a
+    groupBy on user_id re-joined to the (pre-filtered, pre-projected) event
+    stream. All three shuffles share the user_id key, so at scale this is
+    one partitioning reused; no window over the full event history.
+    """
+    e = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    t1 = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        e.where(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        e.where(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    tagged = (
+        t1.select(F.lit("1_view").alias("stage"), "user_id")
+        .unionAll(t2.select(F.lit("2_click_after_view").alias("stage"), "user_id"))
+        .unionAll(t3.select(F.lit("3_purchase_after_click").alias("stage"), "user_id"))
+    )
+    counts = tagged.groupBy("stage").agg(F.count("*").alias("n_users"))
+    base = t1.agg(F.count("*").alias("n_base"))
+    return (
+        counts.crossJoin(F.broadcast(base))
+        .select(
+            "stage",
+            "n_users",
+            F.round(F.col("n_users") / F.col("n_base"), 6).alias("conversion"),
+        )
+        .orderBy("stage")
+    )
+
+
 QUERIES = {
     "ev_count": ev_count,
     "ev_latest": ev_latest,
@@ -503,6 +551,7 @@ QUERIES = {
     "ev_price_histogram": ev_price_histogram,
     "ev_ohlcv_gapfill": ev_ohlcv_gapfill,
     "ev_cohort_retention": ev_cohort_retention,
+    "ev_funnel": ev_funnel,
     # approximate twins: intentionally absent from ORACLES (rows-only check)
     "ev_user_counts_approx": ev_user_counts_approx,
     "ev_price_quantiles_approx": ev_price_quantiles_approx,
@@ -720,5 +769,31 @@ ORACLES = {
                count(DISTINCT u.user_id) AS n_users
         FROM uw u JOIN cohort c ON u.user_id = c.user_id
         GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "ev_funnel": """
+        WITH t1 AS (
+          SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY user_id
+        ),
+        t2 AS (
+          SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN t1 ON e.user_id = t1.user_id
+          WHERE e.event_type = 'click' AND e.ts > t1.t1
+          GROUP BY e.user_id
+        ),
+        t3 AS (
+          SELECT e.user_id, min(e.ts) AS t3
+          FROM events e JOIN t2 ON e.user_id = t2.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+          GROUP BY e.user_id
+        ),
+        tagged AS (
+          SELECT '1_view' AS stage, user_id FROM t1
+          UNION ALL SELECT '2_click_after_view', user_id FROM t2
+          UNION ALL SELECT '3_purchase_after_click', user_id FROM t3
+        )
+        SELECT stage, count(*) AS n_users,
+               round(count(*) * 1.0 / (SELECT count(*) FROM t1), 6) AS conversion
+        FROM tagged GROUP BY stage ORDER BY stage
     """,
 }
