@@ -18,9 +18,31 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import dedup, multimodal, similarity, sqlapi, streaming_q, temporal, text, tpch, trades
+from . import (
+    dedup,
+    multimodal,
+    quality,
+    similarity,
+    sqlapi,
+    streaming_q,
+    temporal,
+    text,
+    tpch,
+    trades,
+)
 
-_MODULES = (trades, tpch, text, dedup, similarity, multimodal, temporal, streaming_q, sqlapi)
+_MODULES = (
+    trades,
+    tpch,
+    text,
+    dedup,
+    similarity,
+    multimodal,
+    temporal,
+    streaming_q,
+    sqlapi,
+    quality,
+)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
