@@ -102,6 +102,18 @@ def test_ohlcv_over_partitioned_table_prunes(spark, tmp_path):
     assert got == want and set(got) == {58, 59}
 
 
+def test_empty_results_are_graceful(spark):
+    """Unknown symbol / empty window: every endpoint returns an empty frame
+    with the full schema, never an error."""
+    t = _trades(spark)
+    assert api.ohlcv(t, "NOPE", 60, ANCHOR).count() == 0
+    assert api.live_trades(t, "NOPE", 60, 500, ANCHOR).count() == 0
+    assert api.hist_buy_sell(t, "NOPE", 60, ANCHOR).count() == 0
+    assert api.ohlcv(t, "BTCUSDT", 60, ANCHOR).columns == [
+        "minute", "open", "high", "low", "close", "volume", "trades"
+    ]
+
+
 def test_live_buy_sell_total_vol_ordering(spark):
     out = api.live_buy_sell(_trades(spark), minutes=60, top=2, anchor=ANCHOR).collect()
     assert [r["symbol"] for r in out] == ["ETHUSDT", "BTCUSDT"]
