@@ -449,6 +449,58 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (TPC-H Q21 shape, adapted: "late" =
+    shipped > 60 days after the order date; the fixture has no commit/
+    receipt dates). A supplier is counted per order where it shipped late,
+    at least one OTHER supplier shipped in the same order (EXISTS → left
+    semi), and NO other supplier shipped late in it (NOT EXISTS → left
+    anti).
+
+    All three legs reuse one lineitem ⋈ orders pass for the lateness flag;
+    the semi and anti joins run on (orderkey) with the supplier-inequality
+    as a join-condition filter — never a fact-side shuffle beyond the
+    orderkey partitioning they share.
+    """
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn(
+            "late",
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        )
+        .select("l_orderkey", "l_suppkey", "late")
+    )
+    l1 = l.where(F.col("late")).select("l_orderkey", "l_suppkey").distinct()
+    others = l.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    late_others = l.where(F.col("late")).select(
+        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    )
+    cand = l1.join(
+        others,
+        (F.col("l_orderkey") == F.col("o2_orderkey"))
+        & (F.col("l_suppkey") != F.col("o2_suppkey")),
+        "left_semi",
+    ).join(
+        late_others,
+        (F.col("l_orderkey") == F.col("o3_orderkey"))
+        & (F.col("l_suppkey") != F.col("o3_suppkey")),
+        "left_anti",
+    )
+    s = load(spark, sf_dir, "supplier")
+    return (
+        cand.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
 def region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregate: order count/value by (region, nation) with subtotal
     and grand-total rows — Spark's ``rollup`` ≡ ANSI GROUP BY ROLLUP.
@@ -488,6 +540,7 @@ QUERIES = {
     "tpch_q17": tpch_q17,
     "tpch_q18": tpch_q18,
     "tpch_q19": tpch_q19,
+    "tpch_q21": tpch_q21,
     "top_order_per_customer": top_order_per_customer,
     "nation_order_rollup": nation_order_rollup,
     "region_nation_rollup": region_nation_rollup,
@@ -655,6 +708,23 @@ ORACLES = {
                 AND l_quantity BETWEEN 10 AND 20)
             OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
                 AND l_quantity BETWEEN 20 AND 30))
+    """,
+    "tpch_q21": """
+        WITH l AS (
+          SELECT l_orderkey, l_suppkey,
+                 l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        l1 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM l WHERE late)
+        SELECT s_name, count(*) AS numwait
+        FROM l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        WHERE EXISTS (SELECT 1 FROM l o2 WHERE o2.l_orderkey = l1.l_orderkey
+                        AND o2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM l o3 WHERE o3.l_orderkey = l1.l_orderkey
+                            AND o3.l_suppkey <> l1.l_suppkey AND o3.late)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
     """,
     "region_nation_rollup": """
         SELECT r_name, n_name, count(*) AS order_count,
