@@ -385,7 +385,7 @@ ORACLES = {
                     THEN 'test' ELSE 'train' END AS split,
                lang,
                count(*) AS n_docs,
-               sum({_NTOK}) AS n_tokens
+               CAST(sum({_NTOK}) AS BIGINT) AS n_tokens
         FROM canonical
         GROUP BY 1, 2 ORDER BY 1, 2
     """,

@@ -673,7 +673,8 @@ ORACLES = {
                  date_diff('second', min(ts), max(ts)) AS dur_sec
           FROM sessions GROUP BY user_id, sess_id
         )
-        SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
+        SELECT user_id, count(*) AS n_sessions,
+               CAST(sum(n_events) AS BIGINT) AS n_events,
                max(dur_sec) AS max_session_sec,
                round(avg(dur_sec), 6) AS avg_session_sec
         FROM per_sess GROUP BY user_id ORDER BY user_id
