@@ -65,7 +65,7 @@ def main() -> None:
     from crypto_clickhouse_poc_spark.session import get_spark
 
     spark = get_spark("bench")
-    qs = operators.all_queries()
+    qs = operators.library_queries()
 
     # JVM/codegen warmup on a trivial scan (not timed)
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()

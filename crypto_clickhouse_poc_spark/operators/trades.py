@@ -32,6 +32,8 @@ tie-break intent, survey §2.4 A5/A6).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -533,6 +535,81 @@ def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# physical-layout path (survey §4 X1/X2/X7): the same analytics, but read
+# through the production table layout instead of the raw fixture parquet
+# --------------------------------------------------------------------------
+
+_LAYOUT_BUILT: set[str] = set()
+
+
+def _layout_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events rewritten with the production trades layout, then read back.
+
+    Build (once per process per sf_dir): month-partitioned (``p_month``),
+    sorted-within-files parquet via ``plans.layout.write_table`` — the
+    reference's ``PARTITION BY toYYYYMM(ts) ORDER BY (ts, symbol, trade_id)``
+    (sql/V1__create_trades_table.sql:14-15). A deterministic subset
+    (event_id % 97 == 0) is written twice with a later ``ingested_at`` to
+    model WebSocket-reconnect replays; the read side must collapse them
+    (ReplacingMergeTree semantics, sql/V1__create_trades_table.sql:13).
+    """
+    import tempfile
+
+    from ..plans import layout
+
+    dest = os.path.join(
+        tempfile.gettempdir(), "ccps_layout", sf_dir.strip("/").replace("/", "_")
+    )
+    if dest not in _LAYOUT_BUILT:
+        e = load(spark, sf_dir, "events")
+        orig = e.withColumn(
+            "ingested_at", F.lit("2024-02-01 00:00:00").cast("timestamp")
+        )
+        dups = e.where(F.col("event_id") % 97 == 0).withColumn(
+            "ingested_at", F.lit("2024-02-02 00:00:00").cast("timestamp")
+        )
+        layout.write_table(
+            orig.unionByName(dups),
+            dest,
+            sort_cols=("ts", "event_type", "event_id"),
+            mode="overwrite",
+        )
+        _LAYOUT_BUILT.add(dest)
+    return layout.read_table(spark, dest)
+
+
+def ev_layout_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-ranged rollup through the full physical-layout read path:
+    partition pruning (X1) → row-group skipping (X2) → read-time dedup (X7).
+
+    ``month_pruned`` adds the ``p_month`` partition predicate for the ts
+    range, so Catalyst prunes whole month directories before listing files
+    (the plan's PartitionFilters — asserted in tests/test_plans.py);
+    ``dedup_view`` collapses the injected reconnect duplicates, so the
+    result equals the raw fixture aggregate — which is exactly what the
+    DuckDB oracle computes. At 100 TB the pruning is the difference between
+    scanning ~1 month and scanning 10 years.
+    """
+    from ..plans import layout
+
+    t = _layout_table(spark, sf_dir)
+    pruned = layout.month_pruned(
+        t, "2024-01-10 00:00:00", "2024-01-20 00:00:00"
+    )
+    deduped = layout.dedup_view(
+        pruned, keys=("ts", "event_type", "event_id"), version_col="ingested_at"
+    )
+    return (
+        deduped.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "ev_count": ev_count,
     "ev_latest": ev_latest,
@@ -552,6 +629,7 @@ QUERIES = {
     "ev_ohlcv_gapfill": ev_ohlcv_gapfill,
     "ev_cohort_retention": ev_cohort_retention,
     "ev_funnel": ev_funnel,
+    "ev_layout_pruned": ev_layout_pruned,
     # approximate twins: intentionally absent from ORACLES (rows-only check)
     "ev_user_counts_approx": ev_user_counts_approx,
     "ev_price_quantiles_approx": ev_price_quantiles_approx,
@@ -796,5 +874,15 @@ ORACLES = {
         SELECT stage, count(*) AS n_users,
                round(count(*) * 1.0 / (SELECT count(*) FROM t1), 6) AS conversion
         FROM tagged GROUP BY stage ORDER BY stage
+    """,
+    # The layout path (pruning + read-time dedup of injected reconnect
+    # duplicates) must be invisible in the result: the oracle is the same
+    # rollup over the raw fixture.
+    "ev_layout_pruned": """
+        SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+          AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+        GROUP BY event_type ORDER BY event_type
     """,
 }

@@ -1,6 +1,6 @@
-"""Mirror of the driver's t2 correctness gate: every queries() entry vs its
-DuckDB oracle at sf0.01 — row count, column names, and exact values
-(columns sorted by name, rows sorted canonically)."""
+"""Mirror of the driver's t2 correctness gate: every query (declared AND
+library-only) vs its DuckDB oracle at sf0.01 — row count, column names, and
+exact values (columns sorted by name, rows sorted canonically)."""
 
 from __future__ import annotations
 
@@ -8,12 +8,24 @@ import math
 
 import pytest
 
+from crypto_clickhouse_poc_spark import operators
 from tests.conftest import SF_CORRECT
 
 import __spark_entry__ as entrymod
 
-QUERIES = entrymod.queries()
-ORACLES = entrymod.oracle_sql()
+QUERIES = operators.library_queries()
+ORACLES = operators.library_oracles()
+
+
+def test_declared_surface_is_driver_window_sized():
+    """Exactly 50 declared queries, each with an oracle: the driver checks
+    the first 50 registry entries, so this shape guarantees every declared
+    query gets a value-hash verdict (round-1 verdict item #2/#3)."""
+    declared = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert len(declared) == 50
+    missing = [n for n in declared if n not in oracles]
+    assert not missing, f"declared queries without an oracle: {missing}"
 
 
 def _canon(val):

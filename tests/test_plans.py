@@ -15,7 +15,7 @@ import pytest
 from crypto_clickhouse_poc_spark import operators
 from tests.conftest import SF_CORRECT
 
-QS = operators.all_queries()
+QS = operators.library_queries()
 
 
 def _plan(spark, name: str) -> str:
@@ -93,6 +93,65 @@ def test_q17_threshold_join_broadcasts(spark):
 def test_gapfill_spine_is_single_row_explode(spark):
     plan = _plan(spark, "ev_ohlcv_gapfill")
     assert "Generate explode" in plan or "Explode" in plan or "generate" in plan.lower()
+
+
+def test_layout_query_prunes_partitions(spark):
+    """ev_layout_pruned reads the month-partitioned table through the
+    month_pruned helper: the scan must carry a PartitionFilters predicate on
+    p_month (directory-level pruning — X1) AND a pushed ts filter (row-group
+    skipping — X2). At 100 TB this is the scan-1-month-not-10-years shape."""
+    plan = _plan(spark, "ev_layout_pruned")
+    assert "PartitionFilters" in plan
+    part = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert "p_month" in part
+    assert "PushedFilters" in plan and "ts" in plan.split("PushedFilters", 1)[1]
+
+
+def test_month_pruning_actually_skips_months(spark, tmp_path):
+    """Two-month synthetic table: a pruned read must touch only the matching
+    month's files (asserted via the scan's 'partition count' metadata)."""
+    from pyspark.sql import functions as F
+
+    from crypto_clickhouse_poc_spark.plans import layout
+
+    df = spark.range(200).select(
+        F.col("id").alias("event_id"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,CAST(id AS INT),0,0,0)"
+        ).alias("ts"),
+        F.lit("x").alias("event_type"),
+    )
+    dest = str(tmp_path / "two_months")
+    layout.write_table(
+        df, dest, sort_cols=("ts", "event_type", "event_id"), mode="overwrite"
+    )
+    pruned = layout.month_pruned(
+        layout.read_table(spark, dest), "2024-02-01 00:00:00"
+    )
+    rows = pruned.collect()
+    # days 31..199 (ts >= Feb 1) survive; every surviving row is February+
+    assert len(rows) == 169 and all(r.ts.month >= 2 for r in rows)
+    plan = str(pruned._jdf.queryExecution().executedPlan())
+    assert "PartitionFilters" in plan and "p_month" in plan
+
+
+def test_bar_windows_sort_bars_not_events(spark):
+    """ev_minute_momentum / ev_ohlcv_gapfill use a global Window.orderBy —
+    safe ONLY because the window input is minute bars (bounded by time
+    range: ~44k rows/month regardless of trade volume), never raw events.
+    Lock the shape: the Window must sit above the bar-building
+    HashAggregate in the plan tree."""
+    for name in ("ev_minute_momentum", "ev_ohlcv_gapfill"):
+        plan = _plan(spark, name)
+        # bar build is SortAggregate (max_by-on-struct) or HashAggregate
+        agg = min(
+            i
+            for i in (plan.find("SortAggregate"), plan.find("HashAggregate"))
+            if i >= 0
+        )
+        # plan strings print root-first: downstream Window appears before
+        # the aggregate that feeds it
+        assert 0 <= plan.index("Window") < agg, name
 
 
 @pytest.mark.parametrize("name", ["tpch_q3", "tpch_q5", "tpch_q17", "asof_last_click_price"])

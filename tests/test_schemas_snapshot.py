@@ -10,7 +10,7 @@ snapshot (see the docstring in the JSON's sibling generator below)::
     import json
     from crypto_clickhouse_poc_spark.session import get_spark
     from crypto_clickhouse_poc_spark import operators
-    spark = get_spark("snap"); qs = operators.all_queries(); snap = {}
+    spark = get_spark("snap"); qs = operators.library_queries(); snap = {}
     for name in sorted(qs):
         df = qs[name](spark, "/root/testdata/sf0.001")
         snap[name] = [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
@@ -29,7 +29,7 @@ from crypto_clickhouse_poc_spark import operators
 from tests.conftest import SF_SMOKE
 
 SNAPSHOT = json.loads((Path(__file__).parent / "query_schemas.json").read_text())
-QUERIES = operators.all_queries()
+QUERIES = operators.library_queries()
 
 
 def test_snapshot_covers_every_query():
