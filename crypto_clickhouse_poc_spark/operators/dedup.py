@@ -110,9 +110,31 @@ def lsh_pairs_from_shingles(toks: DataFrame) -> DataFrame:
     shuffle over the (quadratic) candidate set. Token sets ride through the
     band join, so jaccard verification is a map-side projection with no
     join-back either: total shuffle volume is O(docs), never O(pairs).
+
+    Physical notes (round-2 perf pass, PERF.md):
+
+    - the probe side is repartitioned to the session's default parallelism
+      BEFORE the signature projection: a single-file corpus otherwise reads
+      as ONE partition, serializing both the per-doc md5 signature pass and
+      the per-pair jaccard verification (measured 4/32 cores busy at sf0.1).
+      On a real multi-file 100 TB corpus the scan is already parallel and
+      the repartition is a no-op-sized shuffle of (doc_id, hashes) rows.
+    - band keys are 64-bit ``xxhash64(mh_lo, mh_hi)`` ints, not md5 hex
+      strings: 8-byte join keys hash/compare ~4× cheaper than 32-char
+      strings. A cross-band xxhash64 collision can only ADD a candidate
+      pair, which the exact-jaccard verify then filters — it can never drop
+      one (precondition: ``toks`` is never the empty array, which Spark's
+      ``split`` guarantees — min-hashes are never NULL).
+    - a length-ratio precheck (J >= num/den forces
+      den*min(n) >= num*max(n)) runs on plain ints before the
+      array-intersect, so size-mismatched bucket pairs never pay the O(n)
+      intersection.
     """
-    sig = toks.select("doc_id", "toks", *T.minhash_signature(F.col("toks"), NUM_HASHES))
-    # ht: token set as sorted 64-bit hashes — intersections on longs are far
+    par = toks.sparkSession.sparkContext.defaultParallelism
+    sig = toks.repartition(par).select(
+        "doc_id", "toks", *T.minhash_signature(F.col("toks"), NUM_HASHES)
+    )
+    # ht: token set as 64-bit hashes — intersections on longs are far
     # cheaper than on strings, and jaccard needs only set *sizes*. (Token
     # sets are tiny; a 64-bit collision within one doc is ~1e-17.)
     d = sig.select(
@@ -120,9 +142,9 @@ def lsh_pairs_from_shingles(toks: DataFrame) -> DataFrame:
         F.size("toks").alias("n"),
         # NB: one-param lambda — F.xxhash64 is variadic and transform would
         # otherwise hand it (element, index), salting the hash by position.
-        F.array_sort(F.transform("toks", lambda t: F.xxhash64(t))).alias("ht"),
+        F.transform("toks", lambda t: F.xxhash64(t)).alias("ht"),
         *[
-            F.md5(F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))).alias(f"bk{b}")
+            F.xxhash64(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")).alias(f"bk{b}")
             for b in range(BANDS)
         ],
     )
@@ -150,6 +172,14 @@ def lsh_pairs_from_shingles(toks: DataFrame) -> DataFrame:
         )
         for j in range(i):
             cond = cond & (F.col(f"a.bk{j}") != F.col(f"b.bk{j}"))
+        # integer length-ratio precheck BEFORE the intersect-based test:
+        # common <= min(na, nb), so J >= num/den requires
+        # den*min >= num*max — rejects size-mismatched pairs without
+        # touching the hash arrays.
+        cond = cond & (
+            den * F.least(F.col("a.n"), F.col("b.n"))
+            >= num * F.greatest(F.col("a.n"), F.col("b.n"))
+        )
         cond = cond & ((den + num) * common >= num * (F.col("a.n") + F.col("b.n")))
         parts.append(
             a.join(b, cond).select(
