@@ -96,16 +96,21 @@ def _side_aggs() -> list[Column]:
     return [
         F.sum(buy_qty).alias("buy_volume"),
         F.sum(sell_qty).alias("sell_volume"),
-        (F.sum(buy_pq) / F.nullif(F.sum(buy_qty), F.lit(0.0))).alias("buy_vwap"),
-        (F.sum(sell_pq) / F.nullif(F.sum(sell_qty), F.lit(0.0))).alias("sell_vwap"),
+        # reference column names: avg_buy_price / avg_sell_price
+        # (api/server.py:148-149,186-187) — they ARE per-side VWAPs, but the
+        # REST contract exposes them under these names
+        (F.sum(buy_pq) / F.nullif(F.sum(buy_qty), F.lit(0.0))).alias("avg_buy_price"),
+        (F.sum(sell_pq) / F.nullif(F.sum(sell_qty), F.lit(0.0))).alias("avg_sell_price"),
     ]
 
 
 def live_buy_sell(
-    trades: DataFrame, minutes: int = 5, top: int = 10, anchor: datetime | None = None
+    trades: DataFrame, minutes: int = 10, top: int = 5, anchor: datetime | None = None
 ) -> DataFrame:
     """/live_buy_sell — per-symbol side split + rate, top by total volume
-    (api/server.py:135-169; the CTE + lateral-alias query)."""
+    (api/server.py:135-169; the CTE + lateral-alias query). The lateral
+    alias ``total_vol`` orders the result but is projected away, and the
+    defaults are the reference's (minutes=10, top=5)."""
     agg = (
         _anchored(trades, anchor, f"{minutes} MINUTES")
         .groupBy("symbol")
@@ -115,6 +120,14 @@ def live_buy_sell(
         agg.withColumn("total_vol", F.col("buy_volume") + F.col("sell_volume"))
         .orderBy(F.col("total_vol").desc())
         .limit(top)
+        .select(
+            "symbol",
+            "buy_volume",
+            "sell_volume",
+            "avg_buy_price",
+            "avg_sell_price",
+            "trades_per_min",
+        )
     )
 
 

@@ -42,7 +42,12 @@ COSINE_THRESHOLD = 0.35
 
 
 def shingles(text: Column, n: int = 1) -> Column:
-    """Distinct word n-gram shingle set (n=1 → distinct tokens)."""
+    """Distinct word n-gram shingle set (n=1 → distinct tokens).
+
+    Documents shorter than n tokens yield an EMPTY set — ``sequence(0, k)``
+    with k < 0 would otherwise produce a descending [0..k] range and
+    fabricate out-of-bounds "shingles".
+    """
     if n == 1:
         return T.distinct_tokens(text)
     w = F.split(text, " ")
@@ -50,7 +55,9 @@ def shingles(text: Column, n: int = 1) -> Column:
         F.sequence(F.lit(0), F.size(w) - n),
         lambda i: F.array_join(F.slice(w, i + 1, n), " "),
     )
-    return F.array_distinct(grams)
+    return F.when(F.size(w) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:

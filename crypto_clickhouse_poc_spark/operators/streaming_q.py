@@ -35,19 +35,13 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.replay import epoch_ms as _epoch_ms
 from ..sources.replay import read_replay_stream, write_replay_chunks
 from ..streaming import bars as B
 from ..streaming import ingest as I
 from .trades import _events
 
-_EPOCH = datetime(1970, 1, 1)
 _NUM_CHUNKS = 8
-
-
-def _epoch_ms(dt: datetime) -> int:
-    """Exact integer epoch-ms for a (session-UTC, tz-naive) datetime."""
-    delta = dt - _EPOCH
-    return (delta.days * 86400 + delta.seconds) * 1000 + delta.microseconds // 1000
 
 
 def stream_ohlcv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -102,12 +102,17 @@ def doc_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the operator *shape* is what transfers to real multilingual corpora.)
     """
     d = load(spark, sf_dir, "documents")
-    bigrams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.length("text") - 2),
-            lambda i: F.substring(F.col("text"), i + 1, 2),
-        )
-    )
+    # guard texts shorter than 2 chars: sequence(0, -1) yields a DESCENDING
+    # [0,-1] (not an empty range), which would fabricate bogus "bigrams"
+    bigrams = F.when(
+        F.length("text") >= 2,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.length("text") - 2),
+                lambda i: F.substring(F.col("text"), i + 1, 2),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     bg = d.select("doc_id", "lang", F.explode(bigrams).alias("g"))
     wprof = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("g"))
     prof = (

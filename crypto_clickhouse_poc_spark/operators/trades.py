@@ -163,8 +163,12 @@ def _buy_sell_aggs() -> list:
     return [
         F.sum(buy_qty).alias("buy_volume"),
         F.sum(sell_qty).alias("sell_volume"),
-        F.round(F.sum(buy_pq) / F.nullif(F.sum(buy_qty), F.lit(0.0)), 6).alias("buy_vwap"),
-        F.round(F.sum(sell_pq) / F.nullif(F.sum(sell_qty), F.lit(0.0)), 6).alias("sell_vwap"),
+        F.round(F.sum(buy_pq) / F.nullif(F.sum(buy_qty), F.lit(0.0)), 6).alias(
+            "avg_buy_price"
+        ),
+        F.round(F.sum(sell_pq) / F.nullif(F.sum(sell_qty), F.lit(0.0)), 6).alias(
+            "avg_sell_price"
+        ),
     ]
 
 
@@ -188,6 +192,15 @@ def ev_buy_sell_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.withColumn("total_vol", F.col("buy_volume") + F.col("sell_volume"))
         .orderBy(F.col("total_vol").desc())
         .limit(5)
+        # total_vol orders but is projected away (reference api/server.py:156-164)
+        .select(
+            "event_type",
+            "buy_volume",
+            "sell_volume",
+            "avg_buy_price",
+            "avg_sell_price",
+            "trades_per_min",
+        )
     )
 
 
@@ -644,9 +657,11 @@ _BUY_SELL_AGGS = """
       sum(CASE WHEN side = 0 THEN qty ELSE 0.0 END) AS buy_volume,
       sum(CASE WHEN side = 1 THEN qty ELSE 0.0 END) AS sell_volume,
       round(sum(CASE WHEN side = 0 THEN price * qty ELSE 0.0 END)
-            / nullif(sum(CASE WHEN side = 0 THEN qty ELSE 0.0 END), 0.0), 6) AS buy_vwap,
+            / nullif(sum(CASE WHEN side = 0 THEN qty ELSE 0.0 END), 0.0), 6)
+        AS avg_buy_price,
       round(sum(CASE WHEN side = 1 THEN price * qty ELSE 0.0 END)
-            / nullif(sum(CASE WHEN side = 1 THEN qty ELSE 0.0 END), 0.0), 6) AS sell_vwap
+            / nullif(sum(CASE WHEN side = 1 THEN qty ELSE 0.0 END), 0.0), 6)
+        AS avg_sell_price
 """
 
 ORACLES = {
@@ -700,8 +715,9 @@ ORACLES = {
           WHERE ts >= {_SQL_ANCHOR} - INTERVAL 3 DAY
           GROUP BY event_type
         )
-        SELECT *, buy_volume + sell_volume AS total_vol
-        FROM base ORDER BY total_vol DESC LIMIT 5
+        SELECT event_type, buy_volume, sell_volume,
+               avg_buy_price, avg_sell_price, trades_per_min
+        FROM base ORDER BY buy_volume + sell_volume DESC LIMIT 5
     """,
     "ev_buy_sell_hist": f"""
         SELECT date_trunc('minute', ts) AS minute, {_BUY_SELL_AGGS},

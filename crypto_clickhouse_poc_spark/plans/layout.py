@@ -107,16 +107,29 @@ def compact(
     """
     df = dedup_view(spark.read.parquet(path), keys, version_col)
     tmp = path.rstrip("/") + ".compact.tmp"
-    (
-        df.repartition(F.col(PARTITION_COL))
-        .sortWithinPartitions(*sort_cols)
-        .write.mode("overwrite")
-        .partitionBy(PARTITION_COL)
-        .parquet(tmp)
-    )
+    try:
+        (
+            df.repartition(F.col(PARTITION_COL))
+            .sortWithinPartitions(*sort_cols)
+            .write.mode("overwrite")
+            .partitionBy(PARTITION_COL)
+            .parquet(tmp)
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    # swap via rename-aside: the table path is never absent — a crash
+    # between the two renames leaves either the old or the new copy live
     dest = Path(path)
-    shutil.rmtree(dest)
-    Path(tmp).rename(dest)
+    old = Path(path.rstrip("/") + ".compact.old")
+    shutil.rmtree(old, ignore_errors=True)
+    dest.rename(old)
+    try:
+        Path(tmp).rename(dest)
+    except BaseException:
+        old.rename(dest)  # roll back: old copy goes live again
+        raise
+    shutil.rmtree(old)
 
 
 def write_bucketed(

@@ -108,7 +108,7 @@ class AnalyticsServer:
                 t, q["symbol"], int(q.get("window_sec", 60)), int(q.get("limit", 500)), a
             )
         elif path == "/live_buy_sell":
-            df = api.live_buy_sell(t, int(q.get("minutes", 5)), int(q.get("top", 10)), a)
+            df = api.live_buy_sell(t, int(q.get("minutes", 10)), int(q.get("top", 5)), a)
         elif path == "/hist_buy_sell":
             df = api.hist_buy_sell(t, q["symbol"], int(q.get("minutes", 60)), a)
         elif path == "/collector/status":

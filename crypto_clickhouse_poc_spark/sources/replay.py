@@ -11,9 +11,22 @@ must reproduce the input exactly (FIXTURES.md A3 contract).
 from __future__ import annotations
 
 import json
+from datetime import datetime, timezone
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+
+_EPOCH_NAIVE = datetime(1970, 1, 1)
+_EPOCH_UTC = datetime(1970, 1, 1, tzinfo=timezone.utc)
+
+
+def epoch_ms(dt: datetime) -> int:
+    """Exact integer epoch-ms. tz-aware input is converted to UTC; tz-naive
+    input is interpreted as UTC (NOT local time — ``dt.timestamp()`` would
+    silently shift naive datetimes by the process timezone, and its float
+    multiply can round exact-second values)."""
+    delta = dt - (_EPOCH_UTC if dt.tzinfo is not None else _EPOCH_NAIVE)
+    return (delta.days * 86400 + delta.seconds) * 1000 + delta.microseconds // 1000
 
 
 def trades_to_event_lines(rows: list[dict]) -> list[str]:
@@ -31,7 +44,7 @@ def trades_to_event_lines(rows: list[dict]) -> list[str]:
                 "t": r["trade_id"],
                 "p": f"{r['price']:.8f}",
                 "q": f"{r['qty']:.8f}",
-                "T": int(r["ts"].timestamp() * 1000),
+                "T": epoch_ms(r["ts"]),
                 "m": bool(r["is_buyer_maker"]),
             },
         }

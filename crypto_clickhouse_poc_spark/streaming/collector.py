@@ -26,6 +26,9 @@ class _ProgressListener(StreamingQueryListener):
         self.inserted_rows = 0
         self.last_flush: Optional[str] = None
         self.last_error: Optional[str] = None
+        #: id of the collector's own query — listeners are session-global,
+        #: so progress from OTHER concurrent streams must be ignored
+        self.query_id: Optional[str] = None
         self._lock = threading.Lock()
 
     def onQueryStarted(self, event) -> None:  # noqa: N802
@@ -34,6 +37,8 @@ class _ProgressListener(StreamingQueryListener):
     def onQueryProgress(self, event) -> None:  # noqa: N802
         p = event.progress
         with self._lock:
+            if self.query_id is None or str(p.id) != self.query_id:
+                return
             self.inserted_rows += p.sink.numOutputRows if p.sink.numOutputRows > 0 else 0
             self.last_flush = p.timestamp
 
@@ -75,8 +80,11 @@ class Collector:
         self._spark.streams.addListener(self._listener)
         try:
             self._query = self._start_fn()
+            self._listener.query_id = str(self._query.id)
             self._state = "running"
         except Exception as exc:
+            # never leak a session-global listener from a failed start
+            self._spark.streams.removeListener(self._listener)
             self._listener.last_error = str(exc)
             self._state = "idle"
             raise

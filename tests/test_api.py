@@ -69,13 +69,13 @@ def test_hist_buy_sell_null_vwap_and_sumif_zero(spark):
         r["minute"].minute: r
         for r in api.hist_buy_sell(_trades(spark), "BTCUSDT", 60, ANCHOR).collect()
     }
-    # minute 59: no sells → sell_volume 0 (sumIf parity), sell_vwap NULL
+    # minute 59: no sells → sell_volume 0 (sumIf parity), avg_sell_price NULL
     assert out[59]["sell_volume"] == 0.0
-    assert out[59]["sell_vwap"] is None
+    assert out[59]["avg_sell_price"] is None
     assert out[59]["buy_volume"] == 4.0
-    assert abs(out[59]["buy_vwap"] - (105.0 * 1 + 95.0 * 3) / 4.0) < 1e-12
+    assert abs(out[59]["avg_buy_price"] - (105.0 * 1 + 95.0 * 3) / 4.0) < 1e-12
     # minute 58: both sides present
-    assert out[58]["sell_vwap"] == 101.0
+    assert out[58]["avg_sell_price"] == 101.0
 
 
 def test_ohlcv_over_partitioned_table_prunes(spark, tmp_path):
@@ -116,7 +116,10 @@ def test_empty_results_are_graceful(spark):
 
 def test_live_buy_sell_total_vol_ordering(spark):
     out = api.live_buy_sell(_trades(spark), minutes=60, top=2, anchor=ANCHOR).collect()
+    # ordered by the lateral alias total_vol, which is projected away
+    # (reference contract, api/server.py:156-168)
     assert [r["symbol"] for r in out] == ["ETHUSDT", "BTCUSDT"]
     btc = out[1]
-    assert btc["total_vol"] == btc["buy_volume"] + btc["sell_volume"] == 11.0
+    assert btc["buy_volume"] + btc["sell_volume"] == 11.0
+    assert "total_vol" not in out[0].asDict()
     assert abs(btc["trades_per_min"] - 5 / 60.0) < 1e-12
