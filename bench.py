@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     # multimodal (binary payload + Arrow-batched Pandas-UDF kernels)
     "mm_byte_features",
     "mm_frame_sample",
+    # physical layout read path (partition pruning + read-time dedup)
+    "ev_layout_pruned",
 ]
 
 
@@ -84,6 +86,8 @@ def main() -> None:
 
     ingest_rps = _ingest_throughput(spark)
     print(f"# streaming ingest: {ingest_rps:,.0f} rows/s", flush=True)
+    bars_rps = _bars_throughput(spark)
+    print(f"# streaming bars MV (watermarked finals): {bars_rps:,.0f} rows/s", flush=True)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -94,6 +98,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "ingest_rows_per_sec": round(ingest_rps),
+                "bars_rows_per_sec": round(bars_rps),
                 "sf": sf,
             }
         ),
@@ -121,6 +126,37 @@ def _ingest_throughput(spark, n_rows: int = 200_000) -> float:
     root = tempfile.mkdtemp(prefix="bench_ingest_")
     t0 = time.perf_counter()
     q = ingest.start_ingest(raw, f"{root}/trades", f"{root}/ckpt", trigger_sec=0)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    elapsed = time.perf_counter() - t0
+    shutil.rmtree(root, ignore_errors=True)
+    return n_rows / elapsed
+
+
+def _bars_throughput(spark, n_rows: int = 200_000) -> float:
+    """Streaming MV rate: synthetic source → normalize → watermarked 1-minute
+    OHLCV finals (streaming/bars.start_bars_final), input rows/sec wall-clock.
+    Tracks the cost of the stateful windowed aggregation design round-over-round."""
+    import shutil
+    import tempfile
+
+    from crypto_clickhouse_poc_spark.sources.binance import BinanceTradesDataSource
+    from crypto_clickhouse_poc_spark.streaming import bars, ingest
+
+    spark.dataSource.register(BinanceTradesDataSource)
+    raw = (
+        spark.readStream.format("binance_trades")
+        .option("rate", str(n_rows // 4))
+        .option("limit", str(n_rows))
+        .load()
+    )
+    root = tempfile.mkdtemp(prefix="bench_bars_")
+    t0 = time.perf_counter()
+    q = bars.start_bars_final(
+        ingest.normalize(raw), f"{root}/bars", f"{root}/ckpt"
+    )
     try:
         q.processAllAvailable()
     finally:
