@@ -84,18 +84,27 @@ def _hex_digit_parity(c: Column) -> Column:
     return F.conv(c, 16, 10).cast("int") % 2
 
 
+def token_md5s(toks: Column) -> Column:
+    """md5 hex string per token — materialize this as its OWN column before
+    feeding ``simhash16_from_hashes``: a fold over an expression re-evaluates
+    the whole child array per fold, a fold over an attribute reads the
+    computed row value."""
+    return F.transform(toks, lambda t: F.md5(t))
+
+
 def simhash16(toks: Column) -> Column:
-    """16-bit SimHash over a token set.
+    """16-bit SimHash over a token set (convenience single-expression form;
+    prefer ``token_md5s`` + ``simhash16_from_hashes`` in hot paths)."""
+    return simhash16_from_hashes(token_md5s(toks))
+
+
+def simhash16_from_hashes(hashes: Column) -> Column:
+    """16-bit SimHash over precomputed per-token md5 hex strings.
 
     Bit b of the output is set iff the signed vote sum over tokens of
     (parity of hex digit b of md5(token)) * 2 - 1 is positive. Pure integer
     arithmetic → bit-identical in any engine.
-
-    md5 is computed ONCE per token (hashes array), then each bit's vote
-    folds over the precomputed hex strings — 16× fewer digest calls than
-    hashing inside every bit's fold.
     """
-    hashes = F.transform(toks, lambda t: F.md5(t))
 
     def vote(b: int) -> Column:
         # single-(acc, element)-param lambda; close over the bit position

@@ -253,14 +253,23 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     count — the standard fixpoint check). Output: (doc_id, cluster,
     cluster_n) for every document (singletons are their own cluster).
     """
+    par = spark.sparkContext.defaultParallelism
     docs = load(spark, sf_dir, "documents").select("doc_id")
     e = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    # undirected edges, both directions; checkpoint once — every round reuses it
-    edges = e.unionAll(
-        e.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint(eager=True)
-    labels = docs.select(F.col("doc_id"), F.col("doc_id").alias("lbl")).localCheckpoint(
-        eager=True
+    # undirected edges, both directions; checkpoint once — every round reuses
+    # it. coalesce before each checkpoint: the round's shuffles may run at
+    # the session's shuffle-partition count (200 on a vanilla session), and
+    # materializing hundreds of near-empty partitions per round costs more
+    # scheduling than the data itself.
+    edges = (
+        e.unionAll(e.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+        .coalesce(par)
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        docs.select(F.col("doc_id"), F.col("doc_id").alias("lbl"))
+        .coalesce(par)
+        .localCheckpoint(eager=True)
     )
     for _ in range(20):  # safety bound far above any real diameter
         nbr_min = (
@@ -268,21 +277,23 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_a")
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
-        new_labels = (
+        # carry (old lbl, new lbl) through ONE checkpoint: the convergence
+        # check is then a filter-count on the materialized rows instead of a
+        # second join against the previous round
+        upd = (
             labels.join(nbr_min, labels.doc_id == nbr_min.doc_a, "left")
             .select(
                 "doc_id",
-                F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl"),
+                "lbl",
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias(
+                    "new_lbl"
+                ),
             )
+            .coalesce(par)
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = new_labels
+        changed = upd.where(F.col("new_lbl") != F.col("lbl")).count()
+        labels = upd.select("doc_id", F.col("new_lbl").alias("lbl"))
         if changed == 0:
             break
     out = labels.select("doc_id", F.col("lbl").alias("cluster"))
@@ -327,9 +338,18 @@ def dedup_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures + bucket sizes (equal signature = dup candidate)."""
-    toks = _doc_shingles(spark, sf_dir)
-    sim = toks.select("doc_id", T.simhash16(F.col("toks")).cast("long").alias("simhash"))
+    """SimHash signatures + bucket sizes (equal signature = dup candidate).
+
+    The per-token md5 array is materialized as its own column so the 16
+    bit-vote folds read it 16 times instead of recomputing it 16 times.
+    """
+    # repartition: spread the per-doc hash work across cores (single-file
+    # corpus reads as one partition); the window below shuffles anyway
+    par = spark.sparkContext.defaultParallelism
+    toks = _doc_shingles(spark, sf_dir).repartition(par)
+    sim = toks.withColumn("hx", T.token_md5s(F.col("toks"))).select(
+        "doc_id", T.simhash16_from_hashes(F.col("hx")).cast("long").alias("simhash")
+    )
     return sim.withColumn("bucket_n", F.count("*").over(Window.partitionBy("simhash")))
 
 
