@@ -256,13 +256,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
     docs = load(spark, sf_dir, "documents").select("doc_id")
     e = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    # undirected edges, both directions; checkpoint once — every round reuses
-    # it. coalesce before each checkpoint: the round's shuffles may run at
-    # the session's shuffle-partition count (200 on a vanilla session), and
-    # materializing hundreds of near-empty partitions per round costs more
-    # scheduling than the data itself.
+    # undirected edges, both directions, PLUS a self-loop per node: min over
+    # the neighborhood-including-self is then the whole round — one join +
+    # one groupBy, no separate keep-own-label left join. Checkpoint once —
+    # every round reuses it. coalesce before each checkpoint: the round's
+    # shuffles may run at the session's shuffle-partition count (200 on a
+    # vanilla session), and materializing hundreds of near-empty partitions
+    # per round costs more scheduling than the data itself.
     edges = (
         e.unionAll(e.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+        .unionAll(docs.select(F.col("doc_id").alias("doc_a"), F.col("doc_id").alias("doc_b")))
         .coalesce(par)
         .localCheckpoint(eager=True)
     )
@@ -271,31 +274,25 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(par)
         .localCheckpoint(eager=True)
     )
+    # Convergence check: labels only ever decrease elementwise, so the label
+    # SUM is strictly decreasing until the fixpoint — an O(1)-result agg on
+    # the already-checkpointed rows replaces a join against the previous
+    # round. (Fixture ids are small; a 100 TB deployment with huge ids would
+    # sum DECIMAL or count changed labels via an accumulator instead.)
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
     for _ in range(20):  # safety bound far above any real diameter
-        nbr_min = (
+        labels = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy("doc_a")
-            .agg(F.min("lbl").alias("nbr_lbl"))
-        )
-        # carry (old lbl, new lbl) through ONE checkpoint: the convergence
-        # check is then a filter-count on the materialized rows instead of a
-        # second join against the previous round
-        upd = (
-            labels.join(nbr_min, labels.doc_id == nbr_min.doc_a, "left")
-            .select(
-                "doc_id",
-                "lbl",
-                F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias(
-                    "new_lbl"
-                ),
-            )
+            .agg(F.min("lbl").alias("lbl"))
+            .select(F.col("doc_a").alias("doc_id"), "lbl")
             .coalesce(par)
             .localCheckpoint(eager=True)
         )
-        changed = upd.where(F.col("new_lbl") != F.col("lbl")).count()
-        labels = upd.select("doc_id", F.col("new_lbl").alias("lbl"))
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     out = labels.select("doc_id", F.col("lbl").alias("cluster"))
     sizes = out.groupBy("cluster").agg(F.count("*").alias("cluster_n"))
     return out.join(sizes, "cluster").select("doc_id", "cluster", "cluster_n")
