@@ -47,6 +47,11 @@ def shingles(text: Column, n: int = 1) -> Column:
     Documents shorter than n tokens yield an EMPTY set — ``sequence(0, k)``
     with k < 0 would otherwise produce a descending [0..k] range and
     fabricate out-of-bounds "shingles".
+
+    Perf note (n>1): ``slice(w, ...)`` inside the lambda re-evaluates the
+    ``split`` per gram index. On a hot path, materialize the token array as
+    its own column first and slice that attribute instead (the doc_winnow /
+    simhash pattern — see PERF.md round-2 log).
     """
     if n == 1:
         return T.distinct_tokens(text)
