@@ -131,6 +131,80 @@ def live_buy_sell(
     )
 
 
+def ohlcv_hybrid(
+    trades: DataFrame,
+    partials: DataFrame,
+    symbol: str,
+    minutes: int = 60,
+    anchor: datetime | None = None,
+    finalized_until: datetime | None = None,
+) -> DataFrame:
+    """/ohlcv fast path: serve history from the partial-bars MV, only the
+    fresh tail from raw trades (ClickHouse's MV-serving pattern, survey X5).
+
+    Minutes in ``[next_full_minute(anchor - minutes), finalized_until)`` are
+    answered by merging the append-only partial bars
+    (``streaming.bars.partial_bars`` rows — decomposable OHLCV partials), so
+    the raw scan is restricted to the window edges: the possibly partial
+    first minute and everything ``>= finalized_until``. Matches ``ohlcv``
+    whenever every trade with ``ts < finalized_until`` has been flushed into
+    ``partials`` — any cutoff at least one trigger interval behind the
+    collector guarantees that; pass ``finalized_until=None`` to skip the MV
+    entirely (plain raw re-aggregation). Open/high/low/close/trades are
+    bit-exact (min/max/count are order-insensitive; open/close key on
+    (ts, trade_id)); ``volume`` agrees to float round-off only — the partial
+    merge sums doubles in a different order, and IEEE addition is not
+    associative (the identical property of ClickHouse's partial-aggregate MV
+    merge, or of Spark's own per-partition partial sums under a different
+    partitioning).
+
+    At 100 TB the partials table is O(minutes × symbols × flushes) — orders
+    of magnitude below raw trades — and the raw scan prunes to the last few
+    minutes via the ts-sorted layout, so serving cost no longer grows with
+    history length.
+    """
+    from .streaming.bars import reaggregate_bars
+
+    if finalized_until is None:
+        return ohlcv(trades, symbol, minutes, anchor)
+
+    lo_expr = (F.lit(anchor) if anchor is not None else F.current_timestamp()) - F.expr(
+        f"INTERVAL {minutes} MINUTES"
+    )
+    # first *full* minute inside the window: trunc(lo) if lo is on a minute
+    # boundary, else trunc(lo) + 1 — the minute containing a mid-minute ``lo``
+    # must come from raw (its MV bar would include trades before ``lo``)
+    lo_min = F.date_trunc("minute", lo_expr)
+    full_lo = F.when(lo_min == lo_expr, lo_min).otherwise(
+        lo_min + F.expr("INTERVAL 1 MINUTE")
+    )
+    fin = F.lit(finalized_until)
+
+    fast = reaggregate_bars(
+        partials.where(
+            (F.col("symbol") == symbol)
+            & (F.col("minute") >= full_lo)
+            & (F.col("minute") < fin)
+        )
+    ).select("minute", "open", "high", "low", "close", "volume", "trades")
+
+    raw = (
+        trades.where(F.col("symbol") == symbol)
+        .where(F.col("ts") >= lo_expr)
+        .where((F.col("ts") < full_lo) | (F.col("ts") >= fin))
+        .groupBy(F.date_trunc("minute", F.col("ts")).alias("minute"))
+        .agg(
+            F.min_by("price", _tid_key()).alias("open"),
+            F.max("price").alias("high"),
+            F.min("price").alias("low"),
+            F.max_by("price", _tid_key()).alias("close"),
+            F.sum("qty").alias("volume"),
+            F.count("*").alias("trades"),
+        )
+    )
+    return fast.unionAll(raw).orderBy("minute")
+
+
 def hist_buy_sell(
     trades: DataFrame, symbol: str, minutes: int = 60, anchor: datetime | None = None
 ) -> DataFrame:

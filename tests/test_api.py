@@ -7,6 +7,8 @@ from __future__ import annotations
 
 from datetime import datetime, timezone
 
+from pyspark.sql import functions as F
+
 from crypto_clickhouse_poc_spark import api
 
 ANCHOR = datetime(2024, 1, 1, 1, 0, 0)
@@ -112,6 +114,65 @@ def test_empty_results_are_graceful(spark):
     assert api.ohlcv(t, "BTCUSDT", 60, ANCHOR).columns == [
         "minute", "open", "high", "low", "close", "volume", "trades"
     ]
+
+
+def test_ohlcv_hybrid_mv_fast_path_is_exact(spark):
+    """MV-serving fast path (survey X5): history minutes merged from the
+    partial-bars MV, window edges from raw — bit-identical to the full raw
+    re-aggregation, including a mid-minute window start and a late trade that
+    lands as a second partial for an already-flushed minute."""
+    from crypto_clickhouse_poc_spark.streaming import bars
+
+    rows = [
+        # minute 00:00 — window starts MID-minute (anchor-60m = 00:00:30):
+        # tid 1 falls before the window, tid 2 inside → raw-edge minute
+        ("BTCUSDT", 1, 90.0, 1.0, _utc("2024-01-01 00:00:10"), 0),
+        ("BTCUSDT", 2, 91.0, 2.0, _utc("2024-01-01 00:00:40"), 0),
+        # MV-served history minutes
+        ("BTCUSDT", 3, 100.0, 2.0, _utc("2024-01-01 00:05:01"), 0),
+        ("BTCUSDT", 4, 102.0, 1.0, _utc("2024-01-01 00:05:05"), 1),
+        ("BTCUSDT", 5, 101.0, 4.0, _utc("2024-01-01 00:20:30"), 0),
+        ("BTCUSDT", 6, 99.0, 1.5, _utc("2024-01-01 00:39:59"), 1),
+        # fresh tail (>= finalized_until 00:40) — raw-served
+        ("BTCUSDT", 7, 104.0, 1.0, _utc("2024-01-01 00:40:00"), 0),
+        ("BTCUSDT", 8, 103.0, 2.0, _utc("2024-01-01 00:59:30"), 1),
+        # other symbol must not leak in
+        ("ETHUSDT", 9, 10.0, 50.0, _utc("2024-01-01 00:20:00"), 1),
+    ]
+    trades = spark.createDataFrame(
+        [(s, t, p, q, ts, m, ts) for (s, t, p, q, ts, m) in rows],
+        "symbol string, trade_id long, price double, qty double, ts timestamp,"
+        " is_buyer_maker int, ingested_at timestamp",
+    )
+    # three flushes; tid 6 (minute 00:39) arrives LATE, after tid 5's minute
+    # 00:20 already flushed — it becomes a second partial batch, and minute
+    # 00:05 is itself split across two flushes
+    batches = [[1, 2, 3], [4, 5, 7], [6, 8, 9]]
+    partials = None
+    for tids in batches:
+        p = bars.partial_bars(trades.where(F.col("trade_id").isin(tids)))
+        partials = p if partials is None else partials.unionAll(p)
+
+    anchor = _utc("2024-01-01 01:00:30")
+    got = api.ohlcv_hybrid(
+        trades, partials, "BTCUSDT", 60, anchor,
+        finalized_until=_utc("2024-01-01 00:40:00"),
+    ).collect()
+    want = api.ohlcv(trades, "BTCUSDT", 60, anchor).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # the raw-edge minute really excludes the pre-window trade
+    m0 = got[0]
+    assert m0["minute"].minute == 0 and (m0["open"], m0["trades"]) == (91.0, 1)
+    # a minute split across flushes merged exactly (00:05: open tid3, close tid4)
+    m5 = {r["minute"].minute: r for r in got}[5]
+    assert (m5["open"], m5["close"], m5["volume"]) == (100.0, 102.0, 3.0)
+
+
+def test_ohlcv_hybrid_without_cutoff_is_plain_ohlcv(spark):
+    t = _trades(spark)
+    got = api.ohlcv_hybrid(t, None, "BTCUSDT", 60, ANCHOR).collect()
+    want = api.ohlcv(t, "BTCUSDT", 60, ANCHOR).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
 
 
 def test_live_buy_sell_total_vol_ordering(spark):
