@@ -501,6 +501,87 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (TPC-H Q8 shape): one nation's share of a
+    region's revenue for one part type, by order year.
+
+    The only fact-fact shuffle is lineitem ⋈ orders on orderkey — part
+    (pre-filtered to one p_type, so it prunes lineitem early), supplier,
+    customer, both nation roles, and region are all broadcast dims. The
+    share itself is a conditional-sum ratio inside ONE hash aggregate on
+    year; no second pass over the joined fact.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    p = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n_cust = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n_supp = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("s_nk"))
+        .withColumn("volume", F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_1", F.col("volume"))
+                    .otherwise(0.0)
+                )
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape): how many
+    customers placed 0, 1, 2, … qualifying orders. (The fixture's orders
+    table has no o_comment, so the classic not-like comment filter becomes
+    a priority-class exclusion — same join/agg anatomy.)
+
+    The orders filter lives in the JOIN condition, not a WHERE above it —
+    a post-join WHERE would turn the LEFT OUTER inner and silently drop
+    the 0-orders bucket. Shuffle story: one exchange on custkey shared by
+    the join AND the per-customer count (same hash partitioning); the
+    distribution re-agg runs over a tiny count-valued intermediate.
+    """
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
 def region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregate: order count/value by (region, nation) with subtotal
     and grand-total rows — Spark's ``rollup`` ≡ ANSI GROUP BY ROLLUP.
@@ -541,6 +622,8 @@ QUERIES = {
     "tpch_q18": tpch_q18,
     "tpch_q19": tpch_q19,
     "tpch_q21": tpch_q21,
+    "tpch_q8": tpch_q8,
+    "tpch_q13": tpch_q13,
     "top_order_per_customer": top_order_per_customer,
     "nation_order_rollup": nation_order_rollup,
     "region_nation_rollup": region_nation_rollup,
@@ -725,6 +808,37 @@ ORACLES = {
         GROUP BY s_name
         ORDER BY numwait DESC, s_name
         LIMIT 20
+    """,
+    "tpch_q8": """
+        SELECT o_year,
+               round(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                              ELSE 0.0 END) / sum(volume), 6) AS mkt_share
+        FROM (
+          SELECT year(o_orderdate) AS o_year,
+                 l_extendedprice * (1 - l_discount) AS volume,
+                 n2.n_name AS supp_nation
+          FROM part, supplier, lineitem, orders, customer,
+               nation n1, nation n2, region
+          WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+            AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+            AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+            AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+            AND o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1998-01-01'
+            AND p_type = 'ECONOMY'
+        ) all_nations
+        GROUP BY o_year ORDER BY o_year
+    """,
+    "tpch_q13": """
+        SELECT c_count, count(*) AS custdist
+        FROM (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey
+        ) c_orders
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
     """,
     "region_nation_rollup": """
         SELECT r_name, n_name, count(*) AS order_count,
