@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_simhash",
     "dedup_minhash_summary",
+    "dedup_embedding_lsh",
     "ann_topk_brute",
     "ann_ivf_assign",
     # multimodal (binary payload + Arrow-batched Pandas-UDF kernels)

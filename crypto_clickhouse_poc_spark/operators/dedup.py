@@ -380,6 +380,93 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMB_DIM = 64  # fixture embeddings dimension (TESTDATA.md)
+SRP_BITS = 16
+SRP_BANDS = 4  # 4 bits per band
+
+
+def _srp_signs() -> list[list[float]]:
+    """Deterministic ±1 random-hyperplane matrix (SRP_BITS × EMB_DIM):
+    the sign is the parity of the first md5 byte of ``"bit:dim"``. Computed
+    driver-side once and inlined as literals into BOTH engines' plans, so
+    the sketch is bit-reproducible everywhere."""
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.md5(f"{b}:{j}".encode()).digest()[0] % 2 == 0 else -1.0
+            for j in range(EMB_DIM)
+        ]
+        for b in range(SRP_BITS)
+    ]
+
+
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, LSH-bucketed (the scale path for
+    ``dedup_embedding``): signed-random-projection sketch → banded bucket
+    keys → bucket equi-join candidates → exact-cosine verify ≥ 0.35.
+
+    Charikar SRP: bit_b = sign(v · h_b) for 16 deterministic ±1 hyperplanes;
+    P[bit match] = 1 − θ/π. Four 4-bit bands, first-collision band joins
+    (same trick as ``lsh_pairs_from_shingles``: a pair is emitted by the
+    FIRST band where it collides and filtered from later bands, so no
+    distinct-over-pairs shuffle). Join keys are small ints; each side
+    carries (vec_id, v, nrm) so the cosine verify is a map-side projection.
+
+    Contract vs the brute-force baseline: output ⊆ ``dedup_embedding``
+    (identical cosine + threshold on surviving pairs); recall is the LSH
+    collision probability 1 − (1 − p⁴)⁴, p = 1 − θ/π — ≈0.9 for
+    near-duplicate vectors (cosine ≥ 0.9), intentionally lower for weak
+    pairs near the 0.35 floor. At 100 TB the shuffle stays O(vectors),
+    never O(pairs) — the only shape that survives.
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", V.as_double(F.col("embedding")).alias("v")
+    )
+    return srp_pairs(e)
+
+
+def srp_pairs(e: DataFrame) -> DataFrame:
+    """SRP-LSH near-dup pairs from any ``(vec_id, v: array<double>)``
+    DataFrame — the dataflow behind ``dedup_embedding_lsh`` (see there for
+    the anatomy and the recall contract)."""
+    e = e.withColumn("nrm", V.norm(F.col("v")))
+    signs = _srp_signs()
+    bits = [
+        (V.dot(F.col("v"), F.array(*[F.lit(s) for s in signs[b]])) > 0).cast("int")
+        for b in range(SRP_BITS)
+    ]
+    band_keys = []
+    for k in range(SRP_BANDS):
+        key = F.lit(0)
+        for i in range(SRP_BITS // SRP_BANDS):
+            key = key + bits[k * (SRP_BITS // SRP_BANDS) + i] * (1 << i)
+        band_keys.append(key.alias(f"bk{k}"))
+    d = e.select("vec_id", "v", "nrm", *band_keys).cache()
+    a, b = d.alias("a"), d.alias("b")
+    cos = V.dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    parts = []
+    for i in range(SRP_BANDS):
+        cond = (F.col(f"a.bk{i}") == F.col(f"b.bk{i}")) & (
+            F.col("a.vec_id") < F.col("b.vec_id")
+        )
+        for j in range(i):
+            cond = cond & (F.col(f"a.bk{j}") != F.col(f"b.bk{j}"))
+        parts.append(
+            a.join(b, cond).select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                cos.alias("cosine"),
+            )
+        )
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionAll(p)
+    return cand.where(F.col("cosine") >= COSINE_THRESHOLD).select(
+        "vec_a", "vec_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -388,7 +475,44 @@ QUERIES = {
     "dedup_jaccard_topk": dedup_jaccard_topk,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
+    "dedup_embedding_lsh": dedup_embedding_lsh,
 }
+
+
+def _srp_oracle() -> str:
+    """DuckDB twin of ``dedup_embedding_lsh`` — same inlined hyperplanes,
+    same banded buckets; the OR-of-bands single join emits each candidate
+    pair once, exactly like the first-collision union."""
+    signs = _srp_signs()
+    step = SRP_BITS // SRP_BANDS
+    bk_exprs = []
+    for k in range(SRP_BANDS):
+        terms = []
+        for i in range(step):
+            lit = "[" + ", ".join(str(s) for s in signs[k * step + i]) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(v, {lit}) > 0 THEN {1 << i} ELSE 0 END)"
+            )
+        bk_exprs.append(" + ".join(terms) + f" AS bk{k}")
+    bks = ",\n                 ".join(bk_exprs)
+    on = " OR ".join(f"(a.bk{k} = b.bk{k})" for k in range(SRP_BANDS))
+    return f"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+          FROM embeddings
+        ),
+        sig AS (
+          SELECT vec_id, v, nrm,
+                 {bks}
+          FROM e
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+        FROM sig a JOIN sig b
+          ON a.vec_id < b.vec_id AND ({on})
+        WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {COSINE_THRESHOLD}
+    """
 
 _TOKS_CTE = (
     "toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents)"
@@ -480,6 +604,7 @@ ORACLES = {
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35
     """,
+    "dedup_embedding_lsh": _srp_oracle(),
 }
 
 ORACLES["dedup_minhash_summary"] = f"""

@@ -66,3 +66,53 @@ def test_lsh_finds_planted_near_dups(spark, seed):
     # no unrelated base pair sneaks in (true jaccard ~0 on a 2000-word vocab)
     false_pairs = {p for p in pairs if p not in truth}
     assert not false_pairs
+
+
+def _vec_corpus(seed: int, n_base: int = 60, n_dups: int = 20, dim: int = 64):
+    """Random unit-ish gaussian vectors (unrelated pairs concentrate near
+    cosine 0 at dim 64), plus noise-perturbed copies at cosine ~0.97."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n_base, dim))
+    rows, truth = [], set()
+    for i in range(n_base):
+        rows.append((i, [float(x) for x in base[i]]))
+    for k in range(n_dups):
+        noisy = base[k] + 0.15 * rng.standard_normal(dim)  # cos ≈ 0.97-0.99
+        dup_id = 1000 + k
+        rows.append((dup_id, [float(x) for x in noisy]))
+        truth.add((k, dup_id))
+    return rows, truth
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_srp_lsh_finds_planted_near_dup_vectors(spark, seed):
+    import numpy as np
+
+    from crypto_clickhouse_poc_spark.operators.dedup import (
+        COSINE_THRESHOLD,
+        srp_pairs,
+    )
+
+    rows, truth = _vec_corpus(seed)
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    pairs = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in srp_pairs(df).collect()}
+
+    vecs = {i: np.array(v) for i, v in rows}
+
+    def cos(a, b):
+        return float(
+            vecs[a] @ vecs[b] / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b]))
+        )
+
+    # precision is exact by construction: every emitted pair's TRUE cosine
+    # passes the threshold (the band join only proposes, the verify decides)
+    for (a, b), c in pairs.items():
+        assert cos(a, b) >= COSINE_THRESHOLD - 1e-9, (a, b, c)
+
+    # recall on the planted strong pairs (cosine ~0.97 ⇒ SRP collision
+    # probability ≈ 0.99 with 4 bands of 4 bits)
+    found = truth & pairs.keys()
+    recall = len(found) / len(truth)
+    assert recall >= 0.85, f"SRP-LSH recall {recall:.2f} below 0.85"
