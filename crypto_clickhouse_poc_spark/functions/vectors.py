@@ -32,3 +32,67 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+# --- signed-random-projection (SRP / Charikar) sketch ---------------------
+#
+# Shared by the LSH-bucketed dedup (operators.dedup.dedup_embedding_lsh) and
+# ANN search (operators.similarity.ann_srp_search). The hyperplanes are
+# deterministic (md5-parity signs) and inlined as literals into both the
+# Spark plan and the generated DuckDB oracle SQL, so the sketch is
+# bit-reproducible across engines.
+
+EMB_DIM = 64  # fixture embeddings dimension (TESTDATA.md)
+SRP_BITS = 16
+SRP_BANDS = 4  # 4 bits per band
+
+
+def srp_signs() -> list[list[float]]:
+    """Deterministic ±1 hyperplane matrix (SRP_BITS × EMB_DIM): sign =
+    parity of the first md5 byte of ``"bit:dim"``."""
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.md5(f"{b}:{j}".encode()).digest()[0] % 2 == 0 else -1.0
+            for j in range(EMB_DIM)
+        ]
+        for b in range(SRP_BITS)
+    ]
+
+
+def srp_band_keys(v: Column) -> list[Column]:
+    """Banded SRP bucket keys for a ``array<double>`` vector column:
+    bit_b = (v · h_b) > 0, band key k = the 4-bit int of bits 4k..4k+3.
+    Returns SRP_BANDS small-int columns aliased ``bk0..bk{n-1}``."""
+    signs = srp_signs()
+    bits = [
+        (dot(v, F.array(*[F.lit(s) for s in signs[b]])) > 0).cast("int")
+        for b in range(SRP_BITS)
+    ]
+    step = SRP_BITS // SRP_BANDS
+    keys = []
+    for k in range(SRP_BANDS):
+        key = F.lit(0)
+        for i in range(step):
+            key = key + bits[k * step + i] * (1 << i)
+        keys.append(key.alias(f"bk{k}"))
+    return keys
+
+
+def srp_band_keys_sql(vec_expr: str = "v") -> list[str]:
+    """The DuckDB twin of :func:`srp_band_keys`: SQL expressions (one per
+    band, aliased ``bk{k}``) over a DOUBLE[] column, same inlined signs."""
+    signs = srp_signs()
+    step = SRP_BITS // SRP_BANDS
+    out = []
+    for k in range(SRP_BANDS):
+        terms = []
+        for i in range(step):
+            lit = "[" + ", ".join(str(s) for s in signs[k * step + i]) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product({vec_expr}, {lit}) > 0"
+                f" THEN {1 << i} ELSE 0 END)"
+            )
+        out.append(" + ".join(terms) + f" AS bk{k}")
+    return out

@@ -380,27 +380,6 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EMB_DIM = 64  # fixture embeddings dimension (TESTDATA.md)
-SRP_BITS = 16
-SRP_BANDS = 4  # 4 bits per band
-
-
-def _srp_signs() -> list[list[float]]:
-    """Deterministic ±1 random-hyperplane matrix (SRP_BITS × EMB_DIM):
-    the sign is the parity of the first md5 byte of ``"bit:dim"``. Computed
-    driver-side once and inlined as literals into BOTH engines' plans, so
-    the sketch is bit-reproducible everywhere."""
-    import hashlib
-
-    return [
-        [
-            1.0 if hashlib.md5(f"{b}:{j}".encode()).digest()[0] % 2 == 0 else -1.0
-            for j in range(EMB_DIM)
-        ]
-        for b in range(SRP_BITS)
-    ]
-
-
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup, LSH-bucketed (the scale path for
     ``dedup_embedding``): signed-random-projection sketch → banded bucket
@@ -431,22 +410,11 @@ def srp_pairs(e: DataFrame) -> DataFrame:
     DataFrame — the dataflow behind ``dedup_embedding_lsh`` (see there for
     the anatomy and the recall contract)."""
     e = e.withColumn("nrm", V.norm(F.col("v")))
-    signs = _srp_signs()
-    bits = [
-        (V.dot(F.col("v"), F.array(*[F.lit(s) for s in signs[b]])) > 0).cast("int")
-        for b in range(SRP_BITS)
-    ]
-    band_keys = []
-    for k in range(SRP_BANDS):
-        key = F.lit(0)
-        for i in range(SRP_BITS // SRP_BANDS):
-            key = key + bits[k * (SRP_BITS // SRP_BANDS) + i] * (1 << i)
-        band_keys.append(key.alias(f"bk{k}"))
-    d = e.select("vec_id", "v", "nrm", *band_keys).cache()
+    d = e.select("vec_id", "v", "nrm", *V.srp_band_keys(F.col("v"))).cache()
     a, b = d.alias("a"), d.alias("b")
     cos = V.dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     parts = []
-    for i in range(SRP_BANDS):
+    for i in range(V.SRP_BANDS):
         cond = (F.col(f"a.bk{i}") == F.col(f"b.bk{i}")) & (
             F.col("a.vec_id") < F.col("b.vec_id")
         )
@@ -483,19 +451,8 @@ def _srp_oracle() -> str:
     """DuckDB twin of ``dedup_embedding_lsh`` — same inlined hyperplanes,
     same banded buckets; the OR-of-bands single join emits each candidate
     pair once, exactly like the first-collision union."""
-    signs = _srp_signs()
-    step = SRP_BITS // SRP_BANDS
-    bk_exprs = []
-    for k in range(SRP_BANDS):
-        terms = []
-        for i in range(step):
-            lit = "[" + ", ".join(str(s) for s in signs[k * step + i]) + "]"
-            terms.append(
-                f"(CASE WHEN list_dot_product(v, {lit}) > 0 THEN {1 << i} ELSE 0 END)"
-            )
-        bk_exprs.append(" + ".join(terms) + f" AS bk{k}")
-    bks = ",\n                 ".join(bk_exprs)
-    on = " OR ".join(f"(a.bk{k} = b.bk{k})" for k in range(SRP_BANDS))
+    bks = ",\n                 ".join(V.srp_band_keys_sql("v"))
+    on = " OR ".join(f"(a.bk{k} = b.bk{k})" for k in range(V.SRP_BANDS))
     return f"""
         WITH e AS (
           SELECT vec_id, embedding::DOUBLE[] AS v,

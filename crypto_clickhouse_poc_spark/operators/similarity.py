@@ -193,11 +193,60 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_srp_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (the hyperplane sibling of IVF): top-k among
+    vectors sharing at least one SRP band bucket with the query.
+
+    Candidates come from the first-collision union of 4 int-keyed
+    equi-joins against the tiny broadcast query-side sketch (a pair is
+    proposed by the FIRST band where it collides — no distinct over
+    candidates), then exact cosine ranks them. Shuffle stays O(vectors);
+    at 100 TB the band keys become partition columns so a probe reads only
+    its buckets. Recall follows the SRP collision curve — near-certain for
+    near-identical vectors, decaying for weak neighbors (the same trade
+    IVF makes via nprobe); the sketch is deterministic, so the oracle is
+    exact.
+    """
+    d = _vectors(spark, sf_dir).select(
+        "vec_id", "v", "nrm", *V.srp_band_keys(F.col("v"))
+    )
+    q = d.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        *[F.col(f"bk{k}").alias(f"qbk{k}") for k in range(V.SRP_BANDS)],
+    )
+    cos = V.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    parts = []
+    for i in range(V.SRP_BANDS):
+        cond = (F.col(f"bk{i}") == F.col(f"qbk{i}")) & (
+            F.col("vec_id") != F.col("query_id")
+        )
+        for j in range(i):
+            cond = cond & (F.col(f"bk{j}") != F.col(f"qbk{j}"))
+        parts.append(
+            d.join(F.broadcast(q), cond).select(
+                "query_id", "vec_id", cos.alias("cosine")
+            )
+        )
+    scored = parts[0]
+    for p in parts[1:]:
+        scored = scored.unionAll(p)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TOPK)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank",
+                F.round("cosine", 6).alias("cosine"))
+    )
+
+
 QUERIES = {
     "ann_topk_brute": ann_topk_brute,
     "ann_topk_pandas": ann_topk_pandas,
     "ann_ivf_assign": ann_ivf_assign,
     "ann_ivf_search": ann_ivf_search,
+    "ann_srp_search": ann_srp_search,
 }
 
 _E = (
@@ -306,5 +355,32 @@ ORACLES = {
         SELECT label, centroid_label, count(*) AS n
         FROM assigned GROUP BY label, centroid_label
         ORDER BY label, centroid_label
+    """,
+    # generated: same inlined SRP hyperplanes as the Spark plan; the
+    # OR-of-bands single join proposes each (query, candidate) once,
+    # exactly like the first-collision union
+    "ann_srp_search": f"""
+        WITH {_E},
+        sig AS (
+          SELECT vec_id, v, nrm,
+                 {", ".join(V.srp_band_keys_sql("v"))}
+          FROM e
+        ),
+        q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn,
+                     {", ".join(f"bk{k} AS qbk{k}" for k in range(V.SRP_BANDS))}
+              FROM sig WHERE vec_id < 5),
+        scored AS (
+          SELECT q.query_id, s.vec_id AS neighbor_id,
+                 list_dot_product(qv, s.v) / (qn * s.nrm) AS cosine
+          FROM sig s JOIN q
+            ON s.vec_id <> q.query_id
+           AND ({" OR ".join(f"(s.bk{k} = q.qbk{k})" for k in range(V.SRP_BANDS))})
+        )
+        SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored
+        ) t WHERE rank <= 10
     """,
 }

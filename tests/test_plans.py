@@ -171,3 +171,35 @@ def test_results_survive_broadcast_disable(spark, name):
         assert rows() == base, name
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_srp_lsh_band_joins_are_hash_joins_not_nlj(spark):
+    """SRP-LSH (dedup + ANN): every band join must be an int-keyed hash
+    join. An OR-of-bands join condition would silently plan a
+    BroadcastNestedLoopJoin — all-pairs compute, the exact thing the
+    banding exists to avoid."""
+    for name in ("dedup_embedding_lsh", "ann_srp_search"):
+        plan = _plan(spark, name)
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert plan.count("HashJoin") >= 4, name  # one equi-join per band
+
+
+def test_q8_single_fact_shuffle_all_dims_broadcast(spark):
+    """TPC-H q8: part/customer/supplier/nation²/region all broadcast; the
+    p_type filter reaches the part scan so lineitem is pruned early."""
+    plan = _plan(spark, "tpch_q8")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 7
+    assert "EqualTo(p_type,ECONOMY)" in plan
+
+
+def test_q13_left_join_keeps_filter_in_join_not_above(spark):
+    """TPC-H q13: the orders filter must sit UNDER the left outer join
+    (pushed to the scan), never above it — a post-join filter would drop
+    the zero-order customers bucket."""
+    plan = _plan(spark, "tpch_q13")
+    assert "LeftOuter" in plan
+    # the priority exclusion is pushed into the orders scan
+    assert "o_orderpriority" in plan.split("PushedFilters", 1)[1]
