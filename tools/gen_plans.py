@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md: live `.explain('formatted')` output at sf0.01 for
+the headline queries whose physical shapes the docs discuss (and
+tests/test_plans.py locks)."""
+
+from __future__ import annotations
+
+SECTIONS = [
+    (
+        "tpch_q3",
+        "dim filter pushed to the customer scan; two BroadcastHashJoins; "
+        "TakeOrderedAndProject top-K.",
+    ),
+    (
+        "tpch_q19",
+        "each OR-of-ANDs leg split and pushed to BOTH scans (PushedFilters on "
+        "part and lineitem).",
+    ),
+    (
+        "ev_ohlcv_1m",
+        "single hash-aggregate pass (partial/final) over a pruned 5-column "
+        "scan; broadcast single-row anchor.",
+    ),
+    (
+        "asof_last_click_price",
+        "NO join operator: union-tag sweep = one user_id shuffle + window.",
+    ),
+    (
+        "dedup_minhash_summary",
+        "4 first-collision band joins (hash joins, never BNL); cached "
+        "signature table (InMemoryTableScan); no pair-set shuffle.",
+    ),
+    (
+        "dedup_embedding_lsh",
+        "SRP sketch as per-row literal-array dot folds; 4 int-keyed band "
+        "hash joins (never BNL); cosine verify is a map-side projection.",
+    ),
+    (
+        "ev_layout_pruned",
+        "month-partitioned read path: PartitionFilters on p_month (directory "
+        "pruning) + PushedFilters on ts (row-group skipping) + single-key "
+        "window dedup.",
+    ),
+    (
+        "mm_byte_features",
+        "shuffle-free: scan -> project -> MapInPandas, nothing else.",
+    ),
+]
+
+
+def main() -> None:
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from crypto_clickhouse_poc_spark import operators
+    from crypto_clickhouse_poc_spark.session import get_spark
+
+    spark = get_spark("gen-plans")
+    qs = operators.library_queries()
+    out = [
+        "# PLANS — generated physical plans (sf0.01, `.explain('formatted')`)",
+        "",
+        "Regenerate: `python tools/gen_plans.py` — each section is the live",
+        "`queryExecution().explainString('formatted')` at sf0.01.",
+        "",
+    ]
+    for name, note in SECTIONS:
+        df = qs[name](spark, "/root/testdata/sf0.01")
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        out += [f"## {name}", f"*{note}*", "```", plan.rstrip(), "```", ""]
+    with open("PLANS.md", "w") as f:
+        f.write("\n".join(out))
+    print(f"wrote PLANS.md ({len(SECTIONS)} sections)")
+
+
+if __name__ == "__main__":
+    main()
