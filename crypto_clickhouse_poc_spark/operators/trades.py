@@ -623,6 +623,126 @@ def ev_layout_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_ohlcv_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate cascade: 1-minute bars → 1-hour
+    bars → 1-day bars, each level re-aggregating the LEVEL BELOW, never raw.
+
+    OHLCV is decomposable: high/low/volume/trades merge as max/min/sum/sum;
+    open/close merge by carrying their (ts, event_id) argmin/argmax keys and
+    taking ``min_by(open, k_open)`` / ``max_by(close, k_close)`` at the next
+    level (TimescaleDB's continuous-aggregate / ClickHouse's
+    AggregatingMergeTree pattern, survey X5/T2). At 100 TB the daily rollup
+    reads ~1/1440 of what a raw re-aggregation would — and the same merge
+    works incrementally as new partials stream in (streaming/bars.py uses
+    the identical decomposition).
+
+    Output proves the cascade: day bars plus how many hour/minute partials
+    each merged (n_hours / n_minutes).
+    """
+    e = _events(spark, sf_dir)
+    k = F.struct("ts", "event_id")
+    m1 = (
+        e.where(F.col("event_type") == "click")
+        .groupBy(F.date_trunc("minute", F.col("ts")).alias("minute"))
+        .agg(
+            F.min(k).alias("k_open"),
+            F.min_by("price", k).alias("open"),
+            F.max("price").alias("high"),
+            F.min("price").alias("low"),
+            F.max(k).alias("k_close"),
+            F.max_by("price", k).alias("close"),
+            F.sum("qty").alias("volume"),
+            F.count("*").alias("trades"),
+        )
+    )
+    h1 = (
+        m1.groupBy(F.date_trunc("hour", F.col("minute")).alias("hour"))
+        .agg(
+            F.min("k_open").alias("k_open"),
+            F.min_by("open", F.col("k_open")).alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max("k_close").alias("k_close"),
+            F.max_by("close", F.col("k_close")).alias("close"),
+            F.sum("volume").alias("volume"),
+            F.sum("trades").alias("trades"),
+            F.count("*").alias("n_minutes"),
+        )
+    )
+    return (
+        h1.groupBy(F.date_trunc("day", F.col("hour")).alias("day"))
+        .agg(
+            F.min_by("open", F.col("k_open")).alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", F.col("k_close")).alias("close"),
+            F.round(F.sum("volume"), 6).alias("volume"),
+            F.sum("trades").alias("trades"),
+            F.count("*").alias("n_hours"),
+            F.sum("n_minutes").alias("n_minutes"),
+        )
+        .orderBy("day")
+    )
+
+
+KMV_K = 16
+
+
+def ev_user_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per event type, next to
+    the exact count so the error is visible.
+
+    The sketch: hash every distinct user to a uniform fraction of the hash
+    space (first 8 md5 hex chars / 16⁸ — identical arithmetic in both
+    engines), keep only the k=16 smallest; if the kth exists the estimate is
+    (k−1)/h_k, else the sketch saw everything and is exact. Mergeable (union
+    of sketches = k smallest of the union) and O(k) memory per group — the
+    same family as HLL but exactly reproducible, so unlike
+    ``ev_user_counts_approx`` it sits under the full value-hash gate.
+    Dataflow: one distinct shuffle on (type, user), then a window top-k that
+    reuses the same partitioning.
+    """
+    e = _events(spark, sf_dir)
+    frac = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        / F.lit(float(16**8))
+    )
+    du = (
+        e.select("event_type", "user_id")
+        .distinct()
+        .withColumn("frac", frac)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy("frac")
+    topk = du.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= KMV_K)
+    return (
+        topk.groupBy("event_type")
+        .agg(
+            F.count("*").alias("k_eff"),
+            F.max("frac").alias("h_k"),
+        )
+        .join(
+            e.groupBy("event_type").agg(
+                F.countDistinct("user_id").alias("n_exact")
+            ),
+            "event_type",
+        )
+        .select(
+            "event_type",
+            "n_exact",
+            F.round(
+                F.when(F.col("k_eff") < KMV_K, F.col("k_eff").cast("double")).otherwise(
+                    (F.lit(KMV_K) - 1) / F.col("h_k")
+                ),
+                2,
+            ).alias("n_kmv"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "ev_count": ev_count,
     "ev_latest": ev_latest,
@@ -643,6 +763,8 @@ QUERIES = {
     "ev_cohort_retention": ev_cohort_retention,
     "ev_funnel": ev_funnel,
     "ev_layout_pruned": ev_layout_pruned,
+    "ev_ohlcv_multires": ev_ohlcv_multires,
+    "ev_user_kmv": ev_user_kmv,
     # approximate twins: intentionally absent from ORACLES (rows-only check)
     "ev_user_counts_approx": ev_user_counts_approx,
     "ev_price_quantiles_approx": ev_price_quantiles_approx,
@@ -900,5 +1022,56 @@ ORACLES = {
         WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
           AND ts <= TIMESTAMP '2024-01-20 00:00:00'
         GROUP BY event_type ORDER BY event_type
+    """,
+    # day bars direct from raw — equivalent to the cascade because every
+    # OHLCV component is decomposable and open/close cascade their
+    # (ts, event_id) argmin/argmax keys exactly
+    "ev_ohlcv_multires": f"""
+        WITH base AS (
+          SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, ts, price, qty,
+                 row_number() OVER (PARTITION BY date_trunc('day', ts)
+                                    ORDER BY ts, event_id) AS rn_a,
+                 row_number() OVER (PARTITION BY date_trunc('day', ts)
+                                    ORDER BY ts DESC, event_id DESC) AS rn_d
+          FROM ({_EV}) e
+          WHERE event_type = 'click'
+        )
+        SELECT day,
+               max(CASE WHEN rn_a = 1 THEN price END) AS open,
+               max(price) AS high,
+               min(price) AS low,
+               max(CASE WHEN rn_d = 1 THEN price END) AS close,
+               round(sum(qty), 6) AS volume,
+               count(*) AS trades,
+               count(DISTINCT date_trunc('hour', ts)) AS n_hours,
+               count(DISTINCT date_trunc('minute', ts)) AS n_minutes
+        FROM base GROUP BY day ORDER BY day
+    """,
+    "ev_user_kmv": """
+        WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+        fr AS (
+          SELECT event_type,
+                 list_sum(list_transform(range(1, 9),
+                   i -> (strpos('0123456789abcdef',
+                                substring(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1)
+                        * power(16, 8 - i))) / power(16, 8) AS frac
+          FROM du
+        ),
+        topk AS (
+          SELECT event_type, frac,
+                 row_number() OVER (PARTITION BY event_type ORDER BY frac) AS rn
+          FROM fr
+        ),
+        sk AS (
+          SELECT event_type, count(*) AS k_eff, max(frac) AS h_k
+          FROM topk WHERE rn <= 16 GROUP BY event_type
+        ),
+        ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+               FROM events GROUP BY event_type)
+        SELECT ex.event_type, n_exact,
+               round(CASE WHEN k_eff < 16 THEN CAST(k_eff AS DOUBLE)
+                          ELSE 15.0 / h_k END, 2) AS n_kmv
+        FROM sk JOIN ex USING (event_type)
+        ORDER BY event_type
     """,
 }
