@@ -79,21 +79,25 @@ _DECLARED = (
     "sql_hourly_pivot",
     "sql_corr_subquery",
     "dq_checks",
-    # dedup family (exact → LSH → clusters → simhash → embedding)
+    # dedup family (exact → LSH → clusters → simhash → embedding-LSH; the
+    # O(n²) exactness baselines dedup_embedding / dedup_jaccard_topk and the
+    # rollup twin dedup_minhash_summary stay pytest-gated library functions)
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_minhash_summary",
     "dedup_clusters",
     "dedup_simhash",
-    "dedup_embedding",
-    # similarity search
+    "dedup_embedding_lsh",
+    # similarity search (brute-force baseline + IVF probe; ann_srp_search is
+    # the same SRP dataflow as dedup_embedding_lsh — library)
     "ann_topk_brute",
     "ann_ivf_search",
-    # multimodal kernels
+    # hypertable rollup cascade + KMV distinct sketch
+    "ev_ohlcv_multires",
+    "ev_user_kmv",
+    # multimodal kernels (audio_windows twins frame_sample's fan-out — library)
     "mm_byte_features",
     "mm_resize",
     "mm_frame_sample",
-    "mm_audio_windows",
     # events analytics (windows, grouping sets, set ops, quantiles, funnel)
     "ev_user_setops",
     "ev_sessionize",
