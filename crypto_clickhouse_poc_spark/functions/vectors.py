@@ -43,8 +43,13 @@ def cosine(a: Column, b: Column) -> Column:
 # bit-reproducible across engines.
 
 EMB_DIM = 64  # fixture embeddings dimension (TESTDATA.md)
-SRP_BITS = 16
-SRP_BANDS = 4  # 4 bits per band
+# 4 bands of 6 bits: 64 buckets per band keeps the in-bucket pair work ~4×
+# below a 4-bit banding at equal vector count, while P[pair proposed] at
+# cosine 0.97 stays ≈ 1-(1-p⁶)⁴ ≈ 0.98 (p = 1-θ/π ≈ 0.92). Weak pairs near
+# the 0.35 verify floor are proposed rarely (~0.2) — SRP-LSH is a NEAR-dup
+# recaller by design; the exactness baseline is dedup_embedding.
+SRP_BITS = 24
+SRP_BANDS = 4  # 6 bits per band
 
 
 def srp_signs() -> list[list[float]]:

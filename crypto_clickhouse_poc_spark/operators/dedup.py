@@ -385,17 +385,19 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_embedding``): signed-random-projection sketch → banded bucket
     keys → bucket equi-join candidates → exact-cosine verify ≥ 0.35.
 
-    Charikar SRP: bit_b = sign(v · h_b) for 16 deterministic ±1 hyperplanes;
-    P[bit match] = 1 − θ/π. Four 4-bit bands, first-collision band joins
-    (same trick as ``lsh_pairs_from_shingles``: a pair is emitted by the
-    FIRST band where it collides and filtered from later bands, so no
-    distinct-over-pairs shuffle). Join keys are small ints; each side
-    carries (vec_id, v, nrm) so the cosine verify is a map-side projection.
+    Charikar SRP: bit_b = sign(v · h_b) for SRP_BITS deterministic ±1
+    hyperplanes; P[bit match] = 1 − θ/π. SRP_BANDS bands of 6 bits (64
+    buckets each — see functions.vectors for the pair-work/recall tuning),
+    first-collision band joins (same trick as ``lsh_pairs_from_shingles``:
+    a pair is emitted by the FIRST band where it collides and filtered from
+    later bands, so no distinct-over-pairs shuffle). Join keys are small
+    ints; each side carries (vec_id, v, nrm) so the cosine verify is a
+    map-side projection.
 
     Contract vs the brute-force baseline: output ⊆ ``dedup_embedding``
     (identical cosine + threshold on surviving pairs); recall is the LSH
-    collision probability 1 − (1 − p⁴)⁴, p = 1 − θ/π — ≈0.9 for
-    near-duplicate vectors (cosine ≥ 0.9), intentionally lower for weak
+    collision probability 1 − (1 − p⁶)⁴, p = 1 − θ/π — ≈0.98 for
+    near-duplicate vectors (cosine ≥ 0.97), intentionally low for weak
     pairs near the 0.35 floor. At 100 TB the shuffle stays O(vectors),
     never O(pairs) — the only shape that survives.
     """

@@ -207,9 +207,13 @@ def ann_srp_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF makes via nprobe); the sketch is deterministic, so the oracle is
     exact.
     """
+    # cached: the band joins reference this subplan 8× (probe side + query
+    # side per band), and the SRP sketch is a CodegenFallback HOF fold —
+    # recomputing it per reference dominated the query (~6.5 s → ~1.5 s at
+    # sf0.1 when cached once)
     d = _vectors(spark, sf_dir).select(
         "vec_id", "v", "nrm", *V.srp_band_keys(F.col("v"))
-    )
+    ).cache()
     q = d.where(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
