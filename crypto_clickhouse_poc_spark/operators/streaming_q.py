@@ -98,8 +98,47 @@ def stream_ohlcv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ohlcv_hybrid_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MV-backed ``/ohlcv`` serving fast path (``api.ohlcv_hybrid``)
+    under the oracle gate: history minutes answered from partial bars, only
+    the window edges (the mid-minute window start and the unfinalized tail)
+    re-aggregated from raw.
+
+    Partials are built as three deterministic "flush" batches keyed by
+    ``trade_id % 3``, so nearly every minute is split across batches and the
+    partial merge is genuinely exercised (the reference's
+    multiple-partials-per-group MV artifact, survey §1.4/T2). The oracle is
+    the plain raw re-aggregation of the same window — equality IS the fast
+    path's serving contract.
+    """
+    from datetime import datetime
+
+    from .. import api
+
+    t = _events(spark, sf_dir).select(
+        F.col("event_type").alias("symbol"),
+        F.col("event_id").alias("trade_id"),
+        "price",
+        "qty",
+        "ts",
+    )
+    partials = None
+    for i in range(3):
+        p = B.partial_bars(t.where(F.col("trade_id") % 3 == i))
+        partials = p if partials is None else partials.unionAll(p)
+    return api.ohlcv_hybrid(
+        t,
+        partials,
+        "click",
+        minutes=2880,
+        anchor=datetime(2024, 1, 31, 0, 0, 30),
+        finalized_until=datetime(2024, 1, 30, 0, 0, 0),
+    )
+
+
 QUERIES = {
     "stream_ohlcv_replay": stream_ohlcv_replay,
+    "ohlcv_hybrid_replay": ohlcv_hybrid_replay,
 }
 
 ORACLES = {
@@ -127,5 +166,30 @@ ORACLES = {
                sum(qty) AS volume,
                count(*) AS trades
         FROM base GROUP BY minute, symbol ORDER BY minute, symbol
+    """,
+    # the serving contract: hybrid == plain raw re-aggregation of the window
+    "ohlcv_hybrid_replay": """
+        WITH t AS (
+          SELECT event_id AS trade_id, value AS price,
+                 CAST(json_extract_string(props, '$.k') AS DOUBLE) AS qty, ts
+          FROM events WHERE event_type = 'click'
+        ),
+        base AS (
+          SELECT date_trunc('minute', ts) AS minute, price, qty,
+                 row_number() OVER (PARTITION BY date_trunc('minute', ts)
+                                    ORDER BY ts, trade_id) AS rn_a,
+                 row_number() OVER (PARTITION BY date_trunc('minute', ts)
+                                    ORDER BY ts DESC, trade_id DESC) AS rn_d
+          FROM t
+          WHERE ts >= TIMESTAMP '2024-01-29 00:00:30'
+        )
+        SELECT minute,
+               max(CASE WHEN rn_a = 1 THEN price END) AS open,
+               max(price) AS high,
+               min(price) AS low,
+               max(CASE WHEN rn_d = 1 THEN price END) AS close,
+               sum(qty) AS volume,
+               count(*) AS trades
+        FROM base GROUP BY minute ORDER BY minute
     """,
 }
