@@ -685,6 +685,33 @@ def ev_ohlcv_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ``props`` through Spark 4 VariantType: ``parse_json``
+    once, ``variant_get`` per field.
+
+    The scale path for JSON columns: the binary variant encoding decodes
+    fields without re-parsing the string per access (vs ``get_json_object``
+    which re-parses per field per row), and shredded variant storage lets
+    the scan push field access down like a regular column. Values are
+    identical to the string-path extraction, which is what the oracle
+    computes.
+    """
+    e = load(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "double")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.round(F.sum("k"), 6).alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 KMV_K = 16
 
 
@@ -765,6 +792,7 @@ QUERIES = {
     "ev_layout_pruned": ev_layout_pruned,
     "ev_ohlcv_multires": ev_ohlcv_multires,
     "ev_user_kmv": ev_user_kmv,
+    "ev_props_variant": ev_props_variant,
     # approximate twins: intentionally absent from ORACLES (rows-only check)
     "ev_user_counts_approx": ev_user_counts_approx,
     "ev_price_quantiles_approx": ev_price_quantiles_approx,
@@ -1046,6 +1074,18 @@ ORACLES = {
                count(DISTINCT date_trunc('hour', ts)) AS n_hours,
                count(DISTINCT date_trunc('minute', ts)) AS n_minutes
         FROM base GROUP BY day ORDER BY day
+    """,
+    "ev_props_variant": """
+        SELECT event_type,
+               count(k) AS n_with_k,
+               round(sum(k), 6) AS sum_k,
+               round(avg(k), 6) AS avg_k,
+               min(k) AS min_k,
+               max(k) AS max_k
+        FROM (SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k
+              FROM events) t
+        GROUP BY event_type ORDER BY event_type
     """,
     "ev_user_kmv": """
         WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
