@@ -53,12 +53,24 @@ def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-style pre-tokenizer classes (letter runs / digit runs / single
+# non-alnum-non-space), written to mean the same thing in Java regex (Spark)
+# and RE2 (DuckDB) — no lookarounds, no \p classes.
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
 def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace tokens + BPE-ish estimate (ceil(chars/4))."""
+    """Token counting three ways: whitespace tokens, a BPE-style regex
+    pre-tokenization count (letter runs | digit runs | punctuation — the
+    GPT-2-family pre-tokenizer shape), and the cheap ceil(chars/4)
+    estimate. All JVM-side per-row maps, shuffle-free."""
     d = _docs(spark, sf_dir)
     return d.select(
         "doc_id",
         F.size("toks").alias("n_tokens_ws"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX), F.lit(0))).alias(
+            "n_tokens_re"
+        ),
         T.bpe_ish_token_count(F.col("text")).alias("n_tokens_bpe"),
         F.length("text").alias("n_chars"),
     )
@@ -298,6 +310,8 @@ ORACLES = {
     "doc_token_counts": f"""
         SELECT doc_id,
                {_NTOK} AS n_tokens_ws,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+                 AS n_tokens_re,
                CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe,
                length(text) AS n_chars
         FROM documents
