@@ -136,9 +136,57 @@ def ohlcv_hybrid_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kmv_partials_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch streaming: per-flush KMV partials merged at read
+    time — the partial-aggregate MV pattern (survey T2/X5) applied to a
+    sketch instead of OHLCV.
+
+    Each of three interleaved flush batches emits its per-type k-smallest
+    hash fractions (O(k) rows per type per flush — the sketch partial);
+    the read-time merge takes the k smallest of the union. KMV's merge is
+    lossless by construction (the global k-minima are each inside their
+    batch's k-minima), so the estimate equals the one-shot sketch — which
+    is what the oracle computes. At 100 TB this is how distinct counts are
+    maintained incrementally without a countDistinct over history.
+    """
+    from pyspark.sql.window import Window
+
+    from .trades import KMV_K, kmv_estimate, kmv_frac
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("frac")
+    parts = None
+    for i in range(3):
+        p = (
+            e.where(F.col("event_id") % 3 == i)
+            .select("event_type", "user_id")
+            .distinct()
+            .withColumn("frac", kmv_frac(F.col("user_id")))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= KMV_K)
+            .select("event_type", "frac")
+        )
+        parts = p if parts is None else parts.unionAll(p)
+    merged = (
+        parts.distinct()  # same user in several batches → same fraction
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KMV_K)
+    )
+    return (
+        merged.groupBy("event_type")
+        .agg(F.count("*").alias("k_eff"), F.max("frac").alias("h_k"))
+        .select(
+            "event_type",
+            F.round(kmv_estimate(F.col("k_eff"), F.col("h_k")), 2).alias("n_kmv"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "stream_ohlcv_replay": stream_ohlcv_replay,
     "ohlcv_hybrid_replay": ohlcv_hybrid_replay,
+    "kmv_partials_replay": kmv_partials_replay,
 }
 
 ORACLES = {
@@ -191,5 +239,28 @@ ORACLES = {
                sum(qty) AS volume,
                count(*) AS trades
         FROM base GROUP BY minute ORDER BY minute
+    """,
+    # the one-shot sketch the merged partials must equal (KMV merge is
+    # lossless); identical arithmetic to the ev_user_kmv oracle
+    "kmv_partials_replay": """
+        WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+        fr AS (
+          SELECT event_type,
+                 list_sum(list_transform(range(1, 9),
+                   i -> (strpos('0123456789abcdef',
+                                substring(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1)
+                        * power(16, 8 - i))) / power(16, 8) AS frac
+          FROM du
+        ),
+        topk AS (
+          SELECT event_type, frac,
+                 row_number() OVER (PARTITION BY event_type ORDER BY frac) AS rn
+          FROM fr
+        )
+        SELECT event_type,
+               round(CASE WHEN count(*) < 16 THEN CAST(count(*) AS DOUBLE)
+                          ELSE 15.0 / max(frac) END, 2) AS n_kmv
+        FROM topk WHERE rn <= 16 GROUP BY event_type
+        ORDER BY event_type
     """,
 }

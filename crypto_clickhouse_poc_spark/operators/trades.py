@@ -715,6 +715,23 @@ def ev_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 KMV_K = 16
 
 
+def kmv_frac(col):
+    """Uniform hash fraction for the KMV sketch: first 8 md5 hex chars of
+    the stringified value, as a fraction of 16⁸ — identical arithmetic in
+    Spark and DuckDB (see the ev_user_kmv oracle)."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+        / F.lit(float(16**8))
+    )
+
+
+def kmv_estimate(k_eff, h_k):
+    """(k−1)/h_k when the sketch is full, else the exact count it holds."""
+    return F.when(k_eff < KMV_K, k_eff.cast("double")).otherwise(
+        (F.lit(KMV_K) - 1) / h_k
+    )
+
+
 def ev_user_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (k-minimum-values) distinct-count sketch per event type, next to
     the exact count so the error is visible.
@@ -730,15 +747,10 @@ def ev_user_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuses the same partitioning.
     """
     e = _events(spark, sf_dir)
-    frac = (
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        / F.lit(float(16**8))
-    )
     du = (
         e.select("event_type", "user_id")
         .distinct()
-        .withColumn("frac", frac)
+        .withColumn("frac", kmv_frac(F.col("user_id")))
     )
     from pyspark.sql.window import Window
 
@@ -759,12 +771,7 @@ def ev_user_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "n_exact",
-            F.round(
-                F.when(F.col("k_eff") < KMV_K, F.col("k_eff").cast("double")).otherwise(
-                    (F.lit(KMV_K) - 1) / F.col("h_k")
-                ),
-                2,
-            ).alias("n_kmv"),
+            F.round(kmv_estimate(F.col("k_eff"), F.col("h_k")), 2).alias("n_kmv"),
         )
         .orderBy("event_type")
     )
