@@ -31,6 +31,8 @@ BENCH_QUERIES = [
     "ev_price_quantiles",
     "ev_ohlcv_gapfill",
     "ev_cohort_retention",
+    "ev_ohlcv_multires",
+    "ev_user_kmv",
     # joins
     "tpch_q1",
     "tpch_q3",

@@ -157,3 +157,42 @@ def test_sessionize_invariants(spark):
         | (F.col("avg_session_sec") > F.col("max_session_sec"))
     )
     assert bad.count() == 0
+
+
+@pytest.mark.parametrize("seed", [7, 8])
+def test_srp_pairs_subset_of_brute_force(spark, seed):
+    """SRP-LSH is precision-exact by construction: for ANY vector corpus its
+    output is a subset of the brute-force threshold pairs (banding only
+    proposes; the exact-cosine verify decides), each pair emitted at most
+    once (first-collision bands), with the identical cosine value."""
+    import numpy as np
+
+    from crypto_clickhouse_poc_spark.operators.dedup import (
+        COSINE_THRESHOLD,
+        srp_pairs,
+    )
+
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((80, 64))
+    # plant a few correlated vectors so the ≥-threshold set is non-trivial
+    for k in range(10):
+        vecs[70 + k] = vecs[k] + 0.5 * rng.standard_normal(64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, v array<double>",
+    )
+    got = [(r["vec_a"], r["vec_b"], r["cosine"]) for r in srp_pairs(df).collect()]
+    assert len({(a, b) for a, b, _ in got}) == len(got)  # no duplicate pairs
+
+    norms = np.linalg.norm(vecs, axis=1)
+    cos = (vecs @ vecs.T) / np.outer(norms, norms)
+    brute = {
+        (a, b)
+        for a in range(80)
+        for b in range(a + 1, 80)
+        if cos[a, b] >= COSINE_THRESHOLD - 1e-12
+    }
+    for a, b, c in got:
+        assert (a, b) in brute, (a, b, c)
+        assert abs(c - cos[a, b]) < 1e-5
+    assert got  # the planted correlations produce at least one pair
