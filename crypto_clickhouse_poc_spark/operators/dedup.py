@@ -258,9 +258,20 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     count — the standard fixpoint check). Output: (doc_id, cluster,
     cluster_n) for every document (singletons are their own cluster).
     """
-    par = spark.sparkContext.defaultParallelism
     docs = load(spark, sf_dir, "documents").select("doc_id")
     e = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    out = min_label_clusters(docs, e)
+    sizes = out.groupBy("cluster").agg(F.count("*").alias("cluster_n"))
+    return out.join(sizes, "cluster").select("doc_id", "cluster", "cluster_n")
+
+
+def min_label_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Connected components as (doc_id, cluster=min reachable doc_id), from
+    any ``(doc_id)`` node set and ``(doc_a, doc_b)`` undirected pair list —
+    the iterative core of ``dedup_clusters``, reused by the near-dup stage
+    of ``corpus_prepare_near``."""
+    spark = docs.sparkSession
+    par = spark.sparkContext.defaultParallelism
     # undirected edges, both directions, PLUS a self-loop per node: min over
     # the neighborhood-including-self is then the whole round — one join +
     # one groupBy, no separate keep-own-label left join. Checkpoint once —
@@ -268,6 +279,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffles may run at the session's shuffle-partition count (200 on a
     # vanilla session), and materializing hundreds of near-empty partitions
     # per round costs more scheduling than the data itself.
+    e = pairs.select("doc_a", "doc_b")
     edges = (
         e.unionAll(e.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
         .unionAll(docs.select(F.col("doc_id").alias("doc_a"), F.col("doc_id").alias("doc_b")))
@@ -298,9 +310,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    out = labels.select("doc_id", F.col("lbl").alias("cluster"))
-    sizes = out.groupBy("cluster").agg(F.count("*").alias("cluster_n"))
-    return out.join(sizes, "cluster").select("doc_id", "cluster", "cluster_n")
+    return labels.select("doc_id", F.col("lbl").alias("cluster"))
 
 
 def dedup_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -275,6 +275,60 @@ def corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_prepare_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``corpus_prepare`` with the industry-standard NEAR-dup stage: quality
+    gate → exact dedup → MinHash-LSH near-dup clustering → keep one doc per
+    cluster → deterministic split → rollup.
+
+    The near-dup stage composes the engine's own primitives over the
+    exact-dedup survivors: ``lsh_pairs_from_shingles`` (O(docs)-shuffle
+    banded candidates, exact-jaccard verified ≥ 0.8) →
+    ``min_label_clusters`` (connected components) → keep the doc whose id
+    IS its cluster label (the cluster's min id — the same canonical rule as
+    the exact stage). This is the pipeline shape large-scale training-data
+    curation actually runs; each stage keeps its documented scale shape.
+    """
+    from .dedup import lsh_pairs_from_shingles, min_label_clusters, shingles
+
+    d = load(spark, sf_dir, "documents")
+    toks_expr = T.tokens(F.col("text"))
+    n_tokens = F.size(toks_expr)
+    stop_ratio = T.stopword_count(toks_expr) / n_tokens.cast("double")
+    quality = (
+        F.least(n_tokens / F.lit(60.0), F.lit(1.0)) * 0.4
+        + (F.size(F.array_distinct(toks_expr)) / n_tokens.cast("double")) * 0.3
+        + (1 - stop_ratio) * 0.3
+    )
+    gated = d.where(n_tokens >= 20).where(quality >= 0.6)
+    w = Window.partitionBy("content_md5").orderBy("doc_id")
+    canonical = (
+        gated.withColumn("content_md5", T.content_md5(F.col("text")))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "text", "lang")
+    )
+    pairs = lsh_pairs_from_shingles(
+        canonical.select("doc_id", shingles(F.col("text")).alias("toks"))
+    ).select("doc_a", "doc_b")
+    clusters = min_label_clusters(canonical.select("doc_id"), pairs)
+    near = canonical.join(clusters, "doc_id").where(
+        F.col("cluster") == F.col("doc_id")
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    split = F.when(bucket < 26, F.lit("test")).otherwise(F.lit("train"))
+    return (
+        near.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(T.tokens(F.col("text")))).alias("n_tokens"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
 QUERIES = {
     "doc_stats": doc_stats,
     "doc_token_counts": doc_token_counts,
@@ -285,7 +339,89 @@ QUERIES = {
     "doc_split": doc_split,
     "doc_winnow": doc_winnow,
     "corpus_prepare": corpus_prepare,
+    "corpus_prepare_near": corpus_prepare_near,
 }
+
+
+def _corpus_prepare_near_oracle() -> str:
+    """corpus_prepare's oracle + the near-dup stage: MinHash-LSH pairs over
+    the exact-dedup survivors (same fragments as the dedup_minhash_lsh
+    oracle), recursive reachability for components, keep cluster minima."""
+    from .dedup import _MH  # the 8 min-hash expressions over column ``t``
+
+    return f"""
+        WITH RECURSIVE gated AS (
+          SELECT doc_id, text, lang,
+                 md5(text) AS content_md5
+          FROM documents
+          WHERE {{ntok}} >= 20
+            AND least({{ntok}} / 60.0, 1.0) * 0.4
+                + (len(list_distinct({{toks}})) * 1.0 / {{ntok}}) * 0.3
+                + (1 - {{stop}} * 1.0 / {{ntok}}) * 0.3 >= 0.6
+        ),
+        canonical AS (
+          SELECT doc_id, text, lang
+          FROM (
+            SELECT *, row_number() OVER (PARTITION BY content_md5
+                                         ORDER BY doc_id) AS rn
+            FROM gated
+          ) t WHERE rn = 1
+        ),
+        toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+                 FROM canonical),
+        sig AS (SELECT doc_id, {_MH} FROM toks),
+        bands AS (
+          SELECT doc_id, 0 AS band_id, md5(mh0 || mh1) AS band_key FROM sig
+          UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
+          UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sig
+          UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM sig
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+        ),
+        pairs AS (
+          SELECT doc_a, doc_b
+          FROM (
+            SELECT doc_a, doc_b,
+                   len(list_filter(ta.t, x -> list_contains(tb.t, x))) AS common,
+                   len(ta.t) AS na, len(tb.t) AS nb
+            FROM cand
+            JOIN toks ta ON ta.doc_id = doc_a
+            JOIN toks tb ON tb.doc_id = doc_b
+          ) v WHERE common / (na + nb - common) >= 0.8
+        ),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        lbl AS (
+          SELECT c.doc_id,
+                 least(c.doc_id, coalesce(min(r.b), c.doc_id)) AS cluster
+          FROM canonical c LEFT JOIN reach r ON r.a = c.doc_id
+          GROUP BY c.doc_id
+        ),
+        near AS (
+          SELECT c.doc_id, c.text, c.lang
+          FROM canonical c JOIN lbl ON c.doc_id = lbl.doc_id
+          WHERE lbl.cluster = c.doc_id
+        )
+        SELECT CASE WHEN CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                         AS INTEGER) < 26
+                    THEN 'test' ELSE 'train' END AS split,
+               lang,
+               count(*) AS n_docs,
+               CAST(sum({{ntok}}) AS BIGINT) AS n_tokens
+        FROM near
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """.format(ntok=_NTOK, toks=_TOKS, stop=_STOP)
 
 # shared oracle fragments
 _TOKS = "string_split(text, ' ')"
@@ -416,3 +552,5 @@ ORACLES = {
         GROUP BY 1, 2 ORDER BY 1, 2
     """,
 }
+
+ORACLES["corpus_prepare_near"] = _corpus_prepare_near_oracle()
