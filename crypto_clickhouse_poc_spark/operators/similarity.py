@@ -193,6 +193,59 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NPROBE = 2
+
+
+def ann_ivf_search_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probed search with nprobe=2: each query searches its TWO nearest
+    clusters.
+
+    nprobe is the IVF recall lever — a query sitting near a Voronoi
+    boundary has true neighbors in the runner-up cluster that nprobe=1
+    misses; probing the top-2 centroids recovers them at ~2× the probe
+    cost (still ~2n/k of the data, nowhere near a full scan). Same
+    deterministic centroid assignment as ``ann_ivf_search``, so the oracle
+    is exact. A candidate lives in exactly one cluster and a query's probed
+    clusters are distinct, so no candidate is scored twice.
+    """
+    e = _vectors(spark, sf_dir)
+    c = _centroids(spark, sf_dir)
+    cb = F.broadcast(c.select(F.col("label").alias("centroid_label"), "cv", "cnrm"))
+    cos_c = V.dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
+    wassign = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine_c").desc(), F.col("centroid_label")
+    )
+    ranked = (
+        e.crossJoin(cb)
+        .withColumn("cosine_c", cos_c)
+        .withColumn("rn", F.row_number().over(wassign))
+    )
+    assigned = ranked.where(F.col("rn") == 1).select(
+        "vec_id", "v", "nrm", F.col("centroid_label").alias("cluster")
+    )
+    probes = ranked.where(
+        (F.col("vec_id") < N_QUERY_VECS) & (F.col("rn") <= NPROBE)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("centroid_label").alias("qcluster"),
+    )
+    cos = V.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    scored = (
+        assigned.join(F.broadcast(probes), F.col("cluster") == F.col("qcluster"))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", cos)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TOPK)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank",
+                F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def ann_srp_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (the hyperplane sibling of IVF): top-k among
     vectors sharing at least one SRP band bucket with the query.
@@ -250,6 +303,7 @@ QUERIES = {
     "ann_topk_pandas": ann_topk_pandas,
     "ann_ivf_assign": ann_ivf_assign,
     "ann_ivf_search": ann_ivf_search,
+    "ann_ivf_search_multiprobe": ann_ivf_search_multiprobe,
     "ann_srp_search": ann_srp_search,
 }
 
@@ -359,6 +413,50 @@ ORACLES = {
         SELECT label, centroid_label, count(*) AS n
         FROM assigned GROUP BY label, centroid_label
         ORDER BY label, centroid_label
+    """,
+    "ann_ivf_search_multiprobe": f"""
+        WITH {_E},
+        dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+        per_dim AS (
+          SELECT label, i, round(avg(v[i]), 6) AS c
+          FROM e, dims GROUP BY label, i
+        ),
+        cent AS (
+          SELECT label AS centroid_label, list(c ORDER BY i) AS cv
+          FROM per_dim GROUP BY label
+        ),
+        cent_n AS (
+          SELECT centroid_label, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM cent
+        ),
+        ranked AS (
+          SELECT e.vec_id, e.v, e.nrm, c.centroid_label,
+                 row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) DESC,
+                            c.centroid_label) AS rn
+          FROM e, cent_n c
+        ),
+        assigned AS (
+          SELECT vec_id, v, nrm, centroid_label AS cluster
+          FROM ranked WHERE rn = 1
+        ),
+        probes AS (
+          SELECT vec_id AS query_id, v AS qv, nrm AS qn,
+                 centroid_label AS qcluster
+          FROM ranked WHERE vec_id < 5 AND rn <= 2
+        ),
+        scored AS (
+          SELECT q.query_id, a.vec_id AS neighbor_id,
+                 list_dot_product(qv, a.v) / (qn * a.nrm) AS cosine
+          FROM assigned a JOIN probes q ON a.cluster = q.qcluster
+          WHERE a.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored
+        ) t WHERE rank <= 10
     """,
     # generated: same inlined SRP hyperplanes as the Spark plan; the
     # OR-of-bands single join proposes each (query, candidate) once,

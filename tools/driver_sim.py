@@ -4,8 +4,11 @@ Vanilla session, sf0.01, DuckDB oracle, column-name-sorted value compare —
 the same shape the driver uses. Not part of the package; dev tool.
 """
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 
