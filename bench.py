@@ -9,6 +9,20 @@ cost model is scale-sane are included (the quadratic exact-pair baselines —
 dedup_jaccard_topk, dedup_embedding — are correctness references, not
 benchmarks; their scale paths dedup_minhash_lsh / ann_ivf_assign are what we
 measure).
+
+Methodology (round 3 — attributable numbers):
+- per-query p50-of-3: the median suppresses one-off JIT/codegen/file-listing
+  noise without letting a single lucky run stand in for steady state.
+- the two streaming throughput stages each run in a FRESH SparkSession so
+  query-stage memory pressure / GC debt can't pollute them (r2's 3.2x
+  "regression" was exactly this: ingest measured inside a session that had
+  just executed 66 query runs).
+- each streaming stage does one small UNTIMED warmup run first: the first
+  streaming query in a session pays one-off costs (RocksDB native-lib load,
+  streaming-plan codegen) that a steady-state collector amortizes over hours;
+  the timed run measures the steady state, same as min/median does for
+  queries. Measured locally: cold 9.3k rows/s vs warm 17.6k rows/s on an
+  otherwise identical run.
 """
 
 from __future__ import annotations
@@ -16,6 +30,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import time
 
 BENCH_QUERIES = [
@@ -69,28 +84,36 @@ def main() -> None:
     from crypto_clickhouse_poc_spark import operators
     from crypto_clickhouse_poc_spark.session import get_spark
 
-    spark = get_spark("bench")
+    spark = get_spark("bench-queries")
     qs = operators.library_queries()
 
     # JVM/codegen warmup on a trivial scan (not timed)
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
-    # two runs per query, report the min: the first run pays one-off JIT /
-    # codegen / file-listing costs that a steady-state deployment amortizes.
+    # three runs per query, report the median (p50-of-3): robust to one-off
+    # JIT / codegen / file-listing costs AND to a single lucky outlier.
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        best, n = float("inf"), 0
-        for _ in range(2):
+        runs, n = [], 0
+        for _ in range(3):
             t0 = time.perf_counter()
             n = len(qs[name](spark, sf_dir).collect())
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", flush=True)
+    spark.stop()
 
+    # streaming stages: fresh session each, so the query stage's GC debt and
+    # cached blocks can't distort throughput (and vice versa).
+    spark = get_spark("bench-ingest")
     ingest_rps = _ingest_throughput(spark)
     print(f"# streaming ingest: {ingest_rps:,.0f} rows/s", flush=True)
+    spark.stop()
+
+    spark = get_spark("bench-bars")
     bars_rps = _bars_throughput(spark)
     print(f"# streaming bars MV (watermarked finals): {bars_rps:,.0f} rows/s", flush=True)
+    spark.stop()
 
     total = round(sum(timings.values()), 3)
     print(
@@ -107,12 +130,11 @@ def main() -> None:
         ),
         flush=True,
     )
-    spark.stop()
 
 
-def _ingest_throughput(spark, n_rows: int = 200_000) -> float:
-    """Streaming ingest rate: synthetic Binance source → normalize → dedup →
-    parquet sink (the full reference dataflow), rows/sec wall-clock."""
+def _run_ingest(spark, n_rows: int, batches: int = 4) -> float:
+    """One ingest run (synthetic source → normalize → dedup → parquet sink);
+    returns elapsed seconds."""
     import shutil
     import tempfile
 
@@ -122,7 +144,7 @@ def _ingest_throughput(spark, n_rows: int = 200_000) -> float:
     spark.dataSource.register(BinanceTradesDataSource)
     raw = (
         spark.readStream.format("binance_trades")
-        .option("rate", str(n_rows // 4))
+        .option("rate", str(n_rows // batches))
         .option("limit", str(n_rows))
         .load()
     )
@@ -135,7 +157,18 @@ def _ingest_throughput(spark, n_rows: int = 200_000) -> float:
         q.stop()
     elapsed = time.perf_counter() - t0
     shutil.rmtree(root, ignore_errors=True)
-    return n_rows / elapsed
+    return elapsed
+
+
+def _ingest_throughput(spark, n_rows: int = 200_000) -> float:
+    """Streaming ingest rate: synthetic Binance source → normalize → dedup →
+    parquet sink (the full reference dataflow), rows/sec wall-clock.
+
+    One small untimed warmup run amortizes session-lifetime one-offs
+    (RocksDB native-lib load, streaming codegen) exactly as a long-lived
+    collector does; the timed run is steady-state."""
+    _run_ingest(spark, 20_000, batches=1)  # warmup, untimed
+    return n_rows / _run_ingest(spark, n_rows)
 
 
 def _bars_throughput(spark, n_rows: int = 200_000) -> float:
@@ -149,24 +182,27 @@ def _bars_throughput(spark, n_rows: int = 200_000) -> float:
     from crypto_clickhouse_poc_spark.streaming import bars, ingest
 
     spark.dataSource.register(BinanceTradesDataSource)
-    raw = (
-        spark.readStream.format("binance_trades")
-        .option("rate", str(n_rows // 4))
-        .option("limit", str(n_rows))
-        .load()
-    )
-    root = tempfile.mkdtemp(prefix="bench_bars_")
-    t0 = time.perf_counter()
-    q = bars.start_bars_final(
-        ingest.normalize(raw), f"{root}/bars", f"{root}/ckpt"
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    elapsed = time.perf_counter() - t0
-    shutil.rmtree(root, ignore_errors=True)
-    return n_rows / elapsed
+
+    def run(rows: int, batches: int = 4) -> float:
+        raw = (
+            spark.readStream.format("binance_trades")
+            .option("rate", str(rows // batches))
+            .option("limit", str(rows))
+            .load()
+        )
+        root = tempfile.mkdtemp(prefix="bench_bars_")
+        t0 = time.perf_counter()
+        q = bars.start_bars_final(ingest.normalize(raw), f"{root}/bars", f"{root}/ckpt")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        elapsed = time.perf_counter() - t0
+        shutil.rmtree(root, ignore_errors=True)
+        return elapsed
+
+    run(20_000, batches=1)  # warmup, untimed
+    return n_rows / run(n_rows)
 
 
 if __name__ == "__main__":

@@ -31,8 +31,13 @@ _DEFAULTS = {
     # snapshots all of it per commit — both break at 100 TB-scale dedup
     # state. RocksDB spills to local disk and changelog checkpointing
     # uploads only the per-batch delta (full snapshots amortized in the
-    # background). Locally throughput-neutral (~18-20k rows/s either way on
-    # a warm JVM, PERF.md) — this is a scale decision, not a local win.
+    # background). Measured locally (PERF.md): ~17.6k rows/s warm vs ~19k
+    # for the HDFS store — a ~8% steady-state tax for unbounded-state
+    # safety — but the FIRST streaming query in a session pays ~10 s of
+    # one-off native-lib load + codegen (9.3k rows/s cold). Per-workload
+    # override: streaming entry points take state_store= (see
+    # streaming/ingest.py:set_state_store) so small-bounded-state queries
+    # can pick the in-memory store explicitly.
     "spark.sql.streaming.stateStore.providerClass": (
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     ),

@@ -105,6 +105,7 @@ def start_bars_final(
     dest_path: str,
     checkpoint_path: str,
     watermark: str = "10 minutes",
+    state_store: str | None = None,
 ) -> StreamingQuery:
     """Watermarked streaming aggregation emitting *final* bars (append mode:
     a bar row is emitted once, when the watermark passes its window close).
@@ -112,7 +113,15 @@ def start_bars_final(
     The documented divergence from the reference (survey §7): trades later
     than the watermark appear in raw ``trades`` but not in bars; the
     reference would have created another partial row instead.
+
+    ``state_store`` optionally overrides the session's provider for this
+    query's window state (see ``ingest.set_state_store``): a short watermark
+    bounds the live window count, so small deployments can pick ``"memory"``.
     """
+    if state_store is not None:
+        from .ingest import set_state_store
+
+        set_state_store(trades_stream.sparkSession, state_store)
     bars = (
         trades_stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 minute").alias("w"), "symbol")

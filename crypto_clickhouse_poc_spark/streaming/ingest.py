@@ -16,7 +16,7 @@ duplicates. The Spark shape replaces every piece with a stronger built-in:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -24,6 +24,35 @@ from ..schemas import TRADE_EVENT
 
 FLUSH_EVERY_SEC = 5  # reference FLUSH_EVERY_SEC (src/stream_binance.py:22)
 DEDUP_WATERMARK = "10 minutes"
+
+# Per-workload state-store providers (session default: rocksdb, session.py).
+# "rocksdb" spills state to local disk and changelog-checkpoints per-batch
+# deltas — the only shape that survives unbounded dedup state at 100 TB.
+# "memory" (Spark's HDFS-backed provider) keeps the full state map in executor
+# memory and snapshots it per commit — faster constants for SMALL bounded
+# state (a short-watermark dedup, a bounded windowed agg).
+STATE_STORES = {
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
+    "memory": (
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    ),
+}
+
+
+def set_state_store(spark: SparkSession, kind: str) -> None:
+    """Select the state-store provider for queries started AFTER this call.
+
+    The provider class is captured into each streaming query's conf at
+    ``.start()``, so this is a per-query knob despite being a session conf.
+    It must stay fixed for the life of a checkpoint: restarting an existing
+    checkpoint under a different provider is rejected by Spark (the on-disk
+    state formats differ) — choose per workload, not per restart.
+    """
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", STATE_STORES[kind]
+    )
 
 
 def normalize(raw: DataFrame, value_col: str = "value") -> DataFrame:
@@ -73,13 +102,20 @@ def start_ingest(
     checkpoint_path: str,
     trigger_sec: int = FLUSH_EVERY_SEC,
     dedup: bool = True,
+    state_store: str | None = None,
 ) -> StreamingQuery:
     """Launch the ingest query: normalize → dedup → 5 s micro-batch append.
 
     ``raw_stream`` is any streaming DataFrame with a JSON payload column
     named ``value`` (file replay source in tests, Binance WS DataSource or
     Kafka in production — sources are interchangeable by construction).
+    ``state_store`` optionally overrides the session's provider for this
+    query's dedup state (see :func:`set_state_store`): the reference
+    collector's 10-minute reconnect-dedup window is small bounded state, so
+    a deployment that only runs ingest can pick ``"memory"``.
     """
+    if state_store is not None:
+        set_state_store(raw_stream.sparkSession, state_store)
     trades = normalize(raw_stream)
     if dedup:
         trades = deduped(trades)

@@ -83,6 +83,31 @@ def test_replay_ingest_round_trip(spark, tmp_path):
     assert (tmp_path / "trades" / "p_month=202401").exists()
 
 
+def test_ingest_state_store_override(spark, tmp_path):
+    """Per-workload state store (session.py): the bounded 10-minute dedup
+    window can run on the in-memory provider; results are identical and the
+    provider conf is applied at query start."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    rows = _fixture_rows()
+    replay_dir, dest, ckpt = (str(tmp_path / d) for d in ("replay", "trades", "ckpt"))
+    write_replay_chunks(trades_to_event_lines(rows), replay_dir, num_chunks=4)
+    try:
+        q = ingest.start_ingest(
+            read_replay_stream(spark, replay_dir), dest, ckpt,
+            trigger_sec=0, state_store="memory",
+        )
+        assert spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass"
+        ) == ingest.STATE_STORES["memory"]
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert _collect_trades(spark, dest) == _expected(rows)
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
 def test_replay_duplicates_absorbed(spark, tmp_path):
     """Reconnect replay: the same chunk delivered twice lands once."""
     rows = _fixture_rows()
