@@ -125,33 +125,34 @@ def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            rows = []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                b = np.frombuffer(payload, dtype=np.uint8)
-                n = int(b.size)
-                s = int(b.sum())
-                rows.append(
-                    (
-                        int(mid),
-                        n,
-                        s,
-                        int(b.min()),
-                        int(b.max()),
-                        int(np.unique(b).size),
-                        round(s / n, 6),
-                    )
-                )
+            n_rows = len(pdf)
+            if n_rows == 0:
+                continue
+            # One pass over the whole Arrow batch, no per-row Python work:
+            # concatenate payloads into a single uint8 buffer and reduce per
+            # segment. Payloads are non-empty by construction (document text);
+            # reduceat requires that (a zero-length segment would misread).
+            lens = np.fromiter(
+                (len(p) for p in pdf["payload"]), dtype=np.int64, count=n_rows
+            )
+            buf = np.frombuffer(b"".join(pdf["payload"]), dtype=np.uint8)
+            starts = np.zeros(n_rows, dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            sums = np.add.reduceat(buf.astype(np.int64), starts)
+            # distinct bytes per row: a rows x 256 presence matrix (1 byte per
+            # cell -> ~256 B/row) indexed by (row-of-each-byte, byte value)
+            seen = np.zeros((n_rows, 256), dtype=bool)
+            seen[np.repeat(np.arange(n_rows), lens), buf] = True
             yield pd.DataFrame(
-                rows,
-                columns=[
-                    "media_id",
-                    "n_bytes",
-                    "sum_bytes",
-                    "min_byte",
-                    "max_byte",
-                    "n_distinct_bytes",
-                    "mean_byte",
-                ],
+                {
+                    "media_id": pdf["media_id"].astype(np.int64),
+                    "n_bytes": lens,
+                    "sum_bytes": sums,
+                    "min_byte": np.minimum.reduceat(buf, starts).astype(np.int64),
+                    "max_byte": np.maximum.reduceat(buf, starts).astype(np.int64),
+                    "n_distinct_bytes": seen.sum(axis=1, dtype=np.int64),
+                    "mean_byte": np.round(sums / lens, 6),
+                }
             )
 
     m = media_table(spark, sf_dir).select("media_id", "payload")
