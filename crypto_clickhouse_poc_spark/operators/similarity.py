@@ -10,12 +10,13 @@ Two tiers, as a 100 TB engine needs both:
   constant-factor throughput a numpy Pandas-UDF variant is provided
   (``ann_topk_pandas``) that matmuls each Arrow batch against the query
   matrix — same results, preferred at very high dimensionality.
-- **IVF (inverted-file) partitioned search** (scale path): k-means-style
-  centroids (here: per-label means — deterministic and oracle-checkable),
-  assign each vector to its nearest centroid, search only within probed
-  clusters. The assignment is a broadcast join against the tiny centroid
-  table; at 100 TB you persist the cluster id as a partition column so a
-  query probes ~n/k of the data.
+- **IVF (inverted-file) partitioned search** (scale path): UNSUPERVISED
+  k-means centroids (Lloyd's algorithm as iterative DataFrame rounds —
+  deterministic md5-seeded init, fixed round count, so the oracle replays
+  the identical training), assign each vector to its nearest centroid,
+  search only within probed clusters. The assignment is a broadcast join
+  against the tiny centroid table; at 100 TB you persist the cluster id as
+  a partition column so a query probes ~n/k of the data.
 """
 
 from __future__ import annotations
@@ -105,24 +106,103 @@ def ann_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label mean vectors, components rounded to 6dp for determinism.
+KMEANS_K = 8  # centroid count (fixture: 500-5k vectors, 10 latent labels)
+KMEANS_ROUNDS = 3  # FIXED round count — the oracle replays the same training
 
-    posexplode → per-(label, dim) mean → reassemble ordered array. The
-    rounding makes the float mean (whose partial-sum order is engine-
-    dependent) reproducible before any downstream distance math.
+# trained-index store: (sf_dir, k, rounds) → [(cid, cv, cnrm), ...]
+_CENTROID_MEMO: dict[tuple[str, int, int], list[tuple]] = {}
+
+
+def _kmeans_centroids(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KMEANS_K,
+    rounds: int = KMEANS_ROUNDS,
+) -> DataFrame:
+    """Unsupervised spherical k-means (Lloyd) as iterative DataFrame rounds.
+
+    No labels anywhere: seeds are the ``k`` vectors with the smallest
+    ``md5(vec_id)`` (hash-seeded — pseudo-random but deterministic and
+    SQL-expressible, so the DuckDB oracle replays the identical init), and
+    each round is assign (argmax cosine over the broadcast centroid table)
+    → recompute (per-(cluster, dim) mean, rounded to 6dp so the float mean,
+    whose partial-sum order is engine-dependent, is reproducible before any
+    downstream distance math). The round count is FIXED, not
+    convergence-tested, so both engines run exactly the same iterations.
+
+    Scale shape (the ``min_label_clusters`` fixpoint pattern,
+    ``dedup.py``): each round is one broadcast join + one shuffle-by-
+    (cluster, dim) aggregate over the big table — O(rounds) scans, no
+    driver-side data movement — and the k-row centroid table is
+    ``localCheckpoint``-ed per round so the plan stays flat instead of
+    nesting ``rounds`` deep. A cluster that loses all members drops out
+    (deterministically, in both engines).
     """
-    e = _vectors(spark, sf_dir)
-    exploded = e.select("label", F.posexplode("v").alias("pos", "x"))
-    per_dim = exploded.groupBy("label", "pos").agg(F.round(F.avg("x"), 6).alias("c"))
-    return (
-        per_dim.groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
-            ).alias("cv")
+    key = (sf_dir, k, rounds)
+    if key in _CENTROID_MEMO:
+        # The trained index is a persisted artifact: production trains once
+        # and stores centroids beside the data (they become the partition
+        # dictionary); retraining per probe is never the serving path. The
+        # in-process memo mirrors that — ≤k tiny rows, deterministic, so a
+        # rebuild in any session is byte-identical to the original training.
+        return spark.createDataFrame(
+            _CENTROID_MEMO[key], "cid long, cv array<double>, cnrm double"
         )
+    e = _vectors(spark, sf_dir).select("vec_id", "v", "nrm")
+    seeds = (
+        e.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(k)  # TakeOrderedAndProject — no global sort materialized
+    )
+    wseed = Window.orderBy("h", "vec_id")  # k rows only
+    cent = (
+        seeds.withColumn("cid", (F.row_number().over(wseed) - 1).cast("long"))
+        .select("cid", F.col("v").alias("cv"))
         .withColumn("cnrm", V.norm(F.col("cv")))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        cos_c = V.dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
+        wassign = Window.partitionBy("vec_id").orderBy(
+            F.col("cos_c").desc(), F.col("cid")
+        )
+        assigned = (
+            e.crossJoin(F.broadcast(cent))
+            .withColumn("cos_c", cos_c)
+            .withColumn("rn", F.row_number().over(wassign))
+            .where(F.col("rn") == 1)
+            .select("cid", "v")
+        )
+        per_dim = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("c"))
+        )
+        cent = (
+            per_dim.groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda s: s["c"],
+                ).alias("cv")
+            )
+            .withColumn("cnrm", V.norm(F.col("cv")))
+            .localCheckpoint()
+        )
+    _CENTROID_MEMO[key] = [
+        (r["cid"], list(r["cv"]), r["cnrm"]) for r in cent.collect()
+    ]
+    return spark.createDataFrame(
+        _CENTROID_MEMO[key], "cid long, cv array<double>, cnrm double"
+    )
+
+
+def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained centroid table exposed to the IVF queries:
+    (centroid_label, cv, cnrm) — ``centroid_label`` is the k-means cluster
+    id (replaces the round-2 per-label supervised crutch)."""
+    return _kmeans_centroids(spark, sf_dir).select(
+        F.col("cid").alias("centroid_label"), "cv", "cnrm"
     )
 
 
@@ -136,9 +216,7 @@ def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _vectors(spark, sf_dir)
     c = _centroids(spark, sf_dir)
     cos = V.dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
-    scored = e.crossJoin(
-        F.broadcast(c.select(F.col("label").alias("centroid_label"), "cv", "cnrm"))
-    ).withColumn("cosine", cos)
+    scored = e.crossJoin(F.broadcast(c)).withColumn("cosine", cos)
     w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("centroid_label"))
     assigned = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
     return (
@@ -160,7 +238,7 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = _vectors(spark, sf_dir)
     c = _centroids(spark, sf_dir)
-    cb = F.broadcast(c.select(F.col("label").alias("centroid_label"), "cv", "cnrm"))
+    cb = F.broadcast(c)
     cos_c = V.dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
     wassign = Window.partitionBy("vec_id").orderBy(
         F.col("cosine_c").desc(), F.col("centroid_label")
@@ -210,7 +288,7 @@ def ann_ivf_search_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = _vectors(spark, sf_dir)
     c = _centroids(spark, sf_dir)
-    cb = F.broadcast(c.select(F.col("label").alias("centroid_label"), "cv", "cnrm"))
+    cb = F.broadcast(c)
     cos_c = V.dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
     wassign = Window.partitionBy("vec_id").orderBy(
         F.col("cosine_c").desc(), F.col("centroid_label")
@@ -312,6 +390,44 @@ _E = (
     "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings)"
 )
 
+
+def _kmeans_sql(k: int = KMEANS_K, rounds: int = KMEANS_ROUNDS) -> str:
+    """DuckDB twin of :func:`_kmeans_centroids`: the same md5-seeded init and
+    the same FIXED number of Lloyd rounds, unrolled as a generated CTE chain
+    (assign{r} → per-dim mean → cent{r}), ending in
+    ``cent_n(centroid_label, cv, cnrm)``."""
+    chain = [
+        f"""dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+        seeds AS (
+          SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
+          FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}
+        ),
+        cent0 AS (SELECT cid, v AS cv, sqrt(list_dot_product(v, v)) AS cnrm FROM seeds)"""
+    ]
+    for r in range(1, rounds + 1):
+        chain.append(f"""
+        assign{r} AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) DESC,
+                              c.cid) AS rn
+            FROM e, cent{r - 1} c) t WHERE rn = 1
+        ),
+        pdim{r} AS (
+          SELECT cid, i, round(avg(v[i]), 6) AS c FROM assign{r}, dims GROUP BY cid, i
+        ),
+        cent{r} AS (
+          SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM (
+            SELECT cid, list(c ORDER BY i) AS cv FROM pdim{r} GROUP BY cid) t
+        )""")
+    chain.append(f"""
+        cent_n AS (SELECT cid AS centroid_label, cv, cnrm FROM cent{rounds})""")
+    return ",".join(chain)
+
+
+_KMEANS_SQL = _kmeans_sql()
+
 ORACLES = {
     "ann_topk_brute": f"""
         WITH {_E},
@@ -345,18 +461,7 @@ ORACLES = {
     """,
     "ann_ivf_search": f"""
         WITH {_E},
-        dims AS (SELECT unnest(generate_series(1, 64)) AS i),
-        per_dim AS (
-          SELECT label, i, round(avg(v[i]), 6) AS c
-          FROM e, dims GROUP BY label, i
-        ),
-        cent AS (
-          SELECT label AS centroid_label, list(c ORDER BY i) AS cv
-          FROM per_dim GROUP BY label
-        ),
-        cent_n AS (
-          SELECT centroid_label, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM cent
-        ),
+        {_KMEANS_SQL},
         assigned AS (
           SELECT vec_id, v, nrm, centroid_label AS cluster
           FROM (
@@ -385,18 +490,7 @@ ORACLES = {
     """,
     "ann_ivf_assign": f"""
         WITH {_E},
-        dims AS (SELECT unnest(generate_series(1, 64)) AS i),
-        per_dim AS (
-          SELECT label, i, round(avg(v[i]), 6) AS c
-          FROM e, dims GROUP BY label, i
-        ),
-        cent AS (
-          SELECT label AS centroid_label, list(c ORDER BY i) AS cv
-          FROM per_dim GROUP BY label
-        ),
-        cent_n AS (
-          SELECT centroid_label, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM cent
-        ),
+        {_KMEANS_SQL},
         scored AS (
           SELECT e.vec_id, e.label, c.centroid_label,
                  list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) AS cosine
@@ -416,18 +510,7 @@ ORACLES = {
     """,
     "ann_ivf_search_multiprobe": f"""
         WITH {_E},
-        dims AS (SELECT unnest(generate_series(1, 64)) AS i),
-        per_dim AS (
-          SELECT label, i, round(avg(v[i]), 6) AS c
-          FROM e, dims GROUP BY label, i
-        ),
-        cent AS (
-          SELECT label AS centroid_label, list(c ORDER BY i) AS cv
-          FROM per_dim GROUP BY label
-        ),
-        cent_n AS (
-          SELECT centroid_label, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM cent
-        ),
+        {_KMEANS_SQL},
         ranked AS (
           SELECT e.vec_id, e.v, e.nrm, c.centroid_label,
                  row_number() OVER (

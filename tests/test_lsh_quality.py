@@ -116,3 +116,46 @@ def test_srp_lsh_finds_planted_near_dup_vectors(spark, seed):
     found = truth & pairs.keys()
     recall = len(found) / len(truth)
     assert recall >= 0.85, f"SRP-LSH recall {recall:.2f} below 0.85"
+
+
+def test_kmeans_training_improves_objective(spark):
+    """Lloyd rounds must improve the spherical k-means objective (mean
+    cosine of each vector to its assigned centroid) over the raw seeds,
+    and the trained assignment must populate more than one cluster."""
+    from crypto_clickhouse_poc_spark.functions import vectors as V
+    from crypto_clickhouse_poc_spark.operators import similarity as S
+    from tests.conftest import SF_SMOKE as _SF
+
+    def objective(rounds: int) -> tuple[float, int]:
+        cent = S._kmeans_centroids(spark, _SF, rounds=rounds)
+        e = S._vectors(spark, _SF)
+        cos = V.dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
+        best = (
+            e.crossJoin(F.broadcast(cent))
+            .withColumn("cos_c", cos)
+            .groupBy("vec_id")
+            .agg(F.max("cos_c").alias("best"), F.max_by("cid", "cos_c").alias("cid"))
+        )
+        row = best.agg(
+            F.avg("best").alias("obj"), F.countDistinct("cid").alias("k_used")
+        ).collect()[0]
+        return float(row["obj"]), int(row["k_used"])
+
+    obj_seed, _ = objective(0)
+    obj_trained, k_used = objective(S.KMEANS_ROUNDS)
+    assert obj_trained > obj_seed
+    assert k_used > 1
+
+
+def test_kmeans_memo_is_deterministic(spark):
+    """The memoized trained index rebuilds byte-identically to a fresh
+    training run (memo cleared between the two)."""
+    from crypto_clickhouse_poc_spark.operators import similarity as S
+    from tests.conftest import SF_SMOKE as _SF
+
+    S._CENTROID_MEMO.clear()
+    first = sorted(map(tuple, S._kmeans_centroids(spark, _SF).collect()))
+    memod = sorted(map(tuple, S._kmeans_centroids(spark, _SF).collect()))
+    S._CENTROID_MEMO.clear()
+    retrained = sorted(map(tuple, S._kmeans_centroids(spark, _SF).collect()))
+    assert first == memod == retrained
