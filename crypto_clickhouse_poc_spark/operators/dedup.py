@@ -249,9 +249,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Iterative min-label propagation (the Pregel/GraphX pattern as plain
     DataFrame ops): every round each node takes the min of its own label and
-    its neighbors' labels; converges in O(graph diameter) rounds — dense
-    near-dup clusters have tiny diameters, so a handful of shuffles on the
-    edge key. Each round materializes via ``localCheckpoint`` — iterative
+    its neighbors' labels, then shortcuts via pointer jumping
+    (``lbl ← lbl[lbl]``) — convergence in O(log diameter) rounds instead of
+    O(diameter), so even chain-shaped near-dup graphs need a handful of
+    shuffles. Each round materializes via ``localCheckpoint`` — iterative
     plans MUST truncate lineage, or analysis cost (and eventually the
     driver's heap) grows with every round; a cache alone does not cut the
     logical plan. The loop stops when a round changes no label (driver-side
@@ -294,11 +295,14 @@ def min_label_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     # Convergence check: labels only ever decrease elementwise, so the label
     # SUM is strictly decreasing until the fixpoint — an O(1)-result agg on
     # the already-checkpointed rows replaces a join against the previous
-    # round. (Fixture ids are small; a 100 TB deployment with huge ids would
-    # sum DECIMAL or count changed labels via an accumulator instead.)
-    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
-    for _ in range(20):  # safety bound far above any real diameter
-        labels = (
+    # round. Summed as DECIMAL(38,0): exact for any BIGINT ids at any row
+    # count that fits a cluster (no int64 overflow false-fixpoint).
+    dec_sum = F.sum(F.col("lbl").cast("decimal(38,0)"))
+    prev_sum = labels.agg(dec_sum).collect()[0][0]
+    converged = False
+    for _ in range(20):  # with pointer jumping this covers diameter ~2^20
+        # half-round 1 — neighborhood min: lbl ← min(lbl over neighbors∪self)
+        propagated = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy("doc_a")
             .agg(F.min("lbl").alias("lbl"))
@@ -306,10 +310,30 @@ def min_label_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
             .coalesce(par)
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        # half-round 2 — pointer jumping: lbl ← lbl[lbl]. Labels never
+        # exceed their node id, so lbl's own row always exists (inner join
+        # is total) and the composition only decreases labels. Chains that
+        # min-propagation walks one hop per round collapse in O(log
+        # diameter) jumped rounds (Pregel/shortcutting form of CC).
+        l1, l2 = propagated.alias("l1"), propagated.alias("l2")
+        labels = (
+            l1.join(l2, F.col("l1.lbl") == F.col("l2.doc_id"))
+            .select(F.col("l1.doc_id").alias("doc_id"), F.col("l2.lbl").alias("lbl"))
+            .coalesce(par)
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(dec_sum).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # an unconverged labeling silently merges/splits clusters wrong —
+        # fail loudly instead (20 jumped rounds ≈ diameter 2^20; a graph
+        # that exhausts this is pathological, not production data)
+        raise RuntimeError(
+            "min_label_clusters: no fixpoint after 20 pointer-jumped rounds"
+        )
     return labels.select("doc_id", F.col("lbl").alias("cluster"))
 
 

@@ -196,3 +196,23 @@ def test_srp_pairs_subset_of_brute_force(spark, seed):
         assert (a, b) in brute, (a, b, c)
         assert abs(c - cos[a, b]) < 1e-5
     assert got  # the planted correlations produce at least one pair
+
+
+def test_min_label_clusters_path_graph(spark):
+    """A 64-node path is the worst case for plain min propagation (needs 63
+    rounds — beyond the loop cap); pointer jumping must collapse it within
+    the capped rounds. Also: two separate components keep distinct labels."""
+    import pyspark.sql.functions as F
+
+    from crypto_clickhouse_poc_spark.operators.dedup import min_label_clusters
+
+    n = 64
+    docs = spark.createDataFrame([(i,) for i in range(n + 3)], "doc_id long")
+    chain = [(i, i + 1) for i in range(n - 1)]            # path 0-1-...-63
+    island = [(n, n + 1), (n + 1, n + 2)]                 # separate component
+    pairs = spark.createDataFrame(chain + island, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["cluster"] for r in min_label_clusters(docs, pairs).collect()
+    }
+    assert all(got[i] == 0 for i in range(n))
+    assert all(got[i] == n for i in (n, n + 1, n + 2))
