@@ -336,10 +336,16 @@ def ev_minute_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-minute momentum: close, previous close (lag), percent change, and
     5-minute moving average — the standard trading-signal window stack.
 
-    All three window expressions share ONE shuffle/sort (same partition and
-    ordering); the moving average uses a bounded rows frame, O(1) state per
-    row. Built over the minute bars, so the window input is already tiny
-    relative to the raw stream — the shape that scales.
+    Segmented-window decomposition (no global single-task sort): the lag and
+    ma5 windows are PARTITIONED BY day — parallel at any series length — and
+    the only rows a day boundary can distort (the first 4 of each day, whose
+    frames may reach into earlier days) are recomputed over a boundary table
+    of ≤8 rows/day (first-4 ∪ last-4 per day). The global window over THAT
+    table is bounded by calendar days, not data volume, and its local
+    predecessors are exactly the global ones (any global predecessor of a
+    first-4 row is a same-day earlier row or in the nearest preceding day's
+    last-4). Equals the naive global window bit-for-bit — the oracle stays
+    the plain unpartitioned form.
     """
     from pyspark.sql.window import Window
 
@@ -348,16 +354,47 @@ def ev_minute_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.where(F.col("event_type") == "click")
         .groupBy(F.date_trunc("minute", F.col("ts")).alias("minute"))
         .agg(F.max_by("price", F.struct("ts", "event_id")).alias("close"))
+        .withColumn("day", F.date_trunc("day", F.col("minute")))
     )
-    w = Window.orderBy("minute")
-    prev = F.lag("close").over(w)
-    return bars.select(
+    w_day = Window.partitionBy("day").orderBy("minute")
+    scored = bars.select(
         "minute",
         "close",
-        prev.alias("prev_close"),
-        F.round((F.col("close") - prev) / prev * 100, 6).alias("pct_change"),
-        F.round(F.avg("close").over(w.rowsBetween(-4, 0)), 6).alias("ma5"),
-    ).orderBy("minute")
+        "day",
+        F.row_number().over(w_day).alias("rn"),
+        F.row_number()
+        .over(Window.partitionBy("day").orderBy(F.col("minute").desc()))
+        .alias("rrn"),
+        F.lag("close").over(w_day).alias("prev_in"),
+        F.avg("close").over(w_day.rowsBetween(-4, 0)).alias("ma5_in"),
+    )
+    boundary = scored.where((F.col("rn") <= 4) | (F.col("rrn") <= 4)).select(
+        "minute", "close", "rn"
+    )
+    w_g = Window.orderBy("minute")
+    fixes = (
+        boundary.select(
+            "minute",
+            "rn",
+            F.lag("close").over(w_g).alias("prev_fix"),
+            F.avg("close").over(w_g.rowsBetween(-4, 0)).alias("ma5_fix"),
+        )
+        .where(F.col("rn") <= 4)
+        .drop("rn")
+    )
+    prev = F.when(F.col("rn") <= 4, F.col("prev_fix")).otherwise(F.col("prev_in"))
+    ma5 = F.when(F.col("rn") <= 4, F.col("ma5_fix")).otherwise(F.col("ma5_in"))
+    return (
+        scored.join(F.broadcast(fixes), "minute", "left")
+        .select(
+            "minute",
+            "close",
+            prev.alias("prev_close"),
+            F.round((F.col("close") - prev) / prev * 100, 6).alias("pct_change"),
+            F.round(ma5, 6).alias("ma5"),
+        )
+        .orderBy("minute")
+    )
 
 
 def ev_type_user_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -396,9 +433,13 @@ def ev_ohlcv_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     continuity contract charting/backtesting needs over sparse bars.
 
     spine = sequence(min minute, max minute) exploded from ONE aggregate row
-    (never a driver-side loop); forward fill = last(close, ignorenulls) over
-    the ordered window. Output row count is the spine length — bounded by
-    time range, independent of trade volume.
+    (never a driver-side loop). The forward fill is the segmented form: an
+    unbounded ``last(close, ignorenulls)`` PARTITIONED BY day (parallel at
+    any range), stitched across days by forward-filling each day's last
+    non-null close over a days-level table — one tiny global window bounded
+    by calendar days, not data volume. A minute whose day-prefix is all
+    gaps coalesces to the carried value; equals the naive global
+    unbounded-preceding fill exactly (the oracle keeps that form).
     """
     from pyspark.sql.window import Window
 
@@ -420,13 +461,42 @@ def ev_ohlcv_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("minute")
         )
     )
-    w = Window.orderBy("minute").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined = spine.join(bars, "minute", "left").withColumn(
+        "day", F.date_trunc("day", F.col("minute"))
+    )
+    w_day = (
+        Window.partitionBy("day")
+        .orderBy("minute")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # day-level carry: last bar close per day, forward-filled over the
+    # (calendar-bounded) days spine; carry into day d = fill as of day d-1.
+    # Both inputs come from the SMALL side (bars / the range row), so the
+    # big spine-join subplan is referenced exactly once below.
+    day_last = bars.groupBy(F.date_trunc("day", F.col("minute")).alias("day")).agg(
+        F.max_by("close", "minute").alias("day_close")
+    )
+    days = bars.agg(
+        F.date_trunc("day", F.min("minute")).alias("d0"),
+        F.date_trunc("day", F.max("minute")).alias("d1"),
+    ).select(
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    w_days = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    carry = days.join(day_last, "day", "left").select(
+        "day",
+        F.last("day_close", ignorenulls=True).over(w_days).alias("carry_close"),
+    )
     return (
-        spine.join(bars, "minute", "left")
+        joined.join(F.broadcast(carry), "day")
         .select(
             "minute",
             "close",
-            F.last("close", ignorenulls=True).over(w).alias("filled_close"),
+            F.coalesce(
+                F.last("close", ignorenulls=True).over(w_day), F.col("carry_close")
+            ).alias("filled_close"),
             F.coalesce("volume", F.lit(0.0)).alias("volume"),
             F.coalesce("trades", F.lit(0)).alias("trades"),
             F.when(F.col("close").isNull(), 1).otherwise(0).alias("is_gap"),
