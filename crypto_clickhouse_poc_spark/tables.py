@@ -33,20 +33,28 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; read it as raw nanos (legacy conf) and
-    truncate to microseconds — exactly what a micros-native engine (and the
-    DuckDB oracle) sees.
+    ``events.ts`` has shipped in two physical encodings across driver
+    rounds: parquet TIMESTAMP(NANOS) (rejected by Spark's vectorized
+    reader — read as raw nanos via the legacy conf and truncate to
+    micros) and native tz-naive TIMESTAMP(MICROS) (read as
+    TIMESTAMP_NTZ). Both normalize to session-tz TimestampType — the
+    session pins UTC, so the NTZ→TZ cast is value-identical and every
+    downstream schema stays stable across fixture regenerations.
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 
