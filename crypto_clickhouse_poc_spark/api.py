@@ -146,8 +146,14 @@ def ohlcv_hybrid(
     answered by merging the append-only partial bars
     (``streaming.bars.partial_bars`` rows — decomposable OHLCV partials), so
     the raw scan is restricted to the window edges: the possibly partial
-    first minute and everything ``>= finalized_until``. Matches ``ohlcv``
-    whenever every trade with ``ts < finalized_until`` has been flushed into
+    first minute and everything in or after the cutoff minute. The cutoff is
+    truncated to its minute boundary first — a bar is a whole-minute object,
+    so a mid-minute ``finalized_until`` (12:05:30) can finalize only minutes
+    strictly BEFORE 12:05; minute 12:05 itself must come entirely from raw,
+    else its pre-cutoff trades would be served from partials AND its
+    post-cutoff trades re-enter via the raw leg — a duplicated, double-
+    counted minute row. Matches ``ohlcv`` whenever every trade with
+    ``ts < date_trunc('minute', finalized_until)`` has been flushed into
     ``partials`` — any cutoff at least one trigger interval behind the
     collector guarantees that; pass ``finalized_until=None`` to skip the MV
     entirely (plain raw re-aggregation). Open/high/low/close/trades are
@@ -178,7 +184,8 @@ def ohlcv_hybrid(
     full_lo = F.when(lo_min == lo_expr, lo_min).otherwise(
         lo_min + F.expr("INTERVAL 1 MINUTE")
     )
-    fin = F.lit(finalized_until)
+    # truncate, don't trust: only whole minutes are finalizable (see above)
+    fin = F.date_trunc("minute", F.lit(finalized_until))
 
     fast = reaggregate_bars(
         partials.where(

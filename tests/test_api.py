@@ -168,6 +168,51 @@ def test_ohlcv_hybrid_mv_fast_path_is_exact(spark):
     assert (m5["open"], m5["close"], m5["volume"]) == (100.0, 102.0, 3.0)
 
 
+def test_ohlcv_hybrid_non_aligned_cutoff_is_exact(spark):
+    """A NON-minute-aligned ``finalized_until`` (00:40:30) must not double-
+    count the cutoff minute: 00:40's pre-cutoff trade is in partials AND its
+    post-cutoff trade is in raw, so the cutoff must be truncated to 00:40 —
+    the whole minute served from raw — for hybrid == plain ohlcv."""
+    from crypto_clickhouse_poc_spark.streaming import bars
+
+    rows = [
+        # MV-served history
+        ("BTCUSDT", 1, 100.0, 2.0, _utc("2024-01-01 00:05:01"), 0),
+        ("BTCUSDT", 2, 101.0, 4.0, _utc("2024-01-01 00:20:30"), 0),
+        # the cutoff minute 00:40 straddles finalized_until = 00:40:30:
+        # tid 3 flushed into partials (ts < cutoff), tid 4 after the cutoff
+        ("BTCUSDT", 3, 99.0, 1.5, _utc("2024-01-01 00:40:10"), 1),
+        ("BTCUSDT", 4, 104.0, 1.0, _utc("2024-01-01 00:40:45"), 0),
+        # fresh tail
+        ("BTCUSDT", 5, 103.0, 2.0, _utc("2024-01-01 00:59:30"), 1),
+    ]
+    trades = spark.createDataFrame(
+        [(s, t, p, q, ts, m, ts) for (s, t, p, q, ts, m) in rows],
+        "symbol string, trade_id long, price double, qty double, ts timestamp,"
+        " is_buyer_maker int, ingested_at timestamp",
+    )
+    # everything with ts < 00:40:30 has been flushed — the legal state the
+    # docstring contract names
+    partials = bars.partial_bars(trades.where(F.col("trade_id").isin([1, 2])))
+    partials = partials.unionAll(
+        bars.partial_bars(trades.where(F.col("trade_id") == 3))
+    )
+    anchor = _utc("2024-01-01 01:00:00")
+    got = api.ohlcv_hybrid(
+        trades, partials, "BTCUSDT", 60, anchor,
+        finalized_until=_utc("2024-01-01 00:40:30"),
+    ).collect()
+    want = api.ohlcv(trades, "BTCUSDT", 60, anchor).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # one row for the cutoff minute, with BOTH its trades counted once
+    by_min = {r["minute"].minute: r for r in got}
+    assert len(got) == len(by_min)  # no duplicated minute rows
+    m40 = by_min[40]
+    assert (m40["open"], m40["close"], m40["trades"], m40["volume"]) == (
+        99.0, 104.0, 2, 2.5,
+    )
+
+
 def test_ohlcv_hybrid_without_cutoff_is_plain_ohlcv(spark):
     t = _trades(spark)
     got = api.ohlcv_hybrid(t, None, "BTCUSDT", 60, ANCHOR).collect()
