@@ -34,6 +34,51 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# --- coarse quantization (IVF assignment) ---------------------------------
+#
+# The trained centroid table is tiny (k rows) and, once collected, can be
+# inlined into the plan as an array-of-structs LITERAL — so assigning every
+# vector to its nearest centroid is a pure per-row projection: a transform
+# (one cosine per centroid) + array_sort fold. Zero joins, zero Exchange,
+# no vectors×k row explosion — the shape that survives 100 TB, where the
+# crossJoin+window argmax alternative multiplies the scan by k and shuffles
+# it. For k beyond ~10³ the literal bloats codegen; at that size switch the
+# same fold to a one-row broadcast array or a numpy Pandas-UDF argmax — the
+# per-row semantics (and the oracle) are unchanged.
+
+
+def centroid_literal(rows: list[tuple]) -> Column:
+    """Inline trained centroids ``[(cid, cv, cnrm), ...]`` as an
+    ``array<struct<cid:bigint, cv:array<double>, cnrm:double>>`` literal."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).cast("long").alias("cid"),
+                F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
+                F.lit(float(cnrm)).alias("cnrm"),
+            )
+            for cid, cv, cnrm in rows
+        ]
+    )
+
+
+def centroid_ranking(v: Column, nrm: Column, cent: Column) -> Column:
+    """Per-row centroid ranking: ``array<struct<negcos, cid>>`` sorted by
+    cosine DESC, cid ASC (negated cosine + natural struct order gives
+    exactly the ``row_number() OVER (ORDER BY cosine DESC, cid)`` tie-break
+    the oracle uses). ``ranking[0]['cid']`` is the nearest centroid;
+    ``-ranking[0]['negcos']`` its cosine; slots 1.. are the multi-probe
+    runners-up."""
+    scored = F.transform(
+        cent,
+        lambda c: F.struct(
+            (-(dot(v, c["cv"]) / (nrm * c["cnrm"]))).alias("negcos"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    return F.array_sort(scored)
+
+
 # --- signed-random-projection (SRP / Charikar) sketch ---------------------
 #
 # Shared by the LSH-bucketed dedup (operators.dedup.dedup_embedding_lsh) and

@@ -14,14 +14,16 @@ Two tiers, as a 100 TB engine needs both:
   k-means centroids (Lloyd's algorithm as iterative DataFrame rounds —
   deterministic md5-seeded init, fixed round count, so the oracle replays
   the identical training), assign each vector to its nearest centroid,
-  search only within probed clusters. The assignment is a broadcast join
-  against the tiny centroid table; at 100 TB you persist the cluster id as
-  a partition column so a query probes ~n/k of the data.
+  search only within probed clusters. The assignment is a per-row fold
+  argmax over the trained centroids inlined as literals
+  (``functions.vectors.centroid_ranking``) — zero joins, zero Exchange,
+  no vectors×k row explosion; at 100 TB you persist the cluster id as a
+  partition column so a query probes ~n/k of the data.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -113,112 +115,112 @@ KMEANS_ROUNDS = 3  # FIXED round count — the oracle replays the same training
 _CENTROID_MEMO: dict[tuple[str, int, int], list[tuple]] = {}
 
 
+def _train_kmeans(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KMEANS_K,
+    rounds: int = KMEANS_ROUNDS,
+) -> list[tuple]:
+    """Unsupervised spherical k-means (Lloyd): driver-side centroid rows
+    ``[(cid, cv, cnrm), ...]`` (cid-ascending).
+
+    No labels anywhere: seeds are the ``k`` vectors with the smallest
+    ``md5(vec_id)`` (hash-seeded — pseudo-random but deterministic and
+    SQL-expressible, so the DuckDB oracle replays the identical init), and
+    each round is assign (per-row fold argmax over the current centroids
+    inlined as literals — ``functions.vectors.centroid_ranking``, zero
+    joins, zero Exchange) → recompute (per-(cluster, dim) mean, rounded to
+    6dp so the float mean, whose partial-sum order is engine-dependent, is
+    reproducible before any downstream distance math). The round count is
+    FIXED, not convergence-tested, so both engines run exactly the same
+    iterations.
+
+    Scale shape: each round is one shuffle-free projection + one
+    shuffle-by-(cluster, dim) aggregate over the big table — O(rounds)
+    scans; the only driver-side data is k·dim aggregate cells per round
+    (the centroids themselves, which ARE the trained artifact — production
+    persists them beside the data as the partition dictionary). Norms are
+    recomputed driver-side with the same sequential left-fold + IEEE sqrt
+    the engines use, so the literal matches what ``V.norm`` would produce.
+    A cluster that loses all members drops out (deterministically, in both
+    engines).
+    """
+    import math
+
+    key = (sf_dir, k, rounds)
+    if key in _CENTROID_MEMO:
+        return _CENTROID_MEMO[key]
+
+    def _nrm(cv: list[float]) -> float:
+        acc = 0.0
+        for x in cv:
+            acc += x * x
+        return math.sqrt(acc)
+
+    e = _vectors(spark, sf_dir).select("vec_id", "v", "nrm")
+    seeds = (
+        e.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(k)  # TakeOrderedAndProject — no global sort materialized
+        .select("v")
+        .collect()
+    )
+    rows = [(cid, list(r["v"]), _nrm(r["v"])) for cid, r in enumerate(seeds)]
+    for _ in range(rounds):
+        rk = V.centroid_ranking(F.col("v"), F.col("nrm"), V.centroid_literal(rows))
+        per_dim = (
+            e.select(rk[0]["cid"].alias("cid"), F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("c"))
+        )
+        byc: dict[int, dict[int, float]] = {}
+        for r in per_dim.collect():
+            byc.setdefault(int(r["cid"]), {})[int(r["pos"])] = float(r["c"])
+        rows = [
+            (cid, cv, _nrm(cv))
+            for cid, dims in sorted(byc.items())
+            for cv in [[dims[p] for p in sorted(dims)]]
+        ]
+    _CENTROID_MEMO[key] = rows
+    return rows
+
+
 def _kmeans_centroids(
     spark: SparkSession,
     sf_dir: str,
     k: int = KMEANS_K,
     rounds: int = KMEANS_ROUNDS,
 ) -> DataFrame:
-    """Unsupervised spherical k-means (Lloyd) as iterative DataFrame rounds.
-
-    No labels anywhere: seeds are the ``k`` vectors with the smallest
-    ``md5(vec_id)`` (hash-seeded — pseudo-random but deterministic and
-    SQL-expressible, so the DuckDB oracle replays the identical init), and
-    each round is assign (argmax cosine over the broadcast centroid table)
-    → recompute (per-(cluster, dim) mean, rounded to 6dp so the float mean,
-    whose partial-sum order is engine-dependent, is reproducible before any
-    downstream distance math). The round count is FIXED, not
-    convergence-tested, so both engines run exactly the same iterations.
-
-    Scale shape (the ``min_label_clusters`` fixpoint pattern,
-    ``dedup.py``): each round is one broadcast join + one shuffle-by-
-    (cluster, dim) aggregate over the big table — O(rounds) scans, no
-    driver-side data movement — and the k-row centroid table is
-    ``localCheckpoint``-ed per round so the plan stays flat instead of
-    nesting ``rounds`` deep. A cluster that loses all members drops out
-    (deterministically, in both engines).
-    """
-    key = (sf_dir, k, rounds)
-    if key in _CENTROID_MEMO:
-        # The trained index is a persisted artifact: production trains once
-        # and stores centroids beside the data (they become the partition
-        # dictionary); retraining per probe is never the serving path. The
-        # in-process memo mirrors that — ≤k tiny rows, deterministic, so a
-        # rebuild in any session is byte-identical to the original training.
-        return spark.createDataFrame(
-            _CENTROID_MEMO[key], "cid long, cv array<double>, cnrm double"
-        )
-    e = _vectors(spark, sf_dir).select("vec_id", "v", "nrm")
-    seeds = (
-        e.withColumn("h", F.md5(F.col("vec_id").cast("string")))
-        .orderBy("h", "vec_id")
-        .limit(k)  # TakeOrderedAndProject — no global sort materialized
-    )
-    wseed = Window.orderBy("h", "vec_id")  # k rows only
-    cent = (
-        seeds.withColumn("cid", (F.row_number().over(wseed) - 1).cast("long"))
-        .select("cid", F.col("v").alias("cv"))
-        .withColumn("cnrm", V.norm(F.col("cv")))
-        .localCheckpoint()
-    )
-    for _ in range(rounds):
-        cos_c = V.dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
-        wassign = Window.partitionBy("vec_id").orderBy(
-            F.col("cos_c").desc(), F.col("cid")
-        )
-        assigned = (
-            e.crossJoin(F.broadcast(cent))
-            .withColumn("cos_c", cos_c)
-            .withColumn("rn", F.row_number().over(wassign))
-            .where(F.col("rn") == 1)
-            .select("cid", "v")
-        )
-        per_dim = (
-            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(F.round(F.avg("x"), 6).alias("c"))
-        )
-        cent = (
-            per_dim.groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
-                    lambda s: s["c"],
-                ).alias("cv")
-            )
-            .withColumn("cnrm", V.norm(F.col("cv")))
-            .localCheckpoint()
-        )
-    _CENTROID_MEMO[key] = [
-        (r["cid"], list(r["cv"]), r["cnrm"]) for r in cent.collect()
-    ]
+    """Trained centroids as a DataFrame (cid, cv, cnrm) — see _train_kmeans."""
     return spark.createDataFrame(
-        _CENTROID_MEMO[key], "cid long, cv array<double>, cnrm double"
+        _train_kmeans(spark, sf_dir, k, rounds),
+        "cid long, cv array<double>, cnrm double",
     )
 
 
-def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trained centroid table exposed to the IVF queries:
-    (centroid_label, cv, cnrm) — ``centroid_label`` is the k-means cluster
-    id (replaces the round-2 per-label supervised crutch)."""
-    return _kmeans_centroids(spark, sf_dir).select(
-        F.col("cid").alias("centroid_label"), "cv", "cnrm"
-    )
+def _ranking(spark: SparkSession, sf_dir: str) -> Column:
+    """Per-row centroid ranking column over the trained index (expects the
+    ``v``/``nrm`` columns of :func:`_vectors`): cosine DESC, cid ASC —
+    ``_ranking(...)[0]['cid']`` is the IVF assignment, slots 1.. the
+    multi-probe runners-up. Pure projection: no join, no Exchange, no
+    vectors×k row explosion (plan-locked in tests/test_plans.py)."""
+    rows = _train_kmeans(spark, sf_dir)
+    return V.centroid_ranking(F.col("v"), F.col("nrm"), V.centroid_literal(rows))
 
 
 def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest centroid.
 
     Output is the (true label × assigned cluster) contingency table. The
-    assignment join broadcasts the centroid table; at scale the assigned
-    cluster becomes a partition column (partition-pruned ANN probes).
+    assignment is a shuffle-free per-row fold over the inlined centroid
+    literals — the only Exchange in the plan is the final contingency
+    groupBy; at scale the assigned cluster becomes a partition column
+    (partition-pruned ANN probes).
     """
     e = _vectors(spark, sf_dir)
-    c = _centroids(spark, sf_dir)
-    cos = V.dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
-    scored = e.crossJoin(F.broadcast(c)).withColumn("cosine", cos)
-    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("centroid_label"))
-    assigned = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    assigned = e.select(
+        "label", _ranking(spark, sf_dir)[0]["cid"].alias("centroid_label")
+    )
     return (
         assigned.groupBy("label", "centroid_label")
         .agg(F.count("*").alias("n"))
@@ -230,25 +232,17 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probed search (nprobe=1): top-k among vectors sharing the query's
     nearest centroid.
 
-    The scale path brute-force can't walk: assign once (broadcast centroid
-    join), then a query touches only its probed cluster — with the cluster id
-    as a partition column this is partition pruning, reading ~n/k of the
-    data. Recall vs exact top-k is the standard IVF trade; both engines
-    compute the same deterministic assignment, so the oracle is exact.
+    The scale path brute-force can't walk: assignment is a shuffle-free
+    per-row fold (see ``_ranking``), then a query touches only its probed
+    cluster — the probe itself is a broadcast equi-join against the ≤5-row
+    query side, and with the cluster id as a partition column this is
+    partition pruning, reading ~n/k of the data. Recall vs exact top-k is
+    the standard IVF trade; both engines compute the same deterministic
+    assignment, so the oracle is exact.
     """
     e = _vectors(spark, sf_dir)
-    c = _centroids(spark, sf_dir)
-    cb = F.broadcast(c)
-    cos_c = V.dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
-    wassign = Window.partitionBy("vec_id").orderBy(
-        F.col("cosine_c").desc(), F.col("centroid_label")
-    )
-    assigned = (
-        e.crossJoin(cb)
-        .withColumn("cosine_c", cos_c)
-        .withColumn("rn", F.row_number().over(wassign))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "v", "nrm", F.col("centroid_label").alias("cluster"))
+    assigned = e.select(
+        "vec_id", "v", "nrm", _ranking(spark, sf_dir)[0]["cid"].alias("cluster")
     )
     q = assigned.where(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
@@ -282,32 +276,22 @@ def ann_ivf_search_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary has true neighbors in the runner-up cluster that nprobe=1
     misses; probing the top-2 centroids recovers them at ~2× the probe
     cost (still ~2n/k of the data, nowhere near a full scan). Same
-    deterministic centroid assignment as ``ann_ivf_search``, so the oracle
-    is exact. A candidate lives in exactly one cluster and a query's probed
-    clusters are distinct, so no candidate is scored twice.
+    deterministic shuffle-free assignment fold as ``ann_ivf_search`` — the
+    probe list is just slots 0..nprobe-1 of the per-row centroid ranking,
+    exploded on the ≤5-row query side only. A candidate lives in exactly
+    one cluster and a query's probed clusters are distinct, so no
+    candidate is scored twice.
     """
     e = _vectors(spark, sf_dir)
-    c = _centroids(spark, sf_dir)
-    cb = F.broadcast(c)
-    cos_c = V.dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
-    wassign = Window.partitionBy("vec_id").orderBy(
-        F.col("cosine_c").desc(), F.col("centroid_label")
-    )
-    ranked = (
-        e.crossJoin(cb)
-        .withColumn("cosine_c", cos_c)
-        .withColumn("rn", F.row_number().over(wassign))
-    )
-    assigned = ranked.where(F.col("rn") == 1).select(
-        "vec_id", "v", "nrm", F.col("centroid_label").alias("cluster")
-    )
-    probes = ranked.where(
-        (F.col("vec_id") < N_QUERY_VECS) & (F.col("rn") <= NPROBE)
-    ).select(
+    rk = _ranking(spark, sf_dir)
+    assigned = e.select("vec_id", "v", "nrm", rk[0]["cid"].alias("cluster"))
+    probes = e.where(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
-        F.col("centroid_label").alias("qcluster"),
+        F.explode(
+            F.slice(F.transform(rk, lambda s: s["cid"]), 1, NPROBE)
+        ).alias("qcluster"),
     )
     cos = V.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
     scored = (

@@ -78,10 +78,33 @@ def test_asof_sweep_is_single_key_shuffle_no_join(spark):
     assert "Window" in plan
 
 
-@pytest.mark.parametrize("name", ["ann_topk_brute", "ann_ivf_assign"])
+@pytest.mark.parametrize("name", ["ann_topk_brute", "ann_ivf_search"])
 def test_ann_broadcasts_small_side(spark, name):
     plan = _plan(spark, name)
     assert "Broadcast" in plan
+
+
+def test_ivf_assign_stage_is_shuffle_free(spark):
+    """The IVF coarse-quantization stage must be a pure per-row projection
+    (fold argmax over inlined centroid literals): no Join, no Exchange, no
+    vectors×k row explosion. At 100 TB the crossJoin+window alternative
+    multiplies the scan by k and shuffles it — the shape this test bans."""
+    from pyspark.sql import functions as F
+
+    from crypto_clickhouse_poc_spark.operators import similarity as S
+
+    e = S._vectors(spark, SF_CORRECT)
+    assigned = e.select(
+        "vec_id", S._ranking(spark, SF_CORRECT)[0]["cid"].alias("cluster")
+    )
+    plan = str(assigned._jdf.queryExecution().executedPlan())
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Generate" not in plan  # no explode-based fan-out either
+    # and the full contingency query keeps exactly one Exchange (the groupBy)
+    full = _plan(spark, "ann_ivf_assign")
+    assert full.count("Exchange") <= 2  # partial→final agg + ordering
+    assert "Join" not in full
 
 
 def test_q17_threshold_join_broadcasts(spark):
