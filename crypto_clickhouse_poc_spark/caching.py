@@ -1,0 +1,38 @@
+"""Bounded per-query DataFrame caching.
+
+Some queries cache a mid-plan DataFrame that their own plan references many
+times (the LSH band joins reference the signature subplan 8×). A bare
+``.cache()`` per invocation leaks: the query function returns a lazy
+DataFrame, so it can never unpersist its own cache, and repeated
+invocations in a long-lived session (serving, bench, pytest) accumulate
+executor storage without bound.
+
+``bounded_cache`` keeps AT MOST ONE live cache per call-site key: creating
+the new cache unpersists the previous invocation's. Unpersisting a
+DataFrame a consumer still holds is always safe in Spark — the plan simply
+recomputes — so the bound trades at worst one recompute of a stale handle
+for a hard O(#call-sites) storage ceiling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_LIVE: dict[str, DataFrame] = {}
+
+
+def bounded_cache(key: str, df: DataFrame) -> DataFrame:
+    """Cache ``df`` under a call-site key, unpersisting the key's previous
+    cache (non-blocking) so a session never holds more than one live cache
+    per site."""
+    prev = _LIVE.pop(key, None)
+    if prev is not None:
+        prev.unpersist()
+    cached = df.cache()
+    _LIVE[key] = cached
+    return cached
+
+
+def live_cache_count() -> int:
+    """Number of live bounded caches (for tests / introspection)."""
+    return len(_LIVE)

@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caching import bounded_cache
 from ..functions import text as T
 from ..functions import vectors as V
 from ..tables import load
@@ -163,8 +164,9 @@ def lsh_pairs_from_shingles(toks: DataFrame) -> DataFrame:
     # The band joins reference this subplan 8 times (both sides × 4 bands);
     # without a cache each reference recomputes the shingle + 8×md5 signature
     # pass (~45% of query time measured at sf0.1). One row per doc with a
-    # short hash array — O(docs) memory, the right trade at any scale.
-    d = d.cache()
+    # short hash array — O(docs) memory, the right trade at any scale;
+    # bounded_cache keeps at most one live copy across repeated invocations.
+    d = bounded_cache("dedup._lsh_pairs", d)
     a, b = d.alias("a"), d.alias("b")
     common = F.size(F.array_intersect("a.ht", "b.ht"))
     # jaccard >= T as exact integer cross-multiplication (T = num/den): one
@@ -446,7 +448,10 @@ def srp_pairs(e: DataFrame) -> DataFrame:
     DataFrame — the dataflow behind ``dedup_embedding_lsh`` (see there for
     the anatomy and the recall contract)."""
     e = e.withColumn("nrm", V.norm(F.col("v")))
-    d = e.select("vec_id", "v", "nrm", *V.srp_band_keys(F.col("v"))).cache()
+    # band joins reference the sketch 8×; bounded (see caching module)
+    d = bounded_cache(
+        "dedup.srp_pairs", e.select("vec_id", "v", "nrm", *V.srp_band_keys(F.col("v")))
+    )
     a, b = d.alias("a"), d.alias("b")
     cos = V.dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     parts = []

@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caching import bounded_cache
 from ..functions import vectors as V
 from ..tables import load
 
@@ -325,10 +326,14 @@ def ann_srp_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached: the band joins reference this subplan 8× (probe side + query
     # side per band), and the SRP sketch is a CodegenFallback HOF fold —
     # recomputing it per reference dominated the query (~6.5 s → ~1.5 s at
-    # sf0.1 when cached once)
-    d = _vectors(spark, sf_dir).select(
-        "vec_id", "v", "nrm", *V.srp_band_keys(F.col("v"))
-    ).cache()
+    # sf0.1 when cached once); bounded_cache caps it at one live copy
+    # across repeated invocations
+    d = bounded_cache(
+        "similarity.ann_srp_search",
+        _vectors(spark, sf_dir).select(
+            "vec_id", "v", "nrm", *V.srp_band_keys(F.col("v"))
+        ),
+    )
     q = d.where(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),

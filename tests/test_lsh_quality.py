@@ -147,6 +147,28 @@ def test_kmeans_training_improves_objective(spark):
     assert k_used > 1
 
 
+def test_repeated_invocations_keep_storage_bounded(spark):
+    """The per-invocation caches inside the LSH/SRP queries must not
+    accumulate: each call-site keeps at most ONE live cached RDD, so a
+    long-lived session (serving, bench) has flat storage memory no matter
+    how many times the queries run."""
+    from crypto_clickhouse_poc_spark import caching
+    from crypto_clickhouse_poc_spark.operators import dedup, similarity
+    from tests.conftest import SF_SMOKE as _SF
+
+    def n_persistent() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    baseline = n_persistent()
+    for _ in range(3):
+        dedup.dedup_minhash_lsh(spark, _SF).count()
+        dedup.dedup_embedding_lsh(spark, _SF).count()
+        similarity.ann_srp_search(spark, _SF).count()
+    # one live cache per call site, not per invocation
+    assert n_persistent() - baseline <= 3
+    assert caching.live_cache_count() <= 3
+
+
 def test_kmeans_memo_is_deterministic(spark):
     """The memoized trained index rebuilds byte-identically to a fresh
     training run (memo cleared between the two)."""
