@@ -636,28 +636,50 @@ def _layout_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     (event_id % 97 == 0) is written twice with a later ``ingested_at`` to
     model WebSocket-reconnect replays; the read side must collapse them
     (ReplacingMergeTree semantics, sql/V1__create_trades_table.sql:13).
+
+    Concurrency-safe across processes: the shared path is keyed by the
+    fixture's mtime (a regenerated fixture gets a fresh path, never a
+    rebuild-in-place), and a builder writes into a pid/uuid-suffixed temp
+    dir then atomically renames it in — so no process ever overwrites a
+    directory another process is mid-read on. If two processes race, the
+    rename loser discards its build and reads the winner's (byte-equivalent
+    by construction).
     """
     import tempfile
+    import uuid
 
     from ..plans import layout
 
+    src = os.path.join(sf_dir, "events.parquet")
+    stamp = str(int(os.path.getmtime(src)))
     dest = os.path.join(
-        tempfile.gettempdir(), "ccps_layout", sf_dir.strip("/").replace("/", "_")
+        tempfile.gettempdir(),
+        "ccps_layout",
+        f"{sf_dir.strip('/').replace('/', '_')}-{stamp}",
     )
     if dest not in _LAYOUT_BUILT:
-        e = load(spark, sf_dir, "events")
-        orig = e.withColumn(
-            "ingested_at", F.lit("2024-02-01 00:00:00").cast("timestamp")
-        )
-        dups = e.where(F.col("event_id") % 97 == 0).withColumn(
-            "ingested_at", F.lit("2024-02-02 00:00:00").cast("timestamp")
-        )
-        layout.write_table(
-            orig.unionByName(dups),
-            dest,
-            sort_cols=("ts", "event_type", "event_id"),
-            mode="overwrite",
-        )
+        if not os.path.isdir(dest):
+            tmp = f"{dest}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+            e = load(spark, sf_dir, "events")
+            orig = e.withColumn(
+                "ingested_at", F.lit("2024-02-01 00:00:00").cast("timestamp")
+            )
+            dups = e.where(F.col("event_id") % 97 == 0).withColumn(
+                "ingested_at", F.lit("2024-02-02 00:00:00").cast("timestamp")
+            )
+            layout.write_table(
+                orig.unionByName(dups),
+                tmp,
+                sort_cols=("ts", "event_type", "event_id"),
+                mode="overwrite",
+            )
+            try:
+                os.rename(tmp, dest)
+            except OSError:
+                # concurrent builder won the rename — use theirs
+                import shutil
+
+                shutil.rmtree(tmp, ignore_errors=True)
         _LAYOUT_BUILT.add(dest)
     return layout.read_table(spark, dest)
 
