@@ -104,6 +104,15 @@ def compact(
     Local-mode implementation rewrites the whole table via a temp dir; a
     cluster deployment runs this per-partition (only partitions with new
     files since last compaction).
+
+    Crash window: between the two renames below the table path IS briefly
+    absent — a hard crash there leaves the data intact in ``.compact.old``
+    (and the finished rewrite in ``.compact.tmp``) but nothing at the live
+    path. Run :func:`recover_compaction` at startup to heal that state;
+    readers holding an already-resolved file listing across the swap must
+    retry on FileNotFound, as with any non-transactional parquet layout
+    (a table format with a metadata pointer — e.g. open-source
+    Delta/Iceberg — removes this window entirely; out of scope here).
     """
     df = dedup_view(spark.read.parquet(path), keys, version_col)
     tmp = path.rstrip("/") + ".compact.tmp"
@@ -118,8 +127,10 @@ def compact(
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
-    # swap via rename-aside: the table path is never absent — a crash
-    # between the two renames leaves either the old or the new copy live
+    # swap via rename-aside. NOT atomic end-to-end: after dest.rename(old)
+    # and before tmp.rename(dest) the live path is briefly absent; an
+    # in-process failure rolls back below, a hard crash is healed by
+    # recover_compaction() from the .compact.old/.compact.tmp leftovers.
     dest = Path(path)
     old = Path(path.rstrip("/") + ".compact.old")
     shutil.rmtree(old, ignore_errors=True)
@@ -130,6 +141,37 @@ def compact(
         old.rename(dest)  # roll back: old copy goes live again
         raise
     shutil.rmtree(old)
+
+
+def recover_compaction(path: str) -> str | None:
+    """Heal a table that crashed mid-:func:`compact` swap. Idempotent; call
+    at startup before serving the table.
+
+    - live path present → compaction completed (or never ran): drop any
+      leftover ``.compact.old`` / ``.compact.tmp`` and return None.
+    - live path absent, ``.compact.tmp`` complete → promote the finished
+      rewrite (the crash was between the two renames, after a full write);
+      returns "promoted_tmp".
+    - live path absent, only ``.compact.old`` → restore the pre-compaction
+      copy; returns "restored_old".
+    """
+    dest = Path(path)
+    old = Path(path.rstrip("/") + ".compact.old")
+    tmp = Path(path.rstrip("/") + ".compact.tmp")
+    if dest.exists():
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return None
+    # _SUCCESS marks a completed Spark write — a partial tmp is never promoted
+    if tmp.exists() and (tmp / "_SUCCESS").exists():
+        tmp.rename(dest)
+        shutil.rmtree(old, ignore_errors=True)
+        return "promoted_tmp"
+    if old.exists():
+        old.rename(dest)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return "restored_old"
+    raise FileNotFoundError(f"no table and no compaction leftovers at {path}")
 
 
 def write_bucketed(

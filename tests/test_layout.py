@@ -86,6 +86,46 @@ def test_compact_collapses_duplicates(spark, tmp_path):
     assert after.where(F.col("ingested_at") == F.col("ts")).count() == 0
 
 
+def test_recover_compaction_heals_crash_window(spark, tmp_path):
+    """Simulate every hard-crash state of compact()'s rename swap and check
+    recover_compaction restores a readable, correct table."""
+    import shutil
+
+    path = str(tmp_path / "trades")
+    df = _trades_df(spark)
+
+    # state 1: crash between the two renames AFTER a complete tmp write
+    # (live path absent, .compact.old = pre-compaction, .compact.tmp done)
+    layout.write_table(df, path)
+    layout.write_table(
+        df.withColumn("ingested_at", F.col("ingested_at") + F.expr("INTERVAL 1 HOUR")), path
+    )
+    compacted = str(tmp_path / "compacted_copy")
+    layout.compact(spark, path)  # produce the finished rewrite to replay from
+    shutil.copytree(path, compacted)
+    shutil.rmtree(path)
+    shutil.copytree(compacted, path + ".compact.tmp")
+    layout.write_table(df, path + ".compact.old")  # stale pre-compaction copy
+    assert layout.recover_compaction(path) == "promoted_tmp"
+    assert layout.read_table(spark, path).count() == 30
+    assert not (tmp_path / "trades.compact.old").exists()
+
+    # state 2: crash after dest.rename(old), tmp incomplete (no _SUCCESS)
+    shutil.rmtree(path)
+    layout.write_table(df, path + ".compact.old")
+    (tmp_path / "trades.compact.tmp").mkdir()
+    (tmp_path / "trades.compact.tmp" / "part-partial.parquet").write_bytes(b"junk")
+    assert layout.recover_compaction(path) == "restored_old"
+    assert layout.read_table(spark, path).count() == 30
+    assert not (tmp_path / "trades.compact.tmp").exists()
+
+    # state 3: healthy table → no-op, leftovers swept
+    layout.write_table(df, path + ".compact.old")
+    assert layout.recover_compaction(path) is None
+    assert not (tmp_path / "trades.compact.old").exists()
+    assert layout.read_table(spark, path).count() == 30
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     """Fact-fact join on co-bucketed tables must plan without an Exchange on
     either side — the zero-shuffle orders ⋈ lineitem layout."""
