@@ -30,6 +30,29 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _ts_is_nanos(path: str) -> bool:
+    """True iff the parquet ``ts`` column is physically TIMESTAMP(NANOS).
+
+    Footer-only pyarrow probe (no data read); handles both a single file
+    and a directory of part files.
+    """
+    import glob
+
+    import pyarrow.parquet as pq
+
+    probe = path
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            return False
+        probe = parts[0]
+    try:
+        field = pq.read_schema(probe).field("ts")
+    except (KeyError, OSError):
+        return False
+    return getattr(field.type, "unit", None) == "ns"
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame.
 
@@ -40,6 +63,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     TIMESTAMP_NTZ). Both normalize to session-tz TimestampType — the
     session pins UTC, so the NTZ→TZ cast is value-identical and every
     downstream schema stays stable across fixture regenerations.
+
+    The legacy ``nanosAsLong`` conf is set ONLY when the footer actually
+    says NANOS (probed via pyarrow, driver-side, metadata-only): on the
+    MICROS path the session is left untouched, so other nanos-timestamp
+    parquet reads in the session keep their own semantics. When the conf
+    IS needed it must stay set for the returned DataFrame's lifetime —
+    Spark re-reads it at each query planning, so a save/restore around
+    this call would break later actions on the lazy DataFrame.
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
@@ -48,7 +79,8 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType, TimestampNTZType
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        if _ts_is_nanos(path):
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
