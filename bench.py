@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "dedup_embedding_lsh",
     "ann_topk_brute",
     "ann_ivf_assign",
+    "ann_ivf_pq_search",
     # multimodal (binary payload + Arrow-batched Pandas-UDF kernels)
     "mm_byte_features",
     "mm_frame_sample",

@@ -309,6 +309,253 @@ def ann_ivf_search_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- IVF-PQ: product-quantization ADC shortlist + exact rerank ------------
+
+PQ_M = 8  # subspaces: 64 dims → 8-dim subvectors
+PQ_KS = 16  # codebook entries per subspace (a code is a nibble)
+PQ_ROUNDS = 2  # FIXED Lloyd rounds per sub-codebook, deterministic
+PQ_RERANK = 50  # ADC-ranked candidates that get the exact cosine rerank
+
+# (sf_dir, M, ks, rounds) → books[m][j] = sub-codebook entry (list of floats)
+_PQ_MEMO: dict[tuple[str, int, int, int], list[list[list[float]]]] = {}
+
+
+def _pq_encode(
+    e: DataFrame,
+    coarse: list[tuple],
+    books: list[list[list[float]]],
+    with_residual: bool = False,
+) -> DataFrame:
+    """Coarse-assign + PQ-encode every vector with one Arrow-batched numpy
+    kernel (``mapInPandas``): per batch, one [n, k] matmul picks the
+    nearest centroid (np.argmax returns the FIRST max — cid-ascending
+    rows give the same max-cosine/smallest-cid tie-break as the fold and
+    the oracle), residuals are one subtraction, and each subspace's code
+    is an [n, ks] L2 argmin. Shuffle-free; the HOF-literal alternative is
+    fine for k=8 coarse centroids but its M×ks duplicated expression tree
+    chokes Catalyst — batch-vectorized numpy is the honest kernel here
+    (same call as the repo's other wide kernels, e.g. ann_topk_pandas).
+
+    Output: (vec_id, v, nrm, cluster, code[, r]) — ``code`` is
+    ``array<int>`` of length PQ_M.
+    """
+    sub_d = V.EMB_DIM // PQ_M
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        cids = np.array([c[0] for c in coarse], dtype=np.int64)
+        C = np.array([c[1] for c in coarse], dtype=np.float64)
+        cn = np.array([c[2] for c in coarse], dtype=np.float64)
+        B = [np.array(b, dtype=np.float64) for b in books]
+        for pdf in batches:
+            Vm = np.array(pdf["v"].tolist(), dtype=np.float64)
+            nrm = np.array(pdf["nrm"], dtype=np.float64)
+            cos = (Vm @ C.T) / np.outer(nrm, cn)
+            a = np.argmax(cos, axis=1)
+            R = Vm - C[a]
+            codes = np.empty((len(pdf), PQ_M), dtype=np.int32)
+            for m in range(PQ_M):
+                sub = R[:, m * sub_d : (m + 1) * sub_d]
+                d2 = ((sub[:, None, :] - B[m][None, :, :]) ** 2).sum(-1)
+                codes[:, m] = np.argmin(d2, axis=1)
+            out = {
+                "vec_id": pdf["vec_id"],
+                "v": pdf["v"],
+                "nrm": nrm,
+                "cluster": cids[a],
+                "code": list(codes.tolist()),
+            }
+            if with_residual:
+                out["r"] = list(R.tolist())
+            yield pd.DataFrame(out)
+
+    schema = "vec_id long, v array<double>, nrm double, cluster long, code array<int>"
+    if with_residual:
+        schema += ", r array<double>"
+    return e.select("vec_id", "v", "nrm").mapInPandas(encode, schema)
+
+
+def _nearest_cid_py(qv: list[float], rows: list[tuple]) -> int:
+    """Driver-side twin of the assignment fold (max cosine, tie → smallest
+    cid) for the handful of query vectors."""
+    qn = sum(x * x for x in qv) ** 0.5
+    best_cid, best_cos = None, float("-inf")
+    for cid, cv, cnrm in rows:  # cid-ascending → strict > keeps smallest cid
+        cos = sum(a * b for a, b in zip(qv, cv)) / (qn * cnrm)
+        if cos > best_cos:
+            best_cid, best_cos = cid, cos
+    return int(best_cid)
+
+
+def _train_pq(
+    spark: SparkSession, sf_dir: str, rounds: int = PQ_ROUNDS
+) -> list[list[list[float]]]:
+    """Train the per-subspace PQ codebooks on coarse-quantization RESIDUALS
+    (r = v − centroid(v)), the standard IVF-PQ decomposition: residuals are
+    concentrated near the origin, so ks entries per subspace quantize them
+    far better than they would the raw vectors.
+
+    Same deterministic shape as ``_train_kmeans``: md5-seeded init (the
+    PQ_KS smallest-md5 vectors' residual subvectors), FIXED round count,
+    and each Lloyd round is one shuffle-free batch encode (``_pq_encode``)
+    + ONE (m, j, pos) mean aggregate for ALL subspaces together (rounded
+    to 6dp to absorb partial-sum order) — O(rounds) scans regardless of
+    PQ_M, collecting only M·ks·sub_d codebook cells per round. A codebook
+    entry that loses all members keeps its previous value (codes are
+    positional indexes, so entries must never be renumbered mid-training).
+    """
+    key = (sf_dir, PQ_M, PQ_KS, rounds)
+    if key in _PQ_MEMO:
+        return _PQ_MEMO[key]
+    sub_d = V.EMB_DIM // PQ_M
+    coarse = _train_kmeans(spark, sf_dir)
+    cmap = {cid: cv for cid, cv, _ in coarse}
+
+    e = _vectors(spark, sf_dir)
+    seeds = (
+        e.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(PQ_KS)
+        .select("v")
+        .collect()
+    )
+    books: list[list[list[float]]] = [[] for _ in range(PQ_M)]
+    for row in seeds:
+        v = list(row["v"])
+        cv = cmap[_nearest_cid_py(v, coarse)]
+        res = [a - c for a, c in zip(v, cv)]
+        for m in range(PQ_M):
+            books[m].append(res[m * sub_d : (m + 1) * sub_d])
+
+    for _ in range(rounds):
+        enc = _pq_encode(e, coarse, books, with_residual=True)
+        cells = (
+            enc.select("code", F.posexplode("r").alias("pos", "x"))
+            .select(
+                (F.col("pos") / sub_d).cast("int").alias("m"),
+                F.element_at("code", (F.col("pos") / sub_d).cast("int") + 1).alias("j"),
+                (F.col("pos") % sub_d).alias("p"),
+                "x",
+            )
+            .groupBy("m", "j", "p")
+            .agg(F.round(F.avg("x"), 6).alias("c"))
+            .collect()
+        )
+        new_books = [[list(entry) for entry in book] for book in books]
+        for row in cells:
+            new_books[int(row["m"])][int(row["j"])][int(row["p"])] = float(row["c"])
+        books = new_books
+    _PQ_MEMO[key] = books
+    return books
+
+
+def ann_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search: ADC (asymmetric-distance) shortlist inside the probed
+    cluster, then exact cosine rerank of the top-``PQ_RERANK``.
+
+    The 100 TB serving shape (FAISS IVFPQ re-expressed as DataFrame ops):
+    candidates store only their cluster id + an M-byte PQ code (~64× below
+    the raw vector), the query side precomputes a per-subspace lookup
+    table lut[m][j] = q_m · book[m][j] driver-side (M×ks doubles per
+    query, inlined as a map literal), and the approximate score per
+    candidate is a pure M-element fold over its code — no vector math on
+    the big side at all. Only the shortlist that survives ADC pays the
+    exact 64-dim rerank, which also makes the EMITTED cosines exact.
+    Within a probed cluster q·centroid is constant, so adding it changes
+    no ranks but keeps the approx score an interpretable cosine estimate.
+
+    Recall vs exact probed search is bounded by ADC truncation only (the
+    rerank is exact); deterministic end-to-end, gated by planted-recall +
+    exactness pytest checks (the unrolled 2-round PQ training is not
+    reasonably SQL-expressible, so no DuckDB oracle — rows-only driver
+    check, documented).
+    """
+    coarse = _train_kmeans(spark, sf_dir)
+    books = _train_pq(spark, sf_dir)
+    cmap = {cid: cv for cid, cv, _ in coarse}
+    sub_d = V.EMB_DIM // PQ_M
+
+    e = _vectors(spark, sf_dir)
+    encoded = _pq_encode(e, coarse, books)
+
+    qrows = (
+        e.where(F.col("vec_id") < N_QUERY_VECS)
+        .select("vec_id", "v", "nrm")
+        .collect()
+    )
+    qmeta, lut_keys, lut_vals = [], [], []
+    for row in sorted(qrows, key=lambda x: x["vec_id"]):
+        qid, qv, qn = int(row["vec_id"]), list(row["v"]), float(row["nrm"])
+        qc = _nearest_cid_py(qv, coarse)
+        qdotc = sum(a * b for a, b in zip(qv, cmap[qc]))
+        qmeta.append((qid, qv, qn, qc, qdotc))
+        lut_keys.append(F.lit(qid).cast("long"))
+        lut_vals.append(
+            F.array(
+                *[
+                    F.array(
+                        *[
+                            F.lit(
+                                float(
+                                    sum(
+                                        a * b
+                                        for a, b in zip(
+                                            qv[m * sub_d : (m + 1) * sub_d], entry
+                                        )
+                                    )
+                                )
+                            )
+                            for entry in books[m]
+                        ]
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        )
+    qdf = spark.createDataFrame(
+        qmeta, "query_id long, qv array<double>, qn double, qcluster long, qdotc double"
+    )
+    lut = F.element_at(
+        F.map_from_arrays(F.array(*lut_keys), F.array(*lut_vals)), F.col("query_id")
+    )
+
+    # approx cosine: (q·c + Σ_m lut[m][code_m]) / (qn · |v|) — an M-element
+    # fold per candidate (2-arg transform lambda = (element, index))
+    approx = (
+        F.col("qdotc")
+        + F.aggregate(
+            F.transform(
+                "code",
+                lambda c, i: F.element_at(F.element_at(lut, i + 1), c + 1),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    ) / (F.col("qn") * F.col("nrm"))
+
+    cand = (
+        encoded.join(F.broadcast(qdf), F.col("cluster") == F.col("qcluster"))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("approx", approx)
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.col("approx").desc(), F.col("vec_id"))
+    shortlist = (
+        cand.withColumn("arank", F.row_number().over(wa))
+        .where(F.col("arank") <= PQ_RERANK)
+    )
+    cos = V.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        shortlist.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TOPK)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank",
+                F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def ann_srp_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (the hyperplane sibling of IVF): top-k among
     vectors sharing at least one SRP band bucket with the query.
@@ -371,6 +618,7 @@ QUERIES = {
     "ann_ivf_assign": ann_ivf_assign,
     "ann_ivf_search": ann_ivf_search,
     "ann_ivf_search_multiprobe": ann_ivf_search_multiprobe,
+    "ann_ivf_pq_search": ann_ivf_pq_search,
     "ann_srp_search": ann_srp_search,
 }
 

@@ -169,6 +169,60 @@ def test_repeated_invocations_keep_storage_bounded(spark):
     assert caching.live_cache_count() <= 3
 
 
+def test_pq_training_reduces_quantization_error(spark):
+    """Lloyd rounds on the sub-codebooks must reduce mean L2 quantization
+    error of the residuals vs the raw seed codebooks (rounds=0)."""
+    from crypto_clickhouse_poc_spark.operators import similarity as S
+    from tests.conftest import SF_SMOKE as _SF
+
+    import numpy as np
+
+    coarse = S._train_kmeans(spark, _SF)
+    rows = S._vectors(spark, _SF).select("vec_id", "v", "nrm").collect()
+    Vm = np.array([list(r["v"]) for r in rows])
+    C = np.array([c[1] for c in coarse])
+    cn = np.array([c[2] for c in coarse])
+    nrm = np.array([r["nrm"] for r in rows])
+    R = Vm - C[np.argmax((Vm @ C.T) / np.outer(nrm, cn), axis=1)]
+    sub_d = 64 // S.PQ_M
+
+    def err(books) -> float:
+        total = 0.0
+        for m, book in enumerate(books):
+            sub = R[:, m * sub_d : (m + 1) * sub_d]
+            B = np.array(book)
+            d2 = ((sub[:, None, :] - B[None, :, :]) ** 2).sum(-1)
+            total += d2.min(axis=1).sum()
+        return total / len(R)
+
+    e_seed = err(S._train_pq(spark, _SF, rounds=0))
+    e_trained = err(S._train_pq(spark, _SF))
+    assert e_trained < e_seed
+
+
+def test_ivf_pq_rerank_is_exact_and_recalls_probed_topk(spark):
+    """IVF-PQ contract: (a) emitted cosines are EXACT (the rerank recomputes
+    full-precision cosine, so every (query, neighbor) pair it shares with
+    the brute-force baseline carries the identical score); (b) ADC
+    truncation loses little vs the exact probed search (recall >= 0.8 —
+    same probed cluster, only the shortlist differs)."""
+    from crypto_clickhouse_poc_spark.operators import similarity as S
+    from tests.conftest import SF_SMOKE as _SF
+
+    pq_rows = S.ann_ivf_pq_search(spark, _SF).collect()
+    assert len(pq_rows) > 0
+    pq = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in pq_rows}
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in S.ann_topk_brute(spark, _SF).collect()
+    }
+    overlap = pq.keys() & brute.keys()
+    assert overlap and all(abs(pq[k] - brute[k]) < 1e-12 for k in overlap)
+    ivf = {(r["query_id"], r["neighbor_id"]) for r in S.ann_ivf_search(spark, _SF).collect()}
+    recall = len(ivf & pq.keys()) / len(ivf)
+    assert recall >= 0.8, f"IVF-PQ recall {recall:.2f} vs exact probed search"
+
+
 def test_kmeans_memo_is_deterministic(spark):
     """The memoized trained index rebuilds byte-identically to a fresh
     training run (memo cleared between the two)."""
