@@ -113,6 +113,18 @@ def start_ingest(
     query's dedup state (see :func:`set_state_store`): the reference
     collector's 10-minute reconnect-dedup window is small bounded state, so
     a deployment that only runs ingest can pick ``"memory"``.
+
+    ``dedup=False`` is the EXACTLY-ONCE-SOURCE fast path: it removes the
+    stateful ``dropDuplicatesWithinWatermark``, whose per-batch state-store
+    commits dominate small micro-batches (~2× ingest rate; A/B in
+    PERF.md). Safety condition — the source must never emit the same row
+    twice on its own: replayable checkpointed offsets (Kafka, files),
+    where re-delivery happens only on failure recovery and is already made
+    exactly-once by the checkpoint + file-sink manifest. Keep the default
+    ``dedup=True`` for sources that themselves resend rows — e.g. a
+    WebSocket that replays the last trades on reconnect — because those
+    duplicates arrive as NEW offsets the sink transaction log cannot
+    collapse.
     """
     if state_store is not None:
         set_state_store(raw_stream.sparkSession, state_store)
