@@ -11,6 +11,11 @@ The server holds ONE SparkSession and a trades-DataFrame provider; each
 request builds a Catalyst plan via ``api.*`` and collects. Parse/plan/
 execute all happen in Spark — the shell is transport only, exactly the
 reference's division of labor with ClickHouse.
+
+``GET /`` serves the bundled dashboard (``web/index.html`` — the
+functional analog of the reference's ``web/index.html:1-276`` +
+``web/main.js:1-418``, original dependency-free implementation; see the
+comment at the top of that file).
 """
 
 from __future__ import annotations
@@ -19,12 +24,15 @@ import json
 import threading
 from datetime import datetime
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
 from typing import Callable, Optional
 from urllib.parse import parse_qs, urlparse
 
 from pyspark.sql import DataFrame
 
 from . import api
+
+_DASHBOARD = Path(__file__).parent / "web" / "index.html"
 
 
 def _jsonify(rows: list[dict]) -> list[dict]:
@@ -74,6 +82,14 @@ class AnalyticsServer:
 
             def do_GET(self) -> None:  # noqa: N802
                 u = urlparse(self.path)
+                if u.path in ("/", "/index.html"):
+                    body = _DASHBOARD.read_bytes()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html; charset=utf-8")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
                 q = {k: v[0] for k, v in parse_qs(u.query).items()}
                 try:
                     payload = outer._route_get(u.path, q)

@@ -42,6 +42,21 @@ def _get(srv, path):
         return r.status, json.loads(r.read())
 
 
+def test_dashboard_served_at_root(server):
+    """GET / returns the bundled dashboard shell (reference web/index.html
+    analog) as HTML; its JS drives the same five endpoints."""
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{server.port}/", timeout=60
+    ) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("text/html")
+        body = r.read().decode()
+    assert "crypto-spark analytics" in body
+    for route in ("/ohlcv", "/top_symbols", "/live_buy_sell", "/hist_buy_sell",
+                  "/live_trades", "/collector/status"):
+        assert route in body, route
+
+
 def test_ohlcv_route(server):
     status, body = _get(server, "/ohlcv?symbol=BTCUSDT&minutes=60")
     assert status == 200
