@@ -474,14 +474,22 @@ def ann_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     coarse = _train_kmeans(spark, sf_dir)
     books = _train_pq(spark, sf_dir)
+    encoded = _pq_encode(_vectors(spark, sf_dir), coarse, books)
+    return _pq_adc_rerank(spark, sf_dir, encoded)
+
+
+def _pq_query_side(spark: SparkSession, sf_dir: str):
+    """Driver-side PQ query prep: the ≤5-row query DataFrame
+    (query_id, qv, qn, qcluster, q·centroid) plus the ADC lookup tables
+    lut[m][j] = q_m · book[m][j] as a map literal keyed by query_id, and
+    the set of probed cluster ids."""
+    coarse = _train_kmeans(spark, sf_dir)
+    books = _train_pq(spark, sf_dir)
     cmap = {cid: cv for cid, cv, _ in coarse}
     sub_d = V.EMB_DIM // PQ_M
-
-    e = _vectors(spark, sf_dir)
-    encoded = _pq_encode(e, coarse, books)
-
     qrows = (
-        e.where(F.col("vec_id") < N_QUERY_VECS)
+        _vectors(spark, sf_dir)
+        .where(F.col("vec_id") < N_QUERY_VECS)
         .select("vec_id", "v", "nrm")
         .collect()
     )
@@ -520,9 +528,19 @@ def ann_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     lut = F.element_at(
         F.map_from_arrays(F.array(*lut_keys), F.array(*lut_vals)), F.col("query_id")
     )
+    probed = sorted({qc for _, _, _, qc, _ in qmeta})
+    return qdf, lut, probed
 
-    # approx cosine: (q·c + Σ_m lut[m][code_m]) / (qn · |v|) — an M-element
-    # fold per candidate (2-arg transform lambda = (element, index))
+
+def _pq_adc_rerank(
+    spark: SparkSession, sf_dir: str, candidates: DataFrame
+) -> DataFrame:
+    """The PQ serving dataflow over any encoded candidate frame
+    (vec_id, v, nrm, cluster, code): broadcast probe join → ADC approx
+    score (an M-element lookup fold per candidate — the 2-arg transform
+    lambda is (element, index)) → top-PQ_RERANK shortlist → exact cosine
+    rerank → top-k."""
+    qdf, lut, _ = _pq_query_side(spark, sf_dir)
     approx = (
         F.col("qdotc")
         + F.aggregate(
@@ -534,9 +552,8 @@ def ann_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
     ) / (F.col("qn") * F.col("nrm"))
-
     cand = (
-        encoded.join(F.broadcast(qdf), F.col("cluster") == F.col("qcluster"))
+        candidates.join(F.broadcast(qdf), F.col("cluster") == F.col("qcluster"))
         .where(F.col("vec_id") != F.col("query_id"))
         .withColumn("approx", approx)
     )
@@ -554,6 +571,64 @@ def ann_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank",
                 F.round("cosine", 6).alias("cosine"))
     )
+
+
+_PQ_TABLE_BUILT: set[str] = set()
+
+
+def _pq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted IVF-PQ index table: every vector's PQ code (+ full
+    vector for the rerank tier), written as parquet PARTITIONED BY the
+    coarse cluster id (``p_cluster``) — the on-disk layout every IVF claim
+    in this module points at: a probe reads ONLY its cluster's directory
+    (Catalyst partition pruning), ~n/k of the index.
+
+    Build is once per fixture (mtime-keyed path, pid/uuid temp dir +
+    atomic rename — same concurrency-safe recipe as
+    ``trades._layout_table``).
+    """
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    stamp = str(int(os.path.getmtime(src)))
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "ccps_pq_index",
+        f"{sf_dir.strip('/').replace('/', '_')}-{stamp}",
+    )
+    if dest not in _PQ_TABLE_BUILT:
+        if not os.path.isdir(dest):
+            coarse = _train_kmeans(spark, sf_dir)
+            books = _train_pq(spark, sf_dir)
+            enc = _pq_encode(_vectors(spark, sf_dir), coarse, books).withColumn(
+                "p_cluster", F.col("cluster")
+            )
+            tmp = f"{dest}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+            enc.write.mode("overwrite").partitionBy("p_cluster").parquet(tmp)
+            try:
+                os.rename(tmp, dest)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+        _PQ_TABLE_BUILT.add(dest)
+    return spark.read.parquet(dest)
+
+
+def ann_ivf_pq_probe_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ probe against the PERSISTED partitioned index: identical
+    semantics (and results) to ``ann_ivf_pq_search``, but the candidate
+    scan goes through ``_pq_table`` with the probed cluster ids as a
+    partition predicate — the plan carries ``PartitionFilters`` on
+    ``p_cluster`` (locked in tests/test_plans.py), so at 100 TB the probe
+    lists and reads ~nprobe/k of the index directories instead of scanning
+    the encoded table. This is the serving-path read shape; the in-memory
+    twin exists for oracle-style comparison and ad-hoc data.
+    """
+    _, _, probed = _pq_query_side(spark, sf_dir)
+    index = _pq_table(spark, sf_dir).where(F.col("p_cluster").isin(probed))
+    return _pq_adc_rerank(spark, sf_dir, index)
 
 
 def ann_srp_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -619,6 +694,7 @@ QUERIES = {
     "ann_ivf_search": ann_ivf_search,
     "ann_ivf_search_multiprobe": ann_ivf_search_multiprobe,
     "ann_ivf_pq_search": ann_ivf_pq_search,
+    "ann_ivf_pq_probe_pruned": ann_ivf_pq_probe_pruned,
     "ann_srp_search": ann_srp_search,
 }
 

@@ -107,6 +107,22 @@ def test_ivf_assign_stage_is_shuffle_free(spark):
     assert "Join" not in full
 
 
+def test_pq_probe_reads_pruned_partitions(spark):
+    """The persisted IVF-PQ index is partitioned by cluster id; a probe's
+    scan must carry PartitionFilters on p_cluster (directory-level pruning
+    — at 100 TB the probe reads ~nprobe/k of the index, not all of it),
+    and the probed read must return the same rows as the in-memory twin."""
+    from crypto_clickhouse_poc_spark.operators import similarity as S
+
+    out = S.ann_ivf_pq_probe_pruned(spark, SF_CORRECT)
+    plan = str(out._jdf.queryExecution().executedPlan())
+    assert "PartitionFilters" in plan
+    assert "p_cluster" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(map(tuple, S.ann_ivf_pq_search(spark, SF_CORRECT).collect()))
+    assert got == want
+
+
 def test_q17_threshold_join_broadcasts(spark):
     plan = _plan(spark, "tpch_q17")
     assert "BroadcastHashJoin" in plan
