@@ -11,12 +11,15 @@ Modes:
 - ``synthetic=true`` (default here): deterministic generated trade events —
   lets the full readStream → normalize → sink pipeline run (and be tested)
   with no network. Offsets are exact event counters → replayable batches.
-- live: requires the ``websockets`` package (import-guarded; NOT installed
-  in this environment). A background thread drains the socket into a
-  bounded buffer; reads are at-least-once (buffer loss on crash ≙ the
-  reference's behavior) and the downstream
-  ``dropDuplicatesWithinWatermark`` absorbs replays — same recovery story,
-  stronger guarantees at the sink (checkpointed exactly-once).
+- live: runs on the stdlib RFC 6455 client (``sources.ws`` — zero
+  third-party dependencies, so the live path is exercisable here: a local
+  stdlib WS server in ``tests/test_ws.py`` feeds it hermetically; the
+  ``url`` option points it anywhere, default the Binance combined
+  stream). A background thread drains the socket into a bounded buffer;
+  reads are at-least-once (buffer loss on crash ≙ the reference's
+  behavior) and the downstream ``dropDuplicatesWithinWatermark`` absorbs
+  replays — same recovery story, stronger guarantees at the sink
+  (checkpointed exactly-once).
 
 Register + use::
 
@@ -98,48 +101,62 @@ class SyntheticTradesReader(SimpleDataSourceStreamReader):
 
 
 class LiveTradesReader(SimpleDataSourceStreamReader):
-    """Live WebSocket reader (needs the ``websockets`` package)."""
+    """Live WebSocket reader over the stdlib RFC 6455 client (sources.ws).
+
+    A daemon thread pumps messages into a bounded deque (drop-oldest on
+    overflow — a slow consumer must never grow driver memory unboundedly;
+    the reference's buffer has the same at-most-once character). ``read``
+    drains whatever arrived since the last batch. The ``url`` option
+    overrides the Binance combined-stream URL, which is what lets a local
+    test server drive this exact code path with no network.
+    """
+
+    BUFFER_CAP = 100_000
 
     def __init__(self, options) -> None:
         self.symbols = options.get("symbols", DEFAULT_SYMBOLS).split(",")
-        self._buffer: list[str] = []
+        self.url = options.get("url") or combined_stream_url(self.symbols)
+        import collections
+
+        self._buffer: "collections.deque[str]" = collections.deque(
+            maxlen=self.BUFFER_CAP
+        )
         self._seq = 0
         self._thread = None
+        self._error: Exception | None = None
 
     def _ensure_started(self) -> None:
         if self._thread is not None:
             return
-        try:
-            import websockets  # noqa: F401
-        except ImportError as exc:  # pragma: no cover — not installed here
-            raise ImportError(
-                "live Binance mode requires the 'websockets' package; "
-                "use synthetic=true for offline operation"
-            ) from exc
-        import asyncio
         import threading
 
-        url = combined_stream_url(self.symbols)
+        from .ws import WSClient
 
-        async def pump() -> None:  # pragma: no cover — network
-            import websockets
+        def pump() -> None:
+            try:
+                client = WSClient(self.url)
+                while True:
+                    msg = client.recv()
+                    if msg is None:
+                        return
+                    if isinstance(msg, str):
+                        self._buffer.append(msg)
+            except Exception as exc:  # surfaced on the next read()
+                self._error = exc
 
-            async with websockets.connect(url, ping_interval=20, ping_timeout=20) as ws:
-                async for msg in ws:
-                    self._buffer.append(msg)
-
-        def run() -> None:  # pragma: no cover — network
-            asyncio.run(pump())
-
-        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread = threading.Thread(target=pump, daemon=True)
         self._thread.start()
 
     def initialOffset(self) -> dict:  # noqa: N802
         return {"seq": 0}
 
-    def read(self, start: dict):  # pragma: no cover — network
+    def read(self, start: dict):
         self._ensure_started()
-        drained, self._buffer = self._buffer, []
+        if self._error is not None:
+            raise self._error
+        drained = []
+        while self._buffer:
+            drained.append(self._buffer.popleft())
         self._seq += len(drained)
         return iter([(m,) for m in drained]), {"seq": self._seq}
 

@@ -1,0 +1,237 @@
+"""Hermetic live-WebSocket-path tests: a local stdlib RFC 6455 *server*
+feeds the stdlib client (sources/ws.py) and the live Binance reader
+(sources/binance.py::LiveTradesReader) — the code path the reference
+exercises with its manual smoke script (binance_ws_test.py:1-95), here
+runnable offline end-to-end through Structured Streaming."""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import json
+import socket
+import struct
+import threading
+
+import pytest
+
+from crypto_clickhouse_poc_spark.sources.binance import (
+    LiveTradesReader,
+    synthetic_event,
+)
+from crypto_clickhouse_poc_spark.sources.ws import (
+    OP_CLOSE,
+    OP_PING,
+    OP_PONG,
+    OP_TEXT,
+    WSClient,
+    accept_token,
+    encode_frame,
+)
+
+_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
+
+class LocalWSServer:
+    """One-shot stdlib WebSocket server: handshake, scripted server frames,
+    then close. Records any (unmasked) client frames it receives."""
+
+    def __init__(self, script):
+        # script: list of (opcode, payload-bytes) server→client frames
+        self.script = script
+        self.client_frames = []
+        self.pongs = []
+        self._srv = socket.socket()
+        self._srv.bind(("127.0.0.1", 0))
+        self._srv.listen(1)
+        self.port = self._srv.getsockname()[1]
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def url(self) -> str:
+        return f"ws://127.0.0.1:{self.port}/stream?streams=test"
+
+    def _read_exact(self, conn, n):
+        buf = b""
+        while len(buf) < n:
+            chunk = conn.recv(n - len(buf))
+            if not chunk:
+                raise ConnectionError("closed")
+            buf += chunk
+        return buf
+
+    def _read_client_frame(self, conn):
+        b1, b2 = self._read_exact(conn, 2)
+        opcode, masked, n = b1 & 0x0F, bool(b2 & 0x80), b2 & 0x7F
+        if n == 126:
+            (n,) = struct.unpack(">H", self._read_exact(conn, 2))
+        elif n == 127:
+            (n,) = struct.unpack(">Q", self._read_exact(conn, 8))
+        assert masked, "RFC 6455: client frames MUST be masked"
+        key = self._read_exact(conn, 4)
+        payload = bytes(
+            b ^ key[i % 4] for i, b in enumerate(self._read_exact(conn, n))
+        )
+        return opcode, payload
+
+    def _run(self):
+        conn, _ = self._srv.accept()
+        try:
+            req = b""
+            while b"\r\n\r\n" not in req:
+                req += conn.recv(4096)
+            headers = req.decode("latin-1")
+            key = next(
+                line.partition(":")[2].strip()
+                for line in headers.split("\r\n")
+                if line.lower().startswith("sec-websocket-key")
+            )
+            conn.sendall(
+                (
+                    "HTTP/1.1 101 Switching Protocols\r\n"
+                    "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                    f"Sec-WebSocket-Accept: {accept_token(key)}\r\n\r\n"
+                ).encode()
+            )
+            for opcode, payload in self.script:
+                conn.sendall(encode_frame(opcode, payload, mask=False))
+                if opcode == OP_PING:  # collect the client's pong
+                    op, pl = self._read_client_frame(conn)
+                    self.pongs.append((op, pl))
+            conn.sendall(encode_frame(OP_CLOSE, b"", mask=False))
+            # drain the client's close reply (and anything else) until EOF
+            try:
+                while True:
+                    self.client_frames.append(self._read_client_frame(conn))
+            except (ConnectionError, OSError):
+                pass
+        finally:
+            conn.close()
+            self._srv.close()
+
+
+def test_ws_client_handshake_frames_ping_close():
+    """Text frames at 7-bit and 16-bit lengths, a ping mid-stream (client
+    must pong with the same payload), then a clean close."""
+    big = "x" * 300  # forces the 126/16-bit length form
+    srv = LocalWSServer(
+        [
+            (OP_TEXT, b"hello"),
+            (OP_PING, b"keepalive"),
+            (OP_TEXT, big.encode()),
+        ]
+    )
+    c = WSClient(srv.url(), timeout=10)
+    assert c.recv() == "hello"
+    assert c.recv() == big  # the ping in between is answered transparently
+    assert c.recv() is None  # server close → clean None
+    c.close()
+    srv._thread.join(timeout=5)
+    assert srv.pongs == [(OP_PONG, b"keepalive")]
+    assert any(op == OP_CLOSE for op, _ in srv.client_frames)
+
+
+def test_ws_client_rejects_bad_accept_token():
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def bad_server():
+        conn, _ = srv.accept()
+        req = b""
+        while b"\r\n\r\n" not in req:
+            req += conn.recv(4096)
+        conn.sendall(
+            b"HTTP/1.1 101 Switching Protocols\r\n"
+            b"Upgrade: websocket\r\nConnection: Upgrade\r\n"
+            b"Sec-WebSocket-Accept: bogus\r\n\r\n"
+        )
+        conn.close()
+        srv.close()
+
+    threading.Thread(target=bad_server, daemon=True).start()
+    with pytest.raises(ConnectionError, match="Accept mismatch"):
+        WSClient(f"ws://127.0.0.1:{port}/", timeout=10)
+
+
+def test_accept_token_matches_rfc_vector():
+    # the worked example from RFC 6455 §1.3
+    assert (
+        accept_token("dGhlIHNhbXBsZSBub25jZQ==")
+        == "s3pPLMBiTxaQ9kYGzzhZRbK+xOo="
+    )
+    # and it IS sha1(key+GUID) — belt and braces against a typo'd GUID
+    key = "dGhlIHNhbXBsZSBub25jZQ=="
+    want = base64.b64encode(hashlib.sha1((key + _GUID).encode()).digest()).decode()
+    assert accept_token(key) == want
+
+
+def _event_lines(n):
+    return [synthetic_event(i, ["btcusdt", "ethusdt"]) for i in range(n)]
+
+
+def test_live_reader_drains_local_ws():
+    """LiveTradesReader end-to-end against a local server: buffer fills from
+    the socket thread, read() drains in offset order, offsets advance."""
+    import time
+
+    lines = _event_lines(20)
+    srv = LocalWSServer([(OP_TEXT, ln.encode()) for ln in lines])
+    rdr = LiveTradesReader({"url": srv.url()})
+    got = []
+    deadline = time.time() + 15
+    off = rdr.initialOffset()
+    while len(got) < len(lines) and time.time() < deadline:
+        rows, off = rdr.read(off)
+        got.extend(r[0] for r in rows)
+        time.sleep(0.05)
+    assert got == lines
+    assert off == {"seq": len(lines)}
+    # a live batch cannot be replayed (at-least-once contract)
+    assert list(rdr.readBetweenOffsets({"seq": 0}, off)) == []
+
+
+def test_live_ws_pipeline_through_streaming(spark, tmp_path):
+    """The full live path under Structured Streaming: local WS server →
+    binance_trades (synthetic=false, url=local) → normalize → parquet sink.
+    Decoded rows equal the synthetic generator's ground truth."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from crypto_clickhouse_poc_spark.sources.binance import BinanceTradesDataSource
+    from crypto_clickhouse_poc_spark.streaming import ingest
+
+    lines = _event_lines(30)
+    srv = LocalWSServer([(OP_TEXT, ln.encode()) for ln in lines])
+    spark.dataSource.register(BinanceTradesDataSource)
+    raw = (
+        spark.readStream.format("binance_trades")
+        .option("synthetic", "false")
+        .option("url", srv.url())
+        .load()
+    )
+    dest, ckpt = str(tmp_path / "trades"), str(tmp_path / "ckpt")
+    q = ingest.start_ingest(raw, dest, ckpt, trigger_sec=0, dedup=False)
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            q.processAllAvailable()
+            try:
+                if spark.read.parquet(dest).count() >= len(lines):
+                    break
+            except Exception:
+                pass
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    df = spark.read.parquet(dest)
+    assert df.count() == len(lines)
+    want = {(json.loads(ln)["data"]["t"], json.loads(ln)["data"]["s"]) for ln in lines}
+    got = {
+        (r["trade_id"], r["symbol"])
+        for r in df.select("trade_id", "symbol").collect()
+    }
+    assert got == want
+    assert df.where(F.col("price").isNull() | F.col("ts").isNull()).count() == 0
