@@ -1,0 +1,113 @@
+"""Custom stateful streaming operator: per-symbol online EWMA price
+anomalies with ``applyInPandasWithState``.
+
+A second ``§2.8``-family operator beside the sessionizer
+(``streaming/sessions.py``): per key the state is a constant-size
+(ewma mean, ewma variance, count) triple updated online (RiskMetrics-style
+exponentially weighted moments), and a trade is flagged when its price
+sits more than ``z`` EWMA standard deviations from the mean *as of the
+previous trade* — the streaming shape of real-time data-quality /
+surveillance checks where the built-in windowed aggregates can't express
+the per-row look-back-then-update recurrence.
+
+Determinism: trades are folded in (ts, trade_id) order within each batch
+and the state carries exact across micro-batches, so the emitted anomaly
+set is independent of batch boundaries — the property the parity test
+locks (1-batch run == 3-batch run == driver-side pandas fold).
+
+State per key is O(1); state size tracks distinct symbols, not stream
+length — the only stateful shape that survives an unbounded stream.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EWMA_ALPHA = 0.1  # weight of the newest observation
+Z_THRESHOLD = 3.0
+WARMUP = 10  # flag nothing until this many trades seeded the moments
+
+OUTPUT_SCHEMA = (
+    "symbol string, trade_id long, ts timestamp, price double, "
+    "ewma double, zscore double"
+)
+STATE_SCHEMA = "mean double, var double, n long"
+
+
+def ewma_step(
+    mean: float, var: float, n: int, price: float, alpha: float = EWMA_ALPHA
+) -> tuple[float, float, int, float | None]:
+    """One online update. Returns (mean', var', n', zscore-before-update);
+    zscore is None during warmup or while variance is zero."""
+    z = None
+    if n >= WARMUP and var > 0.0:
+        z = (price - mean) / (var**0.5)
+    if n == 0:
+        mean, var = price, 0.0
+    else:
+        delta = price - mean
+        # RiskMetrics EW moments: the variance sees the PRE-update mean
+        var = (1.0 - alpha) * (var + alpha * delta * delta)
+        mean = mean + alpha * delta
+    return mean, var, n + 1, z
+
+
+def _flag_anomalies(
+    key: Tuple[Any], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (symbol,) = key
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    if rows.empty:
+        return
+    rows = rows.sort_values(["ts", "trade_id"])
+    mean, var, n = state.get if state.exists else (0.0, 0.0, 0)
+    out: list[tuple] = []
+    for _, r in rows.iterrows():
+        price = float(r["price"])
+        prior_mean, prior_var = mean, var
+        mean, var, n, z = ewma_step(mean, var, n, price)
+        if z is not None and abs(z) > Z_THRESHOLD:
+            out.append(
+                (symbol, int(r["trade_id"]), r["ts"], price, prior_mean, z)
+            )
+    state.update((mean, var, n))
+    if out:
+        yield pd.DataFrame(
+            out, columns=["symbol", "trade_id", "ts", "price", "ewma", "zscore"]
+        )
+
+
+def flag_price_anomalies(trades: DataFrame) -> DataFrame:
+    """trades (symbol, trade_id, ts, price) stream → anomaly rows."""
+    return (
+        trades.select("symbol", "trade_id", "ts", "price")
+        .groupBy("symbol")
+        .applyInPandasWithState(
+            _flag_anomalies,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def batch_anomalies(rows: list[tuple]) -> list[tuple]:
+    """Driver-side ground truth: the same fold over (symbol, trade_id, ts,
+    price) tuples, for parity tests."""
+    from collections import defaultdict
+
+    state: dict[str, tuple[float, float, int]] = defaultdict(lambda: (0.0, 0.0, 0))
+    out = []
+    for symbol, trade_id, ts, price in sorted(rows, key=lambda r: (r[0], r[2], r[1])):
+        mean, var, n = state[symbol]
+        prior_mean = mean
+        mean, var, n, z = ewma_step(mean, var, n, float(price))
+        state[symbol] = (mean, var, n)
+        if z is not None and abs(z) > Z_THRESHOLD:
+            out.append((symbol, trade_id, ts, float(price), prior_mean, z))
+    return out

@@ -452,3 +452,77 @@ def test_synthetic_binance_source(spark, tmp_path):
         "ETHUSDT",
     }
     assert df.where("price IS NULL OR ts IS NULL").count() == 0
+
+
+def test_stateful_ewma_anomalies_match_batch(spark, tmp_path):
+    """applyInPandasWithState EWMA anomaly flags: the streamed result over 3
+    time-ordered micro-batches equals the driver-side batch fold (state
+    carries exactly across batch boundaries), and the planted price spikes
+    are flagged."""
+    import os
+    import random
+
+    import pandas as pd
+
+    from crypto_clickhouse_poc_spark.streaming.anomaly import (
+        batch_anomalies,
+        flag_price_anomalies,
+    )
+
+    rng = random.Random(11)
+    rows, tid, spikes = [], 0, set()
+    base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    from datetime import timedelta
+
+    for sym in ("BTCUSDT", "ETHUSDT"):
+        p = 100.0
+        for i in range(300):
+            tid += 1
+            p += rng.uniform(-0.05, 0.05)
+            price = p
+            if i in (150, 220):  # planted spikes, well past warmup
+                price = p * 1.5
+                spikes.add(tid)
+            rows.append((sym, tid, base + timedelta(seconds=i), round(price, 6)))
+
+    src = tmp_path / "anom_src"
+    src.mkdir()
+    ordered = sorted(rows, key=lambda r: (r[2], r[1]))
+    per = (len(ordered) + 2) // 3
+    for k in range(3):
+        pdf = pd.DataFrame(
+            ordered[k * per : (k + 1) * per],
+            columns=["symbol", "trade_id", "ts", "price"],
+        )
+        path = src / f"chunk-{k:05d}.parquet"
+        pdf.to_parquet(path, coerce_timestamps="us", allow_truncated_timestamps=True)
+        os.utime(path, (1_700_000_000 + k, 1_700_000_000 + k))
+
+    stream = (
+        spark.readStream.schema("symbol string, trade_id long, ts timestamp, price double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out, ckpt = str(tmp_path / "anom_out"), str(tmp_path / "anom_ckpt")
+    q = (
+        flag_price_anomalies(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(
+        (r["symbol"], r["trade_id"], round(r["zscore"], 9))
+        for r in spark.read.parquet(out).collect()
+    )
+    want = sorted((s, t, round(z, 9)) for s, t, _, _, _, z in batch_anomalies(rows))
+    assert got == want
+    flagged_ids = {t for _, t, _ in got}
+    assert spikes <= flagged_ids  # every planted spike caught
+    assert len(got) < len(rows) // 10  # and flags are rare, not noise
