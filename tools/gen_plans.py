@@ -45,6 +45,18 @@ SECTIONS = [
         "mm_byte_features",
         "shuffle-free: scan -> project -> MapInPandas, nothing else.",
     ),
+    (
+        "ann_ivf_assign",
+        "r5 shuffle-free assign: per-row fold over inlined centroid "
+        "literals (no crossJoin, no window); the only Exchange is the "
+        "final contingency groupBy.",
+    ),
+    (
+        "ann_ivf_pq_probe_pruned",
+        "r5 IVF-PQ serving path: PartitionFilters on p_cluster (probe "
+        "reads ~nprobe/k of the persisted index), ADC lookup fold, "
+        "broadcast query side, exact rerank on the shortlist only.",
+    ),
 ]
 
 
