@@ -22,6 +22,7 @@ from . import (
     dedup,
     multimodal,
     quality,
+    sampling,
     similarity,
     sqlapi,
     streaming_q,
@@ -42,6 +43,7 @@ _MODULES = (
     streaming_q,
     sqlapi,
     quality,
+    sampling,
 )
 
 # Declared driver surface: exactly 50 entries, every one oracle-checked.

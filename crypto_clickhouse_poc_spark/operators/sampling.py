@@ -1,0 +1,222 @@
+"""Training-data curation operators: deterministic sampling, corpus
+mixing, and shard assignment over the ``documents`` table.
+
+The three dataset-assembly steps a large-scale training pipeline runs
+after cleaning/dedup (``text.corpus_prepare*``), each in its scale shape:
+
+- **Stratified sampling** — keep each stratum (language) at its own rate.
+  Selection is a pure per-row hash test (md5 bucket < rate·2¹⁶): zero
+  shuffles for the selection itself, reproducible across engines and runs
+  (no RNG), and stable under re-partitioning — the properties
+  ``DataFrame.sample`` cannot give (partition-order dependent, and not
+  replayable in SQL for the oracle).
+- **Weighted mixing** — hit target language proportions exactly, limited
+  by availability: the feasible total is min over strata of
+  (available / weight); each stratum keeps its ``floor(weight · total)``
+  smallest-hash docs (rank by (md5, doc_id) within the stratum — one
+  shuffle keyed by the stratum, the same layout the downstream per-source
+  writer needs anyway).
+- **Sharding** — output-file assignment by hash bucket modulo shard
+  count: per-row map + one accounting aggregate; balance is verifiable
+  from the rollup (and is a property test below the oracle gate).
+
+All three are oracle-exact (the md5-bucket idiom matches DuckDB
+bit-for-bit, as in ``text.doc_split``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import text as T
+from ..tables import load
+
+# per-language target sampling rates (stratified sampling); unlisted
+# languages fall back to DEFAULT_RATE
+SAMPLE_RATES = {"en": 1.0, "de": 0.5, "fr": 0.25}
+DEFAULT_RATE = 0.1
+
+# target mixture proportions (weighted mixing); must sum to 1
+MIX_WEIGHTS = {"en": 0.5, "de": 0.3, "fr": 0.2}
+
+N_SHARDS = 16
+
+
+def _bucket16(doc_id: Column) -> Column:
+    """Deterministic 16-bit hash bucket of a doc id (0..65535) — the
+    md5-prefix idiom shared with text.doc_split, replayable in DuckDB."""
+    return F.conv(
+        F.substring(F.md5(doc_id.cast("string")), 1, 4), 16, 10
+    ).cast("int")
+
+
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic hash sampling with per-stratum rates;
+    output is the per-language accounting rollup (available, sampled,
+    achieved rate). The keep-test is a per-row map — at 100 TB the sample
+    materializes with zero shuffles; only this summary aggregates."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    rate = F.lit(DEFAULT_RATE)
+    for lang, r in sorted(SAMPLE_RATES.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    kept = (_bucket16(F.col("doc_id")) < (rate * 65536.0)).cast("int")
+    return (
+        d.withColumn("kept", kept)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("kept").alias("n_sampled"),
+            F.round(F.sum("kept") / F.count("*"), 6).alias("achieved_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing: downsample each language to hit the
+    MIX_WEIGHTS proportions exactly, capped by availability.
+
+    feasible_total = min over strata of floor(available / weight); each
+    stratum keeps its floor(weight · feasible_total) smallest-(md5,
+    doc_id) docs — deterministic, and the per-stratum rank is ONE shuffle
+    keyed by lang. Output: per-language accounting (weight, available,
+    kept, achieved share of the mixture).
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    d = d.where(F.col("lang").isin(sorted(MIX_WEIGHTS)))
+    weight = F.lit(None).cast("double")
+    for lang, wt in sorted(MIX_WEIGHTS.items()):
+        weight = F.when(F.col("lang") == lang, F.lit(wt)).otherwise(weight)
+    d = d.withColumn("weight", weight)
+    avail = d.groupBy("lang", "weight").agg(F.count("*").alias("n_avail"))
+    total = avail.agg(
+        F.min(F.floor(F.col("n_avail") / F.col("weight"))).alias("feasible_total")
+    )
+    quota = avail.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "weight",
+        "n_avail",
+        F.floor(F.col("weight") * F.col("feasible_total")).alias("quota"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = d.withColumn("rk", F.row_number().over(w))
+    kept = ranked.join(F.broadcast(quota), ["lang", "weight"]).where(
+        F.col("rk") <= F.col("quota")
+    )
+    per_lang = kept.groupBy("lang", "weight", "n_avail").agg(
+        F.count("*").alias("n_kept")
+    )
+    grand = per_lang.agg(F.sum("n_kept").alias("n_total"))
+    return (
+        per_lang.crossJoin(F.broadcast(grand))
+        .select(
+            "lang",
+            "weight",
+            "n_avail",
+            "n_kept",
+            F.round(F.col("n_kept") / F.col("n_total"), 6).alias("achieved_share"),
+        )
+        .orderBy("lang")
+    )
+
+
+def corpus_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard assignment for output writing: shard = hash bucket mod
+    N_SHARDS (per-row map), with the per-shard accounting a writer needs
+    (docs, whitespace tokens). At 100 TB the assignment column feeds
+    ``partitionBy("shard")`` directly; only this rollup shuffles."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    shard = (_bucket16(F.col("doc_id")) % N_SHARDS).alias("shard")
+    return (
+        d.select(shard, F.size(T.tokens(F.col("text"))).alias("n_tok"))
+        .groupBy("shard")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+        .orderBy("shard")
+    )
+
+
+QUERIES = {
+    "corpus_sample_stratified": corpus_sample_stratified,
+    "corpus_mix": corpus_mix,
+    "corpus_shard": corpus_shard,
+}
+
+_B16 = (
+    "CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)"
+)
+
+_RATE_CASE = "CASE " + " ".join(
+    f"WHEN lang = '{lang}' THEN {r}" for lang, r in sorted(SAMPLE_RATES.items())
+) + f" ELSE {DEFAULT_RATE} END"
+
+_WEIGHT_CASE = "CASE " + " ".join(
+    f"WHEN lang = '{lang}' THEN {wt}" for lang, wt in sorted(MIX_WEIGHTS.items())
+) + " END"
+
+_MIX_LANGS = ", ".join(f"'{lang}'" for lang in sorted(MIX_WEIGHTS))
+
+ORACLES = {
+    "corpus_sample_stratified": f"""
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN {_B16} < ({_RATE_CASE}) * 65536.0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+               round(sum(CASE WHEN {_B16} < ({_RATE_CASE}) * 65536.0
+                              THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE),
+                     6) AS achieved_rate
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    "corpus_mix": f"""
+        WITH d AS (
+          SELECT doc_id, lang, CAST({_WEIGHT_CASE} AS DOUBLE) AS weight
+          FROM documents WHERE lang IN ({_MIX_LANGS})
+        ),
+        avail AS (
+          SELECT lang, weight, count(*) AS n_avail FROM d GROUP BY lang, weight
+        ),
+        total AS (
+          SELECT min(CAST(floor(n_avail / weight) AS BIGINT)) AS feasible_total
+          FROM avail
+        ),
+        quota AS (
+          SELECT lang, weight, n_avail,
+                 CAST(floor(weight * feasible_total) AS BIGINT) AS quota
+          FROM avail, total
+        ),
+        ranked AS (
+          SELECT doc_id, lang,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM d
+        ),
+        kept AS (
+          SELECT r.lang, q.weight, q.n_avail
+          FROM ranked r JOIN quota q ON r.lang = q.lang
+          WHERE r.rk <= q.quota
+        ),
+        per_lang AS (
+          SELECT lang, weight, n_avail, count(*) AS n_kept
+          FROM kept GROUP BY lang, weight, n_avail
+        ),
+        grand AS (SELECT sum(n_kept) AS n_total FROM per_lang)
+        SELECT lang, weight, n_avail, n_kept,
+               round(n_kept / CAST(n_total AS DOUBLE), 6) AS achieved_share
+        FROM per_lang, grand
+        ORDER BY lang
+    """,
+    "corpus_shard": f"""
+        SELECT {_B16} % {N_SHARDS} AS shard,
+               count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents
+        GROUP BY shard
+        ORDER BY shard
+    """,
+}
