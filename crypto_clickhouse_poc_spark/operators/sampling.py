@@ -139,10 +139,50 @@ def corpus_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_BUDGET = 2048  # whitespace tokens per training pack
+
+
+def corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign docs to fixed-token-budget training packs.
+
+    Deterministic streaming-order convention (the Spark-shaped version of
+    greedy packing): within each shard, docs are laid out in (md5, doc_id)
+    order and a doc belongs to the pack where its starting offset falls —
+    ``pack_id = floor((cumsum_tokens - n_tok) / budget)`` via one window
+    cumulative sum per shard (a doc that straddles a boundary counts
+    toward the pack it starts in; real writers pad or split the tail —
+    an I/O convention, not a dataflow change). One shuffle keyed by
+    shard; output is the per-(shard, pack) accounting a writer consumes.
+    At 100 TB packing parallelizes per shard and each shard's window is
+    independent — no global ordering anywhere.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = d.select(
+        "doc_id",
+        (_bucket16(F.col("doc_id")) % N_SHARDS).alias("shard"),
+        F.size(T.tokens(F.col("text"))).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = d.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(PACK_BUDGET)),
+    )
+    return (
+        packed.groupBy("shard", "pack_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+        .orderBy("shard", "pack_id")
+    )
+
+
 QUERIES = {
     "corpus_sample_stratified": corpus_sample_stratified,
     "corpus_mix": corpus_mix,
     "corpus_shard": corpus_shard,
+    "corpus_pack": corpus_pack,
 }
 
 _B16 = (
@@ -218,5 +258,28 @@ ORACLES = {
         FROM documents
         GROUP BY shard
         ORDER BY shard
+    """,
+    "corpus_pack": f"""
+        WITH d AS (
+          SELECT doc_id,
+                 {_B16} % {N_SHARDS} AS shard,
+                 len(string_split(text, ' ')) AS n_tok
+          FROM documents
+        ),
+        packed AS (
+          SELECT shard, n_tok,
+                 CAST(floor(
+                   (sum(n_tok) OVER (
+                      PARTITION BY shard
+                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - n_tok) / {PACK_BUDGET}.0) AS BIGINT) AS pack_id
+          FROM d
+        )
+        SELECT shard, pack_id, count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        FROM packed
+        GROUP BY shard, pack_id
+        ORDER BY shard, pack_id
     """,
 }
