@@ -1,5 +1,5 @@
 """Training-data curation operators: deterministic sampling, corpus
-mixing, and shard assignment over the ``documents`` table.
+mixing, shard assignment, and sequence packing over ``documents``.
 
 The three dataset-assembly steps a large-scale training pipeline runs
 after cleaning/dedup (``text.corpus_prepare*``), each in its scale shape:

@@ -377,16 +377,19 @@ def _pq_encode(
     return e.select("vec_id", "v", "nrm").mapInPandas(encode, schema)
 
 
-def _nearest_cid_py(qv: list[float], rows: list[tuple]) -> int:
-    """Driver-side twin of the assignment fold (max cosine, tie → smallest
-    cid) for the handful of query vectors."""
+def _ranked_cids_py(qv: list[float], rows: list[tuple]) -> list[int]:
+    """Driver-side twin of the assignment fold's full ranking (cosine DESC,
+    cid ASC) for the handful of query vectors."""
     qn = sum(x * x for x in qv) ** 0.5
-    best_cid, best_cos = None, float("-inf")
-    for cid, cv, cnrm in rows:  # cid-ascending → strict > keeps smallest cid
-        cos = sum(a * b for a, b in zip(qv, cv)) / (qn * cnrm)
-        if cos > best_cos:
-            best_cid, best_cos = cid, cos
-    return int(best_cid)
+    scored = [
+        (-(sum(a * b for a, b in zip(qv, cv)) / (qn * cnrm)), cid)
+        for cid, cv, cnrm in rows
+    ]
+    return [int(cid) for _, cid in sorted(scored)]
+
+
+def _nearest_cid_py(qv: list[float], rows: list[tuple]) -> int:
+    return _ranked_cids_py(qv, rows)[0]
 
 
 def _train_pq(
@@ -478,11 +481,12 @@ def ann_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_adc_rerank(spark, sf_dir, encoded)
 
 
-def _pq_query_side(spark: SparkSession, sf_dir: str):
-    """Driver-side PQ query prep: the ≤5-row query DataFrame
-    (query_id, qv, qn, qcluster, q·centroid) plus the ADC lookup tables
+def _pq_query_side(spark: SparkSession, sf_dir: str, nprobe: int = 1):
+    """Driver-side PQ query prep: the query DataFrame — one row per
+    (query, probed cluster), ≤ 5·nprobe rows — with (query_id, qv, qn,
+    qcluster, q·centroid-of-that-cluster), plus the ADC lookup tables
     lut[m][j] = q_m · book[m][j] as a map literal keyed by query_id, and
-    the set of probed cluster ids."""
+    the union of probed cluster ids."""
     coarse = _train_kmeans(spark, sf_dir)
     books = _train_pq(spark, sf_dir)
     cmap = {cid: cv for cid, cv, _ in coarse}
@@ -496,9 +500,9 @@ def _pq_query_side(spark: SparkSession, sf_dir: str):
     qmeta, lut_keys, lut_vals = [], [], []
     for row in sorted(qrows, key=lambda x: x["vec_id"]):
         qid, qv, qn = int(row["vec_id"]), list(row["v"]), float(row["nrm"])
-        qc = _nearest_cid_py(qv, coarse)
-        qdotc = sum(a * b for a, b in zip(qv, cmap[qc]))
-        qmeta.append((qid, qv, qn, qc, qdotc))
+        for qc in _ranked_cids_py(qv, coarse)[:nprobe]:
+            qdotc = sum(a * b for a, b in zip(qv, cmap[qc]))
+            qmeta.append((qid, qv, qn, qc, qdotc))
         lut_keys.append(F.lit(qid).cast("long"))
         lut_vals.append(
             F.array(
@@ -533,14 +537,16 @@ def _pq_query_side(spark: SparkSession, sf_dir: str):
 
 
 def _pq_adc_rerank(
-    spark: SparkSession, sf_dir: str, candidates: DataFrame
+    spark: SparkSession, sf_dir: str, candidates: DataFrame, nprobe: int = 1
 ) -> DataFrame:
     """The PQ serving dataflow over any encoded candidate frame
     (vec_id, v, nrm, cluster, code): broadcast probe join → ADC approx
     score (an M-element lookup fold per candidate — the 2-arg transform
     lambda is (element, index)) → top-PQ_RERANK shortlist → exact cosine
-    rerank → top-k."""
-    qdf, lut, _ = _pq_query_side(spark, sf_dir)
+    rerank → top-k. A candidate lives in exactly one cluster and a
+    query's probed clusters are distinct, so multi-probe scores no
+    candidate twice."""
+    qdf, lut, _ = _pq_query_side(spark, sf_dir, nprobe)
     approx = (
         F.col("qdotc")
         + F.aggregate(
@@ -571,6 +577,19 @@ def _pq_adc_rerank(
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank",
                 F.round("cosine", 6).alias("cosine"))
     )
+
+
+def ann_ivf_pq_search_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with nprobe=2: the multi-probe recall lever applied to the
+    PQ tier — each query ADC-scans its TWO nearest clusters' codes
+    (~2n/k codes, still nowhere near a scan), then the usual exact
+    rerank. Same quality gates as ``ann_ivf_pq_search`` (pytest recall +
+    exactness; no SQL oracle — PQ training is not reasonably
+    SQL-expressible)."""
+    coarse = _train_kmeans(spark, sf_dir)
+    books = _train_pq(spark, sf_dir)
+    encoded = _pq_encode(_vectors(spark, sf_dir), coarse, books)
+    return _pq_adc_rerank(spark, sf_dir, encoded, nprobe=NPROBE)
 
 
 _PQ_TABLE_BUILT: set[str] = set()
@@ -694,6 +713,7 @@ QUERIES = {
     "ann_ivf_search": ann_ivf_search,
     "ann_ivf_search_multiprobe": ann_ivf_search_multiprobe,
     "ann_ivf_pq_search": ann_ivf_pq_search,
+    "ann_ivf_pq_search_multiprobe": ann_ivf_pq_search_multiprobe,
     "ann_ivf_pq_probe_pruned": ann_ivf_pq_probe_pruned,
     "ann_srp_search": ann_srp_search,
 }

@@ -221,6 +221,16 @@ def test_ivf_pq_rerank_is_exact_and_recalls_probed_topk(spark):
     ivf = {(r["query_id"], r["neighbor_id"]) for r in S.ann_ivf_search(spark, _SF).collect()}
     recall = len(ivf & pq.keys()) / len(ivf)
     assert recall >= 0.8, f"IVF-PQ recall {recall:.2f} vs exact probed search"
+    # nprobe=2: recall vs the EXACT top-k must not drop below nprobe=1
+    # (more probed clusters can only widen the candidate pool)
+    brute_pairs = set(brute.keys())
+    mp = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ann_ivf_pq_search_multiprobe(spark, _SF).collect()
+    }
+    r1 = len(brute_pairs & pq.keys()) / len(brute_pairs)
+    r2 = len(brute_pairs & mp) / len(brute_pairs)
+    assert r2 >= r1, f"multi-probe recall {r2:.2f} below single-probe {r1:.2f}"
 
 
 def test_kmeans_memo_is_deterministic(spark):
