@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "doc_stats",
     "doc_fingerprints",
     "corpus_prepare",
+    "corpus_pack",
     "dedup_exact",
     "dedup_simhash",
     "dedup_minhash_summary",
