@@ -396,9 +396,11 @@ def _train_pq(
     spark: SparkSession, sf_dir: str, rounds: int = PQ_ROUNDS
 ) -> list[list[list[float]]]:
     """Train the per-subspace PQ codebooks on coarse-quantization RESIDUALS
-    (r = v − centroid(v)), the standard IVF-PQ decomposition: residuals are
-    concentrated near the origin, so ks entries per subspace quantize them
-    far better than they would the raw vectors.
+    (r = v − centroid(v)), the standard IVF-PQ decomposition (Jégou,
+    Douze, Schmid, "Product Quantization for Nearest Neighbor Search",
+    IEEE TPAMI 2011 — the IVFADC variant): residuals are concentrated
+    near the origin, so ks entries per subspace quantize them far better
+    than they would the raw vectors.
 
     Same deterministic shape as ``_train_kmeans``: md5-seeded init (the
     PQ_KS smallest-md5 vectors' residual subvectors), FIXED round count,
