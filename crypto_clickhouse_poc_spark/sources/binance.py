@@ -106,9 +106,16 @@ class LiveTradesReader(SimpleDataSourceStreamReader):
     A daemon thread pumps messages into a bounded deque (drop-oldest on
     overflow — a slow consumer must never grow driver memory unboundedly;
     the reference's buffer has the same at-most-once character). ``read``
-    drains whatever arrived since the last batch. The ``url`` option
+    drains whatever arrived since the last batch. On server close or
+    socket error the pump RECONNECTS (the reference collector's loop;
+    trades missed while disconnected are simply missed — at-least-once —
+    and trades the exchange replays on reconnect are absorbed by the
+    downstream ``dropDuplicatesWithinWatermark``). ``max_retries`` bounds
+    consecutive failed connects (default 5; each retry backs off 1 s);
+    any successful connection resets the count. The ``url`` option
     overrides the Binance combined-stream URL, which is what lets a local
-    test server drive this exact code path with no network.
+    test server drive this exact code path — including the reconnect —
+    with no network.
     """
 
     BUFFER_CAP = 100_000
@@ -116,6 +123,7 @@ class LiveTradesReader(SimpleDataSourceStreamReader):
     def __init__(self, options) -> None:
         self.symbols = options.get("symbols", DEFAULT_SYMBOLS).split(",")
         self.url = options.get("url") or combined_stream_url(self.symbols)
+        self.max_retries = int(options.get("max_retries", "5"))
         import collections
 
         self._buffer: "collections.deque[str]" = collections.deque(
@@ -129,20 +137,34 @@ class LiveTradesReader(SimpleDataSourceStreamReader):
         if self._thread is not None:
             return
         import threading
+        import time
 
         from .ws import WSClient
 
         def pump() -> None:
-            try:
-                client = WSClient(self.url)
-                while True:
-                    msg = client.recv()
-                    if msg is None:
+            failures = 0
+            while True:
+                try:
+                    client = WSClient(self.url)
+                except Exception as exc:
+                    failures += 1
+                    if failures > self.max_retries:
+                        self._error = exc  # surfaced on the next read()
                         return
-                    if isinstance(msg, str):
-                        self._buffer.append(msg)
-            except Exception as exc:  # surfaced on the next read()
-                self._error = exc
+                    time.sleep(1.0)
+                    continue
+                failures = 0
+                try:
+                    while True:
+                        msg = client.recv()
+                        if msg is None:  # clean server close → reconnect
+                            break
+                        if isinstance(msg, str):
+                            self._buffer.append(msg)
+                except Exception:
+                    pass  # socket error → reconnect
+                finally:
+                    client.close()
 
         self._thread = threading.Thread(target=pump, daemon=True)
         self._thread.start()

@@ -33,12 +33,14 @@ _GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 
 
 class LocalWSServer:
-    """One-shot stdlib WebSocket server: handshake, scripted server frames,
-    then close. Records any (unmasked) client frames it receives."""
+    """Stdlib WebSocket test server: per-connection scripted frames, then
+    close. Accepts one connection per script in ``sessions`` (sequential —
+    exercises client reconnect). Records any (unmasked) client frames."""
 
-    def __init__(self, script):
-        # script: list of (opcode, payload-bytes) server→client frames
-        self.script = script
+    def __init__(self, script, extra_sessions=()):
+        # script: list of (opcode, payload-bytes) server→client frames for
+        # the first connection; extra_sessions: scripts for reconnects
+        self.sessions = [script, *extra_sessions]
         self.client_frames = []
         self.pongs = []
         self._srv = socket.socket()
@@ -75,38 +77,41 @@ class LocalWSServer:
         return opcode, payload
 
     def _run(self):
-        conn, _ = self._srv.accept()
         try:
-            req = b""
-            while b"\r\n\r\n" not in req:
-                req += conn.recv(4096)
-            headers = req.decode("latin-1")
-            key = next(
-                line.partition(":")[2].strip()
-                for line in headers.split("\r\n")
-                if line.lower().startswith("sec-websocket-key")
-            )
-            conn.sendall(
-                (
-                    "HTTP/1.1 101 Switching Protocols\r\n"
-                    "Upgrade: websocket\r\nConnection: Upgrade\r\n"
-                    f"Sec-WebSocket-Accept: {accept_token(key)}\r\n\r\n"
-                ).encode()
-            )
-            for opcode, payload in self.script:
-                conn.sendall(encode_frame(opcode, payload, mask=False))
-                if opcode == OP_PING:  # collect the client's pong
-                    op, pl = self._read_client_frame(conn)
-                    self.pongs.append((op, pl))
-            conn.sendall(encode_frame(OP_CLOSE, b"", mask=False))
-            # drain the client's close reply (and anything else) until EOF
-            try:
-                while True:
-                    self.client_frames.append(self._read_client_frame(conn))
-            except (ConnectionError, OSError):
-                pass
+            for script in self.sessions:
+                conn, _ = self._srv.accept()
+                try:
+                    req = b""
+                    while b"\r\n\r\n" not in req:
+                        req += conn.recv(4096)
+                    headers = req.decode("latin-1")
+                    key = next(
+                        line.partition(":")[2].strip()
+                        for line in headers.split("\r\n")
+                        if line.lower().startswith("sec-websocket-key")
+                    )
+                    conn.sendall(
+                        (
+                            "HTTP/1.1 101 Switching Protocols\r\n"
+                            "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                            f"Sec-WebSocket-Accept: {accept_token(key)}\r\n\r\n"
+                        ).encode()
+                    )
+                    for opcode, payload in script:
+                        conn.sendall(encode_frame(opcode, payload, mask=False))
+                        if opcode == OP_PING:  # collect the client's pong
+                            op, pl = self._read_client_frame(conn)
+                            self.pongs.append((op, pl))
+                    conn.sendall(encode_frame(OP_CLOSE, b"", mask=False))
+                    # drain the client's close reply (and more) until EOF
+                    try:
+                        while True:
+                            self.client_frames.append(self._read_client_frame(conn))
+                    except (ConnectionError, OSError):
+                        pass
+                finally:
+                    conn.close()
         finally:
-            conn.close()
             self._srv.close()
 
 
@@ -178,7 +183,9 @@ def test_live_reader_drains_local_ws():
 
     lines = _event_lines(20)
     srv = LocalWSServer([(OP_TEXT, ln.encode()) for ln in lines])
-    rdr = LiveTradesReader({"url": srv.url()})
+    # high max_retries: the one-shot server goes away after its script, and
+    # the reconnecting pump must not surface an error while we drain
+    rdr = LiveTradesReader({"url": srv.url(), "max_retries": "100000"})
     got = []
     deadline = time.time() + 15
     off = rdr.initialOffset()
@@ -190,6 +197,27 @@ def test_live_reader_drains_local_ws():
     assert off == {"seq": len(lines)}
     # a live batch cannot be replayed (at-least-once contract)
     assert list(rdr.readBetweenOffsets({"seq": 0}, off)) == []
+
+
+def test_live_reader_reconnects_after_server_close(spark):
+    """Reconnect parity with the reference collector: the server closes
+    after the first half of the stream; the pump must reconnect and drain
+    the second half from the next connection."""
+    import time
+
+    lines = _event_lines(20)
+    first = [(OP_TEXT, ln.encode()) for ln in lines[:10]]
+    second = [(OP_TEXT, ln.encode()) for ln in lines[10:]]
+    srv = LocalWSServer(first, extra_sessions=[second])
+    rdr = LiveTradesReader({"url": srv.url(), "max_retries": "100000"})
+    got = []
+    deadline = time.time() + 20
+    off = rdr.initialOffset()
+    while len(got) < len(lines) and time.time() < deadline:
+        rows, off = rdr.read(off)
+        got.extend(r[0] for r in rows)
+        time.sleep(0.05)
+    assert got == lines  # both halves, in order, across the reconnect
 
 
 def test_live_ws_pipeline_through_streaming(spark, tmp_path):
@@ -210,6 +238,7 @@ def test_live_ws_pipeline_through_streaming(spark, tmp_path):
         spark.readStream.format("binance_trades")
         .option("synthetic", "false")
         .option("url", srv.url())
+        .option("max_retries", "100000")
         .load()
     )
     dest, ckpt = str(tmp_path / "trades"), str(tmp_path / "ckpt")
