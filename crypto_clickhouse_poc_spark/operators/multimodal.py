@@ -287,12 +287,104 @@ def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PHASH_ROWS, PHASH_COLS = 8, 9  # dHash grid: 8 rows x 9 cols -> 64 bits
+PHASH_CELLS = PHASH_ROWS * PHASH_COLS
+PHASH_BANDS = 4  # 16 bits per band -> small-int band keys
+PHASH_HAMMING_MAX = 6
+
+
+def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (dHash) near-duplicate IMAGE pairs — the multimodal
+    member of the dedup family.
+
+    Fake decode (same contract as the other kernels — a real deployment
+    decodes with PIL inside the same batch kernel, ``decode_real`` marks
+    the boundary): the payload byte stream is resampled to an 8×9 grid of
+    integer cell means, and dHash bit (r, c) = grid[r][c] < grid[r][c+1]
+    — 64 bits, robust to brightness/scaling in the real-image case
+    because it encodes horizontal gradients, not absolute values. The 64
+    bits split into 4 16-bit band keys, and candidates come from the same
+    first-collision band equi-joins as ``dedup.dedup_minhash_lsh`` (a
+    near-dup pair differing in ≤6 of 64 bits has ≥1 clean band with high
+    probability — banding is the standard hamming-LSH); the verify
+    recomputes TRUE hamming distance via ``bit_count(xor)`` over the
+    bands and keeps pairs ≤ PHASH_HAMMING_MAX. Shuffle stays O(images),
+    never O(pairs). All arithmetic is integer (byte sums, floor
+    division), so the DuckDB oracle is bit-exact. On the word-soup
+    fixture image payloads are near-random byte streams — the closest
+    pair sits at hamming 13, so the fixture result is legitimately empty
+    (both engines agree); recall on PLANTED perturbed payloads is covered
+    by tests/test_lsh_quality.py.
+    """
+    m = media_table(spark, sf_dir).where(
+        (F.col("modality") == "image") & (F.col("n_bytes") >= PHASH_CELLS)
+    )
+    return phash_pairs(m.select("media_id", "payload"))
+
+
+def phash_pairs(images: DataFrame) -> DataFrame:
+    """dHash near-dup pairs from any ``(media_id, payload binary)`` frame —
+    the dataflow behind ``mm_phash_pairs`` (see there for the anatomy)."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = len(b)
+                cells = []
+                for k in range(PHASH_CELLS):
+                    lo, hi = k * n // PHASH_CELLS, (k + 1) * n // PHASH_CELLS
+                    seg = b[lo:hi]
+                    cells.append(sum(seg) // len(seg))
+                vals = [0] * PHASH_BANDS
+                for i in range(PHASH_ROWS * (PHASH_COLS - 1)):
+                    r, c = divmod(i, PHASH_COLS - 1)
+                    if cells[r * PHASH_COLS + c] < cells[r * PHASH_COLS + c + 1]:
+                        vals[i // 16] |= 1 << (i % 16)
+                rows.append((int(mid), *vals))
+            yield pd.DataFrame(
+                rows, columns=["media_id"] + [f"pb{j}" for j in range(PHASH_BANDS)]
+            )
+
+    sig = images.mapInPandas(
+        kernel,
+        "media_id long, " + ", ".join(f"pb{j} int" for j in range(PHASH_BANDS)),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    ham = None
+    for j in range(PHASH_BANDS):
+        term = F.bit_count(F.col(f"a.pb{j}").bitwiseXOR(F.col(f"b.pb{j}")))
+        ham = term if ham is None else ham + term
+    parts = []
+    for i in range(PHASH_BANDS):
+        cond = (F.col(f"a.pb{i}") == F.col(f"b.pb{i}")) & (
+            F.col("a.media_id") < F.col("b.media_id")
+        )
+        for j in range(i):
+            cond = cond & (F.col(f"a.pb{j}") != F.col(f"b.pb{j}"))
+        parts.append(
+            a.join(b, cond).select(
+                F.col("a.media_id").alias("media_a"),
+                F.col("b.media_id").alias("media_b"),
+                ham.cast("long").alias("hamming"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.where(F.col("hamming") <= PHASH_HAMMING_MAX)
+
+
 QUERIES = {
     "mm_catalog": mm_catalog,
     "mm_byte_features": mm_byte_features,
     "mm_resize": mm_resize,
     "mm_frame_sample": mm_frame_sample,
     "mm_audio_windows": mm_audio_windows,
+    "mm_phash_pairs": mm_phash_pairs,
 }
 
 # Media-table derivation shared by every oracle. Fixture text is pure ASCII,
@@ -392,3 +484,51 @@ ORACLES = {
         FROM sliced
     """,
 }
+
+
+def _phash_bands_sql() -> list[str]:
+    """DuckDB twins of the kernel's 16-bit dHash band keys over a 1-based
+    ``cell`` list column (positions computed in Python — only cell VALUES
+    depend on the row)."""
+    out = []
+    for j in range(PHASH_BANDS):
+        terms = []
+        for t in range(16):
+            i = j * 16 + t
+            r, c = divmod(i, PHASH_COLS - 1)
+            p = r * PHASH_COLS + c + 1  # 1-based list position of the left cell
+            terms.append(
+                f"(CASE WHEN cell[{p}] < cell[{p + 1}] THEN {1 << t} ELSE 0 END)"
+            )
+        out.append(" + ".join(terms) + f" AS pb{j}")
+    return out
+
+
+_PHASH_CELLS_SQL = (
+    f"list_transform(range(0, {PHASH_CELLS}), k -> "
+    f"CAST(list_sum(b[(k * n) // {PHASH_CELLS} + 1 : ((k + 1) * n) // {PHASH_CELLS}])"
+    f" AS BIGINT) // (((k + 1) * n) // {PHASH_CELLS} - (k * n) // {PHASH_CELLS}))"
+)
+
+_PHASH_HAM_SQL = " + ".join(
+    f"bit_count(xor(a.pb{j}, b.pb{j}))" for j in range(PHASH_BANDS)
+)
+
+ORACLES["mm_phash_pairs"] = f"""
+    WITH {_MEDIA_CTE},
+    imgs AS (
+      SELECT media_id, {_BYTES} AS b, n_bytes AS n
+      FROM media WHERE modality = 'image' AND n_bytes >= {PHASH_CELLS}
+    ),
+    cellt AS (SELECT media_id, {_PHASH_CELLS_SQL} AS cell FROM imgs),
+    sig AS (SELECT media_id, {", ".join(_phash_bands_sql())} FROM cellt),
+    pairs AS (
+      SELECT a.media_id AS media_a, b.media_id AS media_b,
+             CAST({_PHASH_HAM_SQL} AS BIGINT) AS hamming
+      FROM sig a JOIN sig b
+        ON a.media_id < b.media_id
+       AND ({" OR ".join(f"a.pb{j} = b.pb{j}" for j in range(PHASH_BANDS))})
+    )
+    SELECT media_a, media_b, hamming FROM pairs
+    WHERE hamming <= {PHASH_HAMMING_MAX}
+"""

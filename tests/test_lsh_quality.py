@@ -118,6 +118,43 @@ def test_srp_lsh_finds_planted_near_dup_vectors(spark, seed):
     assert recall >= 0.85, f"SRP-LSH recall {recall:.2f} below 0.85"
 
 
+def test_phash_finds_planted_perturbed_images(spark):
+    """dHash near-dup pairs on planted perturbations: byte payloads with a
+    few flipped bytes must pair with their originals at small hamming;
+    unrelated random payloads must not (verify is exact, so precision is
+    by construction — what banding can lose is recall)."""
+    import random
+
+    from crypto_clickhouse_poc_spark.operators.multimodal import (
+        PHASH_HAMMING_MAX,
+        phash_pairs,
+    )
+
+    rng = random.Random(5)
+    rows, truth = [], set()
+    for i in range(40):
+        base = bytes(rng.randrange(256) for _ in range(400))
+        rows.append((i, base))
+        if i < 15:  # planted near-dup: flip 3 bytes slightly
+            b = bytearray(base)
+            for _ in range(3):
+                p = rng.randrange(len(b))
+                b[p] = (b[p] + 4) % 256
+            rows.append((1000 + i, bytes(b)))
+            truth.add((i, 1000 + i))
+    images = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        (r["media_a"], r["media_b"]): r["hamming"]
+        for r in phash_pairs(images).collect()
+    }
+    assert all(h <= PHASH_HAMMING_MAX for h in got.values())
+    recall = len(truth & got.keys()) / len(truth)
+    assert recall >= 0.85, f"phash recall {recall:.2f}"
+    # no unrelated base pairs sneak in (they differ in ~half their bits)
+    unrelated = [(a, b) for (a, b) in got if a < 1000 and b < 1000]
+    assert not unrelated, unrelated
+
+
 def test_kmeans_training_improves_objective(spark):
     """Lloyd rounds must improve the spherical k-means objective (mean
     cosine of each vector to its assigned centroid) over the raw seeds,
