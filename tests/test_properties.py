@@ -216,3 +216,66 @@ def test_min_label_clusters_path_graph(spark):
     }
     assert all(got[i] == 0 for i in range(n))
     assert all(got[i] == n for i in (n, n + 1, n + 2))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_ws_frame_codec_roundtrip(seed):
+    """RFC 6455 frame codec: encode → parse roundtrips payloads across all
+    three length forms (7-bit, 16-bit, 64-bit) for both masked (client)
+    and unmasked (server) frames — no Spark, pure protocol property."""
+    import random
+
+    from crypto_clickhouse_poc_spark.sources.ws import (
+        OP_BINARY,
+        OP_TEXT,
+        WSClient,
+        encode_frame,
+    )
+
+    rng = random.Random(seed)
+    sizes = [0, 1, 125, 126, 127, 1000, 65535, 65536, 70000]
+    for size in sizes:
+        for mask in (False, True):
+            payload = bytes(rng.randrange(256) for _ in range(min(size, 4096)))
+            payload = payload * (size // max(len(payload), 1)) + payload[
+                : size % max(len(payload), 1)
+            ]
+            payload = payload[:size]
+            opcode = OP_TEXT if rng.random() < 0.5 else OP_BINARY
+            frame = encode_frame(opcode, payload, mask=mask)
+            c = object.__new__(WSClient)  # parse path only — no socket
+            c._rbuf = frame
+            c._sock = None
+            fin, op, got = c._read_frame()
+            assert (fin, op, got) == (True, opcode, payload), (size, mask)
+            assert c._rbuf == b""  # consumed exactly one frame
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_ewma_moment_invariants(seed):
+    """Online EWMA fold invariants over random price paths: variance never
+    negative, count increments by one per step, no z-score before warmup,
+    and the z-score uses the PRIOR moments (a constant series after warmup
+    yields z == 0 exactly once variance is 0 → no flag, never NaN/inf)."""
+    import math
+    import random
+
+    from crypto_clickhouse_poc_spark.streaming.anomaly import WARMUP, ewma_step
+
+    rng = random.Random(seed)
+    mean, var, n = 0.0, 0.0, 0
+    for i in range(500):
+        price = 100.0 + rng.uniform(-5, 5) + (50.0 if i == 300 else 0.0)
+        mean, var, n, z = ewma_step(mean, var, n, price)
+        assert var >= 0.0
+        assert n == i + 1
+        if i < WARMUP:
+            assert z is None
+        if z is not None:
+            assert math.isfinite(z)
+    # constant series: variance decays to 0 and stays; z stays None (var==0
+    # guard) — never a division by zero
+    mean, var, n = 0.0, 0.0, 0
+    for _ in range(50):
+        mean, var, n, z = ewma_step(mean, var, n, 42.0)
+        assert var == 0.0 and (z is None)
