@@ -615,10 +615,13 @@ def _pq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = os.path.join(sf_dir, "embeddings.parquet")
     stamp = str(int(os.path.getmtime(src)))
+    # path carries the index parameters too: changing K/M/ks/rounds across
+    # processes must never silently reuse an index built with old params
+    params = f"k{KMEANS_K}r{KMEANS_ROUNDS}-m{PQ_M}x{PQ_KS}r{PQ_ROUNDS}"
     dest = os.path.join(
         tempfile.gettempdir(),
         "ccps_pq_index",
-        f"{sf_dir.strip('/').replace('/', '_')}-{stamp}",
+        f"{sf_dir.strip('/').replace('/', '_')}-{stamp}-{params}",
     )
     if dest not in _PQ_TABLE_BUILT:
         if not os.path.isdir(dest):
