@@ -60,9 +60,10 @@ def _flag_anomalies(
     key: Tuple[Any], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     (symbol,) = key
-    rows = pd.concat(list(pdfs), ignore_index=True)
-    if rows.empty:
+    chunks = [p for p in pdfs if len(p)]
+    if not chunks:  # pd.concat([]) raises; possible under state timeouts
         return
+    rows = pd.concat(chunks, ignore_index=True)
     rows = rows.sort_values(["ts", "trade_id"])
     mean, var, n = state.get if state.exists else (0.0, 0.0, 0)
     out: list[tuple] = []
