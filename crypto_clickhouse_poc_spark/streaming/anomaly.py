@@ -97,6 +97,74 @@ def flag_price_anomalies(trades: DataFrame) -> DataFrame:
     )
 
 
+def flag_price_anomalies_tws(trades: DataFrame) -> DataFrame:
+    """The same operator on Spark 4's ``transformWithState`` API
+    (``transformWithStateInPandas`` + a ``StatefulProcessor`` with typed
+    ``ValueState``) — the successor to ``applyInPandasWithState`` with
+    named state variables, TTL, and timers. Output and state semantics are
+    identical to :func:`flag_price_anomalies`, so the two entry points are
+    drop-in twins; new deployments should prefer this one.
+
+    Environment note: the transformWithState Python runner speaks a
+    protobuf protocol to the JVM state server and needs the ``protobuf``
+    package, which is NOT importable in this container — so here the
+    parity test (tests/test_streaming.py) skips this variant with the
+    reason recorded, exactly like the PIL-gated ``decode_real`` boundary.
+    The plan construction below is still exercised (it fails only at
+    stream start), and the applyInPandasWithState twin carries the
+    batch-parity gate.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class EwmaAnomalyProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._moments = handle.getValueState("moments", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            (symbol,) = key
+            chunks = [p for p in rows if len(p)]
+            if not chunks:
+                return
+            data = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "trade_id"]
+            )
+            mean, var, n = (
+                self._moments.get() if self._moments.exists() else (0.0, 0.0, 0)
+            )
+            out: list[tuple] = []
+            for _, r in data.iterrows():
+                price = float(r["price"])
+                prior_mean = mean
+                mean, var, n, z = ewma_step(mean, var, n, price)
+                if z is not None and abs(z) > Z_THRESHOLD:
+                    out.append(
+                        (symbol, int(r["trade_id"]), r["ts"], price, prior_mean, z)
+                    )
+            self._moments.update((mean, var, n))
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=["symbol", "trade_id", "ts", "price", "ewma", "zscore"],
+                )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        trades.select("symbol", "trade_id", "ts", "price")
+        .groupBy("symbol")
+        .transformWithStateInPandas(
+            EwmaAnomalyProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+    )
+
+
 def batch_anomalies(rows: list[tuple]) -> list[tuple]:
     """Driver-side ground truth: the same fold over (symbol, trade_id, ts,
     price) tuples, for parity tests."""

@@ -454,11 +454,13 @@ def test_synthetic_binance_source(spark, tmp_path):
     assert df.where("price IS NULL OR ts IS NULL").count() == 0
 
 
-def test_stateful_ewma_anomalies_match_batch(spark, tmp_path):
-    """applyInPandasWithState EWMA anomaly flags: the streamed result over 3
-    time-ordered micro-batches equals the driver-side batch fold (state
-    carries exactly across batch boundaries), and the planted price spikes
-    are flagged."""
+@pytest.mark.parametrize("api", ["applyInPandasWithState", "transformWithState"])
+def test_stateful_ewma_anomalies_match_batch(spark, tmp_path, api):
+    """Stateful EWMA anomaly flags (both state APIs — the
+    applyInPandasWithState operator and its transformWithStateInPandas
+    twin): the streamed result over 3 time-ordered micro-batches equals
+    the driver-side batch fold (state carries exactly across batch
+    boundaries), and the planted price spikes are flagged."""
     import os
     import random
 
@@ -467,6 +469,29 @@ def test_stateful_ewma_anomalies_match_batch(spark, tmp_path):
     from crypto_clickhouse_poc_spark.streaming.anomaly import (
         batch_anomalies,
         flag_price_anomalies,
+        flag_price_anomalies_tws,
+    )
+
+    if api == "transformWithState":
+        # the plan CONSTRUCTION must work regardless; only the runner needs
+        # protobuf, so build the streaming plan and check its schema first
+        (tmp_path / "probe_src").mkdir()
+        probe = spark.readStream.schema(
+            "symbol string, trade_id long, ts timestamp, price double"
+        ).parquet(str(tmp_path / "probe_src"))
+        built = flag_price_anomalies_tws(probe)
+        assert built.columns == ["symbol", "trade_id", "ts", "price", "ewma", "zscore"]
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+        except ImportError:
+            pytest.skip(
+                "transformWithState's Python runner needs the protobuf "
+                "package (not importable in this container)"
+            )
+    flag = (
+        flag_price_anomalies
+        if api == "applyInPandasWithState"
+        else flag_price_anomalies_tws
     )
 
     rng = random.Random(11)
@@ -505,7 +530,7 @@ def test_stateful_ewma_anomalies_match_batch(spark, tmp_path):
     )
     out, ckpt = str(tmp_path / "anom_out"), str(tmp_path / "anom_ckpt")
     q = (
-        flag_price_anomalies(stream)
+        flag(stream)
         .writeStream.format("parquet")
         .option("path", out)
         .option("checkpointLocation", ckpt)
