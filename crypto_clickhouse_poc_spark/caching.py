@@ -16,20 +16,25 @@ for a hard O(#call-sites) storage ceiling.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
 _LIVE: dict[str, DataFrame] = {}
+_LOCK = threading.Lock()  # serving runs queries from concurrent threads
 
 
 def bounded_cache(key: str, df: DataFrame) -> DataFrame:
     """Cache ``df`` under a call-site key, unpersisting the key's previous
     cache (non-blocking) so a session never holds more than one live cache
-    per site."""
-    prev = _LIVE.pop(key, None)
-    if prev is not None:
-        prev.unpersist()
+    per site. Thread-safe: concurrent callers with the same key must not
+    race the pop/assign, or the loser's cache leaks untracked."""
     cached = df.cache()
-    _LIVE[key] = cached
+    with _LOCK:
+        prev = _LIVE.get(key)
+        _LIVE[key] = cached
+    if prev is not None and prev is not cached:
+        prev.unpersist()
     return cached
 
 

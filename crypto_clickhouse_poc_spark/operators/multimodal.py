@@ -324,7 +324,9 @@ def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def phash_pairs(images: DataFrame) -> DataFrame:
     """dHash near-dup pairs from any ``(media_id, payload binary)`` frame —
-    the dataflow behind ``mm_phash_pairs`` (see there for the anatomy)."""
+    the dataflow behind ``mm_phash_pairs`` (see there for the anatomy).
+    Rows with NULL payloads or fewer than PHASH_CELLS bytes are skipped in
+    the kernel (a grid cell would be empty — nothing to hash)."""
 
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -332,8 +334,12 @@ def phash_pairs(images: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
                 b = bytes(payload)
                 n = len(b)
+                if n < PHASH_CELLS:
+                    continue
                 cells = []
                 for k in range(PHASH_CELLS):
                     lo, hi = k * n // PHASH_CELLS, (k + 1) * n // PHASH_CELLS

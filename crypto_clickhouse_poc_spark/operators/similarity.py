@@ -329,9 +329,14 @@ def _pq_encode(
     """Coarse-assign + PQ-encode every vector with one Arrow-batched numpy
     kernel (``mapInPandas``): per batch, one [n, k] matmul picks the
     nearest centroid (np.argmax returns the FIRST max — cid-ascending
-    rows give the same max-cosine/smallest-cid tie-break as the fold and
-    the oracle), residuals are one subtraction, and each subspace's code
-    is an [n, ks] L2 argmin. Shuffle-free; the HOF-literal alternative is
+    rows give the fold's max-cosine/smallest-cid tie-break on EXACT
+    ties; BLAS sums in a different order than the sequential fold, so a
+    vector within one ulp of equidistant can land in the other cluster —
+    harmless here because the PQ tier is self-consistent end-to-end and
+    has no SQL oracle, but the reason this kernel backs only the PQ
+    queries while the oracle-gated IVF queries stay on the fold),
+    residuals are one subtraction, and each subspace's code is an
+    [n, ks] L2 argmin. Shuffle-free; the HOF-literal alternative is
     fine for k=8 coarse centroids but its M×ks duplicated expression tree
     chokes Catalyst — batch-vectorized numpy is the honest kernel here
     (same call as the repo's other wide kernels, e.g. ann_topk_pandas).

@@ -45,6 +45,11 @@ def salted_join(
     side's row set drives the output."""
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if SALT_COL in big.columns or SALT_COL in small.columns:
+        raise ValueError(
+            f"input already has a {SALT_COL!r} column — salting would "
+            "silently overwrite and then drop it"
+        )
     bs = big.withColumn(SALT_COL, F.pmod(F.xxhash64(*big.columns), F.lit(buckets)))
     ss = small.withColumn(
         SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(buckets)]))

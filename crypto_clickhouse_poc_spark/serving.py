@@ -83,7 +83,10 @@ class AnalyticsServer:
             def do_GET(self) -> None:  # noqa: N802
                 u = urlparse(self.path)
                 if u.path in ("/", "/index.html"):
-                    body = _DASHBOARD.read_bytes()
+                    try:
+                        body = _DASHBOARD.read_bytes()
+                    except OSError as exc:  # shipped without web/ → JSON 404
+                        return self._send(404, {"error": f"dashboard: {exc}"})
                     self.send_response(200)
                     self.send_header("Content-Type", "text/html; charset=utf-8")
                     self.send_header("Content-Length", str(len(body)))

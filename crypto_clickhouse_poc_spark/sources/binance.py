@@ -149,22 +149,37 @@ class LiveTradesReader(SimpleDataSourceStreamReader):
                 except Exception as exc:
                     failures += 1
                     if failures > self.max_retries:
-                        self._error = exc  # surfaced on the next read()
+                        self._error = exc  # surfaced once the buffer drains
                         return
                     time.sleep(1.0)
                     continue
-                failures = 0
+                got_any = False
                 try:
                     while True:
                         msg = client.recv()
                         if msg is None:  # clean server close → reconnect
                             break
                         if isinstance(msg, str):
+                            got_any = True
                             self._buffer.append(msg)
                 except Exception:
                     pass  # socket error → reconnect
                 finally:
                     client.close()
+                # a handshake that delivers nothing before closing counts as
+                # a failure — otherwise an accept-then-close server would be
+                # hammered in a sleepless loop and max_retries never fires
+                if got_any:
+                    failures = 0
+                else:
+                    failures += 1
+                    if failures > self.max_retries:
+                        self._error = ConnectionError(
+                            f"websocket at {self.url} closed without data "
+                            f"{failures} consecutive times"
+                        )
+                        return
+                time.sleep(0.5)  # always back off between sessions
 
         self._thread = threading.Thread(target=pump, daemon=True)
         self._thread.start()
@@ -174,11 +189,13 @@ class LiveTradesReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict):
         self._ensure_started()
-        if self._error is not None:
-            raise self._error
         drained = []
         while self._buffer:
             drained.append(self._buffer.popleft())
+        # deliver everything already received BEFORE surfacing a pump
+        # error — successfully buffered messages must not be dropped
+        if not drained and self._error is not None:
+            raise self._error
         self._seq += len(drained)
         return iter([(m,) for m in drained]), {"seq": self._seq}
 

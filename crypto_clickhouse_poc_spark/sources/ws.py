@@ -154,8 +154,14 @@ class WSClient:
                 opcode0 = opcode
                 parts = [payload]
             elif opcode == OP_CONT:
+                if opcode0 is None:  # continuation with nothing to continue
+                    raise ConnectionError("protocol error: orphan continuation frame")
                 parts.append(payload)
-            if fin and opcode0 is not None:
+            else:
+                # reserved opcode (0x3-0x7, 0xB-0xF): RFC 6455 §5.2 — fail
+                # the connection rather than silently truncating a message
+                raise ConnectionError(f"protocol error: reserved opcode {opcode}")
+            if fin:
                 msg = b"".join(parts)
                 return msg.decode() if opcode0 == OP_TEXT else msg
 

@@ -69,7 +69,7 @@ def _flag_anomalies(
     out: list[tuple] = []
     for _, r in rows.iterrows():
         price = float(r["price"])
-        prior_mean, prior_var = mean, var
+        prior_mean = mean
         mean, var, n, z = ewma_step(mean, var, n, price)
         if z is not None and abs(z) > Z_THRESHOLD:
             out.append(
