@@ -57,6 +57,14 @@ def write_table(
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
+    # auto-heal a table caught in compact()'s rename window: if the live
+    # path is gone but compaction leftovers exist, recovery is always the
+    # right move (and a no-op stat check on the healthy path)
+    if not Path(path).exists() and (
+        Path(path.rstrip("/") + ".compact.old").exists()
+        or Path(path.rstrip("/") + ".compact.tmp").exists()
+    ):
+        recover_compaction(path)
     return spark.read.parquet(path)
 
 

@@ -110,14 +110,15 @@ def test_recover_compaction_heals_crash_window(spark, tmp_path):
     assert layout.read_table(spark, path).count() == 30
     assert not (tmp_path / "trades.compact.old").exists()
 
-    # state 2: crash after dest.rename(old), tmp incomplete (no _SUCCESS)
+    # state 2: crash after dest.rename(old), tmp incomplete (no _SUCCESS) —
+    # healed IMPLICITLY by read_table's auto-recovery, no explicit call
     shutil.rmtree(path)
     layout.write_table(df, path + ".compact.old")
     (tmp_path / "trades.compact.tmp").mkdir()
     (tmp_path / "trades.compact.tmp" / "part-partial.parquet").write_bytes(b"junk")
-    assert layout.recover_compaction(path) == "restored_old"
     assert layout.read_table(spark, path).count() == 30
     assert not (tmp_path / "trades.compact.tmp").exists()
+    assert not (tmp_path / "trades.compact.old").exists()
 
     # state 3: healthy table → no-op, leftovers swept
     layout.write_table(df, path + ".compact.old")
