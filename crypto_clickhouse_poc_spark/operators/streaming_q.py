@@ -113,6 +113,24 @@ def ohlcv_hybrid_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from datetime import datetime
 
+    return _hybrid_replay(spark, sf_dir, datetime(2024, 1, 30, 0, 0, 0))
+
+
+def ohlcv_hybrid_replay_unaligned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ohlcv_hybrid_replay`` with a NON-minute-aligned ``finalized_until``
+    (23:59:30) — the oracle-level regression lock for the round-5 fix: a
+    mid-minute cutoff must be truncated to its minute boundary, else the
+    cutoff minute is served from partials AND re-aggregated from raw (a
+    duplicated, double-counted row the oracle's plain re-aggregation
+    would immediately expose as a row-count + hash mismatch)."""
+    from datetime import datetime
+
+    return _hybrid_replay(spark, sf_dir, datetime(2024, 1, 29, 23, 59, 30))
+
+
+def _hybrid_replay(spark: SparkSession, sf_dir: str, finalized_until) -> DataFrame:
+    from datetime import datetime
+
     from .. import api
 
     t = _events(spark, sf_dir).select(
@@ -132,7 +150,7 @@ def ohlcv_hybrid_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click",
         minutes=2880,
         anchor=datetime(2024, 1, 31, 0, 0, 30),
-        finalized_until=datetime(2024, 1, 30, 0, 0, 0),
+        finalized_until=finalized_until,
     )
 
 
@@ -186,6 +204,7 @@ def kmv_partials_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "stream_ohlcv_replay": stream_ohlcv_replay,
     "ohlcv_hybrid_replay": ohlcv_hybrid_replay,
+    "ohlcv_hybrid_replay_unaligned": ohlcv_hybrid_replay_unaligned,
     "kmv_partials_replay": kmv_partials_replay,
 }
 
@@ -217,6 +236,32 @@ ORACLES = {
     """,
     # the serving contract: hybrid == plain raw re-aggregation of the window
     "ohlcv_hybrid_replay": """
+        WITH t AS (
+          SELECT event_id AS trade_id, value AS price,
+                 CAST(json_extract_string(props, '$.k') AS DOUBLE) AS qty, ts
+          FROM events WHERE event_type = 'click'
+        ),
+        base AS (
+          SELECT date_trunc('minute', ts) AS minute, price, qty,
+                 row_number() OVER (PARTITION BY date_trunc('minute', ts)
+                                    ORDER BY ts, trade_id) AS rn_a,
+                 row_number() OVER (PARTITION BY date_trunc('minute', ts)
+                                    ORDER BY ts DESC, trade_id DESC) AS rn_d
+          FROM t
+          WHERE ts >= TIMESTAMP '2024-01-29 00:00:30'
+        )
+        SELECT minute,
+               max(CASE WHEN rn_a = 1 THEN price END) AS open,
+               max(price) AS high,
+               min(price) AS low,
+               max(CASE WHEN rn_d = 1 THEN price END) AS close,
+               sum(qty) AS volume,
+               count(*) AS trades
+        FROM base GROUP BY minute ORDER BY minute
+    """,
+    # identical oracle: the cutoff only routes WHICH tier serves a minute,
+    # never the values — plain re-aggregation is the contract for both
+    "ohlcv_hybrid_replay_unaligned": """
         WITH t AS (
           SELECT event_id AS trade_id, value AS price,
                  CAST(json_extract_string(props, '$.k') AS DOUBLE) AS qty, ts
