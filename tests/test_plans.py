@@ -123,6 +123,29 @@ def test_pq_probe_reads_pruned_partitions(spark):
     assert got == want
 
 
+def test_dataset_assembly_plan_shapes(spark):
+    """Assembly-family scale shapes: sampling is selection-by-projection
+    (no Join anywhere; only the accounting aggregate shuffles), and
+    packing is one shard-keyed window + the accounting aggregate — no
+    Join, no extra Exchange beyond window/agg/sort."""
+    for name in ("corpus_sample_stratified", "corpus_shard"):
+        plan = _plan(spark, name)
+        assert "Join" not in plan, name
+    pack = _plan(spark, "corpus_pack")
+    assert "Join" not in pack
+    assert "Window" in pack
+    assert pack.count("Exchange") <= 3  # window + partial/final agg + sort
+
+
+def test_phash_band_joins_are_hash_joins_not_bnl(spark):
+    """The image near-dup candidates must come from band equi-joins —
+    never a nested-loop pair scan (the O(pairs) shape this family bans)."""
+    plan = _plan(spark, "mm_phash_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
 def test_q17_threshold_join_broadcasts(spark):
     plan = _plan(spark, "tpch_q17")
     assert "BroadcastHashJoin" in plan
