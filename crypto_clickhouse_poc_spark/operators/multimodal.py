@@ -31,6 +31,7 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..tables import load
 
@@ -384,6 +385,36 @@ def phash_pairs(images: DataFrame) -> DataFrame:
     return out.where(F.col("hamming") <= PHASH_HAMMING_MAX)
 
 
+def mm_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup CLUSTERS: connected components over the phash pair
+    graph, canonical = the cluster's smallest media_id — the image-modality
+    twin of ``dedup.dedup_clusters``, reusing the same min-label-propagation
+    fixpoint (``dedup.min_label_clusters``). This is the curation output a
+    pipeline consumes (keep one image per cluster); on the word-soup
+    fixture the pair graph is legitimately empty (see ``mm_phash_pairs``),
+    so every image is its own canonical — the oracle checks exactly that,
+    and real clustering is exercised on planted perturbed payloads in
+    tests/test_lsh_quality.py.
+    """
+    from .dedup import min_label_clusters
+
+    m = media_table(spark, sf_dir).where(
+        (F.col("modality") == "image") & (F.col("n_bytes") >= PHASH_CELLS)
+    )
+    pairs = phash_pairs(m.select("media_id", "payload")).select(
+        F.col("media_a").alias("doc_a"), F.col("media_b").alias("doc_b")
+    )
+    nodes = m.select(F.col("media_id").alias("doc_id"))
+    clusters = min_label_clusters(nodes, pairs)
+    w = Window.partitionBy("cluster")
+    return (
+        clusters.select(F.col("doc_id").alias("media_id"), "cluster")
+        .withColumn("cluster_n", F.count("*").over(w))
+        .withColumn("is_canonical", (F.col("media_id") == F.col("cluster")).cast("int"))
+        .orderBy("media_id")
+    )
+
+
 QUERIES = {
     "mm_catalog": mm_catalog,
     "mm_byte_features": mm_byte_features,
@@ -391,6 +422,7 @@ QUERIES = {
     "mm_frame_sample": mm_frame_sample,
     "mm_audio_windows": mm_audio_windows,
     "mm_phash_pairs": mm_phash_pairs,
+    "mm_phash_clusters": mm_phash_clusters,
 }
 
 # Media-table derivation shared by every oracle. Fixture text is pure ASCII,
@@ -537,4 +569,33 @@ ORACLES["mm_phash_pairs"] = f"""
     )
     SELECT media_a, media_b, hamming FROM pairs
     WHERE hamming <= {PHASH_HAMMING_MAX}
+"""
+
+ORACLES["mm_phash_clusters"] = f"""
+    WITH RECURSIVE prs AS ({ORACLES["mm_phash_pairs"]}),
+    {_MEDIA_CTE},
+    nodes AS (
+      SELECT media_id FROM media
+      WHERE modality = 'image' AND n_bytes >= {PHASH_CELLS}
+    ),
+    edges AS (
+      SELECT media_a AS a, media_b AS b FROM prs
+      UNION SELECT media_b, media_a FROM prs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    lbl AS (
+      SELECT n.media_id,
+             least(n.media_id, coalesce(min(r.b), n.media_id)) AS cluster
+      FROM nodes n LEFT JOIN reach r ON r.a = n.media_id
+      GROUP BY n.media_id
+    )
+    SELECT media_id, cluster,
+           count(*) OVER (PARTITION BY cluster) AS cluster_n,
+           CASE WHEN media_id = cluster THEN 1 ELSE 0 END AS is_canonical
+    FROM lbl
+    ORDER BY media_id
 """

@@ -154,6 +154,19 @@ def test_phash_finds_planted_perturbed_images(spark):
     unrelated = [(a, b) for (a, b) in got if a < 1000 and b < 1000]
     assert not unrelated, unrelated
 
+    # clustering over the same planted graph: each recovered pair collapses
+    # into one cluster with the base id as canonical
+    from crypto_clickhouse_poc_spark.operators.dedup import min_label_clusters
+    from pyspark.sql import functions as F
+
+    pairs_df = phash_pairs(images).select(
+        F.col("media_a").alias("doc_a"), F.col("media_b").alias("doc_b")
+    )
+    nodes = images.select(F.col("media_id").alias("doc_id"))
+    cl = {r["doc_id"]: r["cluster"] for r in min_label_clusters(nodes, pairs_df).collect()}
+    for a, b in truth & got.keys():
+        assert cl[b] == cl[a] == a  # dup joins its base's cluster, base canonical
+
 
 def test_kmeans_training_improves_objective(spark):
     """Lloyd rounds must improve the spherical k-means objective (mean
