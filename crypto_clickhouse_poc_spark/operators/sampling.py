@@ -13,9 +13,18 @@ after cleaning/dedup (``text.corpus_prepare*``), each in its scale shape:
 - **Weighted mixing** — hit target language proportions exactly, limited
   by availability: the feasible total is min over strata of
   (available / weight); each stratum keeps its ``floor(weight · total)``
-  smallest-hash docs (rank by (md5, doc_id) within the stratum — one
-  shuffle keyed by the stratum, the same layout the downstream per-source
-  writer needs anyway).
+  smallest-(md5, doc_id) docs. Selection is two-pass hash-threshold
+  (distributed selection), NOT a per-stratum global rank: with a handful
+  of language strata, ``row_number() OVER (PARTITION BY lang)`` would
+  funnel each stratum's FULL row set through one task's sort — a
+  single-task straggler at 100 TB. Instead pass 1 histograms the 16-bit
+  md5 bucket per stratum (one well-distributed aggregate keyed by
+  (lang, bucket)), locates the quota boundary bucket from the ≤65 536-row
+  histogram, and pass 2 keeps rows below the boundary via a per-row
+  comparison — only the boundary bucket itself (≤ n/65 536 of the
+  stratum) is ever ranked. Identical keep-set to the rank formulation,
+  bit-for-bit (md5 hex is fixed-length, so lexicographic (md5, doc_id)
+  order refines bucket order).
 - **Sharding** — output-file assignment by hash bucket modulo shard
   count: per-row map + one accounting aggregate; balance is verifiable
   from the rollup (and is a property test below the oracle gate).
@@ -74,23 +83,34 @@ def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted corpus mixing: downsample each language to hit the
-    MIX_WEIGHTS proportions exactly, capped by availability.
-
-    feasible_total = min over strata of floor(available / weight); each
-    stratum keeps its floor(weight · feasible_total) smallest-(md5,
-    doc_id) docs — deterministic, and the per-stratum rank is ONE shuffle
-    keyed by lang. Output: per-language accounting (weight, available,
-    kept, achieved share of the mixture).
-    """
+def _mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixing candidate set: docs in a weighted language, with their
+    target weight and 16-bit hash bucket attached (all per-row maps)."""
     d = load(spark, sf_dir, "documents").select("doc_id", "lang")
     d = d.where(F.col("lang").isin(sorted(MIX_WEIGHTS)))
     weight = F.lit(None).cast("double")
     for lang, wt in sorted(MIX_WEIGHTS.items()):
         weight = F.when(F.col("lang") == lang, F.lit(wt)).otherwise(weight)
-    d = d.withColumn("weight", weight)
-    avail = d.groupBy("lang", "weight").agg(F.count("*").alias("n_avail"))
+    return d.withColumn("weight", weight).withColumn(
+        "bkt", _bucket16(F.col("doc_id"))
+    )
+
+
+def _mix_bounds(d: DataFrame) -> DataFrame:
+    """Pass 1 of the two-pass threshold selection: per stratum, the bucket
+    histogram, quota, full-keep prefix, boundary bucket, and the residual
+    count to take from the boundary bucket. One (lang, bkt)-keyed
+    aggregate over the data; everything after runs on the ≤65 536-row
+    per-stratum histogram. Output is one row per stratum (broadcastable).
+    """
+    hist = d.groupBy("lang", "weight", "bkt").agg(F.count("*").alias("c"))
+    wb = (
+        Window.partitionBy("lang")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(wb))
+    avail = cum.groupBy("lang", "weight").agg(F.sum("c").alias("n_avail"))
     total = avail.agg(
         F.min(F.floor(F.col("n_avail") / F.col("weight"))).alias("feasible_total")
     )
@@ -100,13 +120,93 @@ def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_avail",
         F.floor(F.col("weight") * F.col("feasible_total")).alias("quota"),
     )
-    w = Window.partitionBy("lang").orderBy(
+    # cum is monotone in bkt within a stratum, so {bkt : cum <= quota} is a
+    # prefix: full_max = last fully-kept bucket, boundary_bkt = the single
+    # partially-kept bucket, remaining = rows still owed from it.
+    return (
+        cum.join(F.broadcast(quota), ["lang", "weight"])
+        .groupBy("lang", "weight", "n_avail", "quota")
+        .agg(
+            F.max(F.when(F.col("cum") <= F.col("quota"), F.col("bkt"))).alias(
+                "full_max"
+            ),
+            F.max(F.when(F.col("cum") <= F.col("quota"), F.col("cum"))).alias(
+                "cum_full"
+            ),
+            F.min(F.when(F.col("cum") > F.col("quota"), F.col("bkt"))).alias(
+                "boundary_bkt"
+            ),
+        )
+        .withColumn(
+            "remaining", F.col("quota") - F.coalesce(F.col("cum_full"), F.lit(0))
+        )
+    )
+
+
+def _mix_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pass 2: the kept doc set. The per-stratum bounds (ONE row per
+    stratum — 3 here, never more than the number of languages being
+    mixed) are collected and inlined as literals, the same
+    bounded-collect pattern as the IVF centroid fold (similarity.py):
+    pass 1 runs exactly once, and the full-keep branch becomes a pure
+    per-row comparison — no Join, no Exchange, nothing to recompute per
+    plan branch. ONLY the boundary bucket's rows (≤ n/65 536 of each
+    stratum) go through the (md5, doc_id) rank. Same keep-set as ranking
+    the whole stratum, without ever sorting it."""
+    return _mix_kept_from(_mix_docs(spark, sf_dir))
+
+
+def _mix_kept_from(d: DataFrame) -> DataFrame:
+    """Two-pass selection over a prepared (doc_id, lang, weight, bkt)
+    frame. Equivalent to ranking each stratum by (bkt, md5(doc_id),
+    doc_id) and keeping the first quota rows; with the real ``_bucket16``
+    column that order IS (md5, doc_id) order. The property test forces
+    bucket collisions with a tiny synthetic bkt space to exercise the
+    boundary-bucket partial rank, which real 16-bit buckets only hit at
+    scale."""
+    bounds = _mix_bounds(d).collect()  # bounded: one row per stratum
+    full_cond = F.lit(False)
+    boundary_cond = F.lit(False)
+    remaining = F.lit(0).cast("bigint")
+    n_avail = F.lit(None).cast("bigint")
+    for b in sorted(bounds, key=lambda r: r["lang"]):
+        is_lang = F.col("lang") == b["lang"]
+        full_max = -1 if b["full_max"] is None else int(b["full_max"])
+        full_cond = F.when(
+            is_lang, F.col("bkt") <= F.lit(full_max)
+        ).otherwise(full_cond)
+        if b["boundary_bkt"] is not None and b["remaining"] > 0:
+            boundary_cond = F.when(
+                is_lang, F.col("bkt") == F.lit(int(b["boundary_bkt"]))
+            ).otherwise(boundary_cond)
+        remaining = F.when(is_lang, F.lit(int(b["remaining"]))).otherwise(remaining)
+        n_avail = F.when(is_lang, F.lit(int(b["n_avail"]))).otherwise(n_avail)
+    d = d.withColumn("n_avail", n_avail)
+    full = d.where(full_cond)
+    wp = Window.partitionBy("lang").orderBy(
         F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
     )
-    ranked = d.withColumn("rk", F.row_number().over(w))
-    kept = ranked.join(F.broadcast(quota), ["lang", "weight"]).where(
-        F.col("rk") <= F.col("quota")
+    partial = (
+        d.where(boundary_cond)
+        .withColumn("rk", F.row_number().over(wp))
+        .where(F.col("rk") <= remaining)
     )
+    cols = ["doc_id", "lang", "weight", "n_avail"]
+    return full.select(*cols).unionByName(partial.select(*cols))
+
+
+def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing: downsample each language to hit the
+    MIX_WEIGHTS proportions exactly, capped by availability.
+
+    feasible_total = min over strata of floor(available / weight); each
+    stratum keeps its floor(weight · feasible_total) smallest-(md5,
+    doc_id) docs via two-pass hash-threshold selection (see module
+    docstring and ``_mix_bounds``/``_mix_kept`` — no full-stratum sort
+    anywhere). Output: per-language accounting (weight, available, kept,
+    achieved share of the mixture).
+    """
+    kept = _mix_kept(spark, sf_dir)
     per_lang = kept.groupBy("lang", "weight", "n_avail").agg(
         F.count("*").alias("n_kept")
     )

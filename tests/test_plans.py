@@ -265,3 +265,36 @@ def test_q13_left_join_keeps_filter_in_join_not_above(spark):
     assert "LeftOuter" in plan
     # the priority exclusion is pushed into the orders scan
     assert "o_orderpriority" in plan.split("PushedFilters", 1)[1]
+
+
+def test_corpus_mix_no_full_stratum_rank(spark):
+    """corpus_mix selection must never sort a whole stratum (the r5
+    straggler shape: row_number over PARTITION BY lang with ~3 strata put
+    each stratum's FULL row set through one task). Two-pass threshold
+    selection: the full-keep branch is a pure per-row comparison — no
+    Join, no Window — and the only rank runs over the boundary-bucket
+    filter (≤ n/65 536 of the data)."""
+    from pyspark.sql import functions as F
+
+    from crypto_clickhouse_poc_spark.operators import sampling as S
+
+    plan = str(S._mix_kept(spark, SF_CORRECT)._jdf.queryExecution().executedPlan())
+    assert "Join" not in plan
+    # at sf0.01 every doc has a distinct 16-bit bucket, so quotas land on
+    # bucket edges and the partial branch prunes away entirely
+    # (remaining == 0): the whole selection is shuffle-free
+    assert "Exchange" not in plan and "Window" not in plan
+
+    # forced-collision variant (tiny bucket space) exercises the partial
+    # rank: still no Join, and the ONLY Exchange is the boundary-filtered
+    # window input — never the raw stratum
+    d = S._mix_docs(spark, SF_CORRECT).withColumn("bkt", F.col("bkt") % 4)
+    plan2 = str(S._mix_kept_from(d)._jdf.queryExecution().executedPlan())
+    assert "Join" not in plan2
+    assert plan2.count("row_number") >= 1
+    assert plan2.count("Exchange") <= 1
+    # the rank's input (printed below the Window, root-first) carries the
+    # boundary-bucket equality filter (Catalyst inlines the bkt expression,
+    # so match the collapsed `<md5-bucket> % 4) = <literal>` form)
+    after = plan2.split("row_number", 1)[1]
+    assert "Filter" in after and "% 4) = " in after

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from crypto_clickhouse_poc_spark.plans import layout
 from crypto_clickhouse_poc_spark.streaming import bars
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_CORRECT, SF_SMOKE
 
 SCHEMA = "symbol string, trade_id long, price double, qty double, ts timestamp, is_buyer_maker int, ingested_at timestamp"
 
@@ -279,3 +279,39 @@ def test_ewma_moment_invariants(seed):
     for _ in range(50):
         mean, var, n, z = ewma_step(mean, var, n, 42.0)
         assert var == 0.0 and (z is None)
+
+
+@pytest.mark.parametrize("n_buckets", [1, 4, 32])
+def test_corpus_mix_two_pass_equals_full_rank(spark, n_buckets):
+    """The two-pass hash-threshold selection (histogram → boundary bucket
+    → partial rank) must keep EXACTLY the docs a full per-stratum rank by
+    (bkt, md5, doc_id) keeps. Tiny synthetic bucket spaces force heavy
+    bucket collisions (n_buckets=1 degenerates to 'everything is the
+    boundary bucket'), the regime real 16-bit buckets only hit at scale."""
+    from pyspark.sql.window import Window
+
+    from crypto_clickhouse_poc_spark.operators import sampling as S
+
+    d = S._mix_docs(spark, SF_CORRECT).withColumn(
+        "bkt", F.col("bkt") % n_buckets
+    )
+    got = {r.doc_id for r in S._mix_kept_from(d).collect()}
+
+    avail = d.groupBy("lang", "weight").agg(F.count("*").alias("n_avail"))
+    total = avail.agg(
+        F.min(F.floor(F.col("n_avail") / F.col("weight"))).alias("ft")
+    )
+    quota = avail.crossJoin(F.broadcast(total)).select(
+        "lang", F.floor(F.col("weight") * F.col("ft")).alias("quota")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        "bkt", F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    want = {
+        r.doc_id
+        for r in d.withColumn("rk", F.row_number().over(w))
+        .join(F.broadcast(quota), "lang")
+        .where(F.col("rk") <= F.col("quota"))
+        .collect()
+    }
+    assert got == want
