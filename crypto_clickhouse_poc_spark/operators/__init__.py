@@ -62,6 +62,22 @@ _MODULES = (
 # (reference §2.10 public surface, then the streaming MV + physical-layout
 # paths that round 1 left unchecked) in case the window is ever time-bound
 # rather than count-bound.
+#
+# Round-6 rotation (round-5 verdict item #2): the round-5 families —
+# dataset assembly (sampling.py) and perceptual-hash image near-dup
+# (multimodal.py) — were pytest-only; three strict-twin entries rotated
+# out so each new family gets a driver hash verdict:
+#   doc_token_counts -> corpus_pack        (token_counts twins doc_stats's
+#                                           per-row text map, which stays)
+#   ev_user_counts   -> corpus_mix         (user_counts twins ev_top_types'
+#                                           groupBy-count; mix carries the
+#                                           r6 two-pass threshold selection)
+#   mm_resize        -> mm_phash_clusters  (resize twins the two declared
+#                                           mapInPandas kernels that stay;
+#                                           clusters subsumes mm_phash_pairs
+#                                           — non-empty on the fixture where
+#                                           the pair graph legitimately
+#                                           isn't — and the dedup fixpoint)
 _DECLARED = (
     # reference §2.10 public query surface (api/server.py:57-200)
     "ev_count",
@@ -96,27 +112,29 @@ _DECLARED = (
     # hypertable rollup cascade + KMV distinct sketch
     "ev_ohlcv_multires",
     "ev_user_kmv",
-    # multimodal kernels (audio_windows twins frame_sample's fan-out — library)
+    # multimodal kernels (audio_windows twins frame_sample's fan-out,
+    # mm_resize twins the two kept mapInPandas kernels — library) + image
+    # near-dup clusters (subsumes mm_phash_pairs)
     "mm_byte_features",
-    "mm_resize",
+    "mm_phash_clusters",
     "mm_frame_sample",
     # events analytics (windows, grouping sets, set ops, quantiles, funnel)
     "ev_user_setops",
     "ev_sessionize",
     "ev_price_quantiles",
-    "ev_user_counts",
     "ev_minute_momentum",
     "ev_type_user_cube",
     "ev_price_histogram",
     "ev_ohlcv_gapfill",
     "ev_funnel",
-    # text / LLM-pipeline
+    # text / LLM-pipeline + dataset assembly
     "doc_stats",
-    "doc_token_counts",
     "doc_langid_ngram",
     "corpus_top_tokens",
     "doc_winnow",
     "corpus_prepare",
+    "corpus_mix",
+    "corpus_pack",
     # joins: TPC-H representative set (agg-only, join+topk, multiway
     # broadcast, pure scan, conditional agg, correlated scalar subquery,
     # semi+anti, anti+scalar-avg, ROLLUP)
