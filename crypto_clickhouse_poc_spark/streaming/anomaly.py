@@ -56,6 +56,42 @@ def ewma_step(
     return mean, var, n + 1, z
 
 
+def _fold_batch(
+    symbol: str, rows: pd.DataFrame, mean: float, var: float, n: int
+) -> tuple[pd.DataFrame | None, float, float, int]:
+    """The per-key recurrence over one sorted batch. The walk reads plain
+    numpy scalars from a pre-extracted price array — the recurrence is
+    inherently order-dependent so the LOOP stays, but there is no per-row
+    pandas Series construction (iterrows) on the hot path, and the flagged
+    output frame is built in one vectorized `.iloc` selection."""
+    prices = rows["price"].to_numpy(dtype=float)
+    flagged: list[int] = []
+    ewmas: list[float] = []
+    zscores: list[float] = []
+    for i in range(len(prices)):
+        price = prices[i]
+        prior_mean = mean
+        mean, var, n, z = ewma_step(mean, var, n, price)
+        if z is not None and abs(z) > Z_THRESHOLD:
+            flagged.append(i)
+            ewmas.append(prior_mean)
+            zscores.append(z)
+    if not flagged:
+        return None, mean, var, n
+    sel = rows.iloc[flagged]
+    out = pd.DataFrame(
+        {
+            "symbol": symbol,
+            "trade_id": sel["trade_id"].to_numpy(),
+            "ts": sel["ts"].to_numpy(),
+            "price": prices[flagged],
+            "ewma": ewmas,
+            "zscore": zscores,
+        }
+    )
+    return out, mean, var, n
+
+
 def _flag_anomalies(
     key: Tuple[Any], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
@@ -66,20 +102,10 @@ def _flag_anomalies(
     rows = pd.concat(chunks, ignore_index=True)
     rows = rows.sort_values(["ts", "trade_id"])
     mean, var, n = state.get if state.exists else (0.0, 0.0, 0)
-    out: list[tuple] = []
-    for _, r in rows.iterrows():
-        price = float(r["price"])
-        prior_mean = mean
-        mean, var, n, z = ewma_step(mean, var, n, price)
-        if z is not None and abs(z) > Z_THRESHOLD:
-            out.append(
-                (symbol, int(r["trade_id"]), r["ts"], price, prior_mean, z)
-            )
+    out, mean, var, n = _fold_batch(symbol, rows, mean, var, n)
     state.update((mean, var, n))
-    if out:
-        yield pd.DataFrame(
-            out, columns=["symbol", "trade_id", "ts", "price", "ewma", "zscore"]
-        )
+    if out is not None:
+        yield out
 
 
 def flag_price_anomalies(trades: DataFrame) -> DataFrame:
@@ -134,21 +160,10 @@ def flag_price_anomalies_tws(trades: DataFrame) -> DataFrame:
             mean, var, n = (
                 self._moments.get() if self._moments.exists() else (0.0, 0.0, 0)
             )
-            out: list[tuple] = []
-            for _, r in data.iterrows():
-                price = float(r["price"])
-                prior_mean = mean
-                mean, var, n, z = ewma_step(mean, var, n, price)
-                if z is not None and abs(z) > Z_THRESHOLD:
-                    out.append(
-                        (symbol, int(r["trade_id"]), r["ts"], price, prior_mean, z)
-                    )
+            out, mean, var, n = _fold_batch(symbol, data, mean, var, n)
             self._moments.update((mean, var, n))
-            if out:
-                yield pd.DataFrame(
-                    out,
-                    columns=["symbol", "trade_id", "ts", "price", "ewma", "zscore"],
-                )
+            if out is not None:
+                yield out
 
         def close(self) -> None:
             pass
