@@ -170,15 +170,29 @@ def recover_compaction(path: str) -> str | None:
         shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
         return None
-    # _SUCCESS marks a completed Spark write — a partial tmp is never promoted
+    # _SUCCESS marks a completed Spark write — a partial tmp is never promoted.
+    # Renames tolerate a concurrent healer (two readers can both observe the
+    # live path absent): the rename loser's OSError is success as long as the
+    # live path exists by then — mirrors trades._layout_table's rename-loser
+    # handling.
     if tmp.exists() and (tmp / "_SUCCESS").exists():
-        tmp.rename(dest)
+        try:
+            tmp.rename(dest)
+        except OSError:
+            if not dest.exists():
+                raise
         shutil.rmtree(old, ignore_errors=True)
         return "promoted_tmp"
     if old.exists():
-        old.rename(dest)
+        try:
+            old.rename(dest)
+        except OSError:
+            if not dest.exists():
+                raise
         shutil.rmtree(tmp, ignore_errors=True)
         return "restored_old"
+    if dest.exists():  # a concurrent healer finished while we were looking
+        return None
     raise FileNotFoundError(f"no table and no compaction leftovers at {path}")
 
 

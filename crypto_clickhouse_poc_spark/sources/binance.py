@@ -189,6 +189,12 @@ class LiveTradesReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict):
         self._ensure_started()
+        # seed from the engine-supplied offset: after a checkpoint restart a
+        # fresh reader instance starts at _seq=0, and counting from there
+        # would regress offsets below the checkpointed seq (offsets must be
+        # unique and monotone even though the live data itself is
+        # at-least-once).
+        self._seq = max(self._seq, int(start.get("seq", 0)))
         drained = []
         while self._buffer:
             drained.append(self._buffer.popleft())

@@ -29,6 +29,12 @@ _GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 
 OP_CONT, OP_TEXT, OP_BINARY, OP_CLOSE, OP_PING, OP_PONG = 0, 1, 2, 8, 9, 10
 
+# A frame's wire length field is up to 64 bits; buffering whatever a
+# misbehaving server advertises would let one frame exhaust driver memory
+# (the reader's deque bounds message COUNT, not message size). Trade
+# messages are <1 KB; 16 MB is orders of magnitude of headroom.
+MAX_FRAME_BYTES = 16 * 1024 * 1024
+
 
 def accept_token(key: str) -> str:
     """Server handshake response token for a client key (RFC 6455 §4.2.2)."""
@@ -128,6 +134,8 @@ class WSClient:
             (n,) = struct.unpack(">H", self._read_exact(2))
         elif n == 127:
             (n,) = struct.unpack(">Q", self._read_exact(8))
+        if n > MAX_FRAME_BYTES:
+            raise ConnectionError(f"frame of {n} bytes exceeds {MAX_FRAME_BYTES}")
         key = self._read_exact(4) if masked else None
         payload = self._read_exact(n)
         if key:  # tolerated though servers must not mask (RFC 6455 §5.1)

@@ -156,3 +156,30 @@ def test_apply_retention_drops_old_months(spark, tmp_path):
     dropped = layout.apply_retention(path, cutoff_month="202402")
     assert dropped == ["p_month=202401"]
     assert layout.read_table(spark, path).count() == 20
+
+
+def test_recover_compaction_tolerates_concurrent_healer(tmp_path, monkeypatch):
+    """Two readers can both observe the live path absent and race to heal;
+    the rename loser must treat 'dest exists now' as success instead of
+    propagating OSError out of read_table (the table IS healthy)."""
+    from pathlib import Path
+
+    dest = tmp_path / "t"
+    tmp = tmp_path / "t.compact.tmp"
+    tmp.mkdir()
+    (tmp / "_SUCCESS").touch()
+
+    real_rename = Path.rename
+
+    def losing_rename(self, target):
+        # the other healer promotes dest the instant before our rename lands
+        Path(target).mkdir(exist_ok=True)
+        raise OSError("rename: target exists")
+
+    monkeypatch.setattr(Path, "rename", losing_rename)
+    assert layout.recover_compaction(str(dest)) == "promoted_tmp"
+    monkeypatch.setattr(Path, "rename", real_rename)
+
+    # and when the other healer already finished entirely (no leftovers,
+    # dest present), recovery is a no-op rather than FileNotFoundError
+    assert layout.recover_compaction(str(dest)) is None

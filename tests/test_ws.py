@@ -264,3 +264,39 @@ def test_live_ws_pipeline_through_streaming(spark, tmp_path):
     }
     assert got == want
     assert df.where(F.col("price").isNull() | F.col("ts").isNull()).count() == 0
+
+
+def test_oversize_frame_rejected_before_buffering():
+    """A frame advertising a multi-GB payload must be rejected from the
+    length field alone — never buffered (the deque caps message count,
+    not message size; this cap bounds per-message memory)."""
+    import struct
+
+    from crypto_clickhouse_poc_spark.sources.ws import MAX_FRAME_BYTES
+
+    c = object.__new__(WSClient)
+    # FIN|binary, unmasked 64-bit length of 4 GiB — no payload follows
+    c._rbuf = bytes([0x82, 127]) + struct.pack(">Q", 1 << 32)
+    c._sock = None  # must never be touched: the cap fires first
+    with pytest.raises(ConnectionError, match="exceeds"):
+        c._read_frame()
+    # boundary: exactly MAX_FRAME_BYTES is allowed through the length check
+    c._rbuf = bytes([0x82, 127]) + struct.pack(">Q", MAX_FRAME_BYTES)
+    with pytest.raises(AttributeError):  # proceeds to read payload from _sock
+        c._read_frame()
+
+
+def test_live_reader_seq_resumes_from_checkpoint_offset():
+    """After a restart the engine hands read() the checkpointed offset; a
+    fresh reader must seed its counter from it so offsets never regress
+    or repeat (offset uniqueness/monotonicity)."""
+    rdr = LiveTradesReader({"url": "ws://127.0.0.1:1/", "max_retries": "0"})
+    rdr._thread = object()  # pretend the pump is running; no network
+    rdr._buffer.extend(["m1", "m2"])
+    msgs, end = rdr.read({"seq": 500})
+    assert len(list(msgs)) == 2
+    assert end == {"seq": 502}
+    # and a later batch continues monotonically from the new offset
+    rdr._buffer.extend(["m3"])
+    _, end2 = rdr.read(end)
+    assert end2 == {"seq": 503}
