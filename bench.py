@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "ev_cohort_retention",
     "ev_ohlcv_multires",
     "ev_user_kmv",
+    "ev_type_activity_salted",
     # joins
     "tpch_q1",
     "tpch_q3",
@@ -68,8 +69,11 @@ BENCH_QUERIES = [
     # text / dedup / similarity (scale paths)
     "doc_stats",
     "doc_fingerprints",
+    "doc_repetition",
     "corpus_prepare",
     "corpus_pack",
+    "corpus_decontaminate",
+    "corpus_pii_scan",
     "dedup_exact",
     "dedup_simhash",
     "dedup_minhash_summary",

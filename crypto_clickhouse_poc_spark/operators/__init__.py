@@ -19,6 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import (
+    curation,
     dedup,
     multimodal,
     quality,
@@ -44,6 +45,7 @@ _MODULES = (
     sqlapi,
     quality,
     sampling,
+    curation,
 )
 
 # Declared driver surface: exactly 50 entries, every one oracle-checked.

@@ -869,6 +869,43 @@ def ev_user_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_type_activity_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key fact→dim join through the static-salting fallback tier
+    (``plans.skew.salted_join``): events are joined to their per-type
+    rollup dimension ON the canonical skewed key (``event_type`` — a
+    handful of values carrying all rows, exactly the shape where one
+    reducer gets the hot key's entire row set).
+
+    Semantics are EXACTLY the plain equi-join's — the oracle is the plain
+    SQL join, and ``n_events == n_type`` by construction, so any salting
+    defect (dropped or duplicated sub-key rows) breaks the value hash.
+    Plan note: at fixture scale Catalyst broadcasts the exploded dim
+    (types × 8 salt rows) and salting costs nothing; with broadcast
+    disabled the join shuffles on (event_type, salt) — 8 tasks per hot
+    key instead of one straggler (locked in
+    ``test_results_survive_broadcast_disable`` and ``tests/test_skew.py``).
+    """
+    from pyspark.sql.window import Window
+
+    from ..plans.skew import salted_join
+
+    e = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    dim = e.groupBy("event_type").agg(F.count("*").alias("n_type"))
+    dim = dim.withColumn(
+        "type_rank",
+        F.row_number().over(Window.orderBy(F.desc("n_type"), F.col("event_type"))),
+    )  # global window over the handful of type rows, never the fact
+    joined = salted_join(e, dim, on="event_type", buckets=8)
+    return (
+        joined.groupBy("event_type", "n_type", "type_rank")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "ev_count": ev_count,
     "ev_latest": ev_latest,
@@ -891,6 +928,7 @@ QUERIES = {
     "ev_layout_pruned": ev_layout_pruned,
     "ev_ohlcv_multires": ev_ohlcv_multires,
     "ev_user_kmv": ev_user_kmv,
+    "ev_type_activity_salted": ev_type_activity_salted,
     "ev_props_variant": ev_props_variant,
     # approximate twins: intentionally absent from ORACLES (rows-only check)
     "ev_user_counts_approx": ev_user_counts_approx,
@@ -1212,5 +1250,21 @@ ORACLES = {
                           ELSE 15.0 / h_k END, 2) AS n_kmv
         FROM sk JOIN ex USING (event_type)
         ORDER BY event_type
+    """,
+    "ev_type_activity_salted": """
+        WITH dim AS (
+          SELECT event_type, count(*) AS n_type FROM events GROUP BY event_type
+        ),
+        rk AS (
+          SELECT event_type, n_type,
+                 row_number() OVER (ORDER BY n_type DESC, event_type) AS type_rank
+          FROM dim
+        )
+        SELECT e.event_type, r.n_type, r.type_rank,
+               count(*) AS n_events,
+               round(sum(e.value), 2) AS sum_value
+        FROM events e JOIN rk r USING (event_type)
+        GROUP BY e.event_type, r.n_type, r.type_rank
+        ORDER BY e.event_type
     """,
 }

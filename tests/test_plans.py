@@ -216,7 +216,7 @@ def test_bar_windows_sort_bars_not_events(spark):
         assert 0 <= plan.index("Window") < agg, name
 
 
-@pytest.mark.parametrize("name", ["tpch_q3", "tpch_q5", "tpch_q17", "asof_last_click_price"])
+@pytest.mark.parametrize("name", ["tpch_q3", "tpch_q5", "tpch_q17", "asof_last_click_price", "ev_type_activity_salted", "corpus_decontaminate"])
 def test_results_survive_broadcast_disable(spark, name):
     """Forced-broadcast hints must degrade gracefully: with the broadcast
     threshold off, plans fall back to shuffled joins and values are
@@ -298,3 +298,18 @@ def test_corpus_mix_no_full_stratum_rank(spark):
     # so match the collapsed `<md5-bucket> % 4) = <literal>` form)
     after = plan2.split("row_number", 1)[1]
     assert "Filter" in after and "% 4) = " in after
+
+
+def test_curation_plan_shapes(spark):
+    """Curation-family scale shapes: repetition and PII are per-row maps
+    (no Join; only agg/sort exchanges), and decontamination's holdout
+    n-gram set broadcasts — the fact side is never a shuffle-join input."""
+    for name, max_ex in (("doc_repetition", 1), ("corpus_pii_scan", 2)):
+        plan = _plan(spark, name)
+        assert "Join" not in plan, name
+        assert plan.count("Exchange") <= max_ex, name
+    plan = _plan(spark, "corpus_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
