@@ -25,6 +25,7 @@ from . import (
     quality,
     sampling,
     similarity,
+    skipidx,
     sqlapi,
     streaming_q,
     temporal,
@@ -46,6 +47,7 @@ _MODULES = (
     quality,
     sampling,
     curation,
+    skipidx,
 )
 
 # Declared driver surface: exactly 50 entries, every one oracle-checked.
