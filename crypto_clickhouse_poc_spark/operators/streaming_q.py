@@ -201,11 +201,38 @@ def kmv_partials_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quantile_partials_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch streaming for QUANTILES: per-flush fixed-width
+    histogram partials merged at read time (``streaming/quantiles.py``) —
+    the T2 partial-aggregate MV pattern extended to distributions.
+
+    Three interleaved flush batches each emit (type, bucket, cnt); the
+    merge sums counts (associative ⇒ flush-order-independent) and extracts
+    p50/p90/p99 as the upper edge of the rank-covering bucket. Exactly
+    equals the one-shot histogram — the oracle computes that directly. At
+    100 TB this maintains latency/price percentiles incrementally with
+    O(types × buckets) state and no history rescan; error is bounded by
+    the bucket width (5.0), a layout constant, unlike approx_percentile
+    whose GK sketch is merge-order-dependent (and thus unhashable).
+    """
+    from ..streaming import quantiles as Q
+
+    e = _events(spark, sf_dir)
+    parts = None
+    for i in range(3):
+        p = Q.hist_partials(
+            e.where(F.col("event_id") % 3 == i), value_col="price", key="event_type"
+        )
+        parts = p if parts is None else parts.unionAll(p)
+    return Q.merge_quantiles(parts).orderBy("key")
+
+
 QUERIES = {
     "stream_ohlcv_replay": stream_ohlcv_replay,
     "ohlcv_hybrid_replay": ohlcv_hybrid_replay,
     "ohlcv_hybrid_replay_unaligned": ohlcv_hybrid_replay_unaligned,
     "kmv_partials_replay": kmv_partials_replay,
+    "quantile_partials_replay": quantile_partials_replay,
 }
 
 ORACLES = {
@@ -307,5 +334,26 @@ ORACLES = {
                           ELSE 15.0 / max(frac) END, 2) AS n_kmv
         FROM topk WHERE rn <= 16 GROUP BY event_type
         ORDER BY event_type
+    """,
+    # the one-shot histogram the flushed partials must merge to exactly
+    # (bucket = floor(value/5.0): IEEE division + floor, engine-identical)
+    "quantile_partials_replay": """
+        WITH b AS (
+          SELECT event_type AS key,
+                 CAST(floor(value / 5.0) AS BIGINT) AS bucket,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1, 2
+        ),
+        c AS (
+          SELECT key, bucket,
+                 CAST(sum(cnt) OVER (PARTITION BY key ORDER BY bucket) AS BIGINT) AS cum,
+                 CAST(sum(cnt) OVER (PARTITION BY key) AS BIGINT) AS n
+          FROM b
+        )
+        SELECT key, max(n) AS n,
+               CAST((min(CASE WHEN cum >= ceiling(0.50 * n) THEN bucket END) + 1) * 5.0 AS DOUBLE) AS p50_est,
+               CAST((min(CASE WHEN cum >= ceiling(0.90 * n) THEN bucket END) + 1) * 5.0 AS DOUBLE) AS p90_est,
+               CAST((min(CASE WHEN cum >= ceiling(0.99 * n) THEN bucket END) + 1) * 5.0 AS DOUBLE) AS p99_est
+        FROM c GROUP BY key ORDER BY key
     """,
 }
