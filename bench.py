@@ -86,6 +86,10 @@ BENCH_QUERIES = [
     "mm_frame_sample",
     # physical layout read path (partition pruning + read-time dedup)
     "ev_layout_pruned",
+    # r6: z-order + file-level skip-index read path, and the mergeable
+    # histogram-quantile partials MV
+    "ev_skip_pruned",
+    "quantile_partials_replay",
 ]
 
 
@@ -123,10 +127,18 @@ def main() -> None:
     # JVM/codegen warmup on a trivial scan (not timed)
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
-    # three runs per query, report the median (p50-of-3): robust to one-off
-    # JIT / codegen / file-listing costs AND to a single lucky outlier.
+    # one UNTIMED warmup + three timed runs per query, report the median.
+    # The warmup is what the streaming stages already do, applied to the
+    # query loop: measured on the heaviest entry, a fresh session runs
+    # 14.7 → 6.1 → 3.0 → 2.8 → 2.8 s (pre-touched page cache — the curve is
+    # JVM JIT/codegen, not I/O), so a cold-including median reports the
+    # middle of the warmup curve, not the steady state a long-lived
+    # deployment sees, and made back-to-back bench runs disagree by ~13%
+    # on exactly the entries that JIT the most code. Median-of-3 on warm
+    # runs then suppresses residual outliers.
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
+        qs[name](spark, sf_dir).collect()  # warmup: JIT/codegen, untimed
         runs, n = [], 0
         for _ in range(3):
             t0 = time.perf_counter()

@@ -82,6 +82,18 @@ _MODULES = (
 #                                           — non-empty on the fixture where
 #                                           the pair graph legitimately
 #                                           isn't — and the dedup fixpoint)
+#
+# Round-6 in-round additions, rotated in so the new families are
+# driver-hash-checked from day one (same one-per-family policy):
+#   mm_frame_sample    -> ev_skip_pruned   (frame_sample twins the kept
+#                                           mapInPandas fan-out kernels;
+#                                           skip_pruned carries the z-order
+#                                           + file-skipping read path)
+#   ev_price_histogram -> quantile_partials_replay
+#                                          (the histogram groupBy shape is
+#                                           inside the partials MV, which
+#                                           additionally exercises the
+#                                           mergeable-sketch replay)
 _DECLARED = (
     # reference §2.10 public query surface (api/server.py:57-200)
     "ev_count",
@@ -91,9 +103,11 @@ _DECLARED = (
     "ev_buy_sell_live",
     "ev_buy_sell_hist",
     "ev_dedup_latest",
-    # streaming MV (§2.8 T1/T2) + physical table layout (§4 X1/X2/X7)
+    # streaming MV (§2.8 T1/T2) + physical table layout (§4 X1/X2/X7),
+    # incl. the r6 z-order + file-skipping read path
     "stream_ohlcv_replay",
     "ev_layout_pruned",
+    "ev_skip_pruned",
     # temporal joins
     "asof_last_click_price",
     "range_click_activity",
@@ -121,14 +135,13 @@ _DECLARED = (
     # near-dup clusters (subsumes mm_phash_pairs)
     "mm_byte_features",
     "mm_phash_clusters",
-    "mm_frame_sample",
     # events analytics (windows, grouping sets, set ops, quantiles, funnel)
     "ev_user_setops",
     "ev_sessionize",
     "ev_price_quantiles",
     "ev_minute_momentum",
     "ev_type_user_cube",
-    "ev_price_histogram",
+    "quantile_partials_replay",
     "ev_ohlcv_gapfill",
     "ev_funnel",
     # text / LLM-pipeline + dataset assembly

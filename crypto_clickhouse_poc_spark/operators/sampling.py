@@ -278,11 +278,52 @@ def corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every doc gets an
+    exact position in a reproducible pseudo-random order (rank by
+    (md5('shuffle:'||doc_id), doc_id)) — the step that decorrelates
+    curriculum order from source/crawl order before packing.
+
+    Scale shape: an exact GLOBAL rank without a global sort. A naive
+    ``row_number() OVER (ORDER BY h)`` funnels the entire corpus through
+    one task — the straggler class corpus_mix's fix eliminated. Instead
+    the two-pass pattern generalizes from threshold selection to full
+    rank assignment: pass 1 histograms the 16-bit hash bucket (one
+    well-distributed aggregate, ≤65 536 rows) and turns it into per-bucket
+    starting offsets (a window over the tiny histogram, then a broadcast
+    join back); pass 2 ranks WITHIN each bucket (65 536-way parallel
+    windows, ~n/65 536 rows each) and adds the offset. Bucket order is the
+    hash's own prefix order, so offset + within-bucket rank IS the global
+    rank, bit-for-bit — which is exactly what the oracle's row_number
+    computes.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    h = F.md5(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string")))
+    d = d.withColumn("h", h).withColumn(
+        "bucket", F.conv(F.substring(F.col("h"), 1, 4), 16, 10).cast("long")
+    )
+    hist = d.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    offsets = hist.withColumn(
+        "offset",
+        F.sum("n").over(
+            Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    ).select("bucket", F.coalesce("offset", F.lit(0)).alias("offset"))
+    w = Window.partitionBy("bucket").orderBy("h", "doc_id")
+    return (
+        d.join(F.broadcast(offsets), "bucket")
+        .withColumn("pos", F.col("offset") + F.row_number().over(w) - 1)
+        .select("doc_id", "lang", "pos")
+        .orderBy("pos")
+    )
+
+
 QUERIES = {
     "corpus_sample_stratified": corpus_sample_stratified,
     "corpus_mix": corpus_mix,
     "corpus_shard": corpus_shard,
     "corpus_pack": corpus_pack,
+    "corpus_shuffle": corpus_shuffle,
 }
 
 _B16 = (
@@ -381,5 +422,15 @@ ORACLES = {
         FROM packed
         GROUP BY shard, pack_id
         ORDER BY shard, pack_id
+    """,
+    # the global rank the two-pass bucket-offset + within-bucket rank
+    # must reproduce bit-for-bit (bucket order is the hash prefix order)
+    "corpus_shuffle": """
+        SELECT doc_id, lang,
+               CAST(row_number() OVER (
+                 ORDER BY md5('shuffle:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) - 1 AS BIGINT) AS pos
+        FROM documents
+        ORDER BY pos
     """,
 }

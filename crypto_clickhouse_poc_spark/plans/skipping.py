@@ -101,6 +101,75 @@ def _bloom_positions(col, dtype: str, n_hashes: int, n_bits: int) -> list:
     ]
 
 
+def _file_stats(
+    spark: SparkSession, paths: Sequence[str], spec: dict, dtypes: dict[str, str]
+) -> dict[str, dict]:
+    """Distributed per-file stats over ``paths``: one ``input_file_name``-
+    grouped pass for minmax+set, one over exploded positions for Bloom
+    (both with map-side combine). Returns file-URI → stats entry."""
+    df = spark.read.parquet(*paths)
+    fname = F.input_file_name().alias("__file")
+    set_max = spec["set_max"]
+    entries: dict[str, dict] = {}
+
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in spec["minmax_cols"]:
+        aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+    for c in spec["set_cols"]:
+        # +1 sentinel slot: presence of set_max+1 values = overflow ⇒ abstain
+        aggs.append(
+            F.slice(F.sort_array(F.collect_set(c)), 1, set_max + 1).alias(f"__set_{c}")
+        )
+    for row in df.groupBy(fname).agg(*aggs).collect():  # O(#files) rows
+        e: dict[str, Any] = {"rows": row["__rows"], "minmax": {}, "sets": {}, "blooms": {}}
+        for c in spec["minmax_cols"]:
+            e["minmax"][c] = [_jsonable(row[f"__lo_{c}"]), _jsonable(row[f"__hi_{c}"])]
+        for c in spec["set_cols"]:
+            vals = row[f"__set_{c}"]
+            e["sets"][c] = sorted(_jsonable(v) for v in vals) if len(vals) <= set_max else None
+        entries[row["__file"]] = e
+
+    for c in spec["bloom_cols"]:
+        pos = F.explode(
+            F.array(
+                *_bloom_positions(
+                    F.col(c), dtypes[c], spec["bloom_hashes"], spec["bloom_bits"]
+                )
+            )
+        ).alias("__pos")
+        rows = (
+            df.select(fname, pos)
+            .groupBy("__file")
+            .agg(F.sort_array(F.collect_set("__pos")).alias("__bits"))
+            .collect()
+        )
+        for row in rows:
+            entries[row["__file"]]["blooms"][c] = list(row["__bits"])
+    return entries
+
+
+def _rel_entries(
+    entries: dict[str, dict], listing: dict[str, int], table_path: str
+) -> dict[str, dict]:
+    """Normalize file:// URIs from input_file_name to table-relative paths."""
+    by_rel: dict[str, dict] = {}
+    for uri, e in entries.items():
+        rel = next((r for r in listing if uri.endswith("/" + r) or uri.endswith(r)), None)
+        if rel is None:
+            raise RuntimeError(f"stats file {uri} not found under {table_path}")
+        by_rel[rel] = e
+    return by_rel
+
+
+def _publish(table_path: str, manifest: dict) -> dict:
+    mpath = _manifest_path(table_path)
+    mpath.parent.mkdir(parents=True, exist_ok=True)
+    tmp = mpath.with_suffix(f".tmp.{os.getpid()}")
+    tmp.write_text(json.dumps(manifest))
+    tmp.replace(mpath)  # atomic publish
+    return manifest
+
+
 def build_skip_index(
     spark: SparkSession,
     table_path: str,
@@ -113,73 +182,66 @@ def build_skip_index(
 ) -> dict:
     """Build (or rebuild) the skip index for a parquet table. Returns the
     manifest dict; persists it next to the table (``<table>.skipidx/``).
-
-    One distributed stats pass per index family (minmax+set share a pass;
-    bloom runs over the exploded positions — both group by file with
-    map-side combine). Build is offline/one-off, like a ClickHouse
-    ``MATERIALIZE INDEX``.
+    Build is offline/one-off, like a ClickHouse ``MATERIALIZE INDEX``;
+    incremental appends maintain it with :func:`update_skip_index`.
     """
     df = spark.read.parquet(table_path)
     dtypes = dict(df.dtypes)
     for c in (*minmax_cols, *set_cols, *bloom_cols):
         if c not in dtypes:
             raise ValueError(f"column {c!r} not in table schema")
-
-    fname = F.input_file_name().alias("__file")
-    entries: dict[str, dict] = {}
-
-    aggs = [F.count(F.lit(1)).alias("__rows")]
-    for c in minmax_cols:
-        aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
-    for c in set_cols:
-        # +1 sentinel slot: presence of set_max+1 values = overflow ⇒ abstain
-        aggs.append(
-            F.slice(F.sort_array(F.collect_set(c)), 1, set_max + 1).alias(f"__set_{c}")
-        )
-    for row in df.groupBy(fname).agg(*aggs).collect():  # O(#files) rows
-        e: dict[str, Any] = {"rows": row["__rows"], "minmax": {}, "sets": {}, "blooms": {}}
-        for c in minmax_cols:
-            e["minmax"][c] = [_jsonable(row[f"__lo_{c}"]), _jsonable(row[f"__hi_{c}"])]
-        for c in set_cols:
-            vals = row[f"__set_{c}"]
-            e["sets"][c] = sorted(_jsonable(v) for v in vals) if len(vals) <= set_max else None
-        entries[row["__file"]] = e
-
-    for c in bloom_cols:
-        pos = F.explode(
-            F.array(*_bloom_positions(F.col(c), dtypes[c], bloom_hashes, bloom_bits))
-        ).alias("__pos")
-        rows = (
-            df.select(fname, pos)
-            .groupBy("__file")
-            .agg(F.sort_array(F.collect_set("__pos")).alias("__bits"))
-            .collect()
-        )
-        for row in rows:
-            entries[row["__file"]]["blooms"][c] = list(row["__bits"])
-
-    # normalize file:// URIs from input_file_name to table-relative paths
+    spec = {
+        "minmax_cols": list(minmax_cols),
+        "set_cols": list(set_cols),
+        "bloom_cols": list(bloom_cols),
+        "set_max": set_max,
+        "bloom_bits": bloom_bits,
+        "bloom_hashes": bloom_hashes,
+    }
     listing = _list_files(table_path)
-    by_rel: dict[str, dict] = {}
-    for uri, e in entries.items():
-        rel = next((r for r in listing if uri.endswith("/" + r) or uri.endswith(r)), None)
-        if rel is None:
-            raise RuntimeError(f"stats file {uri} not found under {table_path}")
-        by_rel[rel] = e
+    entries = _file_stats(spark, [table_path], spec, dtypes)
+    by_rel = _rel_entries(entries, listing, table_path)
     manifest = {
         "version": 1,
         "schema": json.loads(df.schema.json()),
         "dtypes": dtypes,
+        "spec": spec,
         "bloom": {"bits": bloom_bits, "hashes": bloom_hashes},
         "set_max": set_max,
         "files": {rel: {"size": listing[rel], **by_rel.get(rel, {})} for rel in listing},
     }
-    mpath = _manifest_path(table_path)
-    mpath.parent.mkdir(parents=True, exist_ok=True)
-    tmp = mpath.with_suffix(f".tmp.{os.getpid()}")
-    tmp.write_text(json.dumps(manifest))
-    tmp.replace(mpath)  # atomic publish
-    return manifest
+    return _publish(table_path, manifest)
+
+
+def update_skip_index(spark: SparkSession, table_path: str) -> dict:
+    """Incrementally maintain the index after appends/deletes: stat ONLY
+    files not already covered (new or size-changed), drop entries for
+    vanished files, keep everything else untouched — O(changed files)
+    executor work, the maintenance mode a streaming sink or compaction
+    job runs after each flush. Per-file stats are independent, so the
+    merged manifest is identical to a full rebuild (asserted in tests).
+    """
+    old = load_manifest(table_path, check_stale=False)
+    spec = old.get("spec")
+    if spec is None:  # pre-spec manifest: full rebuild is the only option
+        raise ValueError("manifest has no index spec; rebuild with build_skip_index")
+    current = _list_files(table_path)
+    keep = {
+        rel: e
+        for rel, e in old["files"].items()
+        if rel in current and e["size"] == current[rel]
+    }
+    fresh = [rel for rel in current if rel not in keep]
+    if fresh:
+        root = table_path.rstrip("/")
+        entries = _file_stats(
+            spark, [f"{root}/{rel}" for rel in fresh], spec, old["dtypes"]
+        )
+        by_rel = _rel_entries(entries, {rel: current[rel] for rel in fresh}, table_path)
+        for rel in fresh:
+            keep[rel] = {"size": current[rel], **by_rel.get(rel, {})}
+    manifest = {**old, "files": {rel: keep[rel] for rel in sorted(current)}}
+    return _publish(table_path, manifest)
 
 
 def load_manifest(table_path: str, check_stale: bool = True) -> dict:

@@ -25,6 +25,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.window import Window
 
 #: histogram bucket width in price units (absolute error bound of the
@@ -69,3 +70,29 @@ def merge_quantiles(partials: DataFrame, qs: Sequence[float] = QS) -> DataFrame:
             ((F.min(hit) + 1) * F.lit(WIDTH)).alias(f"p{int(q * 100)}_est")
         )
     return c.groupBy("key").agg(*aggs)
+
+
+def start_hist_partials(
+    trades_stream: DataFrame,
+    dest_path: str,
+    checkpoint_path: str,
+    value_col: str = "price",
+    key: str = "symbol",
+    trigger_sec: int = 5,
+) -> StreamingQuery:
+    """Maintain the quantile MV under Structured Streaming: each micro-batch
+    appends its histogram partial (same ``foreachBatch`` shape as the bars
+    MV). Readers call :func:`merge_quantiles` over the partials table —
+    serving cost is O(keys × buckets), independent of history length."""
+
+    def emit(batch: DataFrame, batch_id: int) -> None:
+        hist_partials(batch, value_col=value_col, key=key).write.mode(
+            "append"
+        ).parquet(dest_path)
+
+    return (
+        trades_stream.writeStream.foreachBatch(emit)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(processingTime=f"{trigger_sec} seconds")
+        .start()
+    )

@@ -300,6 +300,23 @@ def test_corpus_mix_no_full_stratum_rank(spark):
     assert "Filter" in after and "% 4) = " in after
 
 
+def test_skip_scan_pushes_residual_filters(spark):
+    """The skip-index read path must not trade away in-file skipping: the
+    residual predicates still reach the survivors' parquet scan (row-group
+    pruning inside surviving files), and the rollup shape is join-free."""
+    plan = _plan(spark, "ev_skip_pruned")
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters", 1)[1]
+    assert "value" in pushed
+    assert "Join" not in plan
+
+    plan = _plan(spark, "ev_skip_semijoin")
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters", 1)[1]
+    assert "user_id" in pushed
+    assert "Join" not in plan
+
+
 def test_curation_plan_shapes(spark):
     """Curation-family scale shapes: repetition and PII are per-row maps
     (no Join; only agg/sort exchanges), and decontamination's holdout

@@ -82,6 +82,39 @@ def test_partial_size_is_bounded_by_buckets_not_rows(spark):
     assert p.count() <= n_types * 101
 
 
+def test_streaming_hist_partials_pipeline(spark, tmp_path):
+    """End-to-end under Structured Streaming: replay → normalize →
+    start_hist_partials sink → merge view equals the one-shot batch
+    quantiles (same foreachBatch MV shape as the bars pipeline)."""
+    from crypto_clickhouse_poc_spark.sources.replay import (
+        read_replay_stream,
+        trades_to_event_lines,
+        write_replay_chunks,
+    )
+    from crypto_clickhouse_poc_spark.streaming import ingest
+    from tests.test_streaming import _fixture_rows
+
+    rows = _fixture_rows()
+    replay_dir = str(tmp_path / "replay")
+    hist_dir, ckpt = str(tmp_path / "hist"), str(tmp_path / "ckpt_hist")
+    write_replay_chunks(trades_to_event_lines(rows), replay_dir, num_chunks=5)
+
+    stream = ingest.normalize(read_replay_stream(spark, replay_dir))
+    q = Q.start_hist_partials(stream, hist_dir, ckpt, trigger_sec=0)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    merged = Q.merge_quantiles(spark.read.parquet(hist_dir))
+    batch = spark.createDataFrame(
+        [(r["symbol"], r["price"]) for r in rows], "symbol string, price double"
+    )
+    oneshot = Q.merge_quantiles(Q.hist_partials(batch))
+    assert _rows(merged) == _rows(oneshot)
+    assert merged.count() == 2  # both symbols present
+
+
 @pytest.mark.parametrize("vals,q,expect", [
     ([1.0], 0.5, 5.0),          # single value in bucket 0 → upper edge 5
     ([4.9, 5.0, 5.1], 0.5, 10.0),  # 5.0 lands in bucket 1 → rank-2 → edge 10

@@ -147,6 +147,43 @@ def test_set_overflow_abstains_but_stays_correct(spark, tmp_path):
     assert got.count() == _full(spark, path).where(F.col("user_id") == 3).count()
 
 
+def test_incremental_update_equals_full_rebuild(spark, tmp_path):
+    """update_skip_index stats only the appended files, yet the merged
+    manifest equals a from-scratch rebuild (per-file stats independence)."""
+    path = str(tmp_path / "incr")
+    base = _full(spark, skipidx.zordered_events(spark, SF_CORRECT))
+    base.where(F.col("event_id") % 2 == 0).write.parquet(path)
+    skipping.build_skip_index(
+        spark, path, minmax_cols=("ts", "value"), set_cols=("event_type",),
+        bloom_cols=("user_id",),
+    )
+    base.where(F.col("event_id") % 2 == 1).write.mode("append").parquet(path)
+    updated = skipping.update_skip_index(spark, path)
+    rebuilt = skipping.build_skip_index(
+        spark, path, minmax_cols=("ts", "value"), set_cols=("event_type",),
+        bloom_cols=("user_id",),
+    )
+    assert updated["files"] == rebuilt["files"]
+    # and the updated index serves correctly
+    got = skipping.scan_skipped(spark, path, [("value", ">=", 400.0)])
+    assert got.count() == _full(spark, path).where(F.col("value") >= 400.0).count()
+
+
+def test_incremental_update_drops_vanished_files(spark, tmp_path):
+    import os
+    path = str(tmp_path / "vanish")
+    _full(spark, skipidx.zordered_events(spark, SF_CORRECT)).repartition(4).write.parquet(path)
+    skipping.build_skip_index(spark, path, minmax_cols=("value",))
+    victim = next(
+        p for p in sorted((tmp_path / "vanish").glob("*.parquet"))
+    )
+    os.remove(victim)
+    m = skipping.update_skip_index(spark, path)
+    assert victim.name not in m["files"]
+    got = skipping.scan_skipped(spark, path, [("value", ">=", 0.0)], manifest=m)
+    assert got.count() == _full(spark, path).count()
+
+
 def test_stale_manifest_refuses_to_serve(spark, tmp_path):
     path = str(tmp_path / "stale")
     _full(spark, skipidx.zordered_events(spark, SF_CORRECT)).limit(100).write.parquet(path)
