@@ -476,6 +476,111 @@ def srp_pairs(e: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Exact duplicated-span detection (substring-level dedup)
+#
+# Document-level dedup (everything above) misses the common contamination
+# mode where a long boilerplate passage is embedded inside otherwise-unique
+# documents (Lee et al. 2022, "Deduplicating Training Data Makes Language
+# Models Better", §3: exact substring dedup at 50-token granularity). The
+# scale-correct shape is span fingerprinting: explode every k-token span to
+# a 64-bit hash — O(total_tokens) rows of (doc_id, hash), never O(n²) —
+# then one hash-keyed aggregation finds spans occurring in >1 document.
+# ---------------------------------------------------------------------------
+
+SPAN_K = 8  # span length in tokens (Lee et al. use 50 BPE tokens; the
+# fixture's ~54-token docs need a shorter window to have >1 span per doc)
+
+
+def _span_index(t: Column, k: int) -> Column:
+    """0-based start offsets of every k-token span; empty for short docs
+    (``sequence(0, n-k)`` with n < k would produce a DESCENDING range and
+    fabricate spans — same guard as ``shingles``)."""
+    n = F.size(t)
+    return F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
+def span_strings(text: Column, k: int = SPAN_K) -> Column:
+    """Every k-token span of ``text`` as a space-joined string (one entry
+    per POSITION — repeats within a doc stay, unlike ``shingles``)."""
+    t = T.tokens(text)
+    return F.transform(
+        _span_index(t, k), lambda i: F.concat_ws(" ", F.slice(t, i + F.lit(1), F.lit(k)))
+    )
+
+
+def span_hashes(text: Column, k: int = SPAN_K) -> Column:
+    """64-bit fingerprint per span position. At 100 TB only these 8-byte
+    ints are shuffled, never span text (~8 tokens ≈ 50 bytes each); the
+    oracle keys by the span STRING instead, so parity additionally verifies
+    the no-collision assumption (64-bit hashes over ~1e5..1e9 spans:
+    collision probability ≤ n²/2⁶⁵)."""
+    # one-param lambda — xxhash64 is variadic; transform would pass (elem, idx)
+    return F.transform(span_strings(text, k), lambda s: F.xxhash64(s))
+
+
+def doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span fraction: the share of a doc's k-token
+    span positions whose span also appears in ANOTHER document.
+
+    Dataflow (all O(span positions), no pair blow-up):
+      1. explode span hashes                   — map-only,
+      2. groupBy(h, doc_id) count              — shuffle 1 (map-side combine
+         collapses within-doc repeats first),
+      3. window count over h = distinct docs   — shuffle 2 (re-keys to h),
+      4. groupBy(doc_id) rollup                — shuffle 3 (tiny: ≤1 row per
+         (h, doc) survivor).
+    Docs shorter than k tokens have no spans and are absent from the output
+    (the oracle agrees).
+    """
+    d = load(spark, sf_dir, "documents")
+    spans = d.select("doc_id", F.explode(span_hashes(F.col("text"))).alias("h"))
+    per = spans.groupBy("h", "doc_id").agg(F.count("*").alias("c"))
+    n_docs = F.count("*").over(Window.partitionBy("h"))
+    flagged = per.withColumn("n_docs", n_docs)
+    dup = F.sum(F.when(F.col("n_docs") > 1, F.col("c")).otherwise(F.lit(0)))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(F.sum("c").alias("n_spans"), dup.alias("dup_spans"))
+        .withColumn("dup_frac", F.round(F.col("dup_spans") / F.col("n_spans"), 6))
+    )
+
+
+def corpus_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 cross-document duplicated spans (the boilerplate passages an
+    exact-substring dedup pass would cut), by document reach then total
+    occurrences. Carries span text through the groupBy — a reporting query
+    over the duplicated tail; map-side partial aggregation collapses
+    within-partition repeats before the string shuffle, and the top-20 is a
+    TakeOrdered, not a global sort."""
+    d = load(spark, sf_dir, "documents")
+    spans = d.select("doc_id", F.explode(span_strings(F.col("text"))).alias("span"))
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occ"),
+        )
+        .where(F.col("n_docs") > 1)
+        .orderBy(F.desc("n_docs"), F.desc("n_occ"), F.asc("span"))
+        .limit(20)
+    )
+
+
+_SPANS_CTE = f"""toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+          WHERE len(string_split(text, ' ')) >= {SPAN_K}
+        ),
+        idx AS (
+          SELECT doc_id, t, unnest(range(1, len(t) - {SPAN_K} + 2)) AS i FROM toks
+        ),
+        spans AS (
+          SELECT doc_id, array_to_string(t[i:i + {SPAN_K} - 1], ' ') AS s FROM idx
+        )"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -485,6 +590,8 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
     "dedup_embedding_lsh": dedup_embedding_lsh,
+    "doc_dup_spans": doc_dup_spans,
+    "corpus_dup_spans": corpus_dup_spans,
 }
 
 
@@ -636,4 +743,28 @@ ORACLES["dedup_clusters"] = f"""
     SELECT doc_id, cluster,
            count(*) OVER (PARTITION BY cluster) AS cluster_n
     FROM lbl
+"""
+
+ORACLES["doc_dup_spans"] = f"""
+    WITH {_SPANS_CTE},
+    d AS (SELECT s, count(DISTINCT doc_id) AS nd FROM spans GROUP BY s),
+    per AS (SELECT doc_id, s, count(*) AS c FROM spans GROUP BY doc_id, s)
+    SELECT per.doc_id,
+           CAST(sum(per.c) AS BIGINT) AS n_spans,
+           CAST(coalesce(sum(per.c) FILTER (d.nd > 1), 0) AS BIGINT) AS dup_spans,
+           round(coalesce(sum(per.c) FILTER (d.nd > 1), 0) * 1.0
+                 / sum(per.c), 6) AS dup_frac
+    FROM per JOIN d ON per.s = d.s
+    GROUP BY per.doc_id
+"""
+
+ORACLES["corpus_dup_spans"] = f"""
+    WITH {_SPANS_CTE}
+    SELECT s AS span,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_occ
+    FROM spans GROUP BY s
+    HAVING count(DISTINCT doc_id) > 1
+    ORDER BY n_docs DESC, n_occ DESC, span
+    LIMIT 20
 """

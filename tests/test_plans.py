@@ -330,3 +330,24 @@ def test_curation_plan_shapes(spark):
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dup_spans_shuffles_hashes_not_strings(spark):
+    """doc_dup_spans: joins never appear (pure agg dataflow), and the only
+    generated span representation crossing an Exchange is the 64-bit
+    xxhash64 — the span STRING must be consumed map-side (concat_ws feeds
+    xxhash64 inside the Generate, before the first Exchange)."""
+    plan = _plan(spark, "doc_dup_spans")
+    assert "Join" not in plan
+    assert "xxhash64" in plan
+    # map-side combine before each of the three legitimate exchanges
+    assert plan.count("Exchange") == 3
+    gen, rest = plan.split("Generate", 1)[0], plan.split("Generate", 1)[1]
+    # every Exchange sits above the Generate (hash rows), none below
+    assert gen.count("Exchange") == 3 and rest.count("Exchange") == 0
+
+
+def test_corpus_dup_spans_topk_not_global_sort(spark):
+    plan = _plan(spark, "corpus_dup_spans")
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
