@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import (
     curation,
     dedup,
+    embed,
     multimodal,
     quality,
     sampling,
@@ -40,6 +41,7 @@ _MODULES = (
     text,
     dedup,
     similarity,
+    embed,
     multimodal,
     temporal,
     streaming_q,
