@@ -26,6 +26,7 @@ from . import (
     quality,
     sampling,
     similarity,
+    sketches,
     skipidx,
     sqlapi,
     streaming_q,
@@ -42,6 +43,7 @@ _MODULES = (
     dedup,
     similarity,
     embed,
+    sketches,
     multimodal,
     temporal,
     streaming_q,
