@@ -98,6 +98,13 @@ _MODULES = (
 #                                           inside the partials MV, which
 #                                           additionally exercises the
 #                                           mergeable-sketch replay)
+#   corpus_top_tokens  -> doc_dup_spans    (top_tokens' explode→groupBy→topk
+#                                           shape is a strict subset of the
+#                                           span family — corpus_dup_spans
+#                                           keeps it under the pytest gate;
+#                                           doc_dup_spans adds the hash-only
+#                                           shuffle + window + per-doc
+#                                           rollup of exact substring dedup)
 _DECLARED = (
     # reference §2.10 public query surface (api/server.py:57-200)
     "ev_count",
@@ -151,7 +158,7 @@ _DECLARED = (
     # text / LLM-pipeline + dataset assembly
     "doc_stats",
     "doc_langid_ngram",
-    "corpus_top_tokens",
+    "doc_dup_spans",
     "doc_winnow",
     "corpus_prepare",
     "corpus_mix",
