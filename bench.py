@@ -78,6 +78,11 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_minhash_summary",
     "dedup_embedding_lsh",
+    # r6: exact substring dedup (hash-only shuffle), HLL sketch (JVM
+    # DataSketches, map-side partials), PCA fit+project+reduced-space topk
+    "doc_dup_spans",
+    "ev_user_hll",
+    "emb_pca_topk",
     "ann_topk_brute",
     "ann_ivf_assign",
     "ann_ivf_pq_search",

@@ -569,6 +569,37 @@ def corpus_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dup_span_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the shares-a-duplicated-span graph — the
+    document-grouping view of exact substring dedup (docs chained by
+    common boilerplate land in one cluster even when no single span links
+    them all).
+
+    Scale shape: edges are STAR-shaped — every doc holding span h links to
+    that span's min doc_id — so the edge list is O(distinct (h, doc)
+    pairs). A boilerplate span shared by a million docs yields a million
+    edges, never the 10¹² of all-pairs-within-group. Components via the
+    shared pointer-jumped min-label fixpoint (``min_label_clusters``); the
+    star topology has diameter ≤ 2 per span, so convergence is 1-2 rounds.
+    """
+    d = load(spark, sf_dir, "documents")
+    spans = d.select("doc_id", F.explode(span_hashes(F.col("text"))).alias("h"))
+    per = spans.select("h", "doc_id").distinct()
+    w = Window.partitionBy("h")
+    flagged = per.withColumn("n_docs", F.count("*").over(w)).withColumn(
+        "rep", F.min("doc_id").over(w)
+    )
+    edges = (
+        flagged.where((F.col("n_docs") > 1) & (F.col("doc_id") != F.col("rep")))
+        .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        .distinct()
+    )
+    lbl = min_label_clusters(d.select("doc_id"), edges)
+    return lbl.withColumn(
+        "cluster_n", F.count("*").over(Window.partitionBy("cluster"))
+    )
+
+
 _SPANS_CTE = f"""toks AS (
           SELECT doc_id, string_split(text, ' ') AS t FROM documents
           WHERE len(string_split(text, ' ')) >= {SPAN_K}
@@ -592,6 +623,7 @@ QUERIES = {
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "doc_dup_spans": doc_dup_spans,
     "corpus_dup_spans": corpus_dup_spans,
+    "dup_span_clusters": dup_span_clusters,
 }
 
 
@@ -767,4 +799,34 @@ ORACLES["corpus_dup_spans"] = f"""
     HAVING count(DISTINCT doc_id) > 1
     ORDER BY n_docs DESC, n_occ DESC, span
     LIMIT 20
+"""
+
+ORACLES["dup_span_clusters"] = f"""
+    WITH RECURSIVE {_SPANS_CTE},
+    dsp AS (SELECT DISTINCT s, doc_id FROM spans),
+    dup AS (SELECT s FROM dsp GROUP BY s HAVING count(*) > 1),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM dsp a JOIN dsp b ON a.s = b.s
+      JOIN dup ON dup.s = a.s
+      WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    lbl AS (
+      SELECT d.doc_id,
+             least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster
+      FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id, cluster,
+           count(*) OVER (PARTITION BY cluster) AS cluster_n
+    FROM lbl
 """
