@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "doc_dup_spans",
     "ev_user_hll",
     "emb_pca_topk",
+    "corpus_bm25_topk",
     "ann_topk_brute",
     "ann_ivf_assign",
     "ann_ivf_pq_search",

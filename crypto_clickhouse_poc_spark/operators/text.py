@@ -329,6 +329,103 @@ def corpus_prepare_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (Robertson/Spärck Jones, the Okapi BM25 form)
+# ---------------------------------------------------------------------------
+
+BM25_QUERY = ("spark", "query", "table")  # fixture-vocab query terms
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def corpus_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by BM25 score for a fixed term query.
+
+    Scale shape — NO explode and no per-token shuffle: the query terms are
+    literals, so per-doc term frequencies are map-side array folds
+    (``filter(toks, x -> x = t)``); corpus statistics (N, avgdl, per-term
+    document frequencies) collapse to ONE single-row aggregate that is
+    broadcast back over the scan; scoring is a second map-only pass and
+    the top-20 a TakeOrdered. Two scans + a 1-row broadcast join — the
+    same plan at 100 TB, with the idf constants coming from a metadata
+    aggregate instead of an inverted index.
+
+    idf uses the +1-inside-the-log BM25+ variant (always positive):
+    ln(1 + (N − df + 0.5)/(df + 0.5)).
+    """
+    def _eq(term: str):
+        # closure factory, NOT a default-arg lambda: HOF lambda parameter
+        # COUNT is semantic (2 args would mean (element, index))
+        return lambda x: x == F.lit(term)
+
+    d = _docs(spark, sf_dir).select("doc_id", "toks", F.size("toks").alias("dl"))
+    tfs = d.select(
+        "doc_id",
+        "dl",
+        *[
+            F.size(F.filter("toks", _eq(t))).alias(f"tf_{i}")
+            for i, t in enumerate(BM25_QUERY)
+        ],
+    )
+    stats = tfs.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(BM25_QUERY))
+        ],
+    )
+    scored = tfs.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i in range(len(BM25_QUERY)):
+        tf = F.col(f"tf_{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+        )
+        denom = tf + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        score = score + idf * tf * (BM25_K1 + 1) / denom
+    return (
+        scored.select("doc_id", F.round(score, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n               ".join(
+        f"len(list_filter(t, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(BM25_QUERY)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(BM25_QUERY))
+    )
+    terms = " + ".join(
+        f"ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * tf_{i} * ({BM25_K1} + 1)"
+        f" / (tf_{i} + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))"
+        for i in range(len(BM25_QUERY))
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, len(t) AS dl,
+               {tf_cols}
+          FROM toks
+        ),
+        stats AS (
+          SELECT count(*) AS n_docs, avg(dl) AS avgdl, {df_cols} FROM tf
+        )
+        SELECT doc_id, round({terms}, 6) AS bm25
+        FROM tf CROSS JOIN stats
+        ORDER BY bm25 DESC, doc_id
+        LIMIT 20
+    """
+
+
 QUERIES = {
     "doc_stats": doc_stats,
     "doc_token_counts": doc_token_counts,
@@ -340,6 +437,7 @@ QUERIES = {
     "doc_winnow": doc_winnow,
     "corpus_prepare": corpus_prepare,
     "corpus_prepare_near": corpus_prepare_near,
+    "corpus_bm25_topk": corpus_bm25_topk,
 }
 
 
@@ -554,3 +652,5 @@ ORACLES = {
 }
 
 ORACLES["corpus_prepare_near"] = _corpus_prepare_near_oracle()
+
+ORACLES["corpus_bm25_topk"] = _bm25_oracle()

@@ -351,3 +351,14 @@ def test_corpus_dup_spans_topk_not_global_sort(spark):
     plan = _plan(spark, "corpus_dup_spans")
     assert "TakeOrderedAndProject" in plan
     assert "Join" not in plan
+
+
+def test_bm25_is_two_scans_one_row_broadcast(spark):
+    """corpus_bm25_topk: term frequencies are map-side array folds (no
+    explode → no Generate), corpus stats collapse to a 1-row broadcast
+    (BroadcastNestedLoopJoin over a single-row build side is the cheap
+    crossJoin, not a pair blow-up), and the top-20 is a TakeOrdered."""
+    plan = _plan(spark, "corpus_bm25_topk")
+    assert "Generate" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
