@@ -98,3 +98,33 @@ def sessionize_stream(events: DataFrame, use_timeout: bool = False) -> DataFrame
             ),
         )
     )
+
+
+def sessionize_builtin(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """JVM-native session windows: ``F.session_window`` + watermark — the
+    scale-DEFAULT sessionizer (state merging, eviction, and emission all
+    inside the streaming aggregation engine; no Python boundary).
+
+    Semantics vs the custom tracker above: Spark's session window ``end``
+    is ``last event + gap`` (exclusive bound), the tracker's
+    ``session_end`` is the last event itself — so
+    ``end == session_end + gap`` for the same session, with identical
+    ``session_start`` / ``n_events`` (cross-implementation equivalence is
+    test-locked). Works identically as a BATCH aggregation, which is what
+    the streaming parity test compares against.
+    """
+    from pyspark.sql import functions as F
+
+    gap = F.lit(f"{SESSION_GAP_SEC} seconds")
+    return (
+        events.select("user_id", "ts")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end_excl"),
+            "n_events",
+        )
+    )

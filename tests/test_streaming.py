@@ -551,3 +551,91 @@ def test_stateful_ewma_anomalies_match_batch(spark, tmp_path, api):
     flagged_ids = {t for _, t, _ in got}
     assert spikes <= flagged_ids  # every planted spike caught
     assert len(got) < len(rows) // 10  # and flags are rare, not noise
+
+
+def test_builtin_session_window_stream_matches_batch_and_tracker(spark, tmp_path):
+    """F.session_window sessionizer: (a) streamed-in-4-chunks result equals
+    the batch aggregation of the same function (cross-batch session
+    merging inside the engine), (b) sessions are the SAME sessions the
+    applyInPandasWithState tracker produces, modulo the documented
+    end-bound convention (builtin end = tracker end + gap)."""
+    import os
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from crypto_clickhouse_poc_spark.streaming.sessions import (
+        SESSION_GAP_SEC,
+        sessionize_builtin,
+    )
+    from crypto_clickhouse_poc_spark.tables import load
+    from tests.conftest import SF_SMOKE as _SF
+
+    ev = load(spark, _SF, "events").select(
+        "user_id", F.date_trunc("second", "ts").alias("ts")
+    )
+    src = tmp_path / "src_bsw"
+    src.mkdir()
+    pdf = ev.orderBy("ts").toPandas()
+    per = (len(pdf) + 3) // 4
+    for k in range(4):
+        p = src / f"chunk-{k:05d}.parquet"
+        pdf.iloc[k * per : (k + 1) * per].to_parquet(
+            p, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        os.utime(p, (1_700_000_000 + k, 1_700_000_000 + k))
+    stream = spark.readStream.schema("user_id long, ts timestamp").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    q = (
+        sessionize_builtin(stream)
+        .writeStream.format("memory")
+        .queryName("bsw_sessions")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r["user_id"], r["session_start"], r["session_end_excl"], r["n_events"])
+        for r in spark.sql("SELECT * FROM bsw_sessions").collect()
+    )
+
+    want = sorted(
+        (r["user_id"], r["session_start"], r["session_end_excl"], r["n_events"])
+        for r in sessionize_builtin(ev).collect()
+    )
+    assert len(got) > 0
+    assert got == want
+
+    # tracker equivalence (batch lag/cumsum construction = the tracker's
+    # sessions, all of them): start and count identical, builtin end bound
+    # = last event + gap
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = (
+        ev.withColumn(
+            "new_sess", F.when(gap.isNull() | (gap > SESSION_GAP_SEC), 1).otherwise(0)
+        )
+        .withColumn(
+            "sess_id",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            (F.max("ts") + F.expr(f"INTERVAL {SESSION_GAP_SEC} SECONDS")).alias(
+                "session_end_excl"
+            ),
+            F.count("*").alias("n_events"),
+        )
+    )
+    tracker_want = sorted(
+        (r["user_id"], r["session_start"], r["session_end_excl"], r["n_events"])
+        for r in sess.collect()
+    )
+    assert got == tracker_want
