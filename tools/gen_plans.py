@@ -57,6 +57,24 @@ SECTIONS = [
         "reads ~nprobe/k of the persisted index), ADC lookup fold, "
         "broadcast query side, exact rerank on the shortlist only.",
     ),
+    (
+        "doc_dup_spans",
+        "r6 exact substring dedup: spans explode to 64-bit xxhash64 inside "
+        "the Generate; all three Exchanges carry only (hash, doc_id, count) "
+        "ints — span text never shuffles; no joins.",
+    ),
+    (
+        "corpus_bm25_topk",
+        "r6 BM25: term frequencies are map-side array folds (no Generate); "
+        "corpus stats are ONE single-row aggregate broadcast back over the "
+        "scan; top-20 is TakeOrderedAndProject.",
+    ),
+    (
+        "ev_user_hll",
+        "r6 DataSketches HLL: partial hll_sketch_agg below the Exchange "
+        "(ObjectHashAggregate) — shuffle volume is groups x 4KB sketch, "
+        "not rows.",
+    ),
 ]
 
 
