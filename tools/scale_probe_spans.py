@@ -29,7 +29,17 @@ from crypto_clickhouse_poc_spark.session import get_spark
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 MULT = int(os.environ.get("SCALE_PROBE_MULT", "10"))
-QUERIES = ["doc_dup_spans", "corpus_dup_spans", "dup_span_clusters"]
+QUERIES = [
+    "doc_dup_spans",
+    "corpus_dup_spans",
+    "dup_span_clusters",
+    # dataset assembly + retrieval over the same multiplied corpus: the r6
+    # corpus_mix two-pass threshold selection and the zero-explode BM25
+    # should both stay ~flat (map-dominated) at 10×
+    "corpus_sample_stratified",
+    "corpus_mix",
+    "corpus_bm25_topk",
+]
 
 
 def main() -> None:
