@@ -128,10 +128,21 @@ def start_ingest(
     """
     if state_store is not None:
         set_state_store(raw_stream.sparkSession, state_store)
+    # Named observations ride the micro-batch for free (computed inside the
+    # existing passes, no extra scan) and surface per-batch in
+    # StreamingQueryProgress.observedMetrics — the production feedback loop
+    # for lag/drop monitoring. "ingest_in" counts raw payloads, "ingest_out"
+    # what survived parse+dedup; in − out = malformed + reconnect-duplicate
+    # rows, and max_event_ts vs wall-clock is the ingestion lag.
+    raw_stream = raw_stream.observe("ingest_in", F.count(F.lit(1)).alias("rows"))
     trades = normalize(raw_stream)
     if dedup:
         trades = deduped(trades)
-    out = with_ingest_metadata(trades)
+    out = with_ingest_metadata(trades).observe(
+        "ingest_out",
+        F.count(F.lit(1)).alias("rows"),
+        F.max("ts").alias("max_event_ts"),
+    )
     return (
         out.writeStream.format("parquet")
         .option("path", dest_path)

@@ -639,3 +639,44 @@ def test_builtin_session_window_stream_matches_batch_and_tracker(spark, tmp_path
         for r in sess.collect()
     )
     assert got == tracker_want
+
+
+def test_ingest_observed_metrics_match_sink(spark, tmp_path):
+    """Named observations on the ingest query: summed per-batch
+    'ingest_in' equals the raw payload count, 'ingest_out' equals the
+    rows landed in the sink (with a replayed-duplicate chunk, in > out —
+    the observable drop IS the dedup), and max_event_ts equals the true
+    max. Metrics ride StreamingQueryProgress.observedMetrics — no extra
+    scan, no sink round-trip."""
+    rows = _fixture_rows()
+    replay_dir, dest, ckpt = (str(tmp_path / d) for d in ("replay_m", "trades_m", "ckpt_m"))
+    lines = trades_to_event_lines(rows)
+    # duplicate the first 5 payloads (reconnect replay) → in - out = 5
+    write_replay_chunks(lines + lines[:5], replay_dir, num_chunks=4)
+
+    q = ingest.start_ingest(
+        read_replay_stream(spark, replay_dir), dest, ckpt, trigger_sec=0
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got_in = got_out = 0
+    max_ts = None
+    for p in q.recentProgress:
+        om = p["observedMetrics"] if isinstance(p, dict) else p.observedMetrics
+        if "ingest_in" in om:
+            got_in += om["ingest_in"]["rows"]
+        if "ingest_out" in om:
+            got_out += om["ingest_out"]["rows"]
+            t = om["ingest_out"]["max_event_ts"]
+            if t is not None and (max_ts is None or t > max_ts):
+                max_ts = t
+    sunk = len(_collect_trades(spark, dest))
+    assert got_in == len(lines) + 5
+    assert got_out == sunk == len(rows)
+    assert max_ts is not None
+    # progress JSON serializes observed timestamps as strings
+    want_ts = max(r["ts"] for r in rows).replace(tzinfo=None)
+    assert str(max_ts) == want_ts.strftime("%Y-%m-%d %H:%M:%S")
