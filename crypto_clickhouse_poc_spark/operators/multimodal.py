@@ -164,6 +164,75 @@ def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_byte_features_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` twin of ``mm_byte_features`` — same semantics, same
+    oracle, one fewer copy.
+
+    Why it exists: with ``mapInPandas`` a binary column materializes as a
+    pandas object column of Python ``bytes`` (one heap object per row, then
+    ``b"".join`` re-concatenates them). ``mapInArrow`` hands the kernel the
+    raw Arrow ``RecordBatch``, whose BinaryArray is ALREADY the
+    (offsets, contiguous-bytes) layout the numpy kernel wants — the buffers
+    are read zero-copy and no per-row Python objects are created. For
+    byte-level kernels over large payloads this is the lowest-overhead
+    Python boundary Spark offers (measured A/B in PERF.md).
+    """
+
+    def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pyarrow as pa
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            arr = rb.column(rb.schema.get_field_index("payload"))
+            if isinstance(arr, pa.ChunkedArray):  # pragma: no cover - API guard
+                arr = arr.combine_chunks()
+            if pa.types.is_large_binary(arr.type):
+                off_dtype = np.int64
+            else:
+                off_dtype = np.int32
+            raw_offs = np.frombuffer(arr.buffers()[1], dtype=off_dtype)
+            offs = raw_offs[arr.offset : arr.offset + n + 1].astype(np.int64)
+            data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[offs[0] : offs[-1]]
+            starts = offs[:-1] - offs[0]
+            lens = offs[1:] - offs[:-1]
+            sums = np.add.reduceat(data.astype(np.int64), starts)
+            seen = np.zeros((n, 256), dtype=bool)
+            seen[np.repeat(np.arange(n), lens), data] = True
+            ids = rb.column(rb.schema.get_field_index("media_id")).to_numpy(
+                zero_copy_only=False
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids.astype(np.int64)),
+                    pa.array(lens),
+                    pa.array(sums),
+                    pa.array(np.minimum.reduceat(data, starts).astype(np.int64)),
+                    pa.array(np.maximum.reduceat(data, starts).astype(np.int64)),
+                    pa.array(seen.sum(axis=1, dtype=np.int64)),
+                    pa.array(np.round(sums / lens, 6)),
+                ],
+                names=[
+                    "media_id",
+                    "n_bytes",
+                    "sum_bytes",
+                    "min_byte",
+                    "max_byte",
+                    "n_distinct_bytes",
+                    "mean_byte",
+                ],
+            )
+
+    m = media_table(spark, sf_dir).select("media_id", "payload")
+    return m.mapInArrow(
+        kernel,
+        "media_id long, n_bytes long, sum_bytes long, min_byte long, "
+        "max_byte long, n_distinct_bytes long, mean_byte double",
+    )
+
+
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image resize (thumbnail) plumbing via ``mapInPandas`` on image rows.
 
@@ -418,6 +487,7 @@ def mm_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "mm_catalog": mm_catalog,
     "mm_byte_features": mm_byte_features,
+    "mm_byte_features_arrow": mm_byte_features_arrow,
     "mm_resize": mm_resize,
     "mm_frame_sample": mm_frame_sample,
     "mm_audio_windows": mm_audio_windows,
@@ -599,3 +669,6 @@ ORACLES["mm_phash_clusters"] = f"""
     FROM lbl
     ORDER BY media_id
 """
+
+# the Arrow twin has identical semantics — same oracle
+ORACLES["mm_byte_features_arrow"] = ORACLES["mm_byte_features"]

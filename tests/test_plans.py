@@ -362,3 +362,9 @@ def test_bm25_is_two_scans_one_row_broadcast(spark):
     assert "Generate" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastExchange" in plan
+
+
+def test_arrow_kernel_is_shuffle_free_mapinarrow(spark):
+    plan = _plan(spark, "mm_byte_features_arrow")
+    assert "Exchange" not in plan
+    assert "MapInArrow" in plan and "MapInPandas" not in plan
