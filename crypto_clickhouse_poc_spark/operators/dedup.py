@@ -110,6 +110,30 @@ def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_pairs_from_shingles(_doc_shingles(spark, sf_dir))
 
 
+def lsh_signatures(toks: DataFrame) -> DataFrame:
+    """Per-doc LSH signature row from any ``(doc_id, toks)`` DataFrame:
+    token-set size ``n``, 64-bit token hashes ``ht`` (intersections on
+    longs are far cheaper than on strings, and jaccard needs only set
+    *sizes*; a 64-bit collision within one doc is ~1e-17), and the BANDS
+    ``xxhash64(mh_lo, mh_hi)`` band keys. Shared by the symmetric pair
+    scan and the asymmetric incremental probe."""
+    par = toks.sparkSession.sparkContext.defaultParallelism
+    sig = toks.repartition(par).select(
+        "doc_id", "toks", *T.minhash_signature(F.col("toks"), NUM_HASHES)
+    )
+    return sig.select(
+        "doc_id",
+        F.size("toks").alias("n"),
+        # NB: one-param lambda — F.xxhash64 is variadic and transform would
+        # otherwise hand it (element, index), salting the hash by position.
+        F.transform("toks", lambda t: F.xxhash64(t)).alias("ht"),
+        *[
+            F.xxhash64(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")).alias(f"bk{b}")
+            for b in range(BANDS)
+        ],
+    )
+
+
 def lsh_pairs_from_shingles(toks: DataFrame) -> DataFrame:
     """MinHash-LSH near-dup pairs from any (doc_id, toks) DataFrame.
 
@@ -143,24 +167,7 @@ def lsh_pairs_from_shingles(toks: DataFrame) -> DataFrame:
       array-intersect, so size-mismatched bucket pairs never pay the O(n)
       intersection.
     """
-    par = toks.sparkSession.sparkContext.defaultParallelism
-    sig = toks.repartition(par).select(
-        "doc_id", "toks", *T.minhash_signature(F.col("toks"), NUM_HASHES)
-    )
-    # ht: token set as 64-bit hashes — intersections on longs are far
-    # cheaper than on strings, and jaccard needs only set *sizes*. (Token
-    # sets are tiny; a 64-bit collision within one doc is ~1e-17.)
-    d = sig.select(
-        "doc_id",
-        F.size("toks").alias("n"),
-        # NB: one-param lambda — F.xxhash64 is variadic and transform would
-        # otherwise hand it (element, index), salting the hash by position.
-        F.transform("toks", lambda t: F.xxhash64(t)).alias("ht"),
-        *[
-            F.xxhash64(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")).alias(f"bk{b}")
-            for b in range(BANDS)
-        ],
-    )
+    d = lsh_signatures(toks)
     # The band joins reference this subplan 8 times (both sides × 4 bands);
     # without a cache each reference recomputes the shingle + 8×md5 signature
     # pass (~45% of query time measured at sf0.1). One row per doc with a
@@ -600,6 +607,62 @@ def dup_span_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INCREMENT_SPLIT = 400  # fixture split: doc_id >= 400 is the "new batch"
+
+
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (asymmetric) near-dup: probe a NEW batch of documents
+    against the EXISTING corpus — the production append pattern. A daily
+    ingest must ask "is this new doc a near-dup of anything we already
+    have?" without re-pairing the corpus against itself; the band join's
+    probe side is only the batch, so per-append cost is
+    O(batch + corpus-signatures-touched), not O(corpus²) and not even
+    O(corpus log corpus).
+
+    Same signature table, band keys, first-collision-band dedup trick, and
+    exact-jaccard verify as the symmetric ``dedup_minhash_lsh`` (shared
+    ``lsh_signatures``); the join sides are disjoint id ranges instead of
+    ``doc_a < doc_b`` halves. In a deployment the corpus side's signatures
+    are PERSISTED once (they are this table's columns) and only the batch
+    side is computed per append.
+    """
+    from fractions import Fraction
+
+    toks = _doc_shingles(spark, sf_dir)
+    # same cache SITE as the symmetric scan: the signature subplan is
+    # identical, so sharing the site keeps at most one live copy whichever
+    # query ran last (bounded_cache unpersists the previous holder)
+    d = bounded_cache("dedup._lsh_pairs", lsh_signatures(toks))
+    a = d.where(F.col("doc_id") >= INCREMENT_SPLIT).alias("a")  # new batch
+    b = d.where(F.col("doc_id") < INCREMENT_SPLIT).alias("b")  # existing
+    common = F.size(F.array_intersect("a.ht", "b.ht"))
+    frac = Fraction(JACCARD_THRESHOLD).limit_denominator(10**6)
+    num, den = frac.numerator, frac.denominator
+    parts = []
+    for i in range(BANDS):
+        cond = F.col(f"a.bk{i}") == F.col(f"b.bk{i}")
+        for j in range(i):
+            cond = cond & (F.col(f"a.bk{j}") != F.col(f"b.bk{j}"))
+        cond = cond & (
+            den * F.least(F.col("a.n"), F.col("b.n"))
+            >= num * F.greatest(F.col("a.n"), F.col("b.n"))
+        )
+        cond = cond & ((den + num) * common >= num * (F.col("a.n") + F.col("b.n")))
+        parts.append(
+            a.join(b, cond).select(
+                F.col("a.doc_id").alias("doc_new"),
+                F.col("b.doc_id").alias("doc_base"),
+                F.round(
+                    common / (F.col("a.n") + F.col("b.n") - common), 6
+                ).alias("jaccard"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
 _SPANS_CTE = f"""toks AS (
           SELECT doc_id, string_split(text, ' ') AS t FROM documents
           WHERE len(string_split(text, ' ')) >= {SPAN_K}
@@ -624,6 +687,7 @@ QUERIES = {
     "doc_dup_spans": doc_dup_spans,
     "corpus_dup_spans": corpus_dup_spans,
     "dup_span_clusters": dup_span_clusters,
+    "dedup_incremental_lsh": dedup_incremental_lsh,
 }
 
 
@@ -829,4 +893,32 @@ ORACLES["dup_span_clusters"] = f"""
     SELECT doc_id, cluster,
            count(*) OVER (PARTITION BY cluster) AS cluster_n
     FROM lbl
+"""
+
+ORACLES["dedup_incremental_lsh"] = f"""
+    WITH {_TOKS_CTE},
+    sig AS (SELECT doc_id, {_MH} FROM toks),
+    bands AS (
+      SELECT doc_id, 0 AS band_id, md5(mh0 || mh1) AS band_key FROM sig
+      UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
+      UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sig
+      UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_base
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id >= {INCREMENT_SPLIT} AND b.doc_id < {INCREMENT_SPLIT}
+    ),
+    verified AS (
+      SELECT doc_new, doc_base,
+             len(list_filter(ta.t, x -> list_contains(tb.t, x))) AS common,
+             len(ta.t) AS na, len(tb.t) AS nb
+      FROM cand
+      JOIN toks ta ON ta.doc_id = doc_new
+      JOIN toks tb ON tb.doc_id = doc_base
+    )
+    SELECT doc_new, doc_base, round(common / (na + nb - common), 6) AS jaccard
+    FROM verified
+    WHERE common / (na + nb - common) >= 0.8
 """

@@ -368,3 +368,9 @@ def test_arrow_kernel_is_shuffle_free_mapinarrow(spark):
     plan = _plan(spark, "mm_byte_features_arrow")
     assert "Exchange" not in plan
     assert "MapInArrow" in plan and "MapInPandas" not in plan
+
+
+def test_incremental_lsh_probe_is_hash_joins_not_bnl(spark):
+    plan = _plan(spark, "dedup_incremental_lsh")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "Join" in plan  # band equi-joins present
