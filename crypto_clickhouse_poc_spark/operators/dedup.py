@@ -533,20 +533,32 @@ def doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     span positions whose span also appears in ANOTHER document.
 
     Dataflow (all O(span positions), no pair blow-up):
-      1. explode span hashes                   — map-only,
-      2. groupBy(h, doc_id) count              — shuffle 1 (map-side combine
+      1. explode span hashes                    — map-only,
+      2. groupBy(h, doc_id) count               — shuffle 1 (map-side combine
          collapses within-doc repeats first),
-      3. window count over h = distinct docs   — shuffle 2 (re-keys to h),
-      4. groupBy(doc_id) rollup                — shuffle 3 (tiny: ≤1 row per
+      3. groupBy(h) distinct-doc count          — shuffle 2 (partial-agg'd),
+         equi-JOINED back on h                  — shuffle 3,
+      4. groupBy(doc_id) rollup                 — shuffle 4 (tiny: ≤1 row per
          (h, doc) survivor).
+    Step 3 is deliberately an aggregate + equi-join, NOT
+    ``count() OVER (PARTITION BY h)``: a boilerplate span shared by a
+    million docs makes h a hot key, and a window funnels that whole group
+    through ONE task's sort with no mitigation, while the join shape
+    partial-aggregates map-side and lets AQE's skew-join split the hot
+    probe partition (the corpus_mix straggler lesson, round-5 verdict).
+    Cost of the trade: the grp branch re-derives the explode when Catalyst
+    doesn't reuse the (h, doc_id) exchange — a second map-parallel pass,
+    uniformly spread over cores, which is the right price for removing an
+    unsplittable straggler. (At fixture scale grp broadcasts and per never
+    re-shuffles at all.)
     Docs shorter than k tokens have no spans and are absent from the output
     (the oracle agrees).
     """
     d = load(spark, sf_dir, "documents")
     spans = d.select("doc_id", F.explode(span_hashes(F.col("text"))).alias("h"))
     per = spans.groupBy("h", "doc_id").agg(F.count("*").alias("c"))
-    n_docs = F.count("*").over(Window.partitionBy("h"))
-    flagged = per.withColumn("n_docs", n_docs)
+    grp = per.groupBy("h").agg(F.count("*").alias("n_docs"))
+    flagged = per.join(grp, "h")
     dup = F.sum(F.when(F.col("n_docs") > 1, F.col("c")).otherwise(F.lit(0)))
     return (
         flagged.groupBy("doc_id")
@@ -592,12 +604,15 @@ def dup_span_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     spans = d.select("doc_id", F.explode(span_hashes(F.col("text"))).alias("h"))
     per = spans.select("h", "doc_id").distinct()
-    w = Window.partitionBy("h")
-    flagged = per.withColumn("n_docs", F.count("*").over(w)).withColumn(
-        "rep", F.min("doc_id").over(w)
-    )
+    # aggregate + equi-join, not a window over h — same skew rationale as
+    # doc_dup_spans (a mega-dup span would put its whole group through one
+    # window task; the join shape partial-aggregates and AQE-splits)
+    grp = per.groupBy("h").agg(
+        F.min("doc_id").alias("rep"), F.count("*").alias("n_docs")
+    ).where(F.col("n_docs") > 1)
     edges = (
-        flagged.where((F.col("n_docs") > 1) & (F.col("doc_id") != F.col("rep")))
+        per.join(grp, "h")
+        .where(F.col("doc_id") != F.col("rep"))
         .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
         .distinct()
     )

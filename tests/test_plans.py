@@ -333,18 +333,26 @@ def test_curation_plan_shapes(spark):
 
 
 def test_dup_spans_shuffles_hashes_not_strings(spark):
-    """doc_dup_spans: joins never appear (pure agg dataflow), and the only
-    generated span representation crossing an Exchange is the 64-bit
-    xxhash64 — the span STRING must be consumed map-side (concat_ws feeds
-    xxhash64 inside the Generate, before the first Exchange)."""
+    """doc_dup_spans: the only generated span representation crossing an
+    Exchange is the 64-bit xxhash64 — the span STRING must be consumed
+    map-side (concat_ws feeds xxhash64 inside the Generate, before the
+    first Exchange) — and the per-span doc count joins back via an
+    equi-join (AQE-skew-splittable), never a window over h (single-task
+    sort on a hot span) and never a nested-loop pair scan."""
     plan = _plan(spark, "doc_dup_spans")
-    assert "Join" not in plan
     assert "xxhash64" in plan
-    # map-side combine before each of the three legitimate exchanges
-    assert plan.count("Exchange") == 3
-    gen, rest = plan.split("Generate", 1)[0], plan.split("Generate", 1)[1]
-    # every Exchange sits above the Generate (hash rows), none below
-    assert gen.count("Exchange") == 3 and rest.count("Exchange") == 0
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "Window" not in plan
+    # int-row exchanges only: groupBy(h,doc) + groupBy(h) + join re-key +
+    # final doc rollup (the grp branch re-derives the Generate, so count
+    # keys, not positions)
+    import re
+
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert keys, "expected hash exchanges"
+    for k in keys:
+        cols = {c.strip().split("#")[0] for c in k.split(",") if "#" in c}
+        assert cols <= {"h", "doc_id"}, k  # never the span string / text
 
 
 def test_corpus_dup_spans_topk_not_global_sort(spark):
