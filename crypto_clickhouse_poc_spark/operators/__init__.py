@@ -34,6 +34,7 @@ from . import (
     text,
     tpch,
     trades,
+    warehouse,
 )
 
 _MODULES = (
@@ -52,6 +53,7 @@ _MODULES = (
     sampling,
     curation,
     skipidx,
+    warehouse,
 )
 
 # Declared driver surface: exactly 50 entries, every one oracle-checked.

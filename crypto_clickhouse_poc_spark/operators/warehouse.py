@@ -1,0 +1,181 @@
+"""Warehouse maintenance patterns: unpivot (wide→long) and SCD2 merge.
+
+Two classic shapes every analytics engine ends up needing:
+
+- **unpivot** — the inverse of the pivot/contingency queries
+  (``sqlapi.sql_hourly_pivot``). Spark 3.4+ has a native
+  ``DataFrame.unpivot`` (SQL ``stack``): a zero-shuffle per-row expansion
+  of W wide columns into W long rows — at 100 TB it's a map-only Generate,
+  never a join.
+- **SCD2 merge** — slowly-changing-dimension type 2 upsert WITHOUT
+  ``MERGE INTO`` (no Delta in this environment; the reference stack has no
+  transactional table format either). The emulation is the documented
+  plain-parquet pattern: detect changed keys with an equi-join, close the
+  superseded versions, append the new versions, union the untouched rest.
+  Every step is a key-partitioned join or map — no windows over the full
+  dimension, no global sorts; at scale the dimension and the update batch
+  co-partition on the business key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load
+
+SCD2_T0 = "2024-01-01 00:00:00"  # initial-load effective_from
+SCD2_T1 = "2024-02-01 00:00:00"  # update-batch effective_from
+SCD2_OPEN = "9999-12-31 00:00:00"  # open-interval sentinel
+
+
+def ev_hourly_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long round trip: pivot events into hour × per-type count
+    columns, then ``unpivot`` back to (hour, event_type, n) rows.
+
+    The unpivot is a per-row Generate (W output rows per input row) — the
+    whole round trip is one hash aggregate plus map work, no joins. Rows
+    with n = 0 are dropped to make the long form equal to the direct
+    groupBy (the oracle computes that directly; a pivot materializes
+    absent combinations as zeros, the long form never had them).
+    """
+    e = load(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        e.groupBy(F.hour("ts").alias("hour"))
+        .agg(
+            *[
+                F.count(F.when(F.col("event_type") == t, 1)).alias(t)
+                for t in types
+            ]
+        )
+    )
+    long = wide.unpivot(
+        ids=["hour"], values=types, variableColumnName="event_type", valueColumnName="n"
+    )
+    return long.where(F.col("n") > 0).orderBy("hour", "event_type")
+
+
+def _scd2_inputs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Deterministic SCD2 fixture: the dimension is ``customer`` with
+    ``c_acctbal`` as the tracked attribute (initial load at T0); the
+    update batch at T1 touches every 10th key — half with a CHANGED
+    balance (must version), half with the same value (must be ignored:
+    a correct merge is change-DETECTING, not touch-detecting)."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    dim = c.select(
+        "key",
+        "name",
+        "acctbal",
+        F.lit(SCD2_T0).cast("timestamp").alias("effective_from"),
+        F.lit(SCD2_OPEN).cast("timestamp").alias("effective_to"),
+        F.lit(1).alias("is_current"),
+    )
+    upd = c.where(F.col("key") % 10 == 0).select(
+        "key",
+        "name",
+        F.when(F.col("key") % 20 == 0, F.round(F.col("acctbal") + 100.0, 2))
+        .otherwise(F.col("acctbal"))
+        .alias("acctbal"),
+    )
+    return dim, upd
+
+
+def cust_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 upsert without MERGE INTO: plain joins + union.
+
+    changed  = updates ⋈ current versions WHERE tracked attr differs
+    closed   = those current versions with effective_to = T1, is_current=0
+    opened   = the new versions effective [T1, ∞)
+    untouched= everything else, byte-identical
+
+    All three legs derive from ONE equi-join of the update batch against
+    current rows on the business key (broadcast when the batch is small —
+    the overwhelmingly common case — else a co-partitioned shuffle join
+    that AQE skew-splits). No window functions, no global sort; output
+    ordering here is only for the deterministic oracle hash.
+    """
+    dim, upd = _scd2_inputs(spark, sf_dir)
+    cur = dim.where(F.col("is_current") == 1)
+    changed = (
+        cur.alias("d")
+        .join(upd.alias("u"), "key")
+        .where(F.col("d.acctbal") != F.col("u.acctbal"))
+        .select(
+            "key",
+            F.col("d.name").alias("name"),
+            F.col("d.acctbal").alias("old_bal"),
+            F.col("u.acctbal").alias("new_bal"),
+            F.col("d.effective_from").alias("old_from"),
+        )
+    )
+    closed = changed.select(
+        "key",
+        "name",
+        F.col("old_bal").alias("acctbal"),
+        F.col("old_from").alias("effective_from"),
+        F.lit(SCD2_T1).cast("timestamp").alias("effective_to"),
+        F.lit(0).alias("is_current"),
+    )
+    opened = changed.select(
+        "key",
+        "name",
+        F.col("new_bal").alias("acctbal"),
+        F.lit(SCD2_T1).cast("timestamp").alias("effective_from"),
+        F.lit(SCD2_OPEN).cast("timestamp").alias("effective_to"),
+        F.lit(1).alias("is_current"),
+    )
+    untouched = dim.join(changed.select("key"), "key", "left_anti")
+    out = untouched.unionByName(closed).unionByName(opened)
+    return out.orderBy("key", "effective_from")
+
+
+QUERIES = {
+    "ev_hourly_unpivot": ev_hourly_unpivot,
+    "cust_scd2_merge": cust_scd2_merge,
+}
+
+ORACLES = {
+    "ev_hourly_unpivot": """
+        SELECT CAST(hour(ts) AS INT) AS hour, event_type,
+               count(*) AS n
+        FROM events
+        GROUP BY hour(ts), event_type
+        ORDER BY hour, event_type
+    """,
+    "cust_scd2_merge": f"""
+        WITH dim AS (
+          SELECT c_custkey AS key, c_name AS name, c_acctbal AS acctbal
+          FROM customer
+        ),
+        upd AS (
+          SELECT key, name,
+                 CASE WHEN key % 20 = 0 THEN round(acctbal + 100.0, 2)
+                      ELSE acctbal END AS acctbal
+          FROM dim WHERE key % 10 = 0
+        ),
+        changed AS (
+          SELECT d.key, d.name, d.acctbal AS old_bal, u.acctbal AS new_bal
+          FROM dim d JOIN upd u ON d.key = u.key
+          WHERE d.acctbal <> u.acctbal
+        )
+        SELECT key, name, acctbal,
+               TIMESTAMP '{SCD2_T0}' AS effective_from,
+               TIMESTAMP '{SCD2_OPEN}' AS effective_to,
+               CAST(1 AS INT) AS is_current
+        FROM dim WHERE key NOT IN (SELECT key FROM changed)
+        UNION ALL
+        SELECT key, name, old_bal,
+               TIMESTAMP '{SCD2_T0}', TIMESTAMP '{SCD2_T1}', CAST(0 AS INT)
+        FROM changed
+        UNION ALL
+        SELECT key, name, new_bal,
+               TIMESTAMP '{SCD2_T1}', TIMESTAMP '{SCD2_OPEN}', CAST(1 AS INT)
+        FROM changed
+        ORDER BY key, effective_from
+    """,
+}

@@ -382,3 +382,21 @@ def test_incremental_lsh_probe_is_hash_joins_not_bnl(spark):
     plan = _plan(spark, "dedup_incremental_lsh")
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "Join" in plan  # band equi-joins present
+
+
+def test_unpivot_is_map_only_expand(spark):
+    """ev_hourly_unpivot: the wide->long step is a per-row Expand/Generate,
+    never a join; total plan = one hash aggregate + map work + topk sort."""
+    plan = _plan(spark, "ev_hourly_unpivot")
+    assert "Join" not in plan
+    assert "Expand" in plan or "Generate" in plan
+
+
+def test_scd2_merge_is_joins_no_windows(spark):
+    """cust_scd2_merge: change detection is ONE equi-join (broadcast at
+    batch-sized updates), untouched rows leave via anti-join — no window
+    over the dimension, no global sort besides the oracle-determinism
+    orderBy."""
+    plan = _plan(spark, "cust_scd2_merge")
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
