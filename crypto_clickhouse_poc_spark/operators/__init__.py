@@ -105,8 +105,22 @@ _MODULES = (
 #                                           span family — corpus_dup_spans
 #                                           keeps it under the pytest gate;
 #                                           doc_dup_spans adds the hash-only
-#                                           shuffle + window + per-doc
-#                                           rollup of exact substring dedup)
+#                                           shuffle + per-doc rollup of
+#                                           exact substring dedup)
+#   tpch_q12           -> cust_scd2_merge  (q12's join + CASE-conditional
+#                                           agg decomposes into q3's
+#                                           join+agg and ev_buy_sell_*'s
+#                                           sumIf, both declared; SCD2 adds
+#                                           the change-detect join +
+#                                           anti-join + union merge shape)
+#   ev_minute_momentum -> corpus_bm25_topk (momentum's lag/moving-avg frame
+#                                           windows are the same frame
+#                                           machinery as the declared
+#                                           ev_ohlcv_gapfill fill and the
+#                                           bar-window tests; BM25 brings
+#                                           the ranked-retrieval family —
+#                                           1-row-broadcast corpus stats —
+#                                           under the driver hash)
 _DECLARED = (
     # reference §2.10 public query surface (api/server.py:57-200)
     "ev_count",
@@ -152,27 +166,27 @@ _DECLARED = (
     "ev_user_setops",
     "ev_sessionize",
     "ev_price_quantiles",
-    "ev_minute_momentum",
     "ev_type_user_cube",
     "quantile_partials_replay",
     "ev_ohlcv_gapfill",
     "ev_funnel",
-    # text / LLM-pipeline + dataset assembly
+    # text / LLM-pipeline + dataset assembly + ranked retrieval
     "doc_stats",
+    "corpus_bm25_topk",
     "doc_langid_ngram",
     "doc_dup_spans",
     "doc_winnow",
     "corpus_prepare",
     "corpus_mix",
     "corpus_pack",
-    # joins: TPC-H representative set (agg-only, join+topk, multiway
-    # broadcast, pure scan, conditional agg, correlated scalar subquery,
+    # joins: TPC-H representative set + SCD2 merge (agg-only, join+topk,
+    # multiway broadcast, pure scan, correlated scalar subquery,
     # semi+anti, anti+scalar-avg, ROLLUP)
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
-    "tpch_q12",
+    "cust_scd2_merge",
     "tpch_q17",
     "tpch_q21",
     "tpch_q22",
