@@ -85,21 +85,24 @@ def _scd2_inputs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
     return dim, upd
 
 
-def cust_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD2 upsert without MERGE INTO: plain joins + union.
+def scd2_merge(dim: DataFrame, upd: DataFrame, batch_ts: str) -> DataFrame:
+    """Generic SCD2 upsert without MERGE INTO: plain joins + union.
+
+    ``dim``: (key, name, acctbal, effective_from, effective_to,
+    is_current) history; ``upd``: (key, name, acctbal) update batch.
 
     changed  = updates ⋈ current versions WHERE tracked attr differs
-    closed   = those current versions with effective_to = T1, is_current=0
-    opened   = the new versions effective [T1, ∞)
-    untouched= everything else, byte-identical
+    closed   = those current versions with effective_to = batch_ts
+    opened   = the new versions effective [batch_ts, ∞)
+    untouched= everything else, byte-identical (incl. history rows)
 
     All three legs derive from ONE equi-join of the update batch against
     current rows on the business key (broadcast when the batch is small —
     the overwhelmingly common case — else a co-partitioned shuffle join
-    that AQE skew-splits). No window functions, no global sort; output
-    ordering here is only for the deterministic oracle hash.
+    that AQE skew-splits). No window functions, no global sort. Same-value
+    updates are ignored (change-DETECTING, hence idempotent: re-applying
+    a batch adds no versions — property-tested).
     """
-    dim, upd = _scd2_inputs(spark, sf_dir)
     cur = dim.where(F.col("is_current") == 1)
     changed = (
         cur.alias("d")
@@ -118,20 +121,30 @@ def cust_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "name",
         F.col("old_bal").alias("acctbal"),
         F.col("old_from").alias("effective_from"),
-        F.lit(SCD2_T1).cast("timestamp").alias("effective_to"),
+        F.lit(batch_ts).cast("timestamp").alias("effective_to"),
         F.lit(0).alias("is_current"),
     )
     opened = changed.select(
         "key",
         "name",
         F.col("new_bal").alias("acctbal"),
-        F.lit(SCD2_T1).cast("timestamp").alias("effective_from"),
+        F.lit(batch_ts).cast("timestamp").alias("effective_from"),
         F.lit(SCD2_OPEN).cast("timestamp").alias("effective_to"),
         F.lit(1).alias("is_current"),
     )
-    untouched = dim.join(changed.select("key"), "key", "left_anti")
-    out = untouched.unionByName(closed).unionByName(opened)
-    return out.orderBy("key", "effective_from")
+    # untouched = all history rows + current rows of unchanged keys;
+    # only CURRENT rows of changed keys are replaced (by closed+opened)
+    hist = dim.where(F.col("is_current") == 0)
+    untouched_cur = cur.join(changed.select("key"), "key", "left_anti")
+    return hist.unionByName(untouched_cur).unionByName(closed).unionByName(opened)
+
+
+def cust_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixture SCD2 query: initial ``customer`` load merged with the
+    deterministic T1 update batch (see ``scd2_merge`` for the dataflow;
+    output ordering only for the deterministic oracle hash)."""
+    dim, upd = _scd2_inputs(spark, sf_dir)
+    return scd2_merge(dim, upd, SCD2_T1).orderBy("key", "effective_from")
 
 
 QUERIES = {

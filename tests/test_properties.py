@@ -315,3 +315,50 @@ def test_corpus_mix_two_pass_equals_full_rank(spark, n_buckets):
         .collect()
     }
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_dup_spans_planted_boilerplate_detected(spark, seed):
+    """Seeded random corpus with a PLANTED boilerplate passage: every doc
+    carrying the passage must report dup_spans >= the passage's span count
+    and appear in ONE shared span-cluster; clean docs (disjoint vocab)
+    must report dup_frac = 0 and stay singletons."""
+    import random as _random
+
+    from crypto_clickhouse_poc_spark.operators.dedup import (
+        SPAN_K,
+        doc_dup_spans,
+        dup_span_clusters,
+    )
+
+    rng = _random.Random(seed)
+    boiler = " ".join(f"b{i}" for i in range(SPAN_K + 4))  # 12 tokens → 5 spans
+    carriers = set(rng.sample(range(20), 6))
+    rows = []
+    for d in range(20):
+        # per-doc unique vocab → zero cross-doc spans except the boilerplate
+        body = " ".join(f"d{d}w{j}" for j in range(30))
+        text = f"{body} {boiler}" if d in carriers else body
+        rows.append((d, text, "en", "src", len(text)))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    import tempfile, os
+
+    tmp = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+
+    frac = {r["doc_id"]: r for r in doc_dup_spans(spark, tmp).collect()}
+    n_boiler_spans = (SPAN_K + 4) - SPAN_K + 1  # 5 fully-inside spans
+    for d in range(20):
+        if d in carriers:
+            assert frac[d]["dup_spans"] >= n_boiler_spans, (d, frac[d])
+        else:
+            assert frac[d]["dup_spans"] == 0, (d, frac[d])
+
+    lbl = {r["doc_id"]: r for r in dup_span_clusters(spark, tmp).collect()}
+    carrier_clusters = {lbl[d]["cluster"] for d in carriers}
+    assert carrier_clusters == {min(carriers)}
+    for d in range(20):
+        if d not in carriers:
+            assert lbl[d]["cluster_n"] == 1, (d, lbl[d])

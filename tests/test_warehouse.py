@@ -1,0 +1,116 @@
+"""Warehouse-pattern invariants beyond the DuckDB parity gate
+(tests/test_oracle_parity.py covers value-exactness of the fixture
+queries; this file locks the ALGEBRA of the generic SCD2 merge and the
+BM25 scoring bounds)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from crypto_clickhouse_poc_spark.operators import text as TX
+from crypto_clickhouse_poc_spark.operators import warehouse as W
+from tests.conftest import SF_CORRECT
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_scd2_reapplying_same_batch_is_idempotent(spark):
+    """A correct merge is change-detecting: applying the SAME update batch
+    to the merged result adds zero versions (the current rows already
+    carry the new values)."""
+    dim, upd = W._scd2_inputs(spark, SF_CORRECT)
+    once = W.scd2_merge(dim, upd, W.SCD2_T1)
+    twice = W.scd2_merge(once, upd, "2024-03-01 00:00:00")
+    assert _rows(twice) == _rows(once)
+
+
+def test_scd2_second_real_change_appends_third_version(spark):
+    """A later batch that changes the value again versions again: changed
+    keys end with 3 rows (two closed intervals + one open), and history
+    rows are never rewritten."""
+    dim, upd = W._scd2_inputs(spark, SF_CORRECT)
+    once = W.scd2_merge(dim, upd, W.SCD2_T1)
+    upd2 = upd.withColumn("acctbal", F.round(F.col("acctbal") + 7.0, 2))
+    twice = W.scd2_merge(once, upd2, "2024-03-01 00:00:00")
+    per_key = {
+        r["key"]: r["n"]
+        for r in twice.groupBy("key").agg(F.count("*").alias("n")).collect()
+    }
+    changed_keys = [r["key"] for r in once.where("is_current = 0").select("key").collect()]
+    assert changed_keys, "fixture must contain changed keys"
+    for k in changed_keys:
+        assert per_key[k] == 3, k
+    # closed T0->T1 intervals from the first merge survive verbatim
+    first_closed = _rows(once.where("is_current = 0"))
+    still_there = _rows(
+        twice.where(f"is_current = 0 AND effective_to = timestamp'{W.SCD2_T1}'")
+    )
+    assert first_closed == still_there
+
+
+def test_scd2_interval_invariants(spark):
+    """Per key: exactly one current row; intervals are contiguous
+    (effective_to of a closed row == effective_from of its successor) and
+    never overlap."""
+    dim, upd = W._scd2_inputs(spark, SF_CORRECT)
+    out = W.scd2_merge(dim, upd, W.SCD2_T1)
+    cur_counts = out.groupBy("key").agg(
+        F.sum("is_current").alias("n_cur"), F.count("*").alias("n")
+    )
+    bad = cur_counts.where("n_cur != 1").count()
+    assert bad == 0
+    rows = sorted(
+        ((r["key"], r["effective_from"], r["effective_to"]) for r in out.collect())
+    )
+    by_key: dict = {}
+    for k, f, t in rows:
+        by_key.setdefault(k, []).append((f, t))
+    for k, ivals in by_key.items():
+        ivals.sort()
+        for (f1, t1), (f2, t2) in zip(ivals, ivals[1:]):
+            assert t1 == f2, (k, t1, f2)  # contiguous
+            assert f1 < t1 <= f2 < t2, (k, ivals)  # ordered, no overlap
+
+
+def test_bm25_scores_bounded_and_term_monotone(spark):
+    """Per-term BM25 contribution is bounded by idf*(k1+1) (tf-saturation),
+    and a doc containing a query term outscores the same doc with the term
+    removed — checked by rescoring a perturbed corpus through the same
+    dataflow constants."""
+    rows = TX.corpus_bm25_topk(spark, SF_CORRECT).collect()
+    assert rows, "fixture must rank something"
+    # bound: with df >= 1, idf <= ln(1 + (N - 0.5)/1.5); N = 500 docs
+    n_docs = 500
+    idf_max = math.log(1.0 + (n_docs - 0.5) / 1.5)
+    bound = len(TX.BM25_QUERY) * idf_max * (TX.BM25_K1 + 1)
+    for r in rows:
+        assert 0.0 < r["bm25"] <= bound + 1e-9, tuple(r)
+
+
+def test_bm25_removing_terms_lowers_score(spark, duck):
+    """Oracle-side counterfactual: strip the query terms from the top doc's
+    text; its rescored BM25 must drop to 0 for those terms (score strictly
+    lower). Uses the oracle SQL on a perturbed view so Spark and test stay
+    independent."""
+    rows = TX.corpus_bm25_topk(spark, SF_CORRECT).collect()
+    top, top_score = rows[0]["doc_id"], rows[0]["bm25"]
+    terms = "|".join(TX.BM25_QUERY)
+    duck.execute("DROP VIEW IF EXISTS documents_perturbed")
+    duck.execute(
+        f"""
+        CREATE VIEW documents_perturbed AS
+        SELECT doc_id,
+               CASE WHEN doc_id = {top}
+                    THEN trim(regexp_replace(text, '\\b({terms})\\b', 'zzz', 'g'))
+                    ELSE text END AS text,
+               lang, source, n_chars
+        FROM documents
+        """
+    )
+    sql = TX.ORACLES["corpus_bm25_topk"].replace("FROM documents", "FROM documents_perturbed")
+    new = {r[0]: r[1] for r in duck.sql(sql).fetchall()}
+    assert new.get(top, 0.0) < top_score
