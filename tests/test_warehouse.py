@@ -114,3 +114,60 @@ def test_bm25_removing_terms_lowers_score(spark, duck):
     sql = TX.ORACLES["corpus_bm25_topk"].replace("FROM documents", "FROM documents_perturbed")
     new = {r[0]: r[1] for r in duck.sql(sql).fetchall()}
     assert new.get(top, 0.0) < top_score
+
+
+def test_streaming_cdc_apply_matches_sequential_batch_merges(spark, tmp_path):
+    """Two update batches streamed through the foreachBatch CDC sink
+    produce the same dimension as applying scd2_merge sequentially in
+    batch; and streamed batch order follows file order (chunk 0 then 1)."""
+    import os
+
+    from crypto_clickhouse_poc_spark.streaming import cdc
+
+    dim0, upd = W._scd2_inputs(spark, SF_CORRECT)
+    dim_path = str(tmp_path / "dim")
+    dim0.coalesce(1).write.parquet(dim_path)
+
+    u1 = upd.where("key % 20 = 0")  # changed balances
+    u2 = upd.where("key % 20 = 10").withColumn(
+        "acctbal", F.round(F.col("acctbal") - 55.0, 2)
+    )
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    for k, u in enumerate((u1, u2)):
+        p = str(src / f"chunk-{k:05d}")
+        u.coalesce(1).write.parquet(p)
+        # one file per chunk dir; surface as flat files for the file stream
+    # flatten: the file source reads a directory of parquet files
+    flat = tmp_path / "cdc_flat"
+    flat.mkdir()
+    import glob
+    import shutil
+
+    for k in range(2):
+        f = glob.glob(str(src / f"chunk-{k:05d}" / "*.parquet"))[0]
+        dst = str(flat / f"chunk-{k:05d}.parquet")
+        shutil.copy(f, dst)
+        os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
+
+    stream = spark.readStream.schema("key long, name string, acctbal double").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(flat))
+    q = cdc.start_scd2_apply(stream, dim_path, str(tmp_path / "ckpt_cdc"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = _rows(spark.read.parquet(dim_path))
+    want = _rows(
+        W.scd2_merge(
+            W.scd2_merge(dim0, u1, cdc.default_batch_ts(0)),
+            u2,
+            cdc.default_batch_ts(1),
+        )
+    )
+    assert got == want
+    # sanity: both change sets actually versioned
+    closed = spark.read.parquet(dim_path).where("is_current = 0").count()
+    assert closed == u1.count() + u2.count()
