@@ -169,22 +169,23 @@ def kmv_partials_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    from .trades import KMV_K, kmv_estimate, kmv_frac
+    from .trades import KMV_K, kmv_estimate, kmv_frac, kmv_topk
 
     e = _events(spark, sf_dir)
-    w = Window.partitionBy("event_type").orderBy("frac")
     parts = None
     for i in range(3):
-        p = (
+        # per-flush partial: the skew-safe two-phase top-k (same helper as
+        # ev_user_kmv — no full-type window sort over the flush's users)
+        p = kmv_topk(
             e.where(F.col("event_id") % 3 == i)
             .select("event_type", "user_id")
             .distinct()
             .withColumn("frac", kmv_frac(F.col("user_id")))
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= KMV_K)
-            .select("event_type", "frac")
-        )
+        ).select("event_type", "frac")
         parts = p if parts is None else parts.unionAll(p)
+    # read-time merge input is ≤ flushes×K rows per type — a plain window
+    # is fine here regardless of corpus size
+    w = Window.partitionBy("event_type").orderBy("frac")
     merged = (
         parts.distinct()  # same user in several batches → same fraction
         .withColumn("rn", F.row_number().over(w))

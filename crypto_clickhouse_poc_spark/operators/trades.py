@@ -824,6 +824,38 @@ def kmv_estimate(k_eff, h_k):
     )
 
 
+KMV_SALT = 32  # phase-1 top-k parallelism (a knob: ~thousands at 100 TB)
+
+
+def kmv_topk(du: DataFrame, salt_col: str = "user_id") -> DataFrame:
+    """K smallest ``frac`` rows per event_type, computed SKEW-SAFELY in two
+    phases: a salted per-(type, salt) top-K first (every salt group's k
+    smallest necessarily contains any global k-smallest value — the k
+    smallest VALUES counting multiplicity are preserved exactly), then the
+    final top-K over the ≤ KMV_SALT×K survivors per type.
+
+    Why not one ``row_number() OVER (PARTITION BY event_type ORDER BY
+    frac)``: event_type has a handful of values, so the single window
+    funnels each type's ENTIRE distinct-user set through one task's sort —
+    a billion-row straggler at 100 TB (the corpus_mix lesson). Phase 1's
+    partition key has KMV_SALT× the cardinality, and the final sort sees
+    O(K·KMV_SALT) rows per type regardless of corpus size.
+    """
+    from pyspark.sql.window import Window
+
+    salted = du.withColumn(
+        "salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(KMV_SALT))
+    )
+    w1 = Window.partitionBy("event_type", "salt").orderBy("frac")
+    cand = (
+        salted.withColumn("rn1", F.row_number().over(w1))
+        .where(F.col("rn1") <= KMV_K)
+        .drop("rn1", "salt")
+    )
+    w = Window.partitionBy("event_type").orderBy("frac")
+    return cand.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= KMV_K)
+
+
 def ev_user_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (k-minimum-values) distinct-count sketch per event type, next to
     the exact count so the error is visible.
@@ -835,8 +867,8 @@ def ev_user_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     of sketches = k smallest of the union) and O(k) memory per group — the
     same family as HLL but exactly reproducible, so unlike
     ``ev_user_counts_approx`` it sits under the full value-hash gate.
-    Dataflow: one distinct shuffle on (type, user), then a window top-k that
-    reuses the same partitioning.
+    Dataflow: one distinct shuffle on (type, user), then the two-phase
+    salted top-k (``kmv_topk`` — no full-type window sort).
     """
     e = _events(spark, sf_dir)
     du = (
@@ -844,10 +876,7 @@ def ev_user_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("frac", kmv_frac(F.col("user_id")))
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("event_type").orderBy("frac")
-    topk = du.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= KMV_K)
+    topk = kmv_topk(du)
     return (
         topk.groupBy("event_type")
         .agg(

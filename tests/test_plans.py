@@ -400,3 +400,16 @@ def test_scd2_merge_is_joins_no_windows(spark):
     plan = _plan(spark, "cust_scd2_merge")
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_kmv_topk_is_two_phase_salted(spark):
+    """ev_user_kmv: the distinct-user top-k must run as the salted
+    two-phase (a windowspec over (event_type, salt) BEFORE the final
+    (event_type)-only windowspec) — a single full-type window would funnel
+    each type's entire distinct-user set through one task's sort."""
+    plan = _plan(spark, "ev_user_kmv")
+    assert "salt" in plan
+    import re
+
+    specs = [m.group(1) for m in re.finditer(r"windowspecdefinition\(([^)]*?), frac", plan)]
+    assert any("salt" in s for s in specs), specs
