@@ -617,9 +617,10 @@ def dup_span_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     lbl = min_label_clusters(d.select("doc_id"), edges)
-    return lbl.withColumn(
-        "cluster_n", F.count("*").over(Window.partitionBy("cluster"))
-    )
+    # agg+join (not a window over cluster): a giant boilerplate cluster
+    # would otherwise sort through one task — same policy as dedup_clusters
+    sizes = lbl.groupBy("cluster").agg(F.count("*").alias("cluster_n"))
+    return lbl.join(sizes, "cluster").select("doc_id", "cluster", "cluster_n")
 
 
 INCREMENT_SPLIT = 400  # fixture split: doc_id >= 400 is the "new batch"

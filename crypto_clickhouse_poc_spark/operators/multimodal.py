@@ -475,11 +475,18 @@ def mm_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = m.select(F.col("media_id").alias("doc_id"))
     clusters = min_label_clusters(nodes, pairs)
-    w = Window.partitionBy("cluster")
+    # agg+join, not a window over cluster — a mega near-dup cluster would
+    # otherwise sort through one task (same policy as dedup_clusters)
+    lbl = clusters.select(F.col("doc_id").alias("media_id"), "cluster")
+    sizes = lbl.groupBy("cluster").agg(F.count("*").alias("cluster_n"))
     return (
-        clusters.select(F.col("doc_id").alias("media_id"), "cluster")
-        .withColumn("cluster_n", F.count("*").over(w))
-        .withColumn("is_canonical", (F.col("media_id") == F.col("cluster")).cast("int"))
+        lbl.join(sizes, "cluster")
+        .select(
+            "media_id",
+            "cluster",
+            "cluster_n",
+            (F.col("media_id") == F.col("cluster")).cast("int").alias("is_canonical"),
+        )
         .orderBy("media_id")
     )
 
