@@ -60,8 +60,9 @@ SECTIONS = [
     (
         "doc_dup_spans",
         "r6 exact substring dedup: spans explode to 64-bit xxhash64 inside "
-        "the Generate; all three Exchanges carry only (hash, doc_id, count) "
-        "ints — span text never shuffles; no joins.",
+        "the Generate; every Exchange partitions on (hash, doc_id) ints — "
+        "span text never shuffles; the per-span doc count joins back via "
+        "an AQE-skew-splittable equi-join, not a hot-key window.",
     ),
     (
         "corpus_bm25_topk",
