@@ -40,15 +40,18 @@ def default_batch_ts(batch_id: int) -> str:
 
 def apply_scd2_batch(dim_path: str, batch: DataFrame, batch_ts: str) -> None:
     """One CDC apply: merge ``batch`` into the dim at ``dim_path`` and
-    swap the result in via rename-aside (crash window documented in
-    ``plans.layout.compact``; ``recover_compaction`` heals it)."""
-    spark = batch.sparkSession
+    swap the result in via rename-aside — the SAME leftover names and
+    protocol as ``plans.layout.compact``, so ``layout.read_table``'s
+    auto-heal (``recover_compaction``) covers a crash in this swap's
+    window too (read path below uses it for exactly that reason)."""
+    from ..plans import layout
+
     dest = Path(dim_path)
-    dim = spark.read.parquet(str(dest))
+    dim = layout.read_table(batch.sparkSession, str(dest))
     merged = scd2_merge(dim, batch, batch_ts)
-    tmp = str(dest.with_name(dest.name + ".compact_tmp"))
+    tmp = str(dest) + ".compact.tmp"
     merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    old = dest.with_name(dest.name + ".compact_old")
+    old = Path(str(dest) + ".compact.old")
     dest.rename(old)
     try:
         Path(tmp).rename(dest)

@@ -171,3 +171,39 @@ def test_streaming_cdc_apply_matches_sequential_batch_merges(spark, tmp_path):
     # sanity: both change sets actually versioned
     closed = spark.read.parquet(dim_path).where("is_current = 0").count()
     assert closed == u1.count() + u2.count()
+
+
+def test_cdc_apply_crash_window_heals_on_next_read(spark, tmp_path):
+    """Simulate a crash between the CDC swap's two renames (live dim path
+    absent, .compact.tmp fully written): the next apply's read_table call
+    heals it and the apply proceeds — the same recovery contract as
+    compact()."""
+    import shutil
+
+    from crypto_clickhouse_poc_spark.streaming import cdc
+
+    dim0, upd = W._scd2_inputs(spark, SF_CORRECT)
+    dim_path = str(tmp_path / "dim_crash")
+    dim0.coalesce(1).write.parquet(dim_path)
+    u1 = upd.where("key % 20 = 0")
+
+    # manufacture the crash state: full new version in .compact.tmp, live
+    # path renamed aside to .compact.old (crash before tmp -> dest rename)
+    merged = W.scd2_merge(spark.read.parquet(dim_path), u1, cdc.default_batch_ts(0))
+    merged.coalesce(1).write.parquet(dim_path + ".compact.tmp")
+    shutil.move(dim_path, dim_path + ".compact.old")
+
+    u2 = upd.where("key % 20 = 10").withColumn(
+        "acctbal", F.round(F.col("acctbal") - 55.0, 2)
+    )
+    cdc.apply_scd2_batch(dim_path, u2, cdc.default_batch_ts(1))
+
+    got = _rows(spark.read.parquet(dim_path))
+    want = _rows(
+        W.scd2_merge(
+            W.scd2_merge(dim0, u1, cdc.default_batch_ts(0)),
+            u2,
+            cdc.default_batch_ts(1),
+        )
+    )
+    assert got == want
