@@ -43,10 +43,11 @@ DECONTAM_NGRAM = 5
 # (~3.1%) — a deterministic stand-in for "the benchmark set".
 HOLDOUT_BUCKETS = 2048
 
-_HOLDOUT_SQL = (
-    "CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) "
-    f"AS INTEGER) < {HOLDOUT_BUCKETS}"
-)
+from .sampling import _B16  # the one 16-bit md5-bucket SQL idiom (stay in
+# sync with sampling._bucket16 — a second copy here had already drifted
+# into existence; review finding r6)
+
+_HOLDOUT_SQL = f"{_B16} < {HOLDOUT_BUCKETS}"
 
 
 def _is_holdout(doc_id: Column) -> Column:

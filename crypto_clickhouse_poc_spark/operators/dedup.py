@@ -509,23 +509,31 @@ def _span_index(t: Column, k: int) -> Column:
     )
 
 
-def span_strings(text: Column, k: int = SPAN_K) -> Column:
-    """Every k-token span of ``text`` as a space-joined string (one entry
-    per POSITION — repeats within a doc stay, unlike ``shingles``)."""
-    t = T.tokens(text)
+def span_strings(toks: Column, k: int = SPAN_K) -> Column:
+    """Every k-token span as a space-joined string (one entry per POSITION
+    — repeats within a doc stay, unlike ``shingles``).
+
+    ``toks`` must be a MATERIALIZED token-array column (an attribute), not
+    a ``split(text)`` expression: slicing an expression inside the lambda
+    re-evaluates the whole split per span index — O(tokens²) per doc, the
+    exact pitfall the ``shingles`` docstring documents (round-2 perf log).
+    Queries do ``withColumn("t", T.tokens(text))`` first.
+    """
     return F.transform(
-        _span_index(t, k), lambda i: F.concat_ws(" ", F.slice(t, i + F.lit(1), F.lit(k)))
+        _span_index(toks, k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1), F.lit(k))),
     )
 
 
-def span_hashes(text: Column, k: int = SPAN_K) -> Column:
-    """64-bit fingerprint per span position. At 100 TB only these 8-byte
-    ints are shuffled, never span text (~8 tokens ≈ 50 bytes each); the
-    oracle keys by the span STRING instead, so parity additionally verifies
-    the no-collision assumption (64-bit hashes over ~1e5..1e9 spans:
-    collision probability ≤ n²/2⁶⁵)."""
+def span_hashes(toks: Column, k: int = SPAN_K) -> Column:
+    """64-bit fingerprint per span position (``toks``: materialized token
+    array — see ``span_strings``). At 100 TB only these 8-byte ints are
+    shuffled, never span text (~8 tokens ≈ 50 bytes each); the oracle keys
+    by the span STRING instead, so parity additionally verifies the
+    no-collision assumption (64-bit hashes over ~1e5..1e9 spans: collision
+    probability ≤ n²/2⁶⁵)."""
     # one-param lambda — xxhash64 is variadic; transform would pass (elem, idx)
-    return F.transform(span_strings(text, k), lambda s: F.xxhash64(s))
+    return F.transform(span_strings(toks, k), lambda s: F.xxhash64(s))
 
 
 def doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -554,8 +562,8 @@ def doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Docs shorter than k tokens have no spans and are absent from the output
     (the oracle agrees).
     """
-    d = load(spark, sf_dir, "documents")
-    spans = d.select("doc_id", F.explode(span_hashes(F.col("text"))).alias("h"))
+    d = load(spark, sf_dir, "documents").withColumn("t", T.tokens(F.col("text")))
+    spans = d.select("doc_id", F.explode(span_hashes(F.col("t"))).alias("h"))
     per = spans.groupBy("h", "doc_id").agg(F.count("*").alias("c"))
     grp = per.groupBy("h").agg(F.count("*").alias("n_docs"))
     flagged = per.join(grp, "h")
@@ -574,8 +582,8 @@ def corpus_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the duplicated tail; map-side partial aggregation collapses
     within-partition repeats before the string shuffle, and the top-20 is a
     TakeOrdered, not a global sort."""
-    d = load(spark, sf_dir, "documents")
-    spans = d.select("doc_id", F.explode(span_strings(F.col("text"))).alias("span"))
+    d = load(spark, sf_dir, "documents").withColumn("t", T.tokens(F.col("text")))
+    spans = d.select("doc_id", F.explode(span_strings(F.col("t"))).alias("span"))
     return (
         spans.groupBy("span")
         .agg(
@@ -601,8 +609,8 @@ def dup_span_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared pointer-jumped min-label fixpoint (``min_label_clusters``); the
     star topology has diameter ≤ 2 per span, so convergence is 1-2 rounds.
     """
-    d = load(spark, sf_dir, "documents")
-    spans = d.select("doc_id", F.explode(span_hashes(F.col("text"))).alias("h"))
+    d = load(spark, sf_dir, "documents").withColumn("t", T.tokens(F.col("text")))
+    spans = d.select("doc_id", F.explode(span_hashes(F.col("t"))).alias("h"))
     per = spans.select("h", "doc_id").distinct()
     # aggregate + equi-join, not a window over h — same skew rationale as
     # doc_dup_spans (a mega-dup span would put its whole group through one

@@ -224,10 +224,16 @@ def emb_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    qrows = [
-        [float(r["vec_id"])] + list(r["proj"])
-        for r in p.where(F.col("vec_id") < N_QUERY_VECS).collect()
-    ]
+    # project ONLY the query rows for the query side: a filter cannot push
+    # below a Python map, so filtering p would run the projection kernel
+    # over the whole corpus just to keep 5 rows (review finding r6)
+    q = pca_project(
+        e.where(F.col("vec_id") < N_QUERY_VECS).select("vec_id", "embedding"),
+        model,
+        "embedding",
+        "proj",
+    )
+    qrows = [[float(r["vec_id"])] + list(r["proj"]) for r in q.collect()]
     qrows_b = spark.sparkContext.broadcast(qrows)
     scored = p.mapInPandas(score, "query_id long, neighbor_id long, cosine double")
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))

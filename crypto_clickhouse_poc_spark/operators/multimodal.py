@@ -136,6 +136,8 @@ def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             lens = np.fromiter(
                 (len(p) for p in pdf["payload"]), dtype=np.int64, count=n_rows
             )
+            if not lens.all():  # loud, not silently-wrong reduceat segments
+                raise ValueError("mm_byte_features: empty payload in batch")
             buf = np.frombuffer(b"".join(pdf["payload"]), dtype=np.uint8)
             starts = np.zeros(n_rows, dtype=np.int64)
             np.cumsum(lens[:-1], out=starts[1:])
@@ -198,6 +200,11 @@ def mm_byte_features_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[offs[0] : offs[-1]]
             starts = offs[:-1] - offs[0]
             lens = offs[1:] - offs[:-1]
+            # same precondition as the pandas twin, enforced loudly: an
+            # empty payload makes reduceat read a neighbor's segment (and
+            # a trailing empty would index past the buffer)
+            if not lens.all():
+                raise ValueError("mm_byte_features_arrow: empty payload in batch")
             sums = np.add.reduceat(data.astype(np.int64), starts)
             seen = np.zeros((n, 256), dtype=bool)
             seen[np.repeat(np.arange(n), lens), data] = True

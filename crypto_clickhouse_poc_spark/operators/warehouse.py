@@ -92,22 +92,26 @@ def scd2_merge(dim: DataFrame, upd: DataFrame, batch_ts: str) -> DataFrame:
     is_current) history; ``upd``: (key, name, acctbal) update batch.
 
     changed  = updates ⋈ current versions WHERE tracked attr differs
+             (null-SAFE compare: NULL→value and value→NULL are changes)
     closed   = those current versions with effective_to = batch_ts
     opened   = the new versions effective [batch_ts, ∞)
+    inserted = update keys with NO dim row at all → first version
+               effective [batch_ts, ∞) (a CDC feed creates entities too)
     untouched= everything else, byte-identical (incl. history rows)
 
-    All three legs derive from ONE equi-join of the update batch against
-    current rows on the business key (broadcast when the batch is small —
-    the overwhelmingly common case — else a co-partitioned shuffle join
-    that AQE skew-splits). No window functions, no global sort. Same-value
-    updates are ignored (change-DETECTING, hence idempotent: re-applying
-    a batch adds no versions — property-tested).
+    The legs derive from ONE equi-join (plus one anti-join for inserts) of
+    the update batch against current rows on the business key (broadcast
+    when the batch is small — the overwhelmingly common case — else a
+    co-partitioned shuffle join that AQE skew-splits). No window
+    functions, no global sort. Same-value updates are ignored
+    (change-DETECTING, hence idempotent: re-applying a batch adds no
+    versions — property-tested).
     """
     cur = dim.where(F.col("is_current") == 1)
     changed = (
         cur.alias("d")
         .join(upd.alias("u"), "key")
-        .where(F.col("d.acctbal") != F.col("u.acctbal"))
+        .where(~F.col("d.acctbal").eqNullSafe(F.col("u.acctbal")))
         .select(
             "key",
             F.col("d.name").alias("name"),
@@ -115,6 +119,14 @@ def scd2_merge(dim: DataFrame, upd: DataFrame, batch_ts: str) -> DataFrame:
             F.col("u.acctbal").alias("new_bal"),
             F.col("d.effective_from").alias("old_from"),
         )
+    )
+    inserted = upd.join(dim.select("key"), "key", "left_anti").select(
+        "key",
+        "name",
+        "acctbal",
+        F.lit(batch_ts).cast("timestamp").alias("effective_from"),
+        F.lit(SCD2_OPEN).cast("timestamp").alias("effective_to"),
+        F.lit(1).alias("is_current"),
     )
     closed = changed.select(
         "key",
@@ -136,7 +148,12 @@ def scd2_merge(dim: DataFrame, upd: DataFrame, batch_ts: str) -> DataFrame:
     # only CURRENT rows of changed keys are replaced (by closed+opened)
     hist = dim.where(F.col("is_current") == 0)
     untouched_cur = cur.join(changed.select("key"), "key", "left_anti")
-    return hist.unionByName(untouched_cur).unionByName(closed).unionByName(opened)
+    return (
+        hist.unionByName(untouched_cur)
+        .unionByName(closed)
+        .unionByName(opened)
+        .unionByName(inserted)
+    )
 
 
 def cust_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -174,7 +191,7 @@ ORACLES = {
         changed AS (
           SELECT d.key, d.name, d.acctbal AS old_bal, u.acctbal AS new_bal
           FROM dim d JOIN upd u ON d.key = u.key
-          WHERE d.acctbal <> u.acctbal
+          WHERE d.acctbal IS DISTINCT FROM u.acctbal
         )
         SELECT key, name, acctbal,
                TIMESTAMP '{SCD2_T0}' AS effective_from,

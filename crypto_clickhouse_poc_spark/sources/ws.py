@@ -143,8 +143,14 @@ class WSClient:
         return fin, opcode, payload
 
     def recv(self) -> str | bytes | None:
-        """Next complete message; None once the server closes."""
+        """Next complete message; None once the server closes.
+
+        Bounded assembly: the per-frame cap alone doesn't bound memory — a
+        hostile server can stream unlimited sub-cap continuation fragments
+        of ONE message, so the ACCUMULATED message size is capped too.
+        """
         parts: list[bytes] = []
+        total = 0
         opcode0: int | None = None
         while True:
             fin, opcode, payload = self._read_frame()
@@ -161,9 +167,15 @@ class WSClient:
             if opcode in (OP_TEXT, OP_BINARY):
                 opcode0 = opcode
                 parts = [payload]
+                total = len(payload)
             elif opcode == OP_CONT:
                 if opcode0 is None:  # continuation with nothing to continue
                     raise ConnectionError("protocol error: orphan continuation frame")
+                total += len(payload)
+                if total > MAX_FRAME_BYTES:
+                    raise ConnectionError(
+                        f"fragmented message exceeds {MAX_FRAME_BYTES} bytes"
+                    )
                 parts.append(payload)
             else:
                 # reserved opcode (0x3-0x7, 0xB-0xF): RFC 6455 §5.2 — fail

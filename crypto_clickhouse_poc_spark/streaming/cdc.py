@@ -33,9 +33,14 @@ from ..operators.warehouse import scd2_merge
 
 
 def default_batch_ts(batch_id: int) -> str:
-    """Deterministic per-batch effective_from: T1 + batch_id days."""
-    day = 1 + batch_id
-    return f"2024-02-{day:02d} 00:00:00"
+    """Deterministic per-batch effective_from: T1 + batch_id days —
+    REAL calendar arithmetic, not string templating (a fabricated
+    '2024-02-30' would cast to a NULL timestamp and silently corrupt the
+    SCD2 intervals once a stream passes ~29 batches)."""
+    from datetime import datetime, timedelta
+
+    t = datetime(2024, 2, 1) + timedelta(days=batch_id)
+    return t.strftime("%Y-%m-%d %H:%M:%S")
 
 
 def apply_scd2_batch(dim_path: str, batch: DataFrame, batch_ts: str) -> None:
@@ -52,14 +57,18 @@ def apply_scd2_batch(dim_path: str, batch: DataFrame, batch_ts: str) -> None:
     tmp = str(dest) + ".compact.tmp"
     merged.coalesce(1).write.mode("overwrite").parquet(tmp)
     old = Path(str(dest) + ".compact.old")
+    import shutil
+
+    # a crash AFTER the swap but before cleanup leaves a stale non-empty
+    # .compact.old; without this guard the rename below raises ENOTEMPTY
+    # on every later batch (compact() carries the same guard, layout.py)
+    shutil.rmtree(old, ignore_errors=True)
     dest.rename(old)
     try:
         Path(tmp).rename(dest)
     except OSError:  # pragma: no cover - crash-window mirror of compact()
         old.rename(dest)
         raise
-    import shutil
-
     shutil.rmtree(old, ignore_errors=True)
 
 

@@ -207,3 +207,47 @@ def test_cdc_apply_crash_window_heals_on_next_read(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_scd2_inserts_new_keys_and_null_transitions(spark):
+    """The generic merge must (a) INSERT brand-new keys as first versions
+    (a CDC feed creates entities) and (b) treat NULL→value and value→NULL
+    as changes (null-safe compare)."""
+    dim = spark.createDataFrame(
+        [
+            (1, "a", 10.0, W.SCD2_T0, W.SCD2_OPEN, 1),
+            (2, "b", None, W.SCD2_T0, W.SCD2_OPEN, 1),
+            (3, "c", 30.0, W.SCD2_T0, W.SCD2_OPEN, 1),
+        ],
+        "key long, name string, acctbal double, effective_from string, "
+        "effective_to string, is_current int",
+    ).withColumn("effective_from", F.col("effective_from").cast("timestamp")) \
+     .withColumn("effective_to", F.col("effective_to").cast("timestamp"))
+    upd = spark.createDataFrame(
+        [
+            (2, "b", 20.0),   # NULL -> value: must version
+            (3, "c", None),   # value -> NULL: must version
+            (9, "new", 99.0), # brand-new key: must insert
+        ],
+        "key long, name string, acctbal double",
+    )
+    out = W.scd2_merge(dim, upd, W.SCD2_T1)
+    rows = {(r["key"], r["is_current"]): r for r in out.collect()}
+    assert (9, 1) in rows and rows[(9, 1)]["acctbal"] == 99.0
+    assert rows[(2, 1)]["acctbal"] == 20.0 and (2, 0) in rows
+    assert rows[(3, 1)]["acctbal"] is None and (3, 0) in rows
+    assert rows[(1, 1)]["acctbal"] == 10.0 and (1, 0) not in rows
+    # idempotent including the insert/null legs (stringified sort: rows
+    # contain NULLs, which plain tuple ordering can't compare)
+    again = W.scd2_merge(out, upd, "2024-03-01 00:00:00")
+    canon = lambda df: sorted(tuple(str(x) for x in r) for r in df.collect())
+    assert canon(again) == canon(out)
+
+
+def test_cdc_batch_ts_is_valid_for_large_batch_ids(spark):
+    from crypto_clickhouse_poc_spark.streaming import cdc
+
+    for bid in (0, 28, 29, 99, 400):
+        ts = cdc.default_batch_ts(bid)
+        got = spark.sql(f"SELECT CAST('{ts}' AS TIMESTAMP) AS t").collect()[0]["t"]
+        assert got is not None, (bid, ts)

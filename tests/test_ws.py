@@ -300,3 +300,30 @@ def test_live_reader_seq_resumes_from_checkpoint_offset():
     rdr._buffer.extend(["m3"])
     _, end2 = rdr.read(end)
     assert end2 == {"seq": 503}
+
+
+def test_fragmented_message_assembly_is_bounded():
+    """The per-frame cap alone doesn't bound memory: unlimited sub-cap
+    continuation fragments of ONE message must also trip the cap once the
+    ACCUMULATED size passes MAX_FRAME_BYTES."""
+    from crypto_clickhouse_poc_spark.sources.ws import (
+        MAX_FRAME_BYTES,
+        OP_BINARY,
+        OP_CONT,
+    )
+
+    c = object.__new__(WSClient)
+    c._closed = False
+    # one non-fin BINARY frame + enough non-fin CONT frames to pass the
+    # cap; 126-style 16-bit lengths keep the header simple
+    import struct
+
+    def frame(op, fin):
+        return bytes([(0x80 if fin else 0) | op, 126]) + struct.pack(">H", 0xFFFF) + b"y" * 0xFFFF
+
+    n_frames = MAX_FRAME_BYTES // 0xFFFF + 2
+    buf = frame(OP_BINARY, False) + b"".join(frame(OP_CONT, False) for _ in range(n_frames))
+    c._rbuf = buf
+    c._sock = None
+    with pytest.raises(ConnectionError, match="fragmented message exceeds"):
+        c.recv()

@@ -60,9 +60,12 @@ def main() -> None:
         toks = F.split(F.col("text"), " ")
         parts = []
         for k in range(MULT):
+            # rotate by k mod size: guards docs shorter than MULT tokens
+            # (a raw size-k slice length would go negative and error)
+            kk = F.pmod(F.lit(k), F.size(toks))
             rot = F.concat(
-                F.slice(toks, k + 1, F.size(toks) - k),
-                F.slice(toks, 1, F.lit(k)),
+                F.slice(toks, kk + 1, F.size(toks) - kk),
+                F.slice(toks, 1, kk),
             )
             parts.append(
                 d.withColumn("doc_id", F.col("doc_id") + F.lit(k * shift)).withColumn(
