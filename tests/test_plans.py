@@ -413,3 +413,43 @@ def test_kmv_topk_is_two_phase_salted(spark):
 
     specs = [m.group(1) for m in re.finditer(r"windowspecdefinition\(([^)]*?), frac", plan)]
     assert any("salt" in s for s in specs), specs
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Catalyst's runtime Bloom-filter join pruning (on by default,
+    spark.sql.optimizer.runtime.bloomFilter.enabled): a selective dim
+    filter is turned into a bloom_filter_agg on the build side and a
+    might_contain pre-filter on the fact scan, cutting shuffle volume
+    before the join. The fixture fact is below the 10 GB production
+    applicationSideScanSizeThreshold, so the test lowers it — at 100 TB
+    the rewrite fires out of the box (this is 'let Catalyst optimize'
+    made checkable)."""
+    from pyspark.sql import functions as F
+
+    _SF = "/root/testdata/sf0.1"  # the larger fixture: the fact side must
+    # clear the (lowered) application-side scan threshold
+
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "1MB",
+        )
+        li = spark.read.parquet(f"{_SF}/lineitem.parquet")
+        orders = spark.read.parquet(f"{_SF}/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = str(j._jdf.queryExecution().executedPlan())
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
