@@ -313,6 +313,149 @@ def ev_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUANTILE_PS = (0.5, 0.9, 0.99)
+QUANTILE_BUCKETS = 1024  # two-pass selection granularity (a knob)
+
+
+def ev_price_quantiles_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated quantiles per type WITHOUT buffering each
+    group's values — the scale path for the exact form itself.
+
+    ``F.percentile`` (the declared exact baseline) gathers every group
+    value into one aggregation buffer: a memory ceiling at 100 TB that
+    ``approx_percentile`` dodges only by giving up exactness. This query
+    keeps exactness with bounded memory via distributed two-pass
+    selection (the same trick as corpus_mix's threshold selection):
+
+      pass 1 — per-type (count, min, max) + a fixed-width bucket
+               histogram; cumulative counts locate, for each percentile,
+               the bucket holding order statistics ⌊r⌋ and ⌈r⌉
+               (r = p·(n−1));
+      pass 2 — ONLY the boundary buckets' rows (≈ n/QUANTILE_BUCKETS of
+               the data) are ranked within their bucket; the needed order
+               stats come out by offset, and Spark's own interpolation
+               formula v_lo·(⌈r⌉−r) + v_hi·(r−⌊r⌋) is applied verbatim.
+
+    No per-group buffering, no full-group sort: the only windows run over
+    ≤QUANTILE_BUCKETS histogram rows per type and over single boundary
+    buckets. Output is BIT-IDENTICAL to ``ev_price_quantiles``
+    (equality-tested there, same DuckDB oracle here).
+    """
+    from pyspark.sql.window import Window
+
+    e = _events(spark, sf_dir).select("event_type", "price")
+    stats = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.min("price").alias("lo"),
+        F.max("price").alias("hi"),
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(QUANTILE_BUCKETS)
+    # degenerate all-equal group → single bucket 0
+    bucket = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(QUANTILE_BUCKETS - 1),
+            F.floor((F.col("price") - F.col("lo")) / width),
+        )
+    )
+    eb = e.join(F.broadcast(stats), "event_type").select(
+        "event_type", "price", bucket.cast("int").alias("b")
+    )
+    hist = eb.groupBy("event_type", "b").agg(F.count("*").alias("c"))
+    wcum = Window.partitionBy("event_type").orderBy("b")
+    cum = hist.withColumn(
+        "cum_prev",
+        F.coalesce(
+            F.sum("c").over(wcum.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+        ),
+    )
+    # ranks table: per (type, p) the 0-indexed order stats ⌊r⌋ and ⌈r⌉
+    ranks = (
+        stats.select("event_type", "n")
+        .select(
+            "event_type",
+            "n",
+            F.explode(F.array(*[F.lit(p) for p in QUANTILE_PS])).alias("p"),
+        )
+        .withColumn("r", F.col("p") * (F.col("n") - 1))
+        .select(
+            "event_type",
+            "p",
+            "r",
+            F.explode(
+                F.array_distinct(
+                    F.array(F.floor("r").cast("long"), F.ceil("r").cast("long"))
+                )
+            ).alias("k"),
+        )
+    )
+    # locate each k's bucket: cum_prev <= k < cum_prev + c  (tiny join:
+    # ranks is 3-6 rows/type, cum is <=QUANTILE_BUCKETS rows/type).
+    # Explicit aliases: ranks and cum share lineage, and unaliased
+    # self-join predicates resolve ambiguously (Spark warns
+    # "trivially true equals predicate").
+    rk, cu = ranks.alias("rk"), cum.alias("cu")
+    located = (
+        rk.join(
+            F.broadcast(cu),
+            (F.col("rk.event_type") == F.col("cu.event_type"))
+            & (F.col("rk.k") >= F.col("cu.cum_prev"))
+            & (F.col("rk.k") < F.col("cu.cum_prev") + F.col("cu.c")),
+        )
+        .select(
+            F.col("rk.event_type").alias("event_type"),
+            F.col("rk.p").alias("p"),
+            F.col("rk.r").alias("r"),
+            F.col("rk.k").alias("k"),
+            F.col("cu.b").alias("b"),
+            F.col("cu.cum_prev").alias("cum_prev"),
+        )
+    )
+    # pass 2: rank ONLY boundary buckets' rows; order stat k is the
+    # (k - cum_prev)-th smallest within its bucket (ties: equal prices
+    # yield the same value whichever ranks first)
+    needed = located.select("event_type", "b").distinct()
+    wbucket = Window.partitionBy("event_type", "b").orderBy("price")
+    boundary = (
+        eb.join(F.broadcast(needed), ["event_type", "b"])
+        .withColumn("pos", F.row_number().over(wbucket) - 1)
+    )
+    lo, bd = located.alias("lo"), boundary.alias("bd")
+    vals = lo.join(
+        bd,
+        (F.col("lo.event_type") == F.col("bd.event_type"))
+        & (F.col("lo.b") == F.col("bd.b"))
+        & (F.col("lo.k") == F.col("bd.pos") + F.col("lo.cum_prev")),
+    ).select(
+        F.col("lo.event_type").alias("event_type"),
+        F.col("lo.p").alias("p"),
+        F.col("lo.r").alias("r"),
+        F.col("lo.k").alias("k"),
+        F.col("bd.price").alias("price"),
+    )
+    # interpolate exactly as Spark's Percentile: v_lo*(ceil(r)-r) + v_hi*(r-floor(r));
+    # when r is integral floor==ceil and the single value passes through
+    per_p = vals.groupBy("event_type", "p", "r").agg(
+        F.min_by("price", "k").alias("v_lo"),
+        F.max_by("price", "k").alias("v_hi"),
+    )
+    interp = F.when(
+        F.ceil("r") == F.floor("r"), F.col("v_lo")
+    ).otherwise(
+        F.col("v_lo") * (F.ceil("r") - F.col("r"))
+        + F.col("v_hi") * (F.col("r") - F.floor("r"))
+    )
+    wide = per_p.select("event_type", "p", F.round(interp, 6).alias("v"))
+    return (
+        wide.groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("p") == 0.5, F.col("v"))).alias("p50"),
+            F.max(F.when(F.col("p") == 0.9, F.col("v"))).alias("p90"),
+            F.max(F.when(F.col("p") == 0.99, F.col("v"))).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def ev_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT aggregates: exact per-type unique users + total events.
 
@@ -947,6 +1090,7 @@ QUERIES = {
     "ev_user_setops": ev_user_setops,
     "ev_sessionize": ev_sessionize,
     "ev_price_quantiles": ev_price_quantiles,
+    "ev_price_quantiles_twopass": ev_price_quantiles_twopass,
     "ev_user_counts": ev_user_counts,
     "ev_minute_momentum": ev_minute_momentum,
     "ev_type_user_cube": ev_type_user_cube,
@@ -1297,3 +1441,6 @@ ORACLES = {
         ORDER BY e.event_type
     """,
 }
+
+# the two-pass exact form has IDENTICAL semantics — same oracle
+ORACLES["ev_price_quantiles_twopass"] = ORACLES["ev_price_quantiles"]

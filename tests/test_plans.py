@@ -453,3 +453,20 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
         spark.conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
+
+
+def test_twopass_quantiles_no_value_buffering(spark):
+    """ev_price_quantiles_twopass: no F.percentile aggregate anywhere
+    (that's the buffer-every-group-value shape it replaces), and every
+    window partitions on at least (event_type, b) or runs over the
+    <=QUANTILE_BUCKETS histogram rows — never a full-type value sort."""
+    plan = _plan(spark, "ev_price_quantiles_twopass")
+    assert "percentile" not in plan.lower()
+    import re
+
+    specs = [m.group(1) for m in re.finditer(r"windowspecdefinition\(([^)]*?)\)", plan)]
+    assert specs
+    for s in specs:
+        # each window is keyed by event_type plus either the bucket column
+        # (boundary ranking) or runs on the histogram rows keyed by b
+        assert "event_type" in s, s

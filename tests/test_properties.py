@@ -362,3 +362,37 @@ def test_dup_spans_planted_boilerplate_detected(spark, seed):
     for d in range(20):
         if d not in carriers:
             assert lbl[d]["cluster_n"] == 1, (d, lbl[d])
+
+
+def test_twopass_quantiles_equal_exact_on_skewed_corpus(spark, tmp_path):
+    """ev_price_quantiles_twopass (distributed two-pass selection, no
+    per-group value buffering) must be BIT-identical to F.percentile on a
+    heavy-tailed synthetic corpus with duplicate values — interpolation,
+    boundary buckets, degenerate groups and all."""
+    import os
+
+    from crypto_clickhouse_poc_spark.operators.trades import (
+        ev_price_quantiles,
+        ev_price_quantiles_twopass,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (f"t{i % 4}", float(int(rng.lognormvariate(0, 2) * 100)) / 100)
+        for i in range(15000)
+    ]
+    rows += [("flat", 42.0)] * 50  # degenerate all-equal group
+    df = spark.createDataFrame(rows, "event_type string, price double").repartition(9)
+    ev = df.select(
+        F.monotonically_increasing_id().alias("event_id"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.lit(1).cast("long").alias("user_id"),
+        "event_type",
+        F.col("price").alias("value"),
+        F.lit('{"k": 1}').alias("props"),
+    )
+    sf = str(tmp_path / "qsf")
+    ev.write.parquet(os.path.join(sf, "events.parquet"))
+    exact = sorted(tuple(r) for r in ev_price_quantiles(spark, sf).collect())
+    got = sorted(tuple(r) for r in ev_price_quantiles_twopass(spark, sf).collect())
+    assert got == exact
