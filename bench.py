@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "ev_user_hll",
     "emb_pca_topk",
     "corpus_bm25_topk",
+    "ev_price_quantiles_twopass",
     "ann_topk_brute",
     "ann_ivf_assign",
     "ann_ivf_pq_search",
