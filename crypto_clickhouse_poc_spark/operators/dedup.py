@@ -271,8 +271,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id")
     e = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     out = min_label_clusters(docs, e)
-    sizes = out.groupBy("cluster").agg(F.count("*").alias("cluster_n"))
-    return out.join(sizes, "cluster").select("doc_id", "cluster", "cluster_n")
+    return with_cluster_sizes(out).select("doc_id", "cluster", "cluster_n")
+
+
+def with_cluster_sizes(lbl: DataFrame) -> DataFrame:
+    """Attach ``cluster_n`` to a labeling — as an aggregate + equi-join,
+    never ``count() OVER (PARTITION BY cluster)``: a mega cluster would
+    put its whole row set through one window task's sort, while the join
+    shape partial-aggregates map-side and AQE-skew-splits the hot probe
+    partition. The ONE copy of the idiom (dedup_clusters,
+    dup_span_clusters, and multimodal's phash clusters all go through
+    here)."""
+    sizes = lbl.groupBy("cluster").agg(F.count("*").alias("cluster_n"))
+    return lbl.join(sizes, "cluster")
 
 
 def min_label_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
@@ -625,10 +636,7 @@ def dup_span_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     lbl = min_label_clusters(d.select("doc_id"), edges)
-    # agg+join (not a window over cluster): a giant boilerplate cluster
-    # would otherwise sort through one task — same policy as dedup_clusters
-    sizes = lbl.groupBy("cluster").agg(F.count("*").alias("cluster_n"))
-    return lbl.join(sizes, "cluster").select("doc_id", "cluster", "cluster_n")
+    return with_cluster_sizes(lbl).select("doc_id", "cluster", "cluster_n")
 
 
 INCREMENT_SPLIT = 400  # fixture split: doc_id >= 400 is the "new batch"

@@ -481,13 +481,12 @@ def mm_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_a").alias("doc_a"), F.col("media_b").alias("doc_b")
     )
     nodes = m.select(F.col("media_id").alias("doc_id"))
+    from .dedup import with_cluster_sizes
+
     clusters = min_label_clusters(nodes, pairs)
-    # agg+join, not a window over cluster — a mega near-dup cluster would
-    # otherwise sort through one task (same policy as dedup_clusters)
     lbl = clusters.select(F.col("doc_id").alias("media_id"), "cluster")
-    sizes = lbl.groupBy("cluster").agg(F.count("*").alias("cluster_n"))
     return (
-        lbl.join(sizes, "cluster")
+        with_cluster_sizes(lbl)
         .select(
             "media_id",
             "cluster",

@@ -343,7 +343,15 @@ def ev_price_quantiles_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    e = _events(spark, sf_dir).select("event_type", "price")
+    # F.percentile SKIPS nulls: drop them up front so n, the bucket
+    # histogram, and the cumulative ranks all see the same population
+    # (a NULL bucket would additionally sort first in the cumulative
+    # window and shift every cum_prev)
+    e = (
+        _events(spark, sf_dir)
+        .select("event_type", "price")
+        .where(F.col("price").isNotNull())
+    )
     stats = e.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.min("price").alias("lo"),

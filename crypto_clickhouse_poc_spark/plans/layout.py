@@ -135,10 +135,21 @@ def compact(
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
-    # swap via rename-aside. NOT atomic end-to-end: after dest.rename(old)
-    # and before tmp.rename(dest) the live path is briefly absent; an
-    # in-process failure rolls back below, a hard crash is healed by
-    # recover_compaction() from the .compact.old/.compact.tmp leftovers.
+    swap_in(path, tmp)
+
+
+def swap_in(path: str, tmp: str) -> None:
+    """Rename-aside swap: promote the fully-written ``tmp`` dir to ``path``.
+
+    NOT atomic end-to-end: after dest.rename(old) and before
+    tmp.rename(dest) the live path is briefly absent; an in-process
+    failure rolls back below, a hard crash is healed by
+    :func:`recover_compaction` from the .compact.old/.compact.tmp
+    leftovers. The ONE copy of this protocol — compact() and the CDC
+    SCD2 sink both swap through here so the guards (stale-old cleanup,
+    BaseException rollback) and the leftover-naming contract stay in
+    sync.
+    """
     dest = Path(path)
     old = Path(path.rstrip("/") + ".compact.old")
     shutil.rmtree(old, ignore_errors=True)

@@ -165,6 +165,14 @@ class WSClient:
                     self._closed = True
                 return None
             if opcode in (OP_TEXT, OP_BINARY):
+                if opcode0 is not None:
+                    # a new data frame while a fragmented message is still
+                    # open would silently DROP the buffered fragments —
+                    # fail the connection instead (RFC 6455 §5.4: data
+                    # frames must not interleave with a fragmented message)
+                    raise ConnectionError(
+                        "protocol error: new data frame inside fragmented message"
+                    )
                 opcode0 = opcode
                 parts = [payload]
                 total = len(payload)

@@ -43,33 +43,55 @@ def default_batch_ts(batch_id: int) -> str:
     return t.strftime("%Y-%m-%d %H:%M:%S")
 
 
-def apply_scd2_batch(dim_path: str, batch: DataFrame, batch_ts: str) -> None:
+def collapse_batch(batch: DataFrame, seq_col: str | None) -> DataFrame:
+    """Reduce a CDC micro-batch to ONE row per key — ``scd2_merge``'s
+    contract (two changes for one key in one batch would otherwise open
+    two is_current=1 versions and corrupt the dimension from then on).
+
+    With ``seq_col`` (a Debezium offset / LSN / file sequence) the LAST
+    change per key wins — ``max_by`` on the sequence. Without one there
+    is no defensible "latest", so duplicate keys FAIL LOUDLY instead of
+    silently picking a row.
+    """
+    from pyspark.sql import functions as F
+
+    if seq_col is not None:
+        return batch.groupBy("key").agg(
+            F.max_by("name", F.col(seq_col)).alias("name"),
+            F.max_by("acctbal", F.col(seq_col)).alias("acctbal"),
+        )
+    dups = batch.groupBy("key").count().where("count > 1").limit(1).collect()
+    if dups:
+        raise ValueError(
+            f"CDC batch has multiple rows for key {dups[0]['key']} and no "
+            "seq_col to order them; pass seq_col= to start_scd2_apply"
+        )
+    return batch
+
+
+def apply_scd2_batch(
+    dim_path: str, batch: DataFrame, batch_ts: str, seq_col: str | None = None
+) -> None:
     """One CDC apply: merge ``batch`` into the dim at ``dim_path`` and
-    swap the result in via rename-aside — the SAME leftover names and
-    protocol as ``plans.layout.compact``, so ``layout.read_table``'s
+    swap the result in via ``plans.layout.swap_in`` — the SAME protocol
+    and leftover names as ``compact()``, so ``layout.read_table``'s
     auto-heal (``recover_compaction``) covers a crash in this swap's
-    window too (read path below uses it for exactly that reason)."""
+    window too (the read below goes through it for exactly that
+    reason)."""
+    import shutil
+
     from ..plans import layout
 
     dest = Path(dim_path)
     dim = layout.read_table(batch.sparkSession, str(dest))
-    merged = scd2_merge(dim, batch, batch_ts)
+    merged = scd2_merge(dim, collapse_batch(batch, seq_col), batch_ts)
     tmp = str(dest) + ".compact.tmp"
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    old = Path(str(dest) + ".compact.old")
-    import shutil
-
-    # a crash AFTER the swap but before cleanup leaves a stale non-empty
-    # .compact.old; without this guard the rename below raises ENOTEMPTY
-    # on every later batch (compact() carries the same guard, layout.py)
-    shutil.rmtree(old, ignore_errors=True)
-    dest.rename(old)
     try:
-        Path(tmp).rename(dest)
-    except OSError:  # pragma: no cover - crash-window mirror of compact()
-        old.rename(dest)
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
         raise
-    shutil.rmtree(old, ignore_errors=True)
+    layout.swap_in(str(dest), tmp)
 
 
 def start_scd2_apply(
@@ -77,18 +99,23 @@ def start_scd2_apply(
     dim_path: str,
     checkpoint_path: str,
     batch_ts: Callable[[int], str] = default_batch_ts,
+    seq_col: str | None = None,
 ) -> StreamingQuery:
     """Launch the CDC-apply query: each micro-batch of (key, name,
     acctbal) updates is SCD2-merged into the parquet dimension.
 
-    ``foreachBatch`` gives at-least-once batch delivery; the merge itself
-    is idempotent for re-delivered batches (change-detecting: re-applying
-    the same values adds no versions — property-tested), so the sink is
-    effectively exactly-once for CDC streams that re-deliver on recovery.
+    ``seq_col`` names an ordering column (Debezium offset / LSN) used to
+    collapse multiple changes for one key within a batch to the LAST one;
+    without it, duplicate keys in a batch fail loudly (see
+    ``collapse_batch``). ``foreachBatch`` gives at-least-once batch
+    delivery; the merge itself is idempotent for re-delivered batches
+    (change-detecting: re-applying the same values adds no versions —
+    property-tested), so the sink is effectively exactly-once for CDC
+    streams that re-deliver on recovery.
     """
     return (
         updates.writeStream.foreachBatch(
-            lambda df, bid: apply_scd2_batch(dim_path, df, batch_ts(bid))
+            lambda df, bid: apply_scd2_batch(dim_path, df, batch_ts(bid), seq_col)
         )
         .option("checkpointLocation", checkpoint_path)
         .outputMode("update")

@@ -251,3 +251,57 @@ def test_cdc_batch_ts_is_valid_for_large_batch_ids(spark):
         ts = cdc.default_batch_ts(bid)
         got = spark.sql(f"SELECT CAST('{ts}' AS TIMESTAMP) AS t").collect()[0]["t"]
         assert got is not None, (bid, ts)
+
+
+def test_cdc_batch_with_multiple_changes_per_key(spark, tmp_path):
+    """Two changes for one key in ONE batch: with a seq_col the LAST wins
+    (one closed + one current row); without one the apply fails loudly
+    instead of opening two current versions."""
+    import pytest as _pytest
+
+    from crypto_clickhouse_poc_spark.streaming import cdc
+
+    dim0, _ = W._scd2_inputs(spark, SF_CORRECT)
+    dim_path = str(tmp_path / "dim_multi")
+    dim0.coalesce(1).write.parquet(dim_path)
+    batch = spark.createDataFrame(
+        [(0, "x", 111.0, 1), (0, "x", 222.0, 2)],
+        "key long, name string, acctbal double, seq long",
+    )
+    # loud failure without an ordering column
+    with _pytest.raises(ValueError, match="multiple rows for key"):
+        cdc.apply_scd2_batch(dim_path, batch.drop("seq"), cdc.default_batch_ts(0))
+    # with seq: last change (222.0) wins, exactly one current row for key 0
+    cdc.apply_scd2_batch(dim_path, batch, cdc.default_batch_ts(0), seq_col="seq")
+    rows = spark.read.parquet(dim_path).where("key = 0").collect()
+    cur = [r for r in rows if r["is_current"] == 1]
+    assert len(cur) == 1 and cur[0]["acctbal"] == 222.0
+    assert len(rows) == 2  # old version closed, new one open
+
+
+def test_twopass_quantiles_skip_nulls_like_percentile(spark, tmp_path):
+    """A NULL price must not shift ranks or buckets: twopass == F.percentile
+    on a corpus with NULLs mixed in."""
+    import os
+
+    from crypto_clickhouse_poc_spark.operators.trades import (
+        ev_price_quantiles,
+        ev_price_quantiles_twopass,
+    )
+
+    rows = [("a", float(i)) for i in range(100)] + [("a", None)] * 7
+    rows += [("b", 5.0)] * 10 + [("b", None)]
+    df = spark.createDataFrame(rows, "event_type string, price double")
+    ev = df.select(
+        F.monotonically_increasing_id().alias("event_id"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.lit(1).cast("long").alias("user_id"),
+        "event_type",
+        F.col("price").alias("value"),
+        F.lit('{"k": 1}').alias("props"),
+    )
+    sf = str(tmp_path / "qnull")
+    ev.write.parquet(os.path.join(sf, "events.parquet"))
+    exact = sorted(tuple(r) for r in ev_price_quantiles(spark, sf).collect())
+    got = sorted(tuple(r) for r in ev_price_quantiles_twopass(spark, sf).collect())
+    assert got == exact

@@ -327,3 +327,22 @@ def test_fragmented_message_assembly_is_bounded():
     c._sock = None
     with pytest.raises(ConnectionError, match="fragmented message exceeds"):
         c.recv()
+
+
+def test_interleaved_data_frame_inside_fragmented_message_fails():
+    """A new TEXT/BINARY frame while a fragmented message is open must fail
+    the connection (RFC 6455 §5.4) — never silently drop the buffered
+    fragments."""
+    import struct
+
+    from crypto_clickhouse_poc_spark.sources.ws import OP_TEXT
+
+    def frame(op, fin, payload):
+        return bytes([(0x80 if fin else 0) | op, len(payload)]) + payload
+
+    c = object.__new__(WSClient)
+    c._closed = False
+    c._rbuf = frame(OP_TEXT, False, b"part1") + frame(OP_TEXT, True, b"part2")
+    c._sock = None
+    with pytest.raises(ConnectionError, match="inside fragmented"):
+        c.recv()
