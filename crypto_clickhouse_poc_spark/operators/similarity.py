@@ -325,6 +325,7 @@ def _pq_encode(
     coarse: list[tuple],
     books: list[list[list[float]]],
     with_residual: bool = False,
+    rotation: list[list[float]] | None = None,
 ) -> DataFrame:
     """Coarse-assign + PQ-encode every vector with one Arrow-batched numpy
     kernel (``mapInPandas``): per batch, one [n, k] matmul picks the
@@ -343,6 +344,13 @@ def _pq_encode(
 
     Output: (vec_id, v, nrm, cluster, code[, r]) — ``code`` is
     ``array<int>`` of length PQ_M.
+
+    ``rotation`` (optional, [d, d] orthogonal, rows = new basis) is the
+    OPQ pre-rotation (Ge et al., "Optimized Product Quantization", CVPR
+    2013): residuals are rotated (r' = R·r) BEFORE sub-codebook argmin,
+    so codes — and the codebooks trained from the emitted ``r`` — live
+    in the rotated space. One extra [n, d]·[d, d] matmul per batch;
+    still map-only.
     """
     sub_d = V.EMB_DIM // PQ_M
 
@@ -354,12 +362,15 @@ def _pq_encode(
         C = np.array([c[1] for c in coarse], dtype=np.float64)
         cn = np.array([c[2] for c in coarse], dtype=np.float64)
         B = [np.array(b, dtype=np.float64) for b in books]
+        Rot = None if rotation is None else np.array(rotation, dtype=np.float64)
         for pdf in batches:
             Vm = np.array(pdf["v"].tolist(), dtype=np.float64)
             nrm = np.array(pdf["nrm"], dtype=np.float64)
             cos = (Vm @ C.T) / np.outer(nrm, cn)
             a = np.argmax(cos, axis=1)
             R = Vm - C[a]
+            if Rot is not None:
+                R = R @ Rot.T
             codes = np.empty((len(pdf), PQ_M), dtype=np.int32)
             for m in range(PQ_M):
                 sub = R[:, m * sub_d : (m + 1) * sub_d]

@@ -346,12 +346,13 @@ def ev_price_quantiles_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
     # F.percentile SKIPS nulls: drop them up front so n, the bucket
     # histogram, and the cumulative ranks all see the same population
     # (a NULL bucket would additionally sort first in the cumulative
-    # window and shift every cum_prev)
-    e = (
-        _events(spark, sf_dir)
-        .select("event_type", "price")
-        .where(F.col("price").isNotNull())
-    )
+    # window and shift every cum_prev). The GROUP list however comes from
+    # the UNFILTERED table: a type whose prices are all NULL must still
+    # surface (with NULL quantiles), exactly as F.percentile and the
+    # shared oracle emit it.
+    raw = _events(spark, sf_dir).select("event_type", "price")
+    all_types = raw.select("event_type").distinct()
+    e = raw.where(F.col("price").isNotNull())
     stats = e.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.min("price").alias("lo"),
@@ -453,15 +454,14 @@ def ev_price_quantiles_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.col("v_hi") * (F.col("r") - F.floor("r"))
     )
     wide = per_p.select("event_type", "p", F.round(interp, 6).alias("v"))
-    return (
-        wide.groupBy("event_type")
-        .agg(
-            F.max(F.when(F.col("p") == 0.5, F.col("v"))).alias("p50"),
-            F.max(F.when(F.col("p") == 0.9, F.col("v"))).alias("p90"),
-            F.max(F.when(F.col("p") == 0.99, F.col("v"))).alias("p99"),
-        )
-        .orderBy("event_type")
+    quant = wide.groupBy("event_type").agg(
+        F.max(F.when(F.col("p") == 0.5, F.col("v"))).alias("p50"),
+        F.max(F.when(F.col("p") == 0.9, F.col("v"))).alias("p90"),
+        F.max(F.when(F.col("p") == 0.99, F.col("v"))).alias("p99"),
     )
+    # all-NULL-price groups re-enter here with NULL quantiles (the
+    # distinct-type side is tiny; the join is broadcast)
+    return all_types.join(quant, "event_type", "left").orderBy("event_type")
 
 
 def ev_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

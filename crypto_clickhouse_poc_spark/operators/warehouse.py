@@ -26,7 +26,12 @@ from ..tables import load
 
 SCD2_T0 = "2024-01-01 00:00:00"  # initial-load effective_from
 SCD2_T1 = "2024-02-01 00:00:00"  # update-batch effective_from
-SCD2_OPEN = "9999-12-31 00:00:00"  # open-interval sentinel
+# Open-interval sentinel. Deliberately INSIDE pandas' datetime64[ns]
+# range (max 2262-04-11): the classic 9999-12-31 overflows any consumer
+# that converts through nanosecond timestamps (pandas/Arrow toPandas on
+# the driver), raising OutOfBoundsDatetime before the values are even
+# compared. SCD2 semantics only need "later than any real batch_ts".
+SCD2_OPEN = "2200-01-01 00:00:00"
 
 
 def ev_hourly_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -40,7 +45,16 @@ def ev_hourly_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     absent combinations as zeros, the long form never had them).
     """
     e = load(spark, sf_dir, "events")
-    types = ["click", "error", "purchase", "signup", "view"]
+    # Pivot columns come from the DATA, not a hardcoded list: a new
+    # event_type appearing upstream must widen the pivot, not silently
+    # vanish from the long form while the oracle's direct GROUP BY counts
+    # it. Bounded collect — event_type is a small enum vocabulary (the
+    # same contract as Spark's own pivot() when given no value list).
+    types = sorted(
+        r["event_type"]
+        for r in e.select("event_type").distinct().collect()
+        if r["event_type"] is not None
+    )
     wide = (
         e.groupBy(F.hour("ts").alias("hour"))
         .agg(
@@ -91,8 +105,9 @@ def scd2_merge(dim: DataFrame, upd: DataFrame, batch_ts: str) -> DataFrame:
     ``dim``: (key, name, acctbal, effective_from, effective_to,
     is_current) history; ``upd``: (key, name, acctbal) update batch.
 
-    changed  = updates ⋈ current versions WHERE tracked attr differs
-             (null-SAFE compare: NULL→value and value→NULL are changes)
+    changed  = updates ⋈ current versions WHERE ANY tracked attr differs
+             (name OR acctbal; null-SAFE compare: NULL→value and
+             value→NULL are changes)
     closed   = those current versions with effective_to = batch_ts
     opened   = the new versions effective [batch_ts, ∞)
     inserted = update keys with NO dim row at all → first version
@@ -108,13 +123,21 @@ def scd2_merge(dim: DataFrame, upd: DataFrame, batch_ts: str) -> DataFrame:
     versions — property-tested).
     """
     cur = dim.where(F.col("is_current") == 1)
+    # Change detection covers EVERY tracked attribute (name AND acctbal):
+    # a name-only change must version, and the opened version must carry
+    # the UPDATE's attributes — taking d.name here would freeze the stale
+    # name into every future version the CDC feed writes.
     changed = (
         cur.alias("d")
         .join(upd.alias("u"), "key")
-        .where(~F.col("d.acctbal").eqNullSafe(F.col("u.acctbal")))
+        .where(
+            ~F.col("d.acctbal").eqNullSafe(F.col("u.acctbal"))
+            | ~F.col("d.name").eqNullSafe(F.col("u.name"))
+        )
         .select(
             "key",
-            F.col("d.name").alias("name"),
+            F.col("d.name").alias("old_name"),
+            F.col("u.name").alias("new_name"),
             F.col("d.acctbal").alias("old_bal"),
             F.col("u.acctbal").alias("new_bal"),
             F.col("d.effective_from").alias("old_from"),
@@ -130,7 +153,7 @@ def scd2_merge(dim: DataFrame, upd: DataFrame, batch_ts: str) -> DataFrame:
     )
     closed = changed.select(
         "key",
-        "name",
+        F.col("old_name").alias("name"),
         F.col("old_bal").alias("acctbal"),
         F.col("old_from").alias("effective_from"),
         F.lit(batch_ts).cast("timestamp").alias("effective_to"),
@@ -138,7 +161,7 @@ def scd2_merge(dim: DataFrame, upd: DataFrame, batch_ts: str) -> DataFrame:
     )
     opened = changed.select(
         "key",
-        "name",
+        F.col("new_name").alias("name"),
         F.col("new_bal").alias("acctbal"),
         F.lit(batch_ts).cast("timestamp").alias("effective_from"),
         F.lit(SCD2_OPEN).cast("timestamp").alias("effective_to"),
@@ -189,9 +212,11 @@ ORACLES = {
           FROM dim WHERE key % 10 = 0
         ),
         changed AS (
-          SELECT d.key, d.name, d.acctbal AS old_bal, u.acctbal AS new_bal
+          SELECT d.key, d.name AS old_name, u.name AS new_name,
+                 d.acctbal AS old_bal, u.acctbal AS new_bal
           FROM dim d JOIN upd u ON d.key = u.key
           WHERE d.acctbal IS DISTINCT FROM u.acctbal
+             OR d.name IS DISTINCT FROM u.name
         )
         SELECT key, name, acctbal,
                TIMESTAMP '{SCD2_T0}' AS effective_from,
@@ -199,11 +224,11 @@ ORACLES = {
                CAST(1 AS INT) AS is_current
         FROM dim WHERE key NOT IN (SELECT key FROM changed)
         UNION ALL
-        SELECT key, name, old_bal,
+        SELECT key, old_name, old_bal,
                TIMESTAMP '{SCD2_T0}', TIMESTAMP '{SCD2_T1}', CAST(0 AS INT)
         FROM changed
         UNION ALL
-        SELECT key, name, new_bal,
+        SELECT key, new_name, new_bal,
                TIMESTAMP '{SCD2_T1}', TIMESTAMP '{SCD2_OPEN}', CAST(1 AS INT)
         FROM changed
         ORDER BY key, effective_from

@@ -69,25 +69,57 @@ def collapse_batch(batch: DataFrame, seq_col: str | None) -> DataFrame:
     return batch
 
 
+# Target on-disk size per output file for the rewritten dimension —
+# the usual parquet sweet spot (big enough for efficient scans, small
+# enough that one task's write isn't a straggler).
+DIM_TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+def _dim_file_count(dim_path: Path) -> int:
+    """Output-file count for the rewritten dim, from the CURRENT dim's
+    on-disk bytes (a filesystem stat, no Spark job; the merged result is
+    the same dimension ± one batch of versions, so current size is an
+    accurate predictor). Fixture-sized dims get 1 file — the common
+    case; a genuinely large dim degrades to parallel writes instead of
+    one straggler task."""
+    try:
+        size = sum(
+            f.stat().st_size for f in dim_path.glob("*.parquet") if f.is_file()
+        )
+    except OSError:
+        size = 0
+    return max(1, -(-size // DIM_TARGET_FILE_BYTES))
+
+
 def apply_scd2_batch(
-    dim_path: str, batch: DataFrame, batch_ts: str, seq_col: str | None = None
+    dim_path: str,
+    batch: DataFrame,
+    batch_ts: str,
+    seq_col: str | None = None,
+    n_files: int | None = None,
 ) -> None:
     """One CDC apply: merge ``batch`` into the dim at ``dim_path`` and
     swap the result in via ``plans.layout.swap_in`` — the SAME protocol
     and leftover names as ``compact()``, so ``layout.read_table``'s
     auto-heal (``recover_compaction``) covers a crash in this swap's
-    window too (the read below goes through it for exactly that
-    reason)."""
+    window too (the read below goes through it for exactly that reason).
+
+    ``n_files`` sets the rewritten dimension's output-file count;
+    default is a size-based heuristic (current dim bytes /
+    ``DIM_TARGET_FILE_BYTES``) so small dims stay single-file while a
+    large dim writes in parallel."""
     import shutil
 
     from ..plans import layout
 
     dest = Path(dim_path)
     dim = layout.read_table(batch.sparkSession, str(dest))
+    if n_files is None:
+        n_files = _dim_file_count(dest)
     merged = scd2_merge(dim, collapse_batch(batch, seq_col), batch_ts)
     tmp = str(dest) + ".compact.tmp"
     try:
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        merged.repartition(n_files).write.mode("overwrite").parquet(tmp)
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
@@ -100,6 +132,7 @@ def start_scd2_apply(
     checkpoint_path: str,
     batch_ts: Callable[[int], str] = default_batch_ts,
     seq_col: str | None = None,
+    n_files: int | None = None,
 ) -> StreamingQuery:
     """Launch the CDC-apply query: each micro-batch of (key, name,
     acctbal) updates is SCD2-merged into the parquet dimension.
@@ -115,7 +148,9 @@ def start_scd2_apply(
     """
     return (
         updates.writeStream.foreachBatch(
-            lambda df, bid: apply_scd2_batch(dim_path, df, batch_ts(bid), seq_col)
+            lambda df, bid: apply_scd2_batch(
+                dim_path, df, batch_ts(bid), seq_col, n_files
+            )
         )
         .option("checkpointLocation", checkpoint_path)
         .outputMode("update")

@@ -150,15 +150,20 @@ def test_streaming_cdc_apply_matches_sequential_batch_merges(spark, tmp_path):
         shutil.copy(f, dst)
         os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
 
+    # n_files=3: the dim write must be parallel-capable, not a hardwired
+    # coalesce(1) (r6 verdict #3) — swap/heal protocol unchanged
     stream = spark.readStream.schema("key long, name string, acctbal double").option(
         "maxFilesPerTrigger", 1
     ).parquet(str(flat))
-    q = cdc.start_scd2_apply(stream, dim_path, str(tmp_path / "ckpt_cdc"))
+    q = cdc.start_scd2_apply(stream, dim_path, str(tmp_path / "ckpt_cdc"), n_files=3)
     try:
         q.processAllAvailable()
     finally:
         q.stop()
 
+    import pathlib
+
+    assert len(list(pathlib.Path(dim_path).glob("*.parquet"))) == 3
     got = _rows(spark.read.parquet(dim_path))
     want = _rows(
         W.scd2_merge(
@@ -277,6 +282,95 @@ def test_cdc_batch_with_multiple_changes_per_key(spark, tmp_path):
     cur = [r for r in rows if r["is_current"] == 1]
     assert len(cur) == 1 and cur[0]["acctbal"] == 222.0
     assert len(rows) == 2  # old version closed, new one open
+
+
+def test_scd2_name_change_versions_and_carries_new_name(spark):
+    """A name-ONLY change must version (change detection covers every
+    tracked attribute), and the opened version must carry the UPDATE's
+    name — not freeze the dimension's stale one (r6 ADVICE: the generic
+    CDC path feeds full key/name/acctbal rows)."""
+    dim = spark.createDataFrame(
+        [(1, "old-name", 10.0, W.SCD2_T0, W.SCD2_OPEN, 1),
+         (2, "stable", 20.0, W.SCD2_T0, W.SCD2_OPEN, 1)],
+        "key long, name string, acctbal double, effective_from string, "
+        "effective_to string, is_current int",
+    ).withColumn("effective_from", F.col("effective_from").cast("timestamp")) \
+     .withColumn("effective_to", F.col("effective_to").cast("timestamp"))
+    upd = spark.createDataFrame(
+        [(1, "new-name", 10.0),   # name-only change: must version
+         (2, "renamed", 99.0)],   # name+balance change: new name must land
+        "key long, name string, acctbal double",
+    )
+    out = W.scd2_merge(dim, upd, W.SCD2_T1)
+    rows = {(r["key"], r["is_current"]): r for r in out.collect()}
+    assert rows[(1, 1)]["name"] == "new-name" and rows[(1, 0)]["name"] == "old-name"
+    assert rows[(1, 1)]["acctbal"] == 10.0
+    assert rows[(2, 1)]["name"] == "renamed" and rows[(2, 1)]["acctbal"] == 99.0
+    assert rows[(2, 0)]["name"] == "stable"
+    # still idempotent with the widened change predicate
+    again = W.scd2_merge(out, upd, "2024-03-01 00:00:00")
+    assert _rows(again) == _rows(out)
+
+
+def test_scd2_open_sentinel_survives_pandas_conversion(spark):
+    """The open-interval sentinel must be representable in nanosecond
+    datetime64 — the DRIVER converts results via toPandas, and the classic
+    9999-12-31 overflows there (the r6 red row). Conversion itself is the
+    assertion."""
+    import pandas as pd
+
+    df = spark.range(1).select(
+        F.lit(W.SCD2_OPEN).cast("timestamp").alias("effective_to")
+    )
+    pdf = df.toPandas()  # raises OutOfBoundsDatetime on a bad sentinel
+    assert pd.notna(pdf["effective_to"].iloc[0])
+
+
+def test_unpivot_widens_with_novel_event_type(spark, tmp_path):
+    """A brand-new event_type in the data must appear in the long form
+    (pivot columns derive from the data, not a hardcoded list)."""
+    import os
+
+    e = spark.createDataFrame(
+        [(1, "2024-01-01 01:00:00", 1, "click", 1.0, "{}"),
+         (2, "2024-01-01 01:00:00", 1, "brand_new_type", 2.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    sf = str(tmp_path / "unpivot_drift")
+    e.write.parquet(os.path.join(sf, "events.parquet"))
+    got = {(r["hour"], r["event_type"], r["n"])
+           for r in W.ev_hourly_unpivot(spark, sf).collect()}
+    assert (1, "brand_new_type", 1) in got and (1, "click", 1) in got
+
+
+def test_twopass_quantiles_all_null_group_surfaces(spark, tmp_path):
+    """An event_type whose prices are ALL NULL must appear with NULL
+    quantiles — exactly as F.percentile and the shared oracle emit it
+    (r6 ADVICE low)."""
+    import os
+
+    from crypto_clickhouse_poc_spark.operators.trades import (
+        ev_price_quantiles,
+        ev_price_quantiles_twopass,
+    )
+
+    rows = [("a", float(i)) for i in range(50)] + [("ghost", None)] * 5
+    df = spark.createDataFrame(rows, "event_type string, price double")
+    ev = df.select(
+        F.monotonically_increasing_id().alias("event_id"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.lit(1).cast("long").alias("user_id"),
+        "event_type",
+        F.col("price").alias("value"),
+        F.lit('{"k": 1}').alias("props"),
+    )
+    sf = str(tmp_path / "qallnull")
+    ev.write.parquet(os.path.join(sf, "events.parquet"))
+    exact = sorted(tuple(r) for r in ev_price_quantiles(spark, sf).collect())
+    got = sorted(tuple(r) for r in ev_price_quantiles_twopass(spark, sf).collect())
+    assert got == exact
+    assert any(r[0] == "ghost" and r[1] is None for r in got)
 
 
 def test_twopass_quantiles_skip_nulls_like_percentile(spark, tmp_path):

@@ -2,6 +2,13 @@
 
 Vanilla session, sf0.01, DuckDB oracle, column-name-sorted value compare —
 the same shape the driver uses. Not part of the package; dev tool.
+
+BOTH sides are canonicalized through pandas (``sdf.toPandas()`` /
+``duckdb .df()``) because that is the DRIVER's conversion path: a result
+that only breaks during pandas conversion (out-of-range timestamps like
+a 9999-12-31 sentinel, dtype coercions, NaN/None conflation) must fail
+HERE, pre-commit — the r6 ``cust_scd2_merge`` red row shipped precisely
+because the old ``collect()+str`` canonicalization couldn't see it.
 """
 import json
 import os
@@ -32,20 +39,51 @@ for name in (
 ).split():
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{SF}/{name}.parquet'")
 
+import numpy as np
+import pandas as pd
+
+
+def _canon_val(v):
+    """One canonical string per value, NULL-kind-insensitive: None, NaN,
+    NaT and pd.NA all print as NULL; integer-valued floats print as ints
+    (pandas promotes nullable int columns to float64)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    if isinstance(v, float):
+        if v != v:
+            return "NULL"
+        if v.is_integer() and abs(v) < 2**53:
+            return str(int(v))
+    try:
+        if v is pd.NaT or v is pd.NA:
+            return "NULL"
+    except Exception:  # noqa: BLE001
+        pass
+    return str(v)
+
+
+def _canon_frame(pdf):
+    """(sorted columns, sorted canonical row tuples) for a pandas frame."""
+    cols = sorted(pdf.columns)
+    rows = sorted(
+        tuple(_canon_val(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
+    )
+    return cols, rows
+
+
 results = {}
 for name, fn in qs.items():
     t0 = time.time()
     try:
         sdf = fn(spark, SF)
-        scols = sorted(sdf.columns)
-        srows = sorted(
-            tuple(str(r[c]) for c in scols) for r in sdf.collect()
-        )
-        dres = con.execute(os_[name])
-        dcols = [d[0] for d in dres.description]
-        assert sorted(dcols) == scols, (sorted(dcols), scols)
-        perm = [dcols.index(c) for c in scols]
-        drows = sorted(tuple(str(r[i]) for i in perm) for r in dres.fetchall())
+        # toPandas IS the gate: the driver converts through pandas, so
+        # conversion-time failures must reproduce here
+        scols, srows = _canon_frame(sdf.toPandas())
+        dcols, drows = _canon_frame(con.execute(os_[name]).df())
+        assert dcols == scols, (dcols, scols)
         ok = srows == drows
         results[name] = {
             "rows": len(srows),
