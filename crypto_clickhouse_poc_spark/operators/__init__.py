@@ -23,6 +23,7 @@ from . import (
     dedup,
     embed,
     multimodal,
+    opq,
     quality,
     sampling,
     similarity,
@@ -44,6 +45,7 @@ _MODULES = (
     dedup,
     similarity,
     embed,
+    opq,
     sketches,
     multimodal,
     temporal,

@@ -317,7 +317,7 @@ PQ_ROUNDS = 2  # FIXED Lloyd rounds per sub-codebook, deterministic
 PQ_RERANK = 50  # ADC-ranked candidates that get the exact cosine rerank
 
 # (sf_dir, M, ks, rounds) → books[m][j] = sub-codebook entry (list of floats)
-_PQ_MEMO: dict[tuple[str, int, int, int], list[list[list[float]]]] = {}
+_PQ_MEMO: dict[tuple[str, int, int, int, bool], list[list[list[float]]]] = {}
 
 
 def _pq_encode(
@@ -409,7 +409,10 @@ def _nearest_cid_py(qv: list[float], rows: list[tuple]) -> int:
 
 
 def _train_pq(
-    spark: SparkSession, sf_dir: str, rounds: int = PQ_ROUNDS
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int = PQ_ROUNDS,
+    rotation: list[list[float]] | None = None,
 ) -> list[list[list[float]]]:
     """Train the per-subspace PQ codebooks on coarse-quantization RESIDUALS
     (r = v − centroid(v)), the standard IVF-PQ decomposition (Jégou,
@@ -427,7 +430,9 @@ def _train_pq(
     entry that loses all members keeps its previous value (codes are
     positional indexes, so entries must never be renumbered mid-training).
     """
-    key = (sf_dir, PQ_M, PQ_KS, rounds)
+    # rotation is a deterministic function of sf_dir (OPQ pre-rotation,
+    # see operators.opq) — a presence flag is a sufficient memo key
+    key = (sf_dir, PQ_M, PQ_KS, rounds, rotation is not None)
     if key in _PQ_MEMO:
         return _PQ_MEMO[key]
     sub_d = V.EMB_DIM // PQ_M
@@ -447,11 +452,13 @@ def _train_pq(
         v = list(row["v"])
         cv = cmap[_nearest_cid_py(v, coarse)]
         res = [a - c for a, c in zip(v, cv)]
+        if rotation is not None:
+            res = [sum(r * x for r, x in zip(rrow, res)) for rrow in rotation]
         for m in range(PQ_M):
             books[m].append(res[m * sub_d : (m + 1) * sub_d])
 
     for _ in range(rounds):
-        enc = _pq_encode(e, coarse, books, with_residual=True)
+        enc = _pq_encode(e, coarse, books, with_residual=True, rotation=rotation)
         cells = (
             enc.select("code", F.posexplode("r").alias("pos", "x"))
             .select(
@@ -499,14 +506,26 @@ def ann_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_adc_rerank(spark, sf_dir, encoded)
 
 
-def _pq_query_side(spark: SparkSession, sf_dir: str, nprobe: int = 1):
+def _pq_query_side(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int = 1,
+    books: list[list[list[float]]] | None = None,
+    rotation: list[list[float]] | None = None,
+):
     """Driver-side PQ query prep: the query DataFrame — one row per
     (query, probed cluster), ≤ 5·nprobe rows — with (query_id, qv, qn,
     qcluster, q·centroid-of-that-cluster), plus the ADC lookup tables
     lut[m][j] = q_m · book[m][j] as a map literal keyed by query_id, and
-    the union of probed cluster ids."""
+    the union of probed cluster ids.
+
+    With an OPQ ``rotation`` the lookup tables use the ROTATED query
+    (q' = R·q): codes decode to rotated residuals r̂', and
+    q·r̂ = q·Rᵀr̂' = (R·q)·r̂' — so rotating q driver-side keeps the ADC
+    fold on the big side untouched."""
     coarse = _train_kmeans(spark, sf_dir)
-    books = _train_pq(spark, sf_dir)
+    if books is None:
+        books = _train_pq(spark, sf_dir)
     cmap = {cid: cv for cid, cv, _ in coarse}
     sub_d = V.EMB_DIM // PQ_M
     qrows = (
@@ -521,6 +540,11 @@ def _pq_query_side(spark: SparkSession, sf_dir: str, nprobe: int = 1):
         for qc in _ranked_cids_py(qv, coarse)[:nprobe]:
             qdotc = sum(a * b for a, b in zip(qv, cmap[qc]))
             qmeta.append((qid, qv, qn, qc, qdotc))
+        lq = (
+            qv
+            if rotation is None
+            else [sum(r * x for r, x in zip(rrow, qv)) for rrow in rotation]
+        )
         lut_keys.append(F.lit(qid).cast("long"))
         lut_vals.append(
             F.array(
@@ -532,7 +556,7 @@ def _pq_query_side(spark: SparkSession, sf_dir: str, nprobe: int = 1):
                                     sum(
                                         a * b
                                         for a, b in zip(
-                                            qv[m * sub_d : (m + 1) * sub_d], entry
+                                            lq[m * sub_d : (m + 1) * sub_d], entry
                                         )
                                     )
                                 )
@@ -555,7 +579,12 @@ def _pq_query_side(spark: SparkSession, sf_dir: str, nprobe: int = 1):
 
 
 def _pq_adc_rerank(
-    spark: SparkSession, sf_dir: str, candidates: DataFrame, nprobe: int = 1
+    spark: SparkSession,
+    sf_dir: str,
+    candidates: DataFrame,
+    nprobe: int = 1,
+    books: list[list[list[float]]] | None = None,
+    rotation: list[list[float]] | None = None,
 ) -> DataFrame:
     """The PQ serving dataflow over any encoded candidate frame
     (vec_id, v, nrm, cluster, code): broadcast probe join → ADC approx
@@ -564,7 +593,7 @@ def _pq_adc_rerank(
     rerank → top-k. A candidate lives in exactly one cluster and a
     query's probed clusters are distinct, so multi-probe scores no
     candidate twice."""
-    qdf, lut, _ = _pq_query_side(spark, sf_dir, nprobe)
+    qdf, lut, _ = _pq_query_side(spark, sf_dir, nprobe, books, rotation)
     approx = (
         F.col("qdotc")
         + F.aggregate(

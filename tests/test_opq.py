@@ -1,0 +1,173 @@
+"""OPQ (rotated PQ) gates: rotation validity, eigenvalue-allocation
+balance, quantization-error reduction and recall ≥ plain PQ at equal
+bytes/vector on a planted anisotropic corpus, exactness of emitted
+cosines, and the map-only encode plan.
+
+The fixture embeddings are near-isotropic (flat spectrum — see
+emb_pca_topk's docstring), which makes them a NON-test for OPQ: when
+every direction carries the same variance, any rotation is as good as
+any other. The planted corpus is a correlated Gaussian with a decaying
+spectrum mixed across ALL coordinates by a random rotation — exactly
+the violation of PQ's independent-equal-variance subspace assumption
+that OPQ's balanced eigenbasis repairs (Ge et al., CVPR 2013, §4).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from crypto_clickhouse_poc_spark.operators import opq as O
+from crypto_clickhouse_poc_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def opq_sf(spark, tmp_path_factory) -> str:
+    """Planted anisotropic corpus written as an embeddings fixture dir:
+    x = z·diag(√λ)·Qᵀ with λ_i ∝ 0.93^i and Q a seeded random rotation —
+    strongly unequal variances spread across every raw coordinate."""
+    rng = np.random.default_rng(17)
+    n, d = 1200, 64
+    lam = 0.93 ** np.arange(d)
+    q, _ = np.linalg.qr(rng.standard_normal((d, d)))
+    x = (rng.standard_normal((n, d)) * np.sqrt(lam)) @ q.T
+    sf = str(tmp_path_factory.mktemp("opq_sf"))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row], int(i % 10)) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    df.coalesce(2).write.parquet(f"{sf}/embeddings.parquet")
+    return sf
+
+
+def test_rotation_is_orthonormal(spark, opq_sf):
+    rot = np.array(O._train_opq_rotation(spark, opq_sf))
+    assert rot.shape == (64, 64)
+    assert np.allclose(rot @ rot.T, np.eye(64), atol=1e-8)
+
+
+def test_eigenvalue_allocation_balances_products():
+    """Buckets are equal-sized and the log-eigenvalue products are closer
+    to balanced than the naive descending contiguous split."""
+    rng = np.random.default_rng(3)
+    vals = sorted((rng.pareto(1.5) + 0.01 for _ in range(64)), reverse=True)
+    m, cap = 8, 8
+    perm = O.eigenvalue_allocation(vals, m)
+    assert sorted(perm) == list(range(64))
+
+    def spread(assign_blocks):
+        sums = [
+            sum(math.log(vals[i]) for i in block) for block in assign_blocks
+        ]
+        return max(sums) - min(sums)
+
+    alloc = [perm[b * cap : (b + 1) * cap] for b in range(m)]
+    naive = [list(range(b * cap, (b + 1) * cap)) for b in range(m)]
+    assert spread(alloc) < spread(naive)
+
+
+def _residual_matrix(spark, sf: str) -> np.ndarray:
+    coarse = S._train_kmeans(spark, sf)
+    rows = S._vectors(spark, sf).select("v", "nrm").collect()
+    Vm = np.array([list(r["v"]) for r in rows])
+    nrm = np.array([r["nrm"] for r in rows])
+    C = np.array([c[1] for c in coarse])
+    cn = np.array([c[2] for c in coarse])
+    return Vm - C[np.argmax((Vm @ C.T) / np.outer(nrm, cn), axis=1)]
+
+
+def _quant_err(R: np.ndarray, books) -> float:
+    """Mean L2² PQ quantization error of residual rows R against books
+    (books live in the same basis as R)."""
+    sub_d = R.shape[1] // len(books)
+    total = 0.0
+    for m, book in enumerate(books):
+        sub = R[:, m * sub_d : (m + 1) * sub_d]
+        B = np.array(book)
+        total += ((sub[:, None, :] - B[None, :, :]) ** 2).sum(-1).min(axis=1).sum()
+    return total / len(R)
+
+
+def test_opq_reduces_quantization_error_on_planted_anisotropic(spark, opq_sf):
+    """The core OPQ claim: at equal code size (same M × ks), codebooks
+    trained in the balanced eigenbasis quantize the residuals with lower
+    mean L2² error than plain coordinate-split PQ. Rotation is
+    orthogonal, so the two errors are directly comparable (norms are
+    basis-invariant)."""
+    R = _residual_matrix(spark, opq_sf)
+    plain = _quant_err(R, S._train_pq(spark, opq_sf))
+    rot = np.array(O._train_opq_rotation(spark, opq_sf))
+    opq = _quant_err(R @ rot.T, S._train_pq(spark, opq_sf, rotation=rot.tolist()))
+    assert opq < plain, (opq, plain)
+
+
+def test_opq_recall_geq_plain_pq_at_equal_bytes(spark, opq_sf, monkeypatch):
+    """Recall gate at identical bytes/vector (same coarse tier, same
+    M × ks): rotated PQ must not lose to plain PQ, and on the metric
+    that ISOLATES what OPQ improves — recall vs the exact probed search,
+    where the only difference is which candidates the ADC shortlist
+    keeps — it must win outright. 20 query vectors and a tight rerank
+    budget (12) make the shortlist decisive and the sample large enough
+    (200 pairs) that the gap is outside tie-break noise (measured:
+    0.575 vs 0.495 probed-exact, 0.295 vs 0.260 brute)."""
+    monkeypatch.setattr(S, "N_QUERY_VECS", 20)
+    monkeypatch.setattr(S, "PQ_RERANK", 12)
+
+    def pairs(df):
+        out: dict = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    brute = pairs(S.ann_topk_brute(spark, opq_sf))
+    probed = pairs(S.ann_ivf_search(spark, opq_sf))
+    pq = pairs(S.ann_ivf_pq_search(spark, opq_sf))
+    opq = pairs(O.ann_ivf_opq_search(spark, opq_sf))
+
+    def recall(got, want):
+        return sum(
+            len(got.get(q, set()) & w) / len(w) for q, w in want.items()
+        ) / len(want)
+
+    assert recall(opq, brute) >= recall(pq, brute)
+    r_pq, r_opq = recall(pq, probed), recall(opq, probed)
+    assert r_opq > r_pq, (r_opq, r_pq)
+
+
+def test_opq_emitted_cosines_are_exact(spark, opq_sf):
+    """The rerank recomputes full-precision cosine on the RAW vectors, so
+    every (query, neighbor) pair shared with the brute-force baseline
+    carries the identical score — rotation must not leak into emitted
+    values."""
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in S.ann_topk_brute(spark, opq_sf).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in O.ann_ivf_opq_search(spark, opq_sf).collect()
+    }
+    overlap = got.keys() & brute.keys()
+    assert overlap
+    assert all(abs(got[k] - brute[k]) < 1e-12 for k in overlap)
+
+
+def test_opq_encode_plan_is_map_only(spark, opq_sf):
+    """The rotation folds into the existing Arrow encode kernel: the
+    encoded-candidates subplan must carry no Exchange (shuffle)."""
+    coarse = S._train_kmeans(spark, opq_sf)
+    rot = O._train_opq_rotation(spark, opq_sf)
+    books = S._train_pq(spark, opq_sf, rotation=rot)
+    enc = S._pq_encode(S._vectors(spark, opq_sf), coarse, books, rotation=rot)
+    plan = str(enc._jdf.queryExecution().executedPlan())
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_opq_rotation_memo_is_deterministic(spark, opq_sf):
+    first = O._train_opq_rotation(spark, opq_sf)
+    O._ROT_MEMO.clear()
+    retrained = O._train_opq_rotation(spark, opq_sf)
+    assert np.allclose(np.array(first), np.array(retrained), atol=1e-9)
