@@ -88,6 +88,11 @@ BENCH_QUERIES = [
     "ann_topk_brute",
     "ann_ivf_assign",
     "ann_ivf_pq_search",
+    # r7: OPQ (rotated PQ, same serving dataflow at equal code size) and
+    # the end-to-end assembly chain (gates -> dedup -> near-dup ->
+    # decontaminate -> mix -> pack in ONE query)
+    "ann_ivf_opq_search",
+    "corpus_assemble",
     # multimodal (binary payload + Arrow-batched Pandas-UDF kernels)
     "mm_byte_features",
     "mm_frame_sample",

@@ -19,6 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import (
+    assemble,
     curation,
     dedup,
     embed,
@@ -54,6 +55,7 @@ _MODULES = (
     quality,
     sampling,
     curation,
+    assemble,
     skipidx,
     warehouse,
 )
@@ -123,6 +125,20 @@ _MODULES = (
 #                                           the ranked-retrieval family —
 #                                           1-row-broadcast corpus stats —
 #                                           under the driver hash)
+#
+# Round-7 rotation (round-6 verdict item #5):
+#   corpus_prepare -> corpus_assemble      (prepare's stages — quality gate,
+#                                           exact dedup, split rollup — are a
+#                                           strict SUBSET of the end-to-end
+#                                           assembly chain, which adds the
+#                                           repetition gate, LSH near-dup
+#                                           canonical, decontamination, mix,
+#                                           shard, and pack ON TOP of them;
+#                                           the driver hash now checks the
+#                                           INTERACTION of every stage.
+#                                           corpus_prepare and its oracle
+#                                           stay under the pytest parity
+#                                           gate as library queries)
 _DECLARED = (
     # reference §2.10 public query surface (api/server.py:57-200)
     "ev_count",
@@ -178,7 +194,7 @@ _DECLARED = (
     "doc_langid_ngram",
     "doc_dup_spans",
     "doc_winnow",
-    "corpus_prepare",
+    "corpus_assemble",
     "corpus_mix",
     "corpus_pack",
     # joins: TPC-H representative set + SCD2 merge (agg-only, join+topk,

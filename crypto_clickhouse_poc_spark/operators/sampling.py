@@ -156,14 +156,19 @@ def _mix_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mix_kept_from(_mix_docs(spark, sf_dir))
 
 
-def _mix_kept_from(d: DataFrame) -> DataFrame:
+def _mix_kept_from(d: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """Two-pass selection over a prepared (doc_id, lang, weight, bkt)
     frame. Equivalent to ranking each stratum by (bkt, md5(doc_id),
     doc_id) and keeping the first quota rows; with the real ``_bucket16``
     column that order IS (md5, doc_id) order. The property test forces
     bucket collisions with a tiny synthetic bkt space to exercise the
     boundary-bucket partial rank, which real 16-bit buckets only hit at
-    scale."""
+    scale.
+
+    ``extra_cols`` ride through unchanged — downstream stages (e.g.
+    corpus_assemble's packer needs per-doc token counts) carry their
+    columns INSIDE the selection instead of join-ing the kept set back
+    against the fact table (which would add a fact-sized shuffle)."""
     bounds = _mix_bounds(d).collect()  # bounded: one row per stratum
     full_cond = F.lit(False)
     boundary_cond = F.lit(False)
@@ -191,7 +196,7 @@ def _mix_kept_from(d: DataFrame) -> DataFrame:
         .withColumn("rk", F.row_number().over(wp))
         .where(F.col("rk") <= remaining)
     )
-    cols = ["doc_id", "lang", "weight", "n_avail"]
+    cols = ["doc_id", "lang", "weight", "n_avail", *extra_cols]
     return full.select(*cols).unionByName(partial.select(*cols))
 
 

