@@ -39,10 +39,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caching import bounded_cache
 from ..functions import text as T
 from ..tables import load
 from .curation import DECONTAM_NGRAM, _HOLDOUT_SQL, _is_holdout, _max_run
-from .dedup import lsh_pairs_from_shingles, min_label_clusters, shingles
+from .dedup import lsh_pairs_from_shingles, min_label_clusters, shingles_from_tokens
 from .sampling import (
     _B16,
     _MIX_LANGS,
@@ -60,34 +61,69 @@ from .text import exact_canonical, quality_gated
 # 0.18 sits at ~p97 of the fixture corpus — a real gate, not a no-op.
 REP_TOP_MAX = 0.18
 
+# Near-dup shingle order. Production near-dedup shingles n-grams, not
+# unigrams (Lee et al. 2022 and the SlimPajama/The-Pile recipes use
+# 10-13-grams): unigram Jaccard SATURATES on a small vocabulary — on the
+# fixture's ~31-word corpus every doc's token set converges to the whole
+# vocabulary, collapsing 4.4k docs into a ~3M-candidate-pair near-clique
+# (measured; verify + components dominated the whole chain). 3-gram
+# shingles restore discrimination (true near-dups still share most
+# shingles; unrelated docs share almost none) and shrink the candidate
+# graph by ~1000×. corpus_prepare_near keeps the unigram form — it twins
+# the dedup family's declared constants.
+ASSEMBLE_SHINGLE_N = 3
 
-def assembled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def assembled_docs(
+    spark: SparkSession, sf_dir: str, cache: bool = True
+) -> DataFrame:
     """The surviving (doc_id, lang, n_tok) set after gates → exact dedup →
     near-dup canonical → decontamination → weighted mix. Exposed so tests
-    can assert stage-interaction invariants on the doc set itself."""
+    can assert stage-interaction invariants on the doc set itself.
+
+    ``cache`` materializes the pre-mix survivor frame (doc_id + lang +
+    two ints — tiny) once: the mix's two-pass selection evaluates its
+    input three times (bounds collect, full leg, boundary leg), and
+    without the cache each evaluation re-runs the ENTIRE upstream chain
+    — LSH band joins and the cluster fixpoint included (measured 13.5 s
+    → 4.9 s at sf0.1). ``bounded_cache`` keeps at most one live copy.
+    Pass False to inspect the un-truncated plan (tests do)."""
     d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     toks = T.tokens(F.col("text"))
     rep_ratio = _max_run(toks) / F.size(toks).cast("double")
     gated = quality_gated(d).where(rep_ratio <= F.lit(REP_TOP_MAX))
     canonical = exact_canonical(gated).select("doc_id", "text", "lang")
+    if cache:
+        # referenced three times (LSH side, component node set, near join)
+        # — cache the deduped survivors once instead of re-running the
+        # gate + digest window per reference
+        canonical = bounded_cache("assemble.canonical", canonical)
 
+    # token arrays materialized as their own column before every n-gram
+    # pass — shingles_from_tokens' hot-path contract (slicing an attribute,
+    # not a re-evaluated split expression)
     pairs = lsh_pairs_from_shingles(
-        canonical.select("doc_id", shingles(F.col("text")).alias("toks"))
+        canonical.withColumn("w", F.split(F.col("text"), " ")).select(
+            "doc_id",
+            shingles_from_tokens(F.col("w"), ASSEMBLE_SHINGLE_N).alias("toks"),
+        )
     ).select("doc_a", "doc_b")
     clusters = min_label_clusters(canonical.select("doc_id"), pairs)
     near = canonical.join(clusters, "doc_id").where(
         F.col("cluster") == F.col("doc_id")
     )
 
-    grams = shingles(F.col("text"), DECONTAM_NGRAM)
+    gram_of_w = shingles_from_tokens(F.col("w"), DECONTAM_NGRAM)
     hold_grams = (
         d.where(_is_holdout(F.col("doc_id")))
-        .select(F.explode(grams).alias("gram"))
+        .withColumn("w", F.split(F.col("text"), " "))
+        .select(F.explode(gram_of_w).alias("gram"))
         .distinct()
     )
     clean = near.where(~_is_holdout(F.col("doc_id")))
     contaminated = (
-        clean.select("doc_id", F.explode(grams).alias("gram"))
+        clean.withColumn("w", F.split(F.col("text"), " "))
+        .select("doc_id", F.explode(gram_of_w).alias("gram"))
         .join(F.broadcast(hold_grams), "gram", "left_semi")
         .select("doc_id")
         .distinct()
@@ -101,6 +137,8 @@ def assembled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bucket16(F.col("doc_id")).alias("bkt"),
         F.size(T.tokens(F.col("text"))).alias("n_tok"),
     )
+    if cache:
+        mix_in = bounded_cache("assemble.mix_in", mix_in)
     return _mix_kept_from(mix_in, extra_cols=("n_tok",)).select(
         "doc_id", "lang", "n_tok"
     )
@@ -113,11 +151,13 @@ def _weight_col():
     return weight
 
 
-def corpus_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_assemble(
+    spark: SparkSession, sf_dir: str, cache: bool = True
+) -> DataFrame:
     """The assembled corpus, packed: per-(shard, pack) doc and token
     accounting over the fully curated + mixed survivor set — what the
     training-data writer consumes."""
-    kept = assembled_docs(spark, sf_dir)
+    kept = assembled_docs(spark, sf_dir, cache=cache)
     d = kept.select(
         "doc_id",
         (_bucket16(F.col("doc_id")) % N_SHARDS).alias("shard"),
@@ -170,8 +210,16 @@ def _assemble_oracle() -> str:
             FROM gated
           ) t WHERE rn = 1
         ),
-        toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
-                 FROM canonical),
+        toks AS (
+          -- {ASSEMBLE_SHINGLE_N}-gram shingle sets (gated docs all carry
+          -- >= 20 tokens, so the short-doc empty-set guard is moot here)
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, len(string_split(text, ' ')) - {ASSEMBLE_SHINGLE_N - 2}),
+                   i -> array_to_string(
+                     (string_split(text, ' '))[i:i+{ASSEMBLE_SHINGLE_N - 1}], ' ')
+                 )) AS t
+          FROM canonical),
         sig AS (SELECT doc_id, {_MH} FROM toks),
         bands AS (
           SELECT doc_id, 0 AS band_id, md5(mh0 || mh1) AS band_key FROM sig

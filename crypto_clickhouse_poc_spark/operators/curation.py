@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 from ..tables import load
-from .dedup import shingles
+from .dedup import shingles_from_tokens
 from .sampling import _bucket16
 
 # Decontamination n-gram order. Real pipelines use 8-13-gram overlap; the
@@ -62,9 +62,13 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact table is scanned once and never shuffled before the final
     per-language rollup."""
     d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    grams = shingles(F.col("text"), DECONTAM_NGRAM)
+    # token array materialized as its own column before the n-gram pass —
+    # shingles_from_tokens' hot-path contract (slicing an attribute, not a
+    # per-gram re-evaluated split expression)
+    grams = shingles_from_tokens(F.col("w"), DECONTAM_NGRAM)
     hold_grams = (
         d.where(_is_holdout(F.col("doc_id")))
+        .withColumn("w", F.split(F.col("text"), " "))
         .select(F.explode(grams).alias("gram"))
         .distinct()
     )
@@ -73,7 +77,8 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hits — roll them straight up to per-language distinct-doc counts so
     # nothing fact-sized is ever a join side
     cont_per_lang = (
-        train.select("doc_id", "lang", F.explode(grams).alias("gram"))
+        train.withColumn("w", F.split(F.col("text"), " "))
+        .select("doc_id", "lang", F.explode(grams).alias("gram"))
         .join(F.broadcast(hold_grams), "gram", "left_semi")
         .groupBy("lang")
         .agg(F.countDistinct("doc_id").alias("n_contaminated"))

@@ -56,7 +56,17 @@ def shingles(text: Column, n: int = 1) -> Column:
     """
     if n == 1:
         return T.distinct_tokens(text)
-    w = F.split(text, " ")
+    return shingles_from_tokens(F.split(text, " "), n)
+
+
+def shingles_from_tokens(w: Column, n: int) -> Column:
+    """``shingles`` over a token-array expression. HOT-PATH NOTE: pass an
+    already-materialized COLUMN (``withColumn("w", F.split(...))`` first),
+    not the split expression itself — slicing an expression inside the
+    lambda re-evaluates the whole child array per gram index (O(tokens²)
+    splits per doc), while slicing an attribute reads the computed row
+    value; CollapseProject keeps the boundary (the doc_winnow pattern,
+    PERF.md round-2 log)."""
     grams = F.transform(
         F.sequence(F.lit(0), F.size(w) - n),
         lambda i: F.array_join(F.slice(w, i + 1, n), " "),
@@ -286,13 +296,71 @@ def with_cluster_sizes(lbl: DataFrame) -> DataFrame:
     return lbl.join(sizes, "cluster")
 
 
+# Verified-pair graphs are duplicate-rate-bounded — usually FAR smaller
+# than the corpus. Below this edge count the component labels come from a
+# driver-side union-find (milliseconds, zero distributed rounds) instead
+# of the iterative fixpoint, whose per-round cost is dominated by driver
+# round-trips + checkpoints at small sizes (measured: ~3 s for a 205-edge
+# graph). The collect is bounded by this constant (~16 MB of id pairs);
+# larger graphs run the distributed pointer-jumping path unchanged.
+CC_DRIVER_EDGE_MAX = 500_000
+
+
+def _driver_components(docs: DataFrame, e: DataFrame) -> DataFrame:
+    """Union-find on a collected (bounded) edge list; labels broadcast
+    back as a join against the node set. Identical output to the
+    distributed fixpoint: cluster = min node id of the component."""
+    from pyspark.sql.types import StructField, StructType
+
+    rows = e.collect()
+    if not rows:
+        return docs.select("doc_id", F.col("doc_id").alias("cluster"))
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        a, b = find(r["doc_a"]), find(r["doc_b"])
+        if a != b:
+            # union by MIN id — the root IS the cluster label
+            lo, hi = (a, b) if a < b else (b, a)
+            parent[hi] = lo
+    labels = [(x, find(x)) for x in list(parent)]
+    labels = [(x, c) for x, c in labels if x != c]
+    t = docs.schema["doc_id"].dataType
+    lbl = docs.sparkSession.createDataFrame(
+        labels, StructType([StructField("doc_id", t), StructField("cluster", t)])
+    )
+    return docs.join(F.broadcast(lbl), "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster", "doc_id").alias("cluster")
+    )
+
+
 def min_label_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """Connected components as (doc_id, cluster=min reachable doc_id), from
     any ``(doc_id)`` node set and ``(doc_a, doc_b)`` undirected pair list —
     the iterative core of ``dedup_clusters``, reused by the near-dup stage
-    of ``corpus_prepare_near``."""
+    of ``corpus_prepare_near`` and ``corpus_assemble``.
+
+    Adaptive: the edge list is checkpointed once and counted; at or below
+    ``CC_DRIVER_EDGE_MAX`` edges a driver union-find labels the graph in
+    one pass (identical output), above it the distributed pointer-jumping
+    fixpoint runs."""
     spark = docs.sparkSession
     par = spark.sparkContext.defaultParallelism
+    e = (
+        pairs.select("doc_a", "doc_b")
+        .coalesce(par)
+        .localCheckpoint(eager=True)
+    )
+    if e.count() <= CC_DRIVER_EDGE_MAX:
+        return _driver_components(docs, e)
     # undirected edges, both directions, PLUS a self-loop per node: min over
     # the neighborhood-including-self is then the whole round — one join +
     # one groupBy, no separate keep-own-label left join. Checkpoint once —
@@ -300,7 +368,6 @@ def min_label_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     # shuffles may run at the session's shuffle-partition count (200 on a
     # vanilla session), and materializing hundreds of near-empty partitions
     # per round costs more scheduling than the data itself.
-    e = pairs.select("doc_a", "doc_b")
     edges = (
         e.unionAll(e.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
         .unionAll(docs.select(F.col("doc_id").alias("doc_a"), F.col("doc_id").alias("doc_b")))

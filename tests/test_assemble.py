@@ -23,16 +23,26 @@ def test_assemble_plan_shape(spark):
     anti-join must be BROADCAST (the fact side never becomes a join
     shuffle side), and there must be no sort-merge join, no broadcast
     nested loop, no cartesian product anywhere."""
+    # cache=False: inspect the full un-truncated chain (the production
+    # path caches the tiny pre-mix survivor frame, which would hide the
+    # upstream joins behind an InMemoryTableScan here)
     plan = str(
-        A.corpus_assemble(spark, SF_CORRECT)._jdf.queryExecution().executedPlan()
+        A.corpus_assemble(spark, SF_CORRECT, cache=False)
+        ._jdf.queryExecution()
+        .executedPlan()
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # every join in the chain is broadcast — the fact side is NEVER a
+    # shuffled join side; this (not the exchange count) is the real
+    # "no extra fact-sized shuffle" invariant
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
-    # measured: 5 hash exchanges + 1 range (final orderBy); a small
-    # headroom so AQE reuse markers don't flake the count
-    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 7, plan.count(
+    # the un-cached plan TEXT inlines the shared canonical subtree at each
+    # of its references, multiplying exchange occurrences (the production
+    # path computes it once through the cache), so the occurrence count is
+    # only a coarse runaway guard
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 16, plan.count(
         "Exchange"
     )
     assert len(re.findall(r"Exchange rangepartitioning", plan)) == 1
