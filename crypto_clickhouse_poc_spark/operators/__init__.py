@@ -23,6 +23,7 @@ from . import (
     curation,
     dedup,
     embed,
+    freq,
     multimodal,
     opq,
     quality,
@@ -48,6 +49,7 @@ _MODULES = (
     embed,
     opq,
     sketches,
+    freq,
     multimodal,
     temporal,
     streaming_q,

@@ -37,12 +37,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..caching import bounded_cache
 from ..functions import text as T
 from ..tables import load
-from .curation import DECONTAM_NGRAM, _HOLDOUT_SQL, _is_holdout, _max_run
+from .curation import (
+    DECONTAM_NGRAM,
+    _HOLDOUT_SQL,
+    _is_holdout,
+    _max_run,
+    contaminated_ids,
+    holdout_grams,
+)
 from .dedup import lsh_pairs_from_shingles, min_label_clusters, shingles_from_tokens
 from .sampling import (
     _B16,
@@ -50,6 +56,8 @@ from .sampling import (
     _WEIGHT_CASE,
     _bucket16,
     _mix_kept_from,
+    mix_weight_col,
+    pack_accounting,
     MIX_WEIGHTS,
     N_SHARDS,
     PACK_BUDGET,
@@ -113,27 +121,14 @@ def assembled_docs(
         F.col("cluster") == F.col("doc_id")
     )
 
-    gram_of_w = shingles_from_tokens(F.col("w"), DECONTAM_NGRAM)
-    hold_grams = (
-        d.where(_is_holdout(F.col("doc_id")))
-        .withColumn("w", F.split(F.col("text"), " "))
-        .select(F.explode(gram_of_w).alias("gram"))
-        .distinct()
-    )
     clean = near.where(~_is_holdout(F.col("doc_id")))
-    contaminated = (
-        clean.withColumn("w", F.split(F.col("text"), " "))
-        .select("doc_id", F.explode(gram_of_w).alias("gram"))
-        .join(F.broadcast(hold_grams), "gram", "left_semi")
-        .select("doc_id")
-        .distinct()
-    )
+    contaminated = contaminated_ids(clean, holdout_grams(d))
     surv = clean.join(F.broadcast(contaminated), "doc_id", "left_anti")
 
     mix_in = surv.where(F.col("lang").isin(sorted(MIX_WEIGHTS))).select(
         "doc_id",
         "lang",
-        _weight_col().alias("weight"),
+        mix_weight_col().alias("weight"),
         _bucket16(F.col("doc_id")).alias("bkt"),
         F.size(T.tokens(F.col("text"))).alias("n_tok"),
     )
@@ -144,13 +139,6 @@ def assembled_docs(
     )
 
 
-def _weight_col():
-    weight = F.lit(None).cast("double")
-    for lang, wt in sorted(MIX_WEIGHTS.items()):
-        weight = F.when(F.col("lang") == lang, F.lit(wt)).otherwise(weight)
-    return weight
-
-
 def corpus_assemble(
     spark: SparkSession, sf_dir: str, cache: bool = True
 ) -> DataFrame:
@@ -158,24 +146,12 @@ def corpus_assemble(
     accounting over the fully curated + mixed survivor set — what the
     training-data writer consumes."""
     kept = assembled_docs(spark, sf_dir, cache=cache)
-    d = kept.select(
-        "doc_id",
-        (_bucket16(F.col("doc_id")) % N_SHARDS).alias("shard"),
-        "n_tok",
-    )
-    w = (
-        Window.partitionBy("shard")
-        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    packed = d.withColumn(
-        "pack_id",
-        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(PACK_BUDGET)),
-    )
-    return (
-        packed.groupBy("shard", "pack_id")
-        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
-        .orderBy("shard", "pack_id")
+    return pack_accounting(
+        kept.select(
+            "doc_id",
+            (_bucket16(F.col("doc_id")) % N_SHARDS).alias("shard"),
+            "n_tok",
+        )
     )
 
 
@@ -184,7 +160,7 @@ def _assemble_oracle() -> str:
     the LSH near-dup stage (same min-hash fragments as dedup's oracles,
     recursive reachability), decontamination, weighted mix by
     (md5, doc_id) rank, shard + pack windows."""
-    from .dedup import _MH
+    from .dedup import _MH, JACCARD_THRESHOLD
     from .text import _NTOK, _STOP, _TOKS
 
     rep = (
@@ -242,7 +218,7 @@ def _assemble_oracle() -> str:
             FROM cand
             JOIN toks ta ON ta.doc_id = doc_a
             JOIN toks tb ON tb.doc_id = doc_b
-          ) v WHERE common / (na + nb - common) >= 0.8
+          ) v WHERE common / (na + nb - common) >= {JACCARD_THRESHOLD}
         ),
         edges AS (
           SELECT doc_a AS a, doc_b AS b FROM pairs

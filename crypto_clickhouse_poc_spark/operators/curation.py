@@ -54,6 +54,37 @@ def _is_holdout(doc_id: Column) -> Column:
     return _bucket16(doc_id) < HOLDOUT_BUCKETS
 
 
+def holdout_grams(d: DataFrame) -> DataFrame:
+    """The distinct DECONTAM_NGRAM-gram set of the holdout docs — the
+    (tiny, broadcast) side of every decontamination join. ONE definition
+    shared by corpus_decontaminate and corpus_assemble. ``d`` must carry
+    (doc_id, text)."""
+    return (
+        d.where(_is_holdout(F.col("doc_id")))
+        .withColumn("w", F.split(F.col("text"), " "))
+        .select(
+            F.explode(shingles_from_tokens(F.col("w"), DECONTAM_NGRAM)).alias("gram")
+        )
+        .distinct()
+    )
+
+
+def contaminated_ids(docs: DataFrame, hold: DataFrame) -> DataFrame:
+    """doc_ids of ``docs`` sharing any n-gram with the (broadcast) holdout
+    gram set — explode → broadcast semi-join → distinct ids; the doc side
+    is never a shuffle side. ``docs`` must carry (doc_id, text)."""
+    return (
+        docs.withColumn("w", F.split(F.col("text"), " "))
+        .select(
+            "doc_id",
+            F.explode(shingles_from_tokens(F.col("w"), DECONTAM_NGRAM)).alias("gram"),
+        )
+        .join(F.broadcast(hold), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+
 def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language contamination accounting: training docs sharing any
     ``DECONTAM_NGRAM``-gram with the holdout set. The holdout n-gram set
@@ -62,24 +93,21 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact table is scanned once and never shuffled before the final
     per-language rollup."""
     d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    # token array materialized as its own column before the n-gram pass —
-    # shingles_from_tokens' hot-path contract (slicing an attribute, not a
-    # per-gram re-evaluated split expression)
-    grams = shingles_from_tokens(F.col("w"), DECONTAM_NGRAM)
-    hold_grams = (
-        d.where(_is_holdout(F.col("doc_id")))
-        .withColumn("w", F.split(F.col("text"), " "))
-        .select(F.explode(grams).alias("gram"))
-        .distinct()
-    )
+    hold = holdout_grams(d)
     train = d.where(~_is_holdout(F.col("doc_id")))
     # survivors of the broadcast semi-join are contaminated (doc, gram)
     # hits — roll them straight up to per-language distinct-doc counts so
-    # nothing fact-sized is ever a join side
+    # nothing fact-sized is ever a join side (this keeps lang fused into
+    # the rollup, so it shares only the gram-side helper with
+    # contaminated_ids, not the id-projection)
     cont_per_lang = (
         train.withColumn("w", F.split(F.col("text"), " "))
-        .select("doc_id", "lang", F.explode(grams).alias("gram"))
-        .join(F.broadcast(hold_grams), "gram", "left_semi")
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(shingles_from_tokens(F.col("w"), DECONTAM_NGRAM)).alias("gram"),
+        )
+        .join(F.broadcast(hold), "gram", "left_semi")
         .groupBy("lang")
         .agg(F.countDistinct("doc_id").alias("n_contaminated"))
     )

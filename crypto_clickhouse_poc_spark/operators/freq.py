@@ -1,0 +1,134 @@
+"""Frequent-items (heavy-hitters) sketch: mergeable Misra-Gries summaries
+over the ``documents`` token stream.
+
+Completes the repo's mergeable-sketch family — KMV (distinct sample,
+``trades.ev_user_kmv``), HLL (distinct count, ``sketches.py``), histogram
+quantile partials (``streaming/quantiles.py``) — with the frequency
+moment: approximate top-K tokens with deterministic error bounds, WITHOUT
+shuffling every token.
+
+The exact form (``text.corpus_top_tokens``) explodes tokens and
+groupBy-counts them: correct, but the shuffle carries every token
+occurrence — at 100 TB of text that is the corpus itself. The sketch path
+ships ``partitions × k`` counter rows instead:
+
+- **per-partition summary** — one Arrow-batched ``mapInPandas`` pass
+  builds the partition's exact token Counter (C-implemented, no Python
+  per-token branching) and COMPRESSES it to ≤ k entries by subtracting
+  the (k+1)-th largest count and keeping positives. This is precisely the
+  Misra-Gries summary of the partition (Agarwal, Cormode, Huang, Phillips,
+  Wei, Yi — "Mergeable Summaries", PODS 2012, §3: MG(k) of a stream equals
+  top-k of exact counts minus the (k+1)-th count), with local
+  undercount ≤ n_i/(k+1).
+- **merge** — pointwise sum of the partial summaries (driver-side over the
+  bounded ``partitions × k`` rows, same class as the PCA moment partials).
+  Mergeability theorem (ibid.): summed local errors stay ≤ n/(k+1)
+  TOTAL, independent of merge order or partitioning. The final sum is
+  left uncompressed (≤ partitions·k entries), so no further error is
+  added after the per-partition step.
+
+Guarantees carried into the output (and pytest-gated):
+
+- every token with true count > D (the summed subtractions,
+  D ≤ n/(k+1)) is PRESENT in the merged summary;
+- for every token: est ≤ true_count ≤ est + D (est never overcounts);
+- the reported ``err_bound`` column IS that D — computed, not assumed.
+
+No DuckDB oracle: the summary content depends on the partitioning (the
+bounds do not), so like HLL/PQ the family is pytest-gated — the gates
+check the guarantees against the EXACT ``corpus_top_tokens`` counts,
+which is a stronger check than a cross-engine value diff.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..tables import load
+
+MG_K = 256  # counters per partition summary: undercount <= n/257
+MG_TOP_N = 20  # rows emitted by the query
+
+
+def mg_partials(d: DataFrame, k: int = MG_K) -> DataFrame:
+    """Per-partition Misra-Gries summaries of the ``toks`` column: ≤ k
+    (token, est) rows per partition plus one (NULL, subtracted·(k+1) …)
+    bookkeeping row carrying the partition's subtraction d_i and token
+    count n_i. Map-only; the output is the ONLY thing that shuffles."""
+
+    def kernel(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        counts: Counter = Counter()
+        n = 0
+        for pdf in batches:
+            for toks in pdf["toks"]:
+                counts.update(toks)
+                n += len(toks)
+        if not n:
+            return
+        top = counts.most_common(k + 1)
+        sub = top[k][1] if len(counts) > k else 0
+        kept = [(t, c - sub) for t, c in top[:k] if c - sub > 0]
+        out = pd.DataFrame(
+            {
+                "token": [t for t, _ in kept] + [None],
+                "est": [c for _, c in kept] + [0],
+                "d": [0] * len(kept) + [sub],
+                "n": [0] * len(kept) + [n],
+            }
+        )
+        yield out
+
+    return d.select("toks").mapInPandas(
+        kernel, "token string, est long, d long, n long"
+    )
+
+
+def _merged_summary(parts: list) -> tuple[dict, int, int]:
+    """Pointwise-sum merge of collected partial rows → (counters, D, n).
+    Bounded driver work: ≤ partitions × (k+1) rows."""
+    counters: dict = {}
+    d_total = 0
+    n_total = 0
+    for r in parts:
+        if r["token"] is None:
+            d_total += r["d"]
+            n_total += r["n"]
+        else:
+            counters[r["token"]] = counters.get(r["token"], 0) + r["est"]
+    return counters, d_total, n_total
+
+
+def corpus_top_tokens_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-``MG_TOP_N`` corpus tokens from merged Misra-Gries
+    partials, with the deterministic error interval attached:
+    ``est ≤ true ≤ est + err_bound`` for every token (present or not).
+
+    Shuffle volume: ``partitions × k`` counter rows — the token stream
+    itself never leaves its partitions (vs the exact query's
+    explode → groupBy over every occurrence)."""
+    d = load(spark, sf_dir, "documents").select(
+        T.tokens(F.col("text")).alias("toks")
+    )
+    parts = mg_partials(d).collect()
+    counters, d_total, n_total = _merged_summary(parts)
+    top = sorted(counters.items(), key=lambda kv: (-kv[1], kv[0]))[:MG_TOP_N]
+    rows = [(t, int(c), int(d_total), int(n_total)) for t, c in top]
+    return spark.createDataFrame(
+        rows, "token string, est bigint, err_bound bigint, n_tokens bigint"
+    )
+
+
+QUERIES = {
+    "corpus_top_tokens_mg": corpus_top_tokens_mg,
+}
+
+# No ORACLES: summary content is partitioning-dependent (the guarantees
+# are not) — pytest-gated against the exact counts instead
+# (tests/test_freq.py).
+ORACLES: dict[str, str] = {}

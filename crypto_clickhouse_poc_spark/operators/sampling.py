@@ -83,15 +83,22 @@ def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mix_weight_col() -> Column:
+    """The MIX_WEIGHTS lang→weight CASE expression — ONE definition shared
+    by corpus_mix and corpus_assemble (a second copy of the loop had
+    already appeared and was folded back here; review finding r7)."""
+    weight = F.lit(None).cast("double")
+    for lang, wt in sorted(MIX_WEIGHTS.items()):
+        weight = F.when(F.col("lang") == lang, F.lit(wt)).otherwise(weight)
+    return weight
+
+
 def _mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mixing candidate set: docs in a weighted language, with their
     target weight and 16-bit hash bucket attached (all per-row maps)."""
     d = load(spark, sf_dir, "documents").select("doc_id", "lang")
     d = d.where(F.col("lang").isin(sorted(MIX_WEIGHTS)))
-    weight = F.lit(None).cast("double")
-    for lang, wt in sorted(MIX_WEIGHTS.items()):
-        weight = F.when(F.col("lang") == lang, F.lit(wt)).otherwise(weight)
-    return d.withColumn("weight", weight).withColumn(
+    return d.withColumn("weight", mix_weight_col()).withColumn(
         "bkt", _bucket16(F.col("doc_id"))
     )
 
@@ -267,6 +274,15 @@ def corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         (_bucket16(F.col("doc_id")) % N_SHARDS).alias("shard"),
         F.size(T.tokens(F.col("text"))).alias("n_tok"),
     )
+    return pack_accounting(d)
+
+
+def pack_accounting(d: DataFrame) -> DataFrame:
+    """The packing dataflow over any prepared (doc_id, shard, n_tok)
+    frame: per-shard (md5, doc_id)-ordered cumulative sum → pack_id →
+    per-(shard, pack) rollup. ONE definition shared by corpus_pack and
+    corpus_assemble — the budget, ordering, and straddle convention must
+    stay identical or the two oracles drift."""
     w = (
         Window.partitionBy("shard")
         .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))

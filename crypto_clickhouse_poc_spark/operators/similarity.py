@@ -317,7 +317,7 @@ PQ_ROUNDS = 2  # FIXED Lloyd rounds per sub-codebook, deterministic
 PQ_RERANK = 50  # ADC-ranked candidates that get the exact cosine rerank
 
 # (sf_dir, M, ks, rounds) → books[m][j] = sub-codebook entry (list of floats)
-_PQ_MEMO: dict[tuple[str, int, int, int, bool], list[list[list[float]]]] = {}
+_PQ_MEMO: dict[tuple, list[list[list[float]]]] = {}
 
 
 def _pq_encode(
@@ -430,9 +430,16 @@ def _train_pq(
     entry that loses all members keeps its previous value (codes are
     positional indexes, so entries must never be renumbered mid-training).
     """
-    # rotation is a deterministic function of sf_dir (OPQ pre-rotation,
-    # see operators.opq) — a presence flag is a sufficient memo key
-    key = (sf_dir, PQ_M, PQ_KS, rounds, rotation is not None)
+    # the memo key carries a VALUE fingerprint of the rotation, not just
+    # its presence: books trained under one basis must never be served
+    # for a numerically different one (stale-basis codes would silently
+    # mis-score every ADC lookup)
+    rot_key = (
+        None
+        if rotation is None
+        else hash(tuple(round(x, 12) for row in rotation for x in row))
+    )
+    key = (sf_dir, PQ_M, PQ_KS, rounds, rot_key)
     if key in _PQ_MEMO:
         return _PQ_MEMO[key]
     sub_d = V.EMB_DIM // PQ_M

@@ -350,10 +350,22 @@ def ev_price_quantiles_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the UNFILTERED table: a type whose prices are all NULL must still
     # surface (with NULL quantiles), exactly as F.percentile and the
     # shared oracle emit it.
-    raw = _events(spark, sf_dir).select("event_type", "price")
-    all_types = raw.select("event_type").distinct()
+    #
+    # Groups are keyed on an INVERTIBLE NULL-safe surrogate ("1" for the
+    # NULL type, "0"+value otherwise): F.percentile's groupBy and the
+    # oracle's GROUP BY both emit a NULL-event_type group, and a plain
+    # equi-join on the raw column would silently drop it at every join in
+    # this dataflow (NULL keys never match) — the surrogate keeps every
+    # join/window a cheap equi-op and decodes back at the end.
+    raw = _events(spark, sf_dir).select(
+        F.when(F.col("event_type").isNull(), F.lit("1"))
+        .otherwise(F.concat(F.lit("0"), F.col("event_type")))
+        .alias("gk"),
+        "price",
+    )
+    all_types = raw.select("gk").distinct()
     e = raw.where(F.col("price").isNotNull())
-    stats = e.groupBy("event_type").agg(
+    stats = e.groupBy("gk").agg(
         F.count("*").alias("n"),
         F.min("price").alias("lo"),
         F.max("price").alias("hi"),
@@ -366,11 +378,11 @@ def ev_price_quantiles_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor((F.col("price") - F.col("lo")) / width),
         )
     )
-    eb = e.join(F.broadcast(stats), "event_type").select(
-        "event_type", "price", bucket.cast("int").alias("b")
+    eb = e.join(F.broadcast(stats), "gk").select(
+        "gk", "price", bucket.cast("int").alias("b")
     )
-    hist = eb.groupBy("event_type", "b").agg(F.count("*").alias("c"))
-    wcum = Window.partitionBy("event_type").orderBy("b")
+    hist = eb.groupBy("gk", "b").agg(F.count("*").alias("c"))
+    wcum = Window.partitionBy("gk").orderBy("b")
     cum = hist.withColumn(
         "cum_prev",
         F.coalesce(
@@ -379,15 +391,15 @@ def ev_price_quantiles_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # ranks table: per (type, p) the 0-indexed order stats ⌊r⌋ and ⌈r⌉
     ranks = (
-        stats.select("event_type", "n")
+        stats.select("gk", "n")
         .select(
-            "event_type",
+            "gk",
             "n",
             F.explode(F.array(*[F.lit(p) for p in QUANTILE_PS])).alias("p"),
         )
         .withColumn("r", F.col("p") * (F.col("n") - 1))
         .select(
-            "event_type",
+            "gk",
             "p",
             "r",
             F.explode(
@@ -406,12 +418,12 @@ def ev_price_quantiles_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
     located = (
         rk.join(
             F.broadcast(cu),
-            (F.col("rk.event_type") == F.col("cu.event_type"))
+            (F.col("rk.gk") == F.col("cu.gk"))
             & (F.col("rk.k") >= F.col("cu.cum_prev"))
             & (F.col("rk.k") < F.col("cu.cum_prev") + F.col("cu.c")),
         )
         .select(
-            F.col("rk.event_type").alias("event_type"),
+            F.col("rk.gk").alias("gk"),
             F.col("rk.p").alias("p"),
             F.col("rk.r").alias("r"),
             F.col("rk.k").alias("k"),
@@ -422,20 +434,20 @@ def ev_price_quantiles_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pass 2: rank ONLY boundary buckets' rows; order stat k is the
     # (k - cum_prev)-th smallest within its bucket (ties: equal prices
     # yield the same value whichever ranks first)
-    needed = located.select("event_type", "b").distinct()
-    wbucket = Window.partitionBy("event_type", "b").orderBy("price")
+    needed = located.select("gk", "b").distinct()
+    wbucket = Window.partitionBy("gk", "b").orderBy("price")
     boundary = (
-        eb.join(F.broadcast(needed), ["event_type", "b"])
+        eb.join(F.broadcast(needed), ["gk", "b"])
         .withColumn("pos", F.row_number().over(wbucket) - 1)
     )
     lo, bd = located.alias("lo"), boundary.alias("bd")
     vals = lo.join(
         bd,
-        (F.col("lo.event_type") == F.col("bd.event_type"))
+        (F.col("lo.gk") == F.col("bd.gk"))
         & (F.col("lo.b") == F.col("bd.b"))
         & (F.col("lo.k") == F.col("bd.pos") + F.col("lo.cum_prev")),
     ).select(
-        F.col("lo.event_type").alias("event_type"),
+        F.col("lo.gk").alias("gk"),
         F.col("lo.p").alias("p"),
         F.col("lo.r").alias("r"),
         F.col("lo.k").alias("k"),
@@ -443,7 +455,7 @@ def ev_price_quantiles_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # interpolate exactly as Spark's Percentile: v_lo*(ceil(r)-r) + v_hi*(r-floor(r));
     # when r is integral floor==ceil and the single value passes through
-    per_p = vals.groupBy("event_type", "p", "r").agg(
+    per_p = vals.groupBy("gk", "p", "r").agg(
         F.min_by("price", "k").alias("v_lo"),
         F.max_by("price", "k").alias("v_hi"),
     )
@@ -453,15 +465,23 @@ def ev_price_quantiles_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v_lo") * (F.ceil("r") - F.col("r"))
         + F.col("v_hi") * (F.col("r") - F.floor("r"))
     )
-    wide = per_p.select("event_type", "p", F.round(interp, 6).alias("v"))
-    quant = wide.groupBy("event_type").agg(
+    wide = per_p.select("gk", "p", F.round(interp, 6).alias("v"))
+    quant = wide.groupBy("gk").agg(
         F.max(F.when(F.col("p") == 0.5, F.col("v"))).alias("p50"),
         F.max(F.when(F.col("p") == 0.9, F.col("v"))).alias("p90"),
         F.max(F.when(F.col("p") == 0.99, F.col("v"))).alias("p99"),
     )
     # all-NULL-price groups re-enter here with NULL quantiles (the
-    # distinct-type side is tiny; the join is broadcast)
-    return all_types.join(quant, "event_type", "left").orderBy("event_type")
+    # distinct-type side is tiny; the join is broadcast), and the
+    # surrogate decodes back to the raw (possibly NULL) event_type
+    decode = F.when(F.col("gk") == "1", F.lit(None).cast("string")).otherwise(
+        F.expr("substring(gk, 2)")
+    )
+    return (
+        all_types.join(quant, "gk", "left")
+        .select(decode.alias("event_type"), "p50", "p90", "p99")
+        .orderBy("event_type")
+    )
 
 
 def ev_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

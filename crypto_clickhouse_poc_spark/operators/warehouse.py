@@ -50,24 +50,45 @@ def ev_hourly_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vanish from the long form while the oracle's direct GROUP BY counts
     # it. Bounded collect — event_type is a small enum vocabulary (the
     # same contract as Spark's own pivot() when given no value list).
-    types = sorted(
-        r["event_type"]
-        for r in e.select("event_type").distinct().collect()
-        if r["event_type"] is not None
-    )
-    wide = (
-        e.groupBy(F.hour("ts").alias("hour"))
-        .agg(
-            *[
-                F.count(F.when(F.col("event_type") == t, 1)).alias(t)
-                for t in types
-            ]
-        )
+    # NULL is carried as its own slot (the oracle's GROUP BY emits a NULL
+    # group); the wide columns get POSITIONAL aliases so arbitrary type
+    # strings (dots, backticks, collisions with "hour") can never break
+    # column resolution — the original value is restored after unpivot.
+    seen = {r["event_type"] for r in e.select("event_type").distinct().collect()}
+    types = sorted(t for t in seen if t is not None)
+    slots = [(f"t{i}", t) for i, t in enumerate(types)]
+    if None in seen:
+        slots.append(("tnull", None))
+    if not slots:  # empty table: no groups, deterministic empty result
+        return spark.createDataFrame([], "hour int, event_type string, n bigint")
+    wide = e.groupBy(F.hour("ts").alias("hour")).agg(
+        *[
+            F.count(
+                F.when(
+                    F.col("event_type").isNull()
+                    if t is None
+                    else F.col("event_type") == t,
+                    1,
+                )
+            ).alias(slot)
+            for slot, t in slots
+        ]
     )
     long = wide.unpivot(
-        ids=["hour"], values=types, variableColumnName="event_type", valueColumnName="n"
+        ids=["hour"],
+        values=[slot for slot, _ in slots],
+        variableColumnName="slot",
+        valueColumnName="n",
     )
-    return long.where(F.col("n") > 0).orderBy("hour", "event_type")
+    restore = F.lit(None).cast("string")
+    for slot, t in slots:
+        if t is not None:
+            restore = F.when(F.col("slot") == slot, F.lit(t)).otherwise(restore)
+    return (
+        long.where(F.col("n") > 0)
+        .select("hour", restore.alias("event_type"), "n")
+        .orderBy("hour", "event_type")
+    )
 
 
 def _scd2_inputs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:

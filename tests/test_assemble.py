@@ -87,17 +87,40 @@ def test_assemble_accounting_matches_survivor_set(spark):
     assert out["t"] == want_toks
 
 
-def test_assemble_repetition_gate_is_live(spark):
-    """The repetition gate must actually drop something on a corpus with a
-    degenerate doc, and the dropped doc must be absent downstream."""
+def test_assemble_repetition_gate_is_live(spark, tmp_path):
+    """END-TO-END: a doc that passes the quality gate but exceeds the
+    repetition cap must be absent from assembled_docs, while a clean
+    control doc from the same corpus survives — proving the drop is the
+    repetition gate's, not holdout/contamination/mix fallout."""
+    import hashlib
     import os
 
-    d = load(spark, SF_CORRECT, "documents")
-    # a doc made of one token repeated 50x fails rep<=0.18 but passes the
-    # length gate; quality: distinct ratio ~0, stop ratio 0 => 0.4+0.006+0.3
-    # ... quality may fail too — EITHER gate dropping it is the invariant
-    spam = " ".join(["spamtoken"] * 50)
-    toks = F.split(F.lit(spam), " ")
-    rep = C._max_run(toks) / F.size(toks).cast("double")
-    val = spark.range(1).select(rep.alias("r")).collect()[0]["r"]
-    assert val > A.REP_TOP_MAX  # the gate expression sees it as repetitive
+    from crypto_clickhouse_poc_spark.operators.text import quality_gated
+
+    def b16(i: int) -> int:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16)
+
+    # non-holdout ids only: with no holdout docs the decontamination stage
+    # removes nothing, isolating the gates
+    ids = [i for i in range(1, 400) if b16(i) >= C.HOLDOUT_BUCKETS][:8]
+    spam_id, control_id = ids[0], ids[1]
+    # spam: 42 distinct tokens + one token 18x -> n=60, quality
+    # 0.4 + 0.3*(43/60) + 0.3 ≈ 0.92 (passes), rep 18/60 = 0.3 (fails)
+    spam_text = " ".join([f"filler{i}" for i in range(42)] + ["spamtok"] * 18)
+    rows = [(spam_id, spam_text, "en", "s", len(spam_text))]
+    for k, i in enumerate(ids[1:]):
+        txt = " ".join(f"w{k}x{j}" for j in range(30))  # distinct vocab per doc
+        rows.append((i, txt, "en", "s", len(txt)))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    sf = str(tmp_path / "repgate")
+    df.write.parquet(os.path.join(sf, "documents.parquet"))
+
+    # the spam doc passes the QUALITY gate…
+    gq = {r["doc_id"] for r in quality_gated(df).select("doc_id").collect()}
+    assert spam_id in gq
+    # …but never reaches the assembled output, while the control doc does
+    kept = {r["doc_id"] for r in A.assembled_docs(spark, sf, cache=False).collect()}
+    assert spam_id not in kept
+    assert control_id in kept

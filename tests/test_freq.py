@@ -1,0 +1,145 @@
+"""Misra-Gries frequent-items gates: the sketch's deterministic
+guarantees checked against the EXACT token counts (stronger than a
+cross-engine value diff, which the partitioning-dependent summary content
+can't support — same policy as the HLL/PQ tiers)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crypto_clickhouse_poc_spark.functions import text as T
+from crypto_clickhouse_poc_spark.operators import freq as FQ
+from crypto_clickhouse_poc_spark.tables import load
+from tests.conftest import SF_CORRECT
+
+
+def _exact_counts(spark) -> dict[str, int]:
+    d = load(spark, SF_CORRECT, "documents").select(
+        F.explode(T.tokens(F.col("text"))).alias("token")
+    )
+    return {
+        r["token"]: r["c"]
+        for r in d.groupBy("token").agg(F.count("*").alias("c")).collect()
+    }
+
+
+def _merged(spark):
+    d = load(spark, SF_CORRECT, "documents").select(
+        T.tokens(F.col("text")).alias("toks")
+    )
+    parts = FQ.mg_partials(d).collect()
+    return FQ._merged_summary(parts)
+
+
+def test_mg_bounds_hold_for_every_token(spark):
+    """est ≤ true ≤ est + D for every token in the summary, and
+    true ≤ D for every token ABSENT from it (no heavy hitter can hide)."""
+    exact = _exact_counts(spark)
+    counters, d_total, n_total = _merged(spark)
+    assert n_total == sum(exact.values())
+    assert d_total <= n_total // (FQ.MG_K + 1)
+    for t, est in counters.items():
+        assert est <= exact[t] <= est + d_total, t
+    for t, c in exact.items():
+        if t not in counters:
+            assert c <= d_total, (t, c, d_total)
+
+
+def test_mg_query_top_matches_exact_top_within_bounds(spark):
+    """Every exact top token whose count clears the error bound by a
+    margin must appear in the sketch's top list, and the emitted
+    est/err_bound columns carry the real interval."""
+    exact = _exact_counts(spark)
+    rows = FQ.corpus_top_tokens_mg(spark, SF_CORRECT).collect()
+    assert 0 < len(rows) <= FQ.MG_TOP_N
+    d_total = rows[0]["err_bound"]
+    got = {r["token"] for r in rows}
+    for r in rows:
+        assert r["est"] <= exact[r["token"]] <= r["est"] + d_total
+    # exact top tokens separated from the top-N cutoff by > 2D cannot be
+    # displaced by sketch error
+    ranked = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))
+    cutoff = ranked[FQ.MG_TOP_N - 1][1] if len(ranked) >= FQ.MG_TOP_N else 0
+    for t, c in ranked[: FQ.MG_TOP_N]:
+        if c > cutoff + 2 * d_total:
+            assert t in got, (t, c)
+
+
+def test_mg_merge_is_partitioning_independent_in_bounds(spark):
+    """Different partitionings give different summaries but the SAME
+    guarantees: both merges bound the same exact counts, and their
+    err_bounds both respect n/(k+1)."""
+    exact = _exact_counts(spark)
+    base = load(spark, SF_CORRECT, "documents").select(
+        T.tokens(F.col("text")).alias("toks")
+    )
+    for nparts in (1, 3, 17):
+        parts = FQ.mg_partials(base.repartition(nparts)).collect()
+        counters, d_total, n_total = FQ._merged_summary(parts)
+        assert d_total <= n_total // (FQ.MG_K + 1)
+        for t, est in counters.items():
+            assert est <= exact[t] <= est + d_total, (nparts, t)
+
+
+def test_mg_partials_plan_is_map_only(spark):
+    d = load(spark, SF_CORRECT, "documents").select(
+        T.tokens(F.col("text")).alias("toks")
+    )
+    plan = str(FQ.mg_partials(d)._jdf.queryExecution().executedPlan())
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_mg_compression_exercised_on_wide_vocabulary(spark):
+    """The fixture's ~31-token vocabulary never overflows k=256, so this
+    planted Zipf corpus (2000-token vocabulary, k=64) forces real
+    compression (D > 0) and checks the guarantees where they actually
+    bite: planted heavy hitters survive, bounds hold, absent tokens are
+    provably light."""
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"tok{i}" for i in range(2000)]
+    heavy = vocab[:5]
+    docs = []
+    for _ in range(300):
+        toks = [rng.choice(heavy) for _ in range(20)] + [
+            rng.choice(vocab) for _ in range(60)
+        ]
+        docs.append((toks,))
+    df = spark.createDataFrame(docs, "toks array<string>").repartition(7)
+
+    exact: dict = {}
+    for (toks,) in docs:
+        for t in toks:
+            exact[t] = exact.get(t, 0) + 1
+    k = 64
+    parts = FQ.mg_partials(df, k=k).collect()
+    counters, d_total, n_total = FQ._merged_summary(parts)
+    assert n_total == sum(exact.values())
+    assert 0 < d_total <= n_total // (k + 1)  # compression really happened
+    for t, est in counters.items():
+        assert est <= exact[t] <= est + d_total, t
+    for t, c in exact.items():
+        if t not in counters:
+            assert c <= d_total, (t, c, d_total)
+    # every planted heavy hitter clears D by construction and must appear
+    for t in heavy:
+        assert t in counters and counters[t] > 0, t
+
+
+def test_mg_single_partition_equals_classic_mg_of_whole_stream(spark):
+    """On ONE partition the summary is exactly top-k of the true counts
+    minus the (k+1)-th count — the Agarwal et al. §3 identity the
+    per-partition kernel claims to implement."""
+    exact = _exact_counts(spark)
+    base = load(spark, SF_CORRECT, "documents").select(
+        T.tokens(F.col("text")).alias("toks")
+    )
+    parts = FQ.mg_partials(base.coalesce(1)).collect()
+    counters, d_total, _ = FQ._merged_summary(parts)
+    ranked = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))
+    sub = ranked[FQ.MG_K][1] if len(ranked) > FQ.MG_K else 0
+    want = {t: c - sub for t, c in ranked[: FQ.MG_K] if c - sub > 0}
+    assert d_total == sub
+    assert counters == want

@@ -467,6 +467,7 @@ def test_twopass_quantiles_no_value_buffering(spark):
     specs = [m.group(1) for m in re.finditer(r"windowspecdefinition\(([^)]*?)\)", plan)]
     assert specs
     for s in specs:
-        # each window is keyed by event_type plus either the bucket column
-        # (boundary ranking) or runs on the histogram rows keyed by b
-        assert "event_type" in s, s
+        # each window is keyed by the NULL-safe group surrogate gk plus
+        # either the bucket column (boundary ranking) or runs on the
+        # histogram rows keyed by b — never a full-type value sort
+        assert "gk" in s, s

@@ -344,6 +344,67 @@ def test_unpivot_widens_with_novel_event_type(spark, tmp_path):
     assert (1, "brand_new_type", 1) in got and (1, "click", 1) in got
 
 
+def test_twopass_quantiles_null_event_type_group(spark, tmp_path):
+    """A NULL event_type with real prices is a GROUP, not a dropped key:
+    twopass must emit it with computed quantiles exactly like
+    F.percentile (null-unsafe equi-joins would silently drop it — r7
+    review finding; fixed via the invertible surrogate key)."""
+    import os
+
+    from crypto_clickhouse_poc_spark.operators.trades import (
+        ev_price_quantiles,
+        ev_price_quantiles_twopass,
+    )
+
+    rows = [("a", float(i)) for i in range(40)] + [(None, float(i)) for i in range(25)]
+    df = spark.createDataFrame(rows, "event_type string, price double")
+    ev = df.select(
+        F.monotonically_increasing_id().alias("event_id"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.lit(1).cast("long").alias("user_id"),
+        "event_type",
+        F.col("price").alias("value"),
+        F.lit('{"k": 1}').alias("props"),
+    )
+    sf = str(tmp_path / "qnulltype")
+    ev.write.parquet(os.path.join(sf, "events.parquet"))
+    canon = lambda df_: sorted(tuple(str(x) for x in r) for r in df_.collect())
+    exact = canon(ev_price_quantiles(spark, sf))
+    got = canon(ev_price_quantiles_twopass(spark, sf))
+    assert got == exact
+    assert any(r[0] == "None" for r in got)  # the NULL group is present
+
+
+def test_unpivot_handles_null_and_hostile_type_names(spark, tmp_path):
+    """NULL event_type gets its own long-form group (the oracle's GROUP BY
+    emits one), and type strings that would break column resolution
+    ('hour' collides with the id column; backticks/dots break parsing)
+    ride through the positional-slot pivot unharmed. An empty table
+    yields an empty frame, not a groupBy-with-no-aggregates crash."""
+    import os
+
+    e = spark.createDataFrame(
+        [
+            (1, "2024-01-01 01:00:00", 1, None, 1.0, "{}"),
+            (2, "2024-01-01 01:00:00", 1, "hour", 1.0, "{}"),
+            (3, "2024-01-01 01:00:00", 1, "a.b`c", 2.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    sf = str(tmp_path / "unpivot_hostile")
+    e.write.parquet(os.path.join(sf, "events.parquet"))
+    got = {(r["hour"], r["event_type"], r["n"])
+           for r in W.ev_hourly_unpivot(spark, sf).collect()}
+    assert got == {(1, None, 1), (1, "hour", 1), (1, "a.b`c", 1)}
+
+    sf2 = str(tmp_path / "unpivot_empty")
+    e.limit(0).write.parquet(os.path.join(sf2, "events.parquet"))
+    empty = W.ev_hourly_unpivot(spark, sf2)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["hour", "event_type", "n"]
+
+
 def test_twopass_quantiles_all_null_group_surfaces(spark, tmp_path):
     """An event_type whose prices are ALL NULL must appear with NULL
     quantiles — exactly as F.percentile and the shared oracle emit it
