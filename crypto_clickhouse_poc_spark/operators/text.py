@@ -425,8 +425,47 @@ def _bm25_oracle() -> str:
     """
 
 
+HASH_EMBED_DIM = 32  # feature-hashing vector width
+
+
+def doc_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing document embeddings (the "hashing trick" —
+    Weinberger et al., ICML 2009): each token hashes to one of
+    ``HASH_EMBED_DIM`` buckets with a ±1 sign from a second hash bit, and
+    the doc's vector is the signed bucket-count histogram. The standard
+    cheap featurizer for dedup/clustering when no learned encoder is in
+    the loop — and the only "embedding generation" that is exactly
+    replayable in SQL (md5-prefix hashing, integer arithmetic), so this
+    operator is oracle-value-checked, unlike any learned encoder.
+
+    Shape: pure per-row HOF fold — ``transform(sequence(0, d-1))`` over an
+    ``aggregate`` of the materialized token array; zero shuffles, zero
+    UDFs, O(d · tokens) JVM work per row. At 100 TB this is a map stage
+    that fuses into the scan.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = d.withColumn("w", F.split(F.col("text"), " "))
+    bucket = lambda t: (  # noqa: E731
+        F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int") % HASH_EMBED_DIM
+    )
+    sign = lambda t: F.when(  # noqa: E731
+        F.conv(F.substring(F.md5(t), 5, 1), 16, 10).cast("int") % 2 == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1)).cast("long")
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(HASH_EMBED_DIM - 1)),
+        lambda i: F.aggregate(
+            F.col("w"),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + F.when(bucket(t) == i, sign(t)).otherwise(F.lit(0)),
+        ),
+    )
+    return d.select("doc_id", vec.alias("embedding")).orderBy("doc_id")
+
+
 QUERIES = {
     "doc_stats": doc_stats,
+    "doc_hash_embed": doc_hash_embed,
     "doc_token_counts": doc_token_counts,
     "doc_langid": doc_langid,
     "doc_langid_ngram": doc_langid_ngram,
@@ -527,6 +566,19 @@ _STOP = f"len(list_filter({_TOKS}, t -> t = 'the' OR t = 'a'))"
 _CHARSUM = f"list_sum(list_transform({_TOKS}, t -> length(t)))"
 
 ORACLES = {
+    "doc_hash_embed": f"""
+        SELECT doc_id,
+               list_transform(range(0, {HASH_EMBED_DIM}), i ->
+                 coalesce(list_sum(list_transform(string_split(text, ' '), t ->
+                   CASE WHEN CAST(concat('0x', substring(md5(t), 1, 4)) AS INTEGER)
+                             % {HASH_EMBED_DIM} = i
+                        THEN CASE WHEN CAST(concat('0x', substring(md5(t), 5, 1))
+                                       AS INTEGER) % 2 = 0
+                                  THEN 1 ELSE -1 END
+                        ELSE 0 END)), 0)) AS embedding
+        FROM documents
+        ORDER BY doc_id
+    """,
     "doc_stats": f"""
         SELECT doc_id, lang, source,
                length(text) AS n_chars_actual,

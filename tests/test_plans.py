@@ -471,3 +471,16 @@ def test_twopass_quantiles_no_value_buffering(spark):
         # either the bucket column (boundary ranking) or runs on the
         # histogram rows keyed by b — never a full-type value sort
         assert "gk" in s, s
+
+
+def test_hash_embed_is_scan_fused_map(spark):
+    """doc_hash_embed: the featurizer is a pure per-row fold — the only
+    exchange in the plan is the final ORDER BY's range partitioning (no
+    aggregation shuffle, no join, no Python)."""
+    plan = _plan(spark, "doc_hash_embed")
+    assert "Join" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    import re
+
+    assert not re.search(r"Exchange hashpartitioning", plan)
+    assert len(re.findall(r"Exchange rangepartitioning", plan)) == 1
