@@ -13,13 +13,14 @@ occurrence — at 100 TB of text that is the corpus itself. The sketch path
 ships ``partitions × k`` counter rows instead:
 
 - **per-partition summary** — one Arrow-batched ``mapInPandas`` pass
-  builds the partition's exact token Counter (C-implemented, no Python
-  per-token branching) and COMPRESSES it to ≤ k entries by subtracting
-  the (k+1)-th largest count and keeping positives. This is precisely the
-  Misra-Gries summary of the partition (Agarwal, Cormode, Huang, Phillips,
-  Wei, Yi — "Mergeable Summaries", PODS 2012, §3: MG(k) of a stream equals
-  top-k of exact counts minus the (k+1)-th count), with local
-  undercount ≤ n_i/(k+1).
+  accumulates token counts in a C-implemented Counter and COMPRESSES to
+  ≤ k entries by subtracting the (k+1)-th largest count and keeping
+  positives (Agarwal, Cormode, Huang, Phillips, Wei, Yi — "Mergeable
+  Summaries", PODS 2012, §3: this is exactly the Misra-Gries summary,
+  with undercount ≤ n_i/(k+1)). The running Counter is RE-compressed
+  whenever it exceeds a cap, so executor memory is bounded by
+  cap + one Arrow batch's vocabulary, never by the partition's distinct
+  count; summed subtractions keep the same global bound.
 - **merge** — pointwise sum of the partial summaries (driver-side over the
   bounded ``partitions × k`` rows, same class as the PCA moment partials).
   Mergeability theorem (ibid.): summed local errors stay ≤ n/(k+1)
@@ -52,33 +53,65 @@ MG_K = 256  # counters per partition summary: undercount <= n/257
 MG_TOP_N = 20  # rows emitted by the query
 
 
+# In-kernel counter cap: the running Counter is compressed back to k
+# entries whenever it exceeds this, so executor memory is bounded by
+# CAP + one Arrow batch's vocabulary — NOT by the partition's total
+# distinct-token count (a high-cardinality token stream — IDs, URLs —
+# would otherwise accumulate the whole partition vocabulary; r7 review
+# finding). Each intermediate compression's subtraction adds to the
+# partition's d_i, and Σ d_j ≤ Σ n_j/(k+1) keeps the global bound.
+def _mg_cap(k: int) -> int:
+    return max(8 * k, 4096)
+
+
+def _compress(counts, k: int):
+    """Misra-Gries compress: keep top-k minus the (k+1)-th count.
+    Returns (compressed Counter, subtracted amount)."""
+    from collections import Counter
+
+    if len(counts) <= k:
+        return counts, 0
+    top = counts.most_common(k + 1)
+    sub = top[k][1]
+    return Counter({t: c - sub for t, c in top[:k] if c > sub}), sub
+
+
 def mg_partials(d: DataFrame, k: int = MG_K) -> DataFrame:
     """Per-partition Misra-Gries summaries of the ``toks`` column: ≤ k
-    (token, est) rows per partition plus one (NULL, subtracted·(k+1) …)
-    bookkeeping row carrying the partition's subtraction d_i and token
-    count n_i. Map-only; the output is the ONLY thing that shuffles."""
+    (token, est) rows per partition plus one (NULL, …) bookkeeping row
+    carrying the partition's summed subtractions d_i and token count
+    n_i. Map-only; the output is the ONLY thing that shuffles. NULL
+    token arrays (NULL text upstream) contribute nothing, matching the
+    exact twin's explode semantics."""
 
     def kernel(batches):
         from collections import Counter
 
         import pandas as pd
 
+        cap = _mg_cap(k)
         counts: Counter = Counter()
+        d_sum = 0
         n = 0
         for pdf in batches:
             for toks in pdf["toks"]:
+                if toks is None:
+                    continue
                 counts.update(toks)
                 n += len(toks)
+            if len(counts) > cap:
+                counts, sub = _compress(counts, k)
+                d_sum += sub
         if not n:
             return
-        top = counts.most_common(k + 1)
-        sub = top[k][1] if len(counts) > k else 0
-        kept = [(t, c - sub) for t, c in top[:k] if c - sub > 0]
+        counts, sub = _compress(counts, k)
+        d_sum += sub
+        kept = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
         out = pd.DataFrame(
             {
                 "token": [t for t, _ in kept] + [None],
                 "est": [c for _, c in kept] + [0],
-                "d": [0] * len(kept) + [sub],
+                "d": [0] * len(kept) + [d_sum],
                 "n": [0] * len(kept) + [n],
             }
         )

@@ -430,14 +430,16 @@ def _train_pq(
     entry that loses all members keeps its previous value (codes are
     positional indexes, so entries must never be renumbered mid-training).
     """
-    # the memo key carries a VALUE fingerprint of the rotation, not just
-    # its presence: books trained under one basis must never be served
-    # for a numerically different one (stale-basis codes would silently
-    # mis-score every ADC lookup)
+    # the memo key carries the rotation's VALUE, not just its presence:
+    # books trained under one basis must never be served for a
+    # numerically different one (stale-basis codes would silently
+    # mis-score every ADC lookup). The rounded tuple is the key itself —
+    # dict lookup does hash PLUS equality, so unlike a bare hash() it
+    # cannot collide two different rotations.
     rot_key = (
         None
         if rotation is None
-        else hash(tuple(round(x, 12) for row in rotation for x in row))
+        else tuple(round(x, 12) for row in rotation for x in row)
     )
     key = (sf_dir, PQ_M, PQ_KS, rounds, rot_key)
     if key in _PQ_MEMO:

@@ -444,7 +444,13 @@ def doc_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     that fuses into the scan.
     """
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    d = d.withColumn("w", F.split(F.col("text"), " "))
+    # NULL text → empty token array → zero vector: F.aggregate over a
+    # NULL array would emit 32 NULLs while the oracle's per-element
+    # coalesce emits 32 zeros (r7 review finding)
+    d = d.withColumn(
+        "w",
+        F.coalesce(F.split(F.col("text"), " "), F.array().cast("array<string>")),
+    )
     bucket = lambda t: (  # noqa: E731
         F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int") % HASH_EMBED_DIM
     )

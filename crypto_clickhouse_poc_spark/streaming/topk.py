@@ -33,39 +33,70 @@ MG_STREAM_K = 64
 def mg_flush_partial(batch: DataFrame, key: str, k: int = MG_STREAM_K) -> DataFrame:
     """The micro-batch's Misra-Gries summary as a DataFrame:
     ≤ k (key, est, 0, 0) rows plus one (NULL, 0, d, n) bookkeeping row.
-    One aggregation inside the (small) batch + a bounded k+1-row collect
-    for the subtraction threshold."""
+
+    NULL keys are EXCLUDED from the ranking and from n (the bookkeeping
+    row's NULL is the summary's own convention, and counting unranked
+    NULL rows in n would break the absent-key bound true ≤ D) — the same
+    skip-NULLs semantics as Spark's own ranking aggregates.
+
+    ONE job per flush: ``rollup`` emits the per-key counts AND the grand
+    total in the same aggregation, and a single TakeOrdered (grand-total
+    row forced first, then count-descending) collects n and the top-(k+1)
+    threshold together — the batch is scanned once.
+    """
     spark = batch.sparkSession
-    counts = batch.groupBy(F.col(key).alias("key")).agg(
-        F.count(F.lit(1)).alias("c")
+    agg = (
+        batch.where(F.col(key).isNotNull())
+        .select(F.col(key).cast("string").alias("key"))
+        .rollup("key")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    top = counts.orderBy(F.col("c").desc(), F.col("key")).limit(k + 1).collect()
-    n = batch.count()
+    rows = (
+        agg.orderBy(F.col("key").isNull().desc(), F.col("c").desc(), F.col("key"))
+        .limit(k + 2)
+        .collect()
+    )
+    if not rows:  # empty batch: still append bookkeeping so n merges right
+        return spark.createDataFrame(
+            [(None, 0, 0, 0)], "key string, est long, d long, n long"
+        )
+    n = int(rows[0]["c"])  # rollup grand-total row (key IS NULL)
+    top = rows[1:]
     sub = top[k]["c"] if len(top) > k else 0
     kept = [
-        (str(r["key"]), int(r["c"] - sub), 0, 0)
-        for r in top[:k]
-        if r["c"] - sub > 0
+        (r["key"], int(r["c"] - sub), 0, 0) for r in top[:k] if r["c"] - sub > 0
     ]
-    rows = kept + [(None, 0, int(sub), int(n))]
-    return spark.createDataFrame(rows, "key string, est long, d long, n long")
+    out = kept + [(None, 0, int(sub), n)]
+    return spark.createDataFrame(out, "key string, est long, d long, n long")
 
 
 def merge_heavy_hitters(partials: DataFrame, top_n: int = 20) -> DataFrame:
     """Read-time merge of appended flush summaries: pointwise est sums per
     key, global D and n from the bookkeeping rows, top-``top_n`` by
     estimate with the interval attached. One hash aggregate over the
-    bounded flushes × k rows + a TakeOrdered."""
+    bounded flushes × k rows + a TakeOrdered.
+
+    The (1-row) bookkeeping aggregate is the PRIMARY side of a left
+    join: when no per-key entries survived compression (near-uniform
+    stream) the reader still gets one (NULL, 0, D, n) row — "no key
+    exceeds D" is an answer, and D is its content."""
     sums = (
         partials.where(F.col("key").isNotNull())
         .groupBy("key")
         .agg(F.sum("est").alias("est"))
     )
     book = partials.where(F.col("key").isNull()).agg(
-        F.sum("d").alias("err_bound"), F.sum("n").alias("n_total")
+        F.coalesce(F.sum("d"), F.lit(0)).alias("err_bound"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("n_total"),
     )
     return (
-        sums.crossJoin(F.broadcast(book))
+        book.join(sums, F.lit(True), "left")
+        .select(
+            "key",
+            F.coalesce("est", F.lit(0)).alias("est"),
+            "err_bound",
+            "n_total",
+        )
         .orderBy(F.col("est").desc(), F.col("key"))
         .limit(top_n)
     )

@@ -81,6 +81,35 @@ def test_mg_merge_is_partitioning_independent_in_bounds(spark):
             assert est <= exact[t] <= est + d_total, (nparts, t)
 
 
+def test_hash_embed_null_text_yields_zero_vector(spark, duck):
+    """doc_hash_embed on NULL text must emit the zero vector like its
+    oracle's per-element coalesce — not 32 NULLs (r7 review finding)."""
+    import os
+
+    from crypto_clickhouse_poc_spark.operators import text as TX
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta", "en", "s", 10), (2, None, "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    import tempfile
+
+    sf = tempfile.mkdtemp()
+    df.write.parquet(os.path.join(sf, "documents.parquet"))
+    rows = {r["doc_id"]: list(r["embedding"])
+            for r in TX.doc_hash_embed(spark, sf).collect()}
+    assert rows[2] == [0] * TX.HASH_EMBED_DIM
+    assert any(v != 0 for v in rows[1])
+    duck.execute("DROP VIEW IF EXISTS documents_nulltext")
+    duck.execute(
+        f"CREATE VIEW documents_nulltext AS SELECT * FROM "
+        f"'{os.path.join(sf, 'documents.parquet')}/*.parquet'"
+    )
+    sql = TX.ORACLES["doc_hash_embed"].replace("FROM documents", "FROM documents_nulltext")
+    want = {r[0]: list(r[1]) for r in duck.sql(sql).fetchall()}
+    assert rows == want
+
+
 def test_mg_partials_plan_is_map_only(spark):
     d = load(spark, SF_CORRECT, "documents").select(
         T.tokens(F.col("text")).alias("toks")
@@ -126,6 +155,37 @@ def test_mg_compression_exercised_on_wide_vocabulary(spark):
     # every planted heavy hitter clears D by construction and must appear
     for t in heavy:
         assert t in counters and counters[t] > 0, t
+
+
+def test_mg_null_token_arrays_are_skipped(spark):
+    """NULL text upstream (split(NULL) → NULL array) contributes nothing —
+    the exact twin's explode drops such rows too (r7 review: the kernel
+    crashed on len(None))."""
+    df = spark.createDataFrame(
+        [(["a", "b", "a"],), (None,), (["b"],)], "toks array<string>"
+    )
+    parts = FQ.mg_partials(df, k=8).collect()
+    counters, d_total, n_total = FQ._merged_summary(parts)
+    assert n_total == 4 and d_total == 0
+    assert counters == {"a": 2, "b": 2}
+
+
+def test_mg_kernel_memory_is_capped_not_vocabulary_sized(spark):
+    """A partition whose vocabulary far exceeds the cap must still honor
+    the interval bounds — intermediate compressions sum into D (and the
+    running counter demonstrably compresses: D > 0 with k=4)."""
+    rows = [([f"u{i}"],) for i in range(6000)] + [(["hot"] * 50,)] * 20
+    df = spark.createDataFrame(rows, "toks array<string>").coalesce(1)
+    k = 4  # cap = 4096 < 6000 distinct → in-kernel compression must fire
+    parts = FQ.mg_partials(df, k=k).collect()
+    counters, d_total, n_total = FQ._merged_summary(parts)
+    assert n_total == 6000 + 1000
+    assert 0 < d_total <= n_total // (k + 1)
+    exact = {f"u{i}": 1 for i in range(6000)}
+    exact["hot"] = 1000
+    for t, est in counters.items():
+        assert est <= exact[t] <= est + d_total, t
+    assert "hot" in counters  # 1000 >> D: the heavy hitter must survive
 
 
 def test_mg_single_partition_equals_classic_mg_of_whole_stream(spark):

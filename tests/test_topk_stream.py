@@ -100,6 +100,34 @@ def test_mg_merge_interval_is_flush_order_independent(spark, tmp_path):
         assert {r["key"] for r in merged[:3]} == {"heavy0", "heavy1", "heavy2"}, tag
 
 
+def test_mg_null_keys_are_excluded_not_stringified(spark, tmp_path):
+    """NULL keys must not masquerade as the string 'None' (r7 review:
+    est('None') > 0 violated est ≤ true for a genuine 'None' key); they
+    are excluded from ranking AND from n."""
+    rows = [("a",)] * 5 + [(None,)] * 50
+    df = spark.createDataFrame(rows, "user string")
+    part = TK.mg_flush_partial(df, "user", k=4).collect()
+    book = next(r for r in part if r["key"] is None)
+    kept = {r["key"]: r["est"] for r in part if r["key"] is not None}
+    assert "None" not in kept
+    assert kept == {"a": 5}
+    assert book["n"] == 5  # NULL rows are not counted
+
+
+def test_mg_merge_reports_bound_even_with_no_survivors(spark):
+    """A near-uniform flush whose survivors all compress away still yields
+    one (NULL, 0, D, n) row — 'no key exceeds D' is an answer and D is
+    its content (r7 review: the empty-sums crossJoin lost it)."""
+    rows = [(f"u{i}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "user string")
+    part = TK.mg_flush_partial(df, "user", k=4)
+    merged = TK.merge_heavy_hitters(part, top_n=5).collect()
+    assert len(merged) == 1
+    r = merged[0]
+    assert r["key"] is None and r["est"] == 0
+    assert r["err_bound"] == 1 and r["n_total"] == 200
+
+
 def test_mg_flush_partial_matches_classic_identity(spark):
     """One flush over a known multiset equals top-k of exact counts minus
     the (k+1)-th count — the same §3 identity the batch kernel is gated
