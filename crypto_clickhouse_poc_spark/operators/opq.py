@@ -57,6 +57,8 @@ from ..functions import vectors as V
 from .embed import pca_fit
 from .similarity import (
     PQ_M,
+    PQ_ROUNDS,
+    _lloyd_rounds,
     _pq_adc_rerank,
     _pq_encode,
     _train_kmeans,
@@ -65,6 +67,7 @@ from .similarity import (
 )
 
 _ROT_MEMO: dict[tuple[str, int], list[list[float]]] = {}
+_NP_MEMO: dict[tuple[str, int], tuple[list[list[float]], list[list[list[float]]]]] = {}
 
 
 def _residuals(e: DataFrame, coarse: list[tuple]) -> DataFrame:
@@ -144,6 +147,100 @@ def _train_opq_rotation(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     return rot
 
 
+OPQ_NP_ITERS = 3  # alternating-minimization iterations (fixed, replayable)
+
+
+def _cross_cov(
+    e: DataFrame,
+    coarse: list[tuple],
+    books: list[list[list[float]]],
+    rotation: list[list[float]],
+):
+    """Distributed M = Σᵢ rᵢ·x̂ᵢᵀ — raw residual outer decoded-code (in the
+    current rotated basis) — as O(d²)-per-partition Arrow partials (the
+    ``embed._moment_partials`` shape). M is all the R-step needs."""
+    import numpy as np
+
+    sub_d = V.EMB_DIM // PQ_M
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.array([c[1] for c in coarse], dtype=np.float64)
+        cn = np.array([c[2] for c in coarse], dtype=np.float64)
+        B = [np.array(b, dtype=np.float64) for b in books]
+        Rot = np.array(rotation, dtype=np.float64)
+        G = None
+        for pdf in batches:
+            Vm = np.array(pdf["v"].tolist(), dtype=np.float64)
+            if not len(Vm):
+                continue
+            nrm = np.array(pdf["nrm"], dtype=np.float64)
+            a = np.argmax((Vm @ C.T) / np.outer(nrm, cn), axis=1)
+            R = Vm - C[a]
+            Rr = R @ Rot.T
+            Xh = np.empty_like(Rr)
+            for m in range(PQ_M):
+                sub = Rr[:, m * sub_d : (m + 1) * sub_d]
+                d2 = ((sub[:, None, :] - B[m][None, :, :]) ** 2).sum(-1)
+                Xh[:, m * sub_d : (m + 1) * sub_d] = B[m][np.argmin(d2, axis=1)]
+            g = R.T @ Xh
+            G = g if G is None else G + g
+        if G is not None:
+            yield pd.DataFrame({"g": [G.reshape(-1).tolist()]})
+
+    parts = e.select("v", "nrm").mapInPandas(kernel, "g array<double>").collect()
+    d = V.EMB_DIM
+    return np.sum([np.array(p["g"]).reshape(d, d) for p in parts], axis=0)
+
+
+def _train_opq_np(
+    spark: SparkSession, sf_dir: str, iters: int = OPQ_NP_ITERS
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Non-parametric OPQ (Ge et al. §5): alternate the two exact steps —
+
+    - **R-step** (codes fixed): orthogonal-Procrustes update. For fixed
+      decoded codes x̂, min_R Σ‖R·r − x̂‖² over orthogonal R is
+      R = V·Uᵀ from the SVD of M = Σ r·x̂ᵀ — optimal in closed form.
+    - **B-step** (rotation fixed): warm-started Lloyd rounds on the
+      sub-codebooks (``similarity._lloyd_rounds`` — warm-starting is what
+      preserves k-means' monotone descent across iterations).
+
+    Initialization is the parametric rotation + its codebooks (Ge et
+    al.'s own recommendation), so the iterate can only improve on the
+    parametric solution's objective (each step is a non-increasing move;
+    test-gated with a rounding epsilon — codebook means are rounded to
+    6dp for cross-run determinism). Per iteration: one d×d cross-cov
+    pass + a driver SVD + the usual Lloyd rounds — O(iters) scans."""
+    import numpy as np
+
+    key = (sf_dir, iters)
+    if key in _NP_MEMO:
+        return _NP_MEMO[key]
+    coarse = _train_kmeans(spark, sf_dir)
+    rot = _train_opq_rotation(spark, sf_dir)
+    books = _train_pq(spark, sf_dir, rotation=rot)
+    e = _vectors(spark, sf_dir)
+    for _ in range(iters):
+        M = _cross_cov(e, coarse, books, rot)
+        U, _s, Vh = np.linalg.svd(M)
+        rot = (Vh.T @ U.T).tolist()
+        books = _lloyd_rounds(e, coarse, books, PQ_ROUNDS, rotation=rot)
+    _NP_MEMO[key] = (rot, books)
+    return rot, books
+
+
+def ann_ivf_opq_np_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-OPQ with the alternating-minimization rotation: identical
+    serving dataflow and code size to ``ann_ivf_opq_search``; only the
+    (rotation, codebooks) pair differs."""
+    coarse = _train_kmeans(spark, sf_dir)
+    rot, books = _train_opq_np(spark, sf_dir)
+    encoded = _pq_encode(_vectors(spark, sf_dir), coarse, books, rotation=rot)
+    return _pq_adc_rerank(spark, sf_dir, encoded, books=books, rotation=rot)
+
+
 def ann_ivf_opq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-OPQ search: identical serving dataflow to ``ann_ivf_pq_search``
     (broadcast probe join → ADC fold → exact rerank → top-k) at identical
@@ -161,6 +258,7 @@ def ann_ivf_opq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "ann_ivf_opq_search": ann_ivf_opq_search,
+    "ann_ivf_opq_np_search": ann_ivf_opq_np_search,
 }
 
 # No ORACLES: like the PQ/PCA tiers, OPQ training (eigensolver + Lloyd

@@ -466,6 +466,26 @@ def _train_pq(
         for m in range(PQ_M):
             books[m].append(res[m * sub_d : (m + 1) * sub_d])
 
+    books = _lloyd_rounds(e, coarse, books, rounds, rotation)
+    _PQ_MEMO[key] = books
+    return books
+
+
+def _lloyd_rounds(
+    e: DataFrame,
+    coarse: list[tuple],
+    books: list[list[list[float]]],
+    rounds: int,
+    rotation: list[list[float]] | None = None,
+) -> list[list[list[float]]]:
+    """``rounds`` Lloyd iterations on the sub-codebooks, WARM-STARTED from
+    ``books`` (extracted from ``_train_pq`` so the non-parametric OPQ
+    trainer can continue from the previous iteration's books — re-seeding
+    every call would forfeit k-means' monotone-descent property). Each
+    round: one shuffle-free batch encode + ONE (m, j, pos) mean aggregate
+    for all subspaces; a codebook entry that loses all members keeps its
+    previous value (codes are positional)."""
+    sub_d = V.EMB_DIM // PQ_M
     for _ in range(rounds):
         enc = _pq_encode(e, coarse, books, with_residual=True, rotation=rotation)
         cells = (
@@ -484,7 +504,6 @@ def _train_pq(
         for row in cells:
             new_books[int(row["m"])][int(row["j"])][int(row["p"])] = float(row["c"])
         books = new_books
-    _PQ_MEMO[key] = books
     return books
 
 

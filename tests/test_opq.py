@@ -166,6 +166,67 @@ def test_opq_encode_plan_is_map_only(spark, opq_sf):
     assert "MapInPandas" in plan
 
 
+def test_opq_np_improves_on_parametric_objective(spark, opq_sf):
+    """Alternating minimization (R-step Procrustes + warm-started B-step
+    Lloyd) starts FROM the parametric solution, and both steps are
+    non-increasing moves — the final quantization error must be at or
+    below the parametric OPQ's (epsilon for the 6dp codebook rounding),
+    and the learned rotation must stay orthogonal."""
+    R = _residual_matrix(spark, opq_sf)
+    rot_p = np.array(O._train_opq_rotation(spark, opq_sf))
+    err_p = _quant_err(R @ rot_p.T, S._train_pq(spark, opq_sf, rotation=rot_p.tolist()))
+    rot_np, books_np = O._train_opq_np(spark, opq_sf)
+    rot_np = np.array(rot_np)
+    assert np.allclose(rot_np @ rot_np.T, np.eye(64), atol=1e-8)
+    err_np = _quant_err(R @ rot_np.T, books_np)
+    assert err_np <= err_p * (1 + 1e-6), (err_np, err_p)
+
+
+def test_opq_np_search_recall_and_exactness(spark, opq_sf, monkeypatch):
+    """The NP tier serves through the identical dataflow: emitted cosines
+    stay exact, and recall vs the exact probed search is >= plain PQ at
+    equal bytes/vector (same sharpened setup as the parametric gate)."""
+    monkeypatch.setattr(S, "N_QUERY_VECS", 20)
+    monkeypatch.setattr(S, "PQ_RERANK", 12)
+
+    def pairs(df):
+        out: dict = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in S.ann_topk_brute(spark, opq_sf).collect()
+    }
+    got = O.ann_ivf_opq_np_search(spark, opq_sf).collect()
+    overlap = [
+        r for r in got if (r["query_id"], r["neighbor_id"]) in brute
+    ]
+    assert overlap and all(
+        abs(r["cosine"] - brute[(r["query_id"], r["neighbor_id"])]) < 1e-12
+        for r in overlap
+    )
+    probed = pairs(S.ann_ivf_search(spark, opq_sf))
+    pq = pairs(S.ann_ivf_pq_search(spark, opq_sf))
+    npq = pairs(O.ann_ivf_opq_np_search(spark, opq_sf))
+
+    def recall(g, want):
+        return sum(len(g.get(q, set()) & w) / len(w) for q, w in want.items()) / len(want)
+
+    assert recall(npq, probed) >= recall(pq, probed)
+
+
+def test_opq_np_training_is_deterministic(spark, opq_sf):
+    rot1, books1 = O._train_opq_np(spark, opq_sf)
+    O._NP_MEMO.clear()
+    rot2, books2 = O._train_opq_np(spark, opq_sf)
+    assert np.allclose(np.array(rot1), np.array(rot2), atol=1e-9)
+    assert np.allclose(
+        np.array(books1, dtype=float), np.array(books2, dtype=float), atol=1e-9
+    )
+
+
 def test_opq_rotation_memo_is_deterministic(spark, opq_sf):
     first = O._train_opq_rotation(spark, opq_sf)
     O._ROT_MEMO.clear()
