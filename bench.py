@@ -92,7 +92,9 @@ BENCH_QUERIES = [
     # the end-to-end assembly chain (gates -> dedup -> near-dup ->
     # decontaminate -> mix -> pack in ONE query)
     "ann_ivf_opq_search",
+    "ann_ivf_opq_np_search",
     "corpus_assemble",
+    "corpus_top_tokens_mg",
     # multimodal (binary payload + Arrow-batched Pandas-UDF kernels)
     "mm_byte_features",
     "mm_frame_sample",
