@@ -110,6 +110,51 @@ def test_hash_embed_null_text_yields_zero_vector(spark, duck):
     assert rows == want
 
 
+def test_mg_distributed_merge_equals_driver_loop(spark):
+    """mg_merge_topn (the production path) must be bit-identical to the
+    driver-loop merge over the SAME partial rows — the uncompressed
+    pointwise sum guarantees it, and this gate pins the round-8 rewrite
+    (r7 verdict #1: the collect()-based merge grew with partition count)."""
+    d = load(spark, SF_CORRECT, "documents").select(
+        T.tokens(F.col("text")).alias("toks")
+    )
+    rows = FQ.mg_partials(d).collect()
+    counters, d_total, n_total = FQ._merged_summary(rows)
+    want = [
+        (t, int(c), int(d_total), int(n_total))
+        for t, c in sorted(counters.items(), key=lambda kv: (-kv[1], kv[0]))[
+            : FQ.MG_TOP_N
+        ]
+    ]
+    parts_df = spark.createDataFrame(rows, "token string, est long, d long, n long")
+    got = [
+        (r["token"], r["est"], r["err_bound"], r["n_tokens"])
+        for r in FQ.mg_merge_topn(parts_df, FQ.MG_TOP_N).collect()
+    ]
+    assert got == want
+
+
+def test_mg_query_path_has_no_driver_collect(spark):
+    """Plan lock for r7 verdict #1: the declared query's merge is
+    distributed — no collect()/toLocalIterator in its source, and the
+    physical plan ends in TakeOrderedAndProject over the partials (only
+    the final top-N rows reach the driver)."""
+    import inspect
+
+    src = inspect.getsource(FQ.corpus_top_tokens_mg) + inspect.getsource(
+        FQ.mg_merge_topn
+    )
+    assert ".collect(" not in src and "toLocalIterator" not in src
+    d = load(spark, SF_CORRECT, "documents").select(
+        T.tokens(F.col("text")).alias("toks")
+    )
+    plan = str(
+        FQ.mg_merge_topn(FQ.mg_partials(d))._jdf.queryExecution().executedPlan()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "MapInPandas" in plan  # partials still feed it lazily, one job
+
+
 def test_mg_partials_plan_is_map_only(spark):
     d = load(spark, SF_CORRECT, "documents").select(
         T.tokens(F.col("text")).alias("toks")
