@@ -438,10 +438,20 @@ def doc_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     replayable in SQL (md5-prefix hashing, integer arithmetic), so this
     operator is oracle-value-checked, unlike any learned encoder.
 
-    Shape: pure per-row HOF fold — ``transform(sequence(0, d-1))`` over an
-    ``aggregate`` of the materialized token array; zero shuffles, zero
-    UDFs, O(d · tokens) JVM work per row. At 100 TB this is a map stage
-    that fuses into the scan.
+    Shape: pure per-row HOF fold — ONE ``aggregate`` over the token array
+    with an ``array<long>`` accumulator; zero shuffles, zero UDFs,
+    O(d · tokens) integer work but exactly ONE md5 per token. At 100 TB
+    this is a map stage that fuses into the scan.
+
+    The r7 form folded a separate ``aggregate`` per output dimension, and
+    each fold's lambda called ``md5(t)`` twice — HOF lambdas get no
+    cross-invocation subexpression elimination, so every token was hashed
+    ~64×. This is the repo's own materialize-before-the-lambda lesson
+    (``functions/text.py:88``) one level down: hash each token once into
+    a (bucket, sign) struct via a lambda VARIABLE (computed per element,
+    not per use), then fold the cheap integer update. Values are
+    bit-identical (same bucket/sign arithmetic, commutative ±1 sums) —
+    the DuckDB oracle is unchanged.
     """
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     # NULL text → empty token array → zero vector: F.aggregate over a
@@ -451,19 +461,24 @@ def doc_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w",
         F.coalesce(F.split(F.col("text"), " "), F.array().cast("array<string>")),
     )
-    bucket = lambda t: (  # noqa: E731
-        F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int") % HASH_EMBED_DIM
+    # one md5 per token: h is a lambda variable, so the two substring
+    # reads below hit the SAME computed hash instead of re-invoking md5
+    pairs = F.transform(
+        F.transform(F.col("w"), lambda t: F.md5(t)),
+        lambda h: F.struct(
+            (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % HASH_EMBED_DIM)
+            .alias("b"),
+            F.when(F.conv(F.substring(h, 5, 1), 16, 10).cast("int") % 2 == 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("s"),
+        ),
     )
-    sign = lambda t: F.when(  # noqa: E731
-        F.conv(F.substring(F.md5(t), 5, 1), 16, 10).cast("int") % 2 == 0,
-        F.lit(1),
-    ).otherwise(F.lit(-1)).cast("long")
-    vec = F.transform(
-        F.sequence(F.lit(0), F.lit(HASH_EMBED_DIM - 1)),
-        lambda i: F.aggregate(
-            F.col("w"),
-            F.lit(0).cast("long"),
-            lambda acc, t: acc + F.when(bucket(t) == i, sign(t)).otherwise(F.lit(0)),
+    vec = F.aggregate(
+        pairs,
+        F.array_repeat(F.lit(0).cast("long"), HASH_EMBED_DIM),
+        lambda acc, p: F.transform(
+            acc, lambda v, i: v + F.when(p["b"] == i, p["s"]).otherwise(F.lit(0))
         ),
     )
     return d.select("doc_id", vec.alias("embedding")).orderBy("doc_id")
