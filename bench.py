@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "range_click_activity",
     # text / dedup / similarity (scale paths)
     "doc_stats",
+    "doc_hash_embed",
     "doc_fingerprints",
     "doc_repetition",
     "corpus_prepare",

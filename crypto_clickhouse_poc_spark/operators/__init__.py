@@ -141,6 +141,20 @@ _MODULES = (
 #                                           corpus_prepare and its oracle
 #                                           stay under the pytest parity
 #                                           gate as library queries)
+#
+# Round-8 rotation (round-7 verdict item #3):
+#   doc_langid_ngram -> doc_hash_embed     (langid_ngram's per-row text-map
+#                                           + argmax shape twins the declared
+#                                           doc_stats per-row text map and
+#                                           stays oracle-parity-gated in
+#                                           pytest; hash_embed is the repo's
+#                                           ONLY oracle-exact embedding
+#                                           generation — the feature-hashing
+#                                           family previously had no driver
+#                                           hash verdict at all. Chosen over
+#                                           rotating out dedup_simhash to
+#                                           keep the dedup family's declared
+#                                           5-tier breadth intact)
 _DECLARED = (
     # reference §2.10 public query surface (api/server.py:57-200)
     "ev_count",
@@ -193,7 +207,7 @@ _DECLARED = (
     # text / LLM-pipeline + dataset assembly + ranked retrieval
     "doc_stats",
     "corpus_bm25_topk",
-    "doc_langid_ngram",
+    "doc_hash_embed",
     "doc_dup_spans",
     "doc_winnow",
     "corpus_assemble",

@@ -590,13 +590,13 @@ ORACLES = {
     "doc_hash_embed": f"""
         SELECT doc_id,
                list_transform(range(0, {HASH_EMBED_DIM}), i ->
-                 coalesce(list_sum(list_transform(string_split(text, ' '), t ->
+                 CAST(coalesce(list_sum(list_transform(string_split(text, ' '), t ->
                    CASE WHEN CAST(concat('0x', substring(md5(t), 1, 4)) AS INTEGER)
                              % {HASH_EMBED_DIM} = i
                         THEN CASE WHEN CAST(concat('0x', substring(md5(t), 5, 1))
                                        AS INTEGER) % 2 = 0
                                   THEN 1 ELSE -1 END
-                        ELSE 0 END)), 0)) AS embedding
+                        ELSE 0 END)), 0) AS BIGINT)) AS embedding
         FROM documents
         ORDER BY doc_id
     """,

@@ -44,16 +44,22 @@ import pandas as pd
 
 
 def _canon_val(v):
-    """One canonical string per value, NULL-kind-insensitive: None, NaN,
-    NaT and pd.NA all print as NULL; integer-valued floats print as ints
-    (pandas promotes nullable int columns to float64)."""
+    """One canonical string per value: None, NaT and pd.NA print as NULL;
+    float NaN prints as its OWN token (r7 ADVICE: conflating NaN with
+    NULL hid genuine Spark-NaN-vs-oracle-NULL divergence — note the
+    residual limit: for double columns pandas itself maps NULL→NaN on
+    BOTH sides' .toPandas()/.df(), so the distinct token only bites
+    where pandas preserves the difference, e.g. object-dtype columns);
+    integer-valued floats print as ints (pandas promotes nullable int
+    columns to float64 — the promotion happens on both sides when the
+    NULL sets agree, and a disagreeing NULL set diffs on its own row)."""
     if v is None:
         return "NULL"
     if isinstance(v, np.ndarray):
         v = v.tolist()
     if isinstance(v, float):
         if v != v:
-            return "NULL"
+            return "NaN"
         if v.is_integer() and abs(v) < 2**53:
             return str(int(v))
     try:
