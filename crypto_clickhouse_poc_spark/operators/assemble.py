@@ -224,6 +224,14 @@ def _assemble_oracle() -> str:
           SELECT doc_a AS a, doc_b AS b FROM pairs
           UNION SELECT doc_b, doc_a FROM pairs
         ),
+        -- full transitive closure: O(V*E) intermediate rows. Fine for the
+        -- duplicate-rate-bounded pair graphs 3-gram shingles produce
+        -- (~205 pairs at sf0.01), but a near-clique graph -- exactly what
+        -- unigram shingles create on a small vocabulary (module
+        -- docstring) -- would blow up the ORACLE before the Spark side;
+        -- if ASSEMBLE_SHINGLE_N is ever lowered, bound this CTE (e.g.
+        -- fixed-depth min-label iteration) the way the Spark side is
+        -- bounded (r7 ADVICE)
         reach(a, b) AS (
           SELECT a, b FROM edges
           UNION

@@ -301,8 +301,9 @@ def with_cluster_sizes(lbl: DataFrame) -> DataFrame:
 # driver-side union-find (milliseconds, zero distributed rounds) instead
 # of the iterative fixpoint, whose per-round cost is dominated by driver
 # round-trips + checkpoints at small sizes (measured: ~3 s for a 205-edge
-# graph). The collect is bounded by this constant (~16 MB of id pairs);
-# larger graphs run the distributed pointer-jumping path unchanged.
+# graph). The collect is bounded by this constant (~8 MB of int64 pairs
+# via the Arrow/toPandas path in _driver_components); larger graphs run
+# the distributed pointer-jumping path unchanged.
 CC_DRIVER_EDGE_MAX = 500_000
 
 
@@ -312,8 +313,13 @@ def _driver_components(docs: DataFrame, e: DataFrame) -> DataFrame:
     distributed fixpoint: cluster = min node id of the component."""
     from pyspark.sql.types import StructField, StructType
 
-    rows = e.collect()
-    if not rows:
+    # Arrow-collect a 2-column projection: pyspark Row objects carry
+    # ~100s of bytes each, which at the 500k-edge cap is a 100+ MB driver
+    # footprint; toPandas lands two int64 numpy arrays (~8 MB at the cap)
+    # (r7 ADVICE — the old comment's "~16 MB of id pairs" only held for
+    # the Arrow path)
+    pdf = e.select("doc_a", "doc_b").toPandas()
+    if not len(pdf):
         return docs.select("doc_id", F.col("doc_id").alias("cluster"))
     parent: dict = {}
 
@@ -325,8 +331,8 @@ def _driver_components(docs: DataFrame, e: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for r in rows:
-        a, b = find(r["doc_a"]), find(r["doc_b"])
+    for a0, b0 in zip(pdf["doc_a"].tolist(), pdf["doc_b"].tolist()):
+        a, b = find(a0), find(b0)
         if a != b:
             # union by MIN id — the root IS the cluster label
             lo, hi = (a, b) if a < b else (b, a)

@@ -113,6 +113,11 @@ def eigenvalue_allocation(eigvals: list[float], m: int) -> list[int]:
     import math
 
     d = len(eigvals)
+    if d % m:
+        # same invariant _pq_encode's sub_d slicing relies on; without it
+        # total bucket capacity m*(d//m) < d and the greedy would raise a
+        # confusing min()-of-empty mid-allocation (r7 ADVICE)
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
     cap = d // m
     logs = [math.log(max(v, 1e-12)) for v in eigvals]
     base = min(logs)

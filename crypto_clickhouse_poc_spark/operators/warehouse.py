@@ -54,7 +54,20 @@ def ev_hourly_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     # group); the wide columns get POSITIONAL aliases so arbitrary type
     # strings (dots, backticks, collisions with "hour") can never break
     # column resolution — the original value is restored after unpivot.
-    seen = {r["event_type"] for r in e.select("event_type").distinct().collect()}
+    # enforce the "small enum vocabulary" contract instead of assuming it
+    # (r7 ADVICE): cap the collect at Spark pivot()'s own maxValues
+    # default and fail loudly past it rather than pulling an unbounded
+    # distinct to the driver
+    max_width = 10_000
+    seen = {
+        r["event_type"]
+        for r in e.select("event_type").distinct().limit(max_width + 1).collect()
+    }
+    if len(seen) > max_width:
+        raise ValueError(
+            f"event_type cardinality exceeds pivot width cap {max_width}; "
+            "ev_hourly_unpivot requires an enum-like pivot column"
+        )
     types = sorted(t for t in seen if t is not None)
     slots = [(f"t{i}", t) for i, t in enumerate(types)]
     if None in seen:
