@@ -164,20 +164,35 @@ def main() -> None:
     spark.stop()
 
     # streaming stages: fresh session each, so the query stage's GC debt and
-    # cached blocks can't distort throughput (and vice versa).
+    # cached blocks can't distort throughput (and vice versa). Each rate is
+    # the p50 of 3 timed runs (r7 verdict #5: single-run rates swung 0.65×
+    # round-over-round with the code untouched — trigger-timing/scheduler
+    # noise; the per-run values land in the artifact so a real regression
+    # is distinguishable from variance).
     spark = get_spark("bench-ingest")
-    ingest_rps = _ingest_throughput(spark)
-    print(f"# streaming ingest: {ingest_rps:,.0f} rows/s", flush=True)
+    ingest_runs = _ingest_throughput(spark)
+    ingest_rps = statistics.median(ingest_runs)
+    print(f"# streaming ingest: {ingest_rps:,.0f} rows/s {sorted(ingest_runs)}", flush=True)
     spark.stop()
 
     spark = get_spark("bench-bars")
-    bars_rps = _bars_throughput(spark)
-    print(f"# streaming bars MV (watermarked finals): {bars_rps:,.0f} rows/s", flush=True)
+    bars_runs = _bars_throughput(spark)
+    bars_rps = statistics.median(bars_runs)
+    print(
+        f"# streaming bars MV (watermarked finals): {bars_rps:,.0f} rows/s "
+        f"{sorted(bars_runs)}",
+        flush=True,
+    )
     spark.stop()
 
     spark = get_spark("bench-anomaly")
-    anomaly_rps = _anomaly_throughput(spark)
-    print(f"# streaming EWMA anomaly flags (stateful): {anomaly_rps:,.0f} rows/s", flush=True)
+    anomaly_runs = _anomaly_throughput(spark)
+    anomaly_rps = statistics.median(anomaly_runs)
+    print(
+        f"# streaming EWMA anomaly flags (stateful): {anomaly_rps:,.0f} rows/s "
+        f"{sorted(anomaly_runs)}",
+        flush=True,
+    )
     spark.stop()
 
     total = round(sum(timings.values()), 3)
@@ -191,6 +206,11 @@ def main() -> None:
                 "ingest_rows_per_sec": round(ingest_rps),
                 "bars_rows_per_sec": round(bars_rps),
                 "anomaly_rows_per_sec": round(anomaly_rps),
+                "streaming_runs": {
+                    "ingest": [round(r) for r in ingest_runs],
+                    "bars": [round(r) for r in bars_runs],
+                    "anomaly": [round(r) for r in anomaly_runs],
+                },
                 "sf": sf,
                 "loadavg_start": [round(x, 2) for x in load_start],
                 "loadavg_end": [round(x, 2) for x in os.getloadavg()],
@@ -228,21 +248,22 @@ def _run_ingest(spark, n_rows: int, batches: int = 4) -> float:
     return elapsed
 
 
-def _ingest_throughput(spark, n_rows: int = 200_000) -> float:
+def _ingest_throughput(spark, n_rows: int = 200_000) -> list[float]:
     """Streaming ingest rate: synthetic Binance source → normalize → dedup →
-    parquet sink (the full reference dataflow), rows/sec wall-clock.
+    parquet sink (the full reference dataflow), rows/sec wall-clock per run.
 
     One small untimed warmup run amortizes session-lifetime one-offs
     (RocksDB native-lib load, streaming codegen) exactly as a long-lived
-    collector does; the timed run is steady-state."""
+    collector does; the 3 timed runs are steady-state."""
     _run_ingest(spark, 20_000, batches=1)  # warmup, untimed
-    return n_rows / _run_ingest(spark, n_rows)
+    return [n_rows / _run_ingest(spark, n_rows) for _ in range(3)]
 
 
-def _bars_throughput(spark, n_rows: int = 200_000) -> float:
+def _bars_throughput(spark, n_rows: int = 200_000) -> list[float]:
     """Streaming MV rate: synthetic source → normalize → watermarked 1-minute
-    OHLCV finals (streaming/bars.start_bars_final), input rows/sec wall-clock.
-    Tracks the cost of the stateful windowed aggregation design round-over-round."""
+    OHLCV finals (streaming/bars.start_bars_final), input rows/sec wall-clock
+    per run. Tracks the cost of the stateful windowed aggregation design
+    round-over-round."""
     import shutil
     import tempfile
 
@@ -270,14 +291,14 @@ def _bars_throughput(spark, n_rows: int = 200_000) -> float:
         return elapsed
 
     run(20_000, batches=1)  # warmup, untimed
-    return n_rows / run(n_rows)
+    return [n_rows / run(n_rows) for _ in range(3)]
 
 
-def _anomaly_throughput(spark, n_rows: int = 200_000) -> float:
+def _anomaly_throughput(spark, n_rows: int = 200_000) -> list[float]:
     """Custom stateful-operator rate: synthetic source → normalize →
     per-symbol EWMA anomaly flags (applyInPandasWithState) → parquet sink,
-    input rows/sec wall-clock. Tracks the Arrow state-fold cost (r6: the
-    fold walks numpy scalars, not iterrows) round-over-round."""
+    input rows/sec wall-clock per run. Tracks the Arrow state-fold cost
+    (r6: the fold walks numpy scalars, not iterrows) round-over-round."""
     import shutil
     import tempfile
 
@@ -313,7 +334,7 @@ def _anomaly_throughput(spark, n_rows: int = 200_000) -> float:
         return elapsed
 
     run(20_000, batches=1)  # warmup, untimed
-    return n_rows / run(n_rows)
+    return [n_rows / run(n_rows) for _ in range(3)]
 
 
 if __name__ == "__main__":
