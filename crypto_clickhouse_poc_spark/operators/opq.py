@@ -56,11 +56,14 @@ from pyspark.sql import functions as F
 from ..functions import vectors as V
 from .embed import pca_fit
 from .similarity import (
+    NPROBE,
     PQ_M,
     PQ_ROUNDS,
     _lloyd_rounds,
     _pq_adc_rerank,
     _pq_encode,
+    _pq_query_side,
+    _pq_table,
     _train_kmeans,
     _train_pq,
     _vectors,
@@ -261,9 +264,50 @@ def ann_ivf_opq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_adc_rerank(spark, sf_dir, encoded, books=books, rotation=rot)
 
 
+def _opq_trained(spark: SparkSession, sf_dir: str):
+    """(rotation, rotated codebooks) — memoized by the underlying trainers."""
+    rot = _train_opq_rotation(spark, sf_dir)
+    return rot, _train_pq(spark, sf_dir, rotation=rot)
+
+
+def ann_ivf_opq_search_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-OPQ with nprobe=2 — the multi-probe recall lever applied to the
+    rotated tier. Same serving dataflow as ``ann_ivf_pq_search_multiprobe``
+    (each query ADC-scans its TWO nearest clusters' codes, then the exact
+    rerank); the two levers compose because they touch different stages:
+    the rotation improves the ADC shortlist's fidelity inside each probed
+    cluster, multi-probe widens which clusters contribute candidates.
+    Recall gate (pytest): OPQ multiprobe ≥ OPQ single-probe ≥ plain PQ at
+    equal bytes/vector."""
+    coarse = _train_kmeans(spark, sf_dir)
+    rot, books = _opq_trained(spark, sf_dir)
+    encoded = _pq_encode(_vectors(spark, sf_dir), coarse, books, rotation=rot)
+    return _pq_adc_rerank(
+        spark, sf_dir, encoded, nprobe=NPROBE, books=books, rotation=rot
+    )
+
+
+def ann_ivf_opq_probe_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-OPQ probe against the PERSISTED rotated-code index: identical
+    results to ``ann_ivf_opq_search``, with the candidate scan going
+    through the same cluster-partitioned index writer as the PQ tier
+    (``similarity._pq_table`` with the OPQ codebooks + rotation and its
+    own path tag), probed cluster ids as a partition predicate — the plan
+    carries ``PartitionFilters`` on ``p_cluster`` (plan-locked), so OPQ is
+    SERVABLE at ~nprobe/k of the index, not just trainable."""
+    rot, books = _opq_trained(spark, sf_dir)
+    _, _, probed = _pq_query_side(spark, sf_dir, books=books, rotation=rot)
+    index = _pq_table(spark, sf_dir, books=books, rotation=rot, tag="opq").where(
+        F.col("p_cluster").isin(probed)
+    )
+    return _pq_adc_rerank(spark, sf_dir, index, books=books, rotation=rot)
+
+
 QUERIES = {
     "ann_ivf_opq_search": ann_ivf_opq_search,
     "ann_ivf_opq_np_search": ann_ivf_opq_np_search,
+    "ann_ivf_opq_search_multiprobe": ann_ivf_opq_search_multiprobe,
+    "ann_ivf_opq_probe_pruned": ann_ivf_opq_probe_pruned,
 }
 
 # No ORACLES: like the PQ/PCA tiers, OPQ training (eigensolver + Lloyd

@@ -670,7 +670,13 @@ def ann_ivf_pq_search_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_TABLE_BUILT: set[str] = set()
 
 
-def _pq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_table(
+    spark: SparkSession,
+    sf_dir: str,
+    books: list[list[list[float]]] | None = None,
+    rotation: list[list[float]] | None = None,
+    tag: str = "pq",
+) -> DataFrame:
     """The persisted IVF-PQ index table: every vector's PQ code (+ full
     vector for the rerank tier), written as parquet PARTITIONED BY the
     coarse cluster id (``p_cluster``) — the on-disk layout every IVF claim
@@ -679,8 +685,9 @@ def _pq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Build is once per fixture (mtime-keyed path, pid/uuid temp dir +
     atomic rename — same concurrency-safe recipe as
-    ``trades._layout_table``).
-    """
+    ``trades._layout_table``). The OPQ tier persists through this SAME
+    writer by passing its rotated codebooks + rotation and a distinct
+    ``tag`` (the tag keys the path, so PQ and OPQ codes never alias)."""
     import os
     import shutil
     import tempfile
@@ -690,7 +697,7 @@ def _pq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     stamp = str(int(os.path.getmtime(src)))
     # path carries the index parameters too: changing K/M/ks/rounds across
     # processes must never silently reuse an index built with old params
-    params = f"k{KMEANS_K}r{KMEANS_ROUNDS}-m{PQ_M}x{PQ_KS}r{PQ_ROUNDS}"
+    params = f"k{KMEANS_K}r{KMEANS_ROUNDS}-m{PQ_M}x{PQ_KS}r{PQ_ROUNDS}-{tag}"
     dest = os.path.join(
         tempfile.gettempdir(),
         "ccps_pq_index",
@@ -699,10 +706,11 @@ def _pq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     if dest not in _PQ_TABLE_BUILT:
         if not os.path.isdir(dest):
             coarse = _train_kmeans(spark, sf_dir)
-            books = _train_pq(spark, sf_dir)
-            enc = _pq_encode(_vectors(spark, sf_dir), coarse, books).withColumn(
-                "p_cluster", F.col("cluster")
-            )
+            if books is None:
+                books = _train_pq(spark, sf_dir)
+            enc = _pq_encode(
+                _vectors(spark, sf_dir), coarse, books, rotation=rotation
+            ).withColumn("p_cluster", F.col("cluster"))
             tmp = f"{dest}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
             enc.write.mode("overwrite").partitionBy("p_cluster").parquet(tmp)
             try:

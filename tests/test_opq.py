@@ -232,3 +232,40 @@ def test_opq_rotation_memo_is_deterministic(spark, opq_sf):
     O._ROT_MEMO.clear()
     retrained = O._train_opq_rotation(spark, opq_sf)
     assert np.allclose(np.array(first), np.array(retrained), atol=1e-9)
+
+
+def test_opq_multiprobe_recall_ladder(spark, opq_sf, monkeypatch):
+    """The r8 ladder (same sharpened setup as the parametric gate): OPQ
+    multiprobe >= OPQ single-probe >= plain PQ single-probe vs the brute
+    baseline — the two recall levers (rotation, nprobe) compose."""
+    monkeypatch.setattr(S, "N_QUERY_VECS", 20)
+    monkeypatch.setattr(S, "PQ_RERANK", 12)
+
+    def pairs(df):
+        out: dict = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    def recall(g, want):
+        return sum(len(g.get(q, set()) & w) / len(w) for q, w in want.items()) / len(want)
+
+    brute = pairs(S.ann_topk_brute(spark, opq_sf))
+    r_pq1 = recall(pairs(S.ann_ivf_pq_search(spark, opq_sf)), brute)
+    r_opq1 = recall(pairs(O.ann_ivf_opq_search(spark, opq_sf)), brute)
+    r_opq2 = recall(pairs(O.ann_ivf_opq_search_multiprobe(spark, opq_sf)), brute)
+    assert r_opq2 >= r_opq1 >= r_pq1, (r_opq2, r_opq1, r_pq1)
+    assert r_opq2 > r_opq1  # the second probe must actually add neighbors
+
+
+def test_opq_probe_pruned_matches_in_memory_and_prunes(spark, opq_sf):
+    """The persisted rotated-code index serves identical results to the
+    in-memory OPQ search, and its scan carries PartitionFilters on
+    p_cluster (directory-level pruning — the ~nprobe/k read shape)."""
+    want = sorted(map(tuple, O.ann_ivf_opq_search(spark, opq_sf).collect()))
+    out = O.ann_ivf_opq_probe_pruned(spark, opq_sf)
+    got = sorted(map(tuple, out.collect()))
+    assert got == want
+    plan = str(out._jdf.queryExecution().executedPlan())
+    assert "PartitionFilters" in plan
+    assert "p_cluster" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
