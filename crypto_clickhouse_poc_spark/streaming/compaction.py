@@ -145,3 +145,26 @@ def compact_partials(
         shutil.rmtree(tmp, ignore_errors=True)
         raise
     swap_in(path, tmp)
+
+
+def maybe_compact(
+    spark: SparkSession,
+    path: str,
+    family_or_merge: str | Callable[[DataFrame], DataFrame],
+    max_files: int = 64,
+    n_files: int = 1,
+) -> bool:
+    """Compaction POLICY: compact only when the partials dir holds more
+    than ``max_files`` part-files (a cheap driver-side listing — no Spark
+    job when under threshold). The maintenance-loop entry point: call it
+    between flush windows (or from the same scheduler that runs
+    ``layout.compact``) and the file count stays bounded by
+    ``max_files + flushes-between-checks`` for the stream's lifetime.
+    Returns whether a compaction ran."""
+    from pathlib import Path
+
+    recover_compaction(path)
+    if len(list(Path(path).glob("part-*"))) <= max_files:
+        return False
+    compact_partials(spark, path, family_or_merge, n_files)
+    return True

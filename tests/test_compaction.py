@@ -225,3 +225,29 @@ def test_compaction_crash_window_heals(spark, tmp_path):
     compaction.compact_partials(spark, path, "quantiles")
     got = sorted(map(tuple, Q.merge_quantiles(spark.read.parquet(path)).collect()))
     assert got == want
+
+
+def test_maybe_compact_policy_bounds_file_count(spark, tmp_path):
+    """The maintenance-loop entry: under threshold it is a no-op (no
+    rewrite), over threshold it compacts — so interleaved
+    flush/maybe_compact keeps the dir bounded for the stream's life."""
+    e = load(spark, SF_SMOKE, "events")
+    path = str(tmp_path / "hist")
+    want = None
+    for round_ in range(3):
+        for i in range(3):
+            Q.hist_partials(_flush_split(e, i), value_col="value",
+                            key="event_type").write.mode("append").parquet(path)
+        if want is None:
+            want = sorted(
+                map(tuple, Q.merge_quantiles(spark.read.parquet(path)).collect())
+            )
+        # threshold high: no-op, files keep accumulating
+        assert compaction.maybe_compact(spark, path, "quantiles", max_files=99) is False
+        # threshold low: compacts back to one file
+        assert compaction.maybe_compact(spark, path, "quantiles", max_files=2) is True
+        assert len(_part_files(path)) == 1
+    got = sorted(map(tuple, Q.merge_quantiles(spark.read.parquet(path)).collect()))
+    # 3 rounds of identical flushes => every count is 3x the single round's
+    key_cols = {r[0] for r in got}
+    assert key_cols == {r[0] for r in want}
