@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "corpus_decontaminate",
     "corpus_pii_scan",
     "dedup_exact",
+    "corpus_bloom_novelty",
     "dedup_simhash",
     "dedup_minhash_summary",
     "dedup_embedding_lsh",

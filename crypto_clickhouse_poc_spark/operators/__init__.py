@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import (
     assemble,
+    bloom,
     curation,
     dedup,
     embed,
@@ -45,6 +46,7 @@ _MODULES = (
     tpch,
     text,
     dedup,
+    bloom,
     similarity,
     embed,
     opq,

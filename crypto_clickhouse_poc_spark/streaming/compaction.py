@@ -109,6 +109,13 @@ def merge_mg_to_partial(partials: DataFrame) -> DataFrame:
     return sums.unionAll(book)
 
 
+def merge_bloom_to_partial(partials: DataFrame) -> DataFrame:
+    """Bloom-filter flush partials (``operators/bloom.py`` (word, bits)
+    rows): OR is the whole merge algebra — idempotent, so replayed
+    flushes are even harmless."""
+    return partials.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
 #: family name → merge-to-partial algebra (each output schema == its
 #: seat's flush-partial schema, so readers and future appends are
 #: unaffected)
@@ -117,6 +124,7 @@ COMPACTORS: dict[str, Callable[[DataFrame], DataFrame]] = {
     "quantiles": merge_quantiles_to_partial,
     "kmv": merge_kmv_to_partial,
     "mg": merge_mg_to_partial,
+    "bloom": merge_bloom_to_partial,
 }
 
 
