@@ -484,8 +484,57 @@ def doc_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", vec.alias("embedding")).orderBy("doc_id")
 
 
+LM_ALPHA = 0.5  # add-alpha smoothing for the unigram LM
+
+
+def doc_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity quality score (the CCNet recipe — Wenzek et
+    al., LREC 2020 — with the LM trained on the corpus itself instead of
+    a shipped KenLM binary, which keeps it dependency-free AND exactly
+    SQL-replayable): p(t) = (count(t) + α) / (N + α·V) with add-α
+    smoothing, each doc scored by its mean negative log-prob; ppl =
+    exp(avg_nll). Off-distribution documents (wrong language, boilerplate,
+    encoding noise) score high and get gated — the standard companion to
+    the rule-based ``doc_stats`` quality score.
+
+    Shape: ONE token-count aggregate (the ``corpus_top_tokens`` hash
+    shuffle — counts, not occurrences, come out), a 1-row (N, V) stats
+    frame, and a broadcast token→logp join back onto the exploded tokens
+    (the LM table is vocabulary-sized). At 100 TB the LM table is pruned
+    to a top-V vocabulary and the left join's coalesce charges everything
+    else the OOV probability — the same fallback this query already
+    carries (α / (N + αV)), so pruning changes scores only for tail
+    tokens.
+    """
+    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    stats = counts.agg(
+        F.sum("c").cast("double").alias("n"), F.count(F.lit(1)).cast("double").alias("v")
+    )
+    a = F.lit(LM_ALPHA)
+    lm = counts.crossJoin(F.broadcast(stats)).select(
+        "token",
+        F.log((F.col("c") + a) / (F.col("n") + a * F.col("v"))).alias("logp"),
+        F.log(a / (F.col("n") + a * F.col("v"))).alias("oov_logp"),
+    )
+    scored = toks.join(F.broadcast(lm), "token", "left").select(
+        "doc_id", F.coalesce("logp", "oov_logp").alias("logp")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(-F.avg("logp"), 6).alias("avg_nll"),
+            F.round(F.exp(-F.avg("logp")), 6).alias("ppl"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "doc_stats": doc_stats,
+    "doc_unigram_logppl": doc_unigram_logppl,
     "doc_hash_embed": doc_hash_embed,
     "doc_token_counts": doc_token_counts,
     "doc_langid": doc_langid,
@@ -599,6 +648,31 @@ ORACLES = {
                         ELSE 0 END)), 0) AS BIGINT)) AS embedding
         FROM documents
         ORDER BY doc_id
+    """,
+    "doc_unigram_logppl": f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents WHERE text IS NOT NULL
+        ),
+        counts AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+        stats AS (
+          SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v
+          FROM counts
+        ),
+        lm AS (
+          SELECT token,
+                 ln((c + {LM_ALPHA}) / (n + {LM_ALPHA} * v)) AS logp,
+                 ln({LM_ALPHA} / (n + {LM_ALPHA} * v)) AS oov_logp
+          FROM counts CROSS JOIN stats
+        ),
+        scored AS (
+          SELECT t.doc_id, coalesce(lm.logp, lm.oov_logp) AS logp
+          FROM toks t LEFT JOIN lm ON lm.token = t.token
+        )
+        SELECT doc_id, count(*) AS n_tokens,
+               round(-avg(logp), 6) AS avg_nll,
+               round(exp(-avg(logp)), 6) AS ppl
+        FROM scored GROUP BY doc_id ORDER BY doc_id
     """,
     "doc_stats": f"""
         SELECT doc_id, lang, source,
