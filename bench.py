@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "ev_user_hll",
     "emb_pca_topk",
     "corpus_bm25_topk",
+    "corpus_hybrid_rrf",
     "ev_price_quantiles_twopass",
     "ann_topk_brute",
     "ann_ivf_assign",

@@ -157,6 +157,21 @@ _MODULES = (
 #                                           rotating out dedup_simhash to
 #                                           keep the dedup family's declared
 #                                           5-tier breadth intact)
+#
+# Round-8 in-round addition (same one-per-family policy):
+#   corpus_bm25_topk -> corpus_hybrid_rrf  (the hybrid query's lexical
+#                                           branch IS corpus_bm25_topk's
+#                                           dataflow called verbatim, so the
+#                                           BM25 arithmetic stays under the
+#                                           driver hash transitively — and
+#                                           the rank-fusion family (sparse ∪
+#                                           dense ∪ RRF, the standard
+#                                           first-stage retrieval stack)
+#                                           gains a driver verdict it
+#                                           otherwise wouldn't have.
+#                                           corpus_bm25_topk and its oracle
+#                                           stay pytest-parity-gated as
+#                                           library queries)
 _DECLARED = (
     # reference §2.10 public query surface (api/server.py:57-200)
     "ev_count",
@@ -208,7 +223,7 @@ _DECLARED = (
     "ev_funnel",
     # text / LLM-pipeline + dataset assembly + ranked retrieval
     "doc_stats",
-    "corpus_bm25_topk",
+    "corpus_hybrid_rrf",
     "doc_hash_embed",
     "doc_dup_spans",
     "doc_winnow",

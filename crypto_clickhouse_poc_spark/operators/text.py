@@ -11,6 +11,9 @@ want over 100 TB of text.
 
 from __future__ import annotations
 
+import hashlib
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -453,6 +456,13 @@ def doc_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical (same bucket/sign arithmetic, commutative ±1 sums) —
     the DuckDB oracle is unchanged.
     """
+    return _hash_embed_frame(spark, sf_dir).orderBy("doc_id")
+
+
+def _hash_embed_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hash-embedding map stage WITHOUT the presentation sort, so
+    consumers that feed a TakeOrdered (``corpus_hybrid_rrf``) don't pay a
+    global sort that the limit would discard anyway."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     # NULL text → empty token array → zero vector: F.aggregate over a
     # NULL array would emit 32 NULLs while the oracle's per-element
@@ -481,7 +491,159 @@ def doc_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc, lambda v, i: v + F.when(p["b"] == i, p["s"]).otherwise(F.lit(0))
         ),
     )
-    return d.select("doc_id", vec.alias("embedding")).orderBy("doc_id")
+    return d.select("doc_id", vec.alias("embedding"))
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 ∪ embedding-cosine fused by reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # the canonical RRF damping constant (Cormack et al., SIGIR 2009)
+HYBRID_N = 20  # per-branch candidate depth AND final result size
+
+
+def _hash_embed_py(terms: tuple[str, ...]) -> list[int]:
+    """Driver-side twin of the ``doc_hash_embed`` arithmetic for the (tiny,
+    constant) query string: same md5-prefix bucket, same parity sign. The
+    result is inlined into BOTH the Spark plan and the DuckDB oracle as
+    literals, so the two sides share the identical query vector."""
+    vec = [0] * HASH_EMBED_DIM
+    for t in terms:
+        h = hashlib.md5(t.encode()).hexdigest()
+        vec[int(h[:4], 16) % HASH_EMBED_DIM] += 1 if int(h[4], 16) % 2 == 0 else -1
+    return vec
+
+
+def corpus_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid ranked retrieval: the BM25 lexical top-20 and the
+    hash-embedding cosine top-20 for the SAME query, fused by reciprocal
+    rank fusion — score(d) = Σ_branches 1/(RRF_K + rank_branch(d))
+    (Cormack, Clarke & Büttcher, SIGIR 2009). The standard first-stage
+    retrieval stack (sparse ∪ dense ∪ rank fusion) expressed as one query.
+
+    Scale shape: the lexical branch is ``corpus_bm25_topk``'s dataflow
+    verbatim (two scans + a 1-row broadcast stats join + TakeOrdered); the
+    dense branch is a map-only fold over the hash-embedding (integer dot
+    product and norms — exact, so cross-engine float-safe) + TakeOrdered;
+    fusion is a union + hash agg over ≤ 2·HYBRID_N rows. No joins between
+    fact-sized frames anywhere — at 100 TB both branches stay
+    scan-shaped and fusion cost is constant.
+
+    Both branch ranks use integer-exact sort keys on the Spark AND DuckDB
+    side (BM25 doubles from identical rational arithmetic; cosine ranks
+    from integer dot/norm products), with doc_id tie-breaks, so the fused
+    ranking is deterministic and fully oracle-value-checked.
+    """
+    qv = _hash_embed_py(BM25_QUERY)
+    q_ss = sum(v * v for v in qv)
+    # all-zero query vector (total ± sign cancellation) would make the dense
+    # branch degenerate; impossible for the fixed 3-term query, asserted so
+    # a BM25_QUERY change can't silently break cosine
+    assert q_ss > 0, "query hash-embedding cancelled to the zero vector"
+
+    lex = corpus_bm25_topk(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("lr"),
+    )
+
+    emb = _hash_embed_frame(spark, sf_dir)
+    dot = reduce(
+        lambda a, b: a + b,
+        [
+            F.col("embedding").getItem(i) * F.lit(int(qv[i]))
+            for i in range(HASH_EMBED_DIM)
+            if qv[i] != 0
+        ],
+    )
+    ss = F.aggregate(
+        "embedding", F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    sem = (
+        emb.select("doc_id", dot.alias("dot"), ss.alias("ss"))
+        .where(F.col("ss") > 0)
+        .select(
+            "doc_id",
+            (
+                F.col("dot").cast("double")
+                / F.sqrt((F.col("ss") * F.lit(int(q_ss))).cast("double"))
+            ).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("doc_id"))
+        .limit(HYBRID_N)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cos"), F.asc("doc_id")))
+            .alias("sr"),
+        )
+    )
+
+    # fusion without a join: union the two rank lists and aggregate —
+    # the shuffle is over <= 2*HYBRID_N rows regardless of corpus size
+    contribs = lex.select(
+        "doc_id", "lr", F.lit(None).cast("int").alias("sr")
+    ).unionByName(sem.select("doc_id", F.lit(None).cast("int").alias("lr"), "sr"))
+    fused = contribs.groupBy("doc_id").agg(
+        F.max("lr").alias("lex_rank"), F.max("sr").alias("sem_rank")
+    )
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("sem_rank")), F.lit(0.0))
+    return (
+        fused.select("doc_id", "lex_rank", "sem_rank", F.round(rrf, 6).alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(HYBRID_N)
+    )
+
+
+def _hybrid_rrf_oracle() -> str:
+    qv = _hash_embed_py(BM25_QUERY)
+    q_ss = sum(v * v for v in qv)
+    dot = " + ".join(
+        f"embedding[{i + 1}] * ({qv[i]})" for i in range(HASH_EMBED_DIM) if qv[i] != 0
+    )
+    return f"""
+        WITH lex AS (
+          SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                      AS INTEGER) AS lr
+          FROM ( {_bm25_oracle()} ) b
+        ),
+        emb AS ( {ORACLES["doc_hash_embed"]} ),
+        sem_top AS (
+          SELECT doc_id, CAST({dot} AS DOUBLE)
+                   / sqrt(CAST(list_sum(list_transform(embedding, x -> x * x))
+                               * {q_ss} AS DOUBLE)) AS cos
+          FROM emb
+          WHERE list_sum(list_transform(embedding, x -> x * x)) > 0
+          ORDER BY cos DESC, doc_id LIMIT {HYBRID_N}
+        ),
+        sem AS (
+          SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
+                      AS INTEGER) AS sr
+          FROM sem_top
+        ),
+        contribs AS (
+          SELECT doc_id, lr, CAST(NULL AS INTEGER) AS sr FROM lex
+          UNION ALL
+          SELECT doc_id, CAST(NULL AS INTEGER) AS lr, sr FROM sem
+        ),
+        fused AS (
+          SELECT doc_id, max(lr) AS lex_rank, max(sr) AS sem_rank
+          FROM contribs GROUP BY doc_id
+        )
+        SELECT doc_id, lex_rank, sem_rank,
+               round(coalesce(CAST(1.0 AS DOUBLE) / ({RRF_K} + lex_rank),
+                              CAST(0.0 AS DOUBLE))
+                     + coalesce(CAST(1.0 AS DOUBLE) / ({RRF_K} + sem_rank),
+                                CAST(0.0 AS DOUBLE)), 6) AS rrf
+        FROM fused
+        ORDER BY rrf DESC, doc_id
+        LIMIT {HYBRID_N}
+    """
 
 
 LM_ALPHA = 0.5  # add-alpha smoothing for the unigram LM
@@ -546,6 +708,7 @@ QUERIES = {
     "corpus_prepare": corpus_prepare,
     "corpus_prepare_near": corpus_prepare_near,
     "corpus_bm25_topk": corpus_bm25_topk,
+    "corpus_hybrid_rrf": corpus_hybrid_rrf,
 }
 
 
@@ -800,3 +963,4 @@ ORACLES = {
 ORACLES["corpus_prepare_near"] = _corpus_prepare_near_oracle()
 
 ORACLES["corpus_bm25_topk"] = _bm25_oracle()
+ORACLES["corpus_hybrid_rrf"] = _hybrid_rrf_oracle()
