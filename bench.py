@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_minhash_summary",
     "dedup_embedding_lsh",
+    "dedup_semantic",
     # r6: exact substring dedup (hash-only shuffle), HLL sketch (JVM
     # DataSketches, map-side partials), PCA fit+project+reduced-space topk
     "doc_dup_spans",

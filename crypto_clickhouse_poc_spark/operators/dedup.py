@@ -568,6 +568,128 @@ def srp_pairs(e: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup: k-means-bucketed semantic dedup (Abbas et al., 2023 —
+# "SemDeDup: Data-efficient learning at web-scale through semantic
+# deduplication", arXiv:2303.09540)
+# ---------------------------------------------------------------------------
+
+
+def _semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-cluster near-dup candidate pairs behind both SemDeDup queries:
+    assign every vector to its nearest trained k-means centroid (the SAME
+    memoized spherical-k-means model the IVF-ANN family serves from — one
+    shuffle-free per-row fold over inlined centroid literals), then
+    self-equi-join ON THE CLUSTER ID and keep pairs with cosine ≥
+    threshold. Carries each side's centroid cosine for the keep policy.
+
+    Scale shape: the blocking is the paper's — pair work is Σ|cluster|²
+    instead of n², and k grows with the corpus (SemDeDup uses k ≈ n/1000 on
+    LAION) so clusters stay bounded; the join is an equi-join on a small
+    int key (shuffle partitioned by cid, AQE-splittable on skew), never a
+    cartesian. Complements the SRP-LSH blocking of ``dedup_embedding_lsh``:
+    clustering adapts buckets to the data's geometry, SRP's hyperplanes are
+    data-independent.
+    """
+    from . import similarity as SIM
+
+    e = SIM._vectors(spark, sf_dir).select("vec_id", "v")
+    return semantic_pairs(e, SIM._train_kmeans(spark, sf_dir))
+
+
+def semantic_pairs(e: DataFrame, cent_rows: list[tuple]) -> DataFrame:
+    """The SemDeDup dataflow over any ``(vec_id, v: array<double>)`` frame
+    and a trained centroid list ``[(cid, cv, cnrm), ...]`` — see
+    ``_semantic_pairs`` for the anatomy and scale notes."""
+    rk = V.centroid_ranking(
+        F.col("v"), F.col("nrm"), V.centroid_literal(cent_rows)
+    )[0]
+    assigned = bounded_cache(
+        "dedup.semantic_assigned",
+        e.withColumn("nrm", V.norm(F.col("v"))).select(
+            "vec_id",
+            "v",
+            "nrm",
+            rk["cid"].alias("cid"),
+            (-rk["negcos"]).alias("ccos"),
+        ),
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = V.dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") >= COSINE_THRESHOLD)
+        .select(
+            F.col("a.cid").alias("cid"),
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            "cosine",
+            F.col("a.ccos").alias("accos"),
+            F.col("b.ccos").alias("bccos"),
+        )
+    )
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup near-dup pairs: same cosine + threshold as the brute-force
+    ``dedup_embedding`` baseline, but only WITHIN k-means clusters — so the
+    output is a subset of the baseline's whose recall is the probability
+    that near-dups co-assign (near-1 for near-identical vectors; gated in
+    tests/test_lsh_quality.py). Fully DuckDB-oracle-exact: the clustering,
+    assignment, and cosine arithmetic are all deterministic and
+    SQL-replayable."""
+    return _semantic_pairs(spark, sf_dir).select(
+        "cid", "vec_a", "vec_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup keep policy over the within-cluster pairs: for every
+    near-dup pair, REMOVE the member closer to its centroid (the paper §3
+    keeps the LOW-centroid-similarity item — it is the more informative,
+    less redundant one), ties broken by the higher vec_id. Output is the
+    per-vector verdict for every vector in ≥ 1 pair; vectors in no pair are
+    trivially kept and omitted.
+
+    One extra shuffle over the pairs frame (loser-id distinct) + a
+    broadcast-sized join back to the ≤2·pairs member set — the verdict
+    stage costs O(pairs), never O(n²)."""
+    pairs = bounded_cache("dedup.semantic_pairs", _semantic_pairs(spark, sf_dir))
+    loser = F.when(
+        (F.col("accos") > F.col("bccos"))
+        | ((F.col("accos") == F.col("bccos")) & (F.col("vec_a") > F.col("vec_b"))),
+        F.col("vec_a"),
+    ).otherwise(F.col("vec_b"))
+    losers = pairs.select(loser.alias("vec_id")).distinct()
+    members = (
+        pairs.select(F.col("vec_a").alias("vec_id"), F.col("cid"), F.col("accos").alias("ccos"))
+        .unionByName(
+            pairs.select(
+                F.col("vec_b").alias("vec_id"), F.col("cid"), F.col("bccos").alias("ccos")
+            )
+        )
+        .groupBy("vec_id")
+        # cid/ccos are identical on every occurrence of a vec_id (one
+        # assignment per vector) — max is just the deterministic pick
+        .agg(F.max("cid").alias("cid"), F.max("ccos").alias("ccos"))
+    )
+    return (
+        members.join(losers.withColumn("rm", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.round("ccos", 6).alias("centroid_cos"),
+            F.coalesce("rm", F.lit(False)).alias("removed"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact duplicated-span detection (substring-level dedup)
 #
 # Document-level dedup (everything above) misses the common contamination
@@ -789,6 +911,8 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
     "dedup_embedding_lsh": dedup_embedding_lsh,
+    "dedup_semantic": dedup_semantic,
+    "dedup_semantic_keep": dedup_semantic_keep,
     "doc_dup_spans": doc_dup_spans,
     "corpus_dup_spans": corpus_dup_spans,
     "dup_span_clusters": dup_span_clusters,
@@ -1026,4 +1150,63 @@ ORACLES["dedup_incremental_lsh"] = f"""
     SELECT doc_new, doc_base, round(common / (na + nb - common), 6) AS jaccard
     FROM verified
     WHERE common / (na + nb - common) >= 0.8
+"""
+
+
+def _semdedup_prefix() -> str:
+    """Shared CTE prefix for the SemDeDup oracles: the similarity module's
+    deterministic k-means (same md5-seeded init, same fixed Lloyd rounds)
+    → nearest-centroid assignment → within-cluster pairs with cosine and
+    both members' centroid cosines. Import is deferred so dedup keeps no
+    module-level dependency on similarity."""
+    from . import similarity as _SIM
+
+    return f"""
+    WITH {_SIM._E},
+    {_SIM._KMEANS_SQL},
+    scored AS (
+      SELECT e.vec_id, e.v, e.nrm, c.centroid_label,
+             list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) AS ccos
+      FROM e, cent_n c
+    ),
+    assigned AS (
+      SELECT vec_id, v, nrm, centroid_label AS cid, ccos
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY ccos DESC, centroid_label) AS rn
+            FROM scored) t
+      WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT a.cid, a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine,
+             a.ccos AS accos, b.ccos AS bccos
+      FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {COSINE_THRESHOLD}
+    )"""
+
+
+ORACLES["dedup_semantic"] = f"""
+    {_semdedup_prefix()}
+    SELECT cid, vec_a, vec_b, round(cosine, 6) AS cosine FROM pairs
+"""
+
+ORACLES["dedup_semantic_keep"] = f"""
+    {_semdedup_prefix()},
+    members AS (
+      SELECT vec_id, max(cid) AS cid, max(ccos) AS ccos FROM (
+        SELECT vec_a AS vec_id, cid, accos AS ccos FROM pairs
+        UNION ALL
+        SELECT vec_b AS vec_id, cid, bccos AS ccos FROM pairs) u
+      GROUP BY vec_id
+    ),
+    losers AS (
+      SELECT DISTINCT CASE WHEN accos > bccos
+                             OR (accos = bccos AND vec_a > vec_b)
+                           THEN vec_a ELSE vec_b END AS vec_id
+      FROM pairs
+    )
+    SELECT m.vec_id, m.cid, round(m.ccos, 6) AS centroid_cos,
+           (l.vec_id IS NOT NULL) AS removed
+    FROM members m LEFT JOIN losers l ON l.vec_id = m.vec_id
+    ORDER BY m.vec_id
 """
