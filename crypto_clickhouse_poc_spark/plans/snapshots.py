@@ -1,0 +1,253 @@
+"""Snapshot log: versioned reads over immutable parquet (the transaction-log
+pattern of open-source Delta/Iceberg, minimal form).
+
+``plans/layout.py`` documents its one honest gap: the compact()/swap_in
+rename window exists BECAUSE a directory-of-parquet table has no metadata
+pointer — readers resolve the live file set by listing the directory. This
+module adds that pointer. A table becomes
+
+    <path>/_log/v{N}.json     — complete snapshot manifests (the pointer)
+    <path>/data/txn=<id>/...  — immutable data files, one sub-dir per commit
+
+and every operation is a NEW manifest over mostly-old files:
+
+- append   → write a fresh ``txn=`` dir, commit parent files + new files
+- compact  → rewrite survivors into a fresh dir, commit ONLY the new files
+             (old files stay on disk — prior versions remain readable; no
+             rename window, no reader retry: the swap is one manifest link)
+- retention→ METADATA-ONLY: commit a manifest excluding the dropped months'
+             files. O(manifest), zero I/O on data, trivially undoable.
+- rollback → commit a new version whose file list is an old version's
+             (history is append-only; nothing is deleted)
+- vacuum   → physically delete files unreferenced by the LATEST manifest
+             (after which time travel to versions needing them fails — the
+             Delta VACUUM trade; requires no concurrent writers)
+
+Commits are optimistic-concurrency: the manifest is written to a unique tmp
+name and ``os.link``ed to ``v{N}.json`` — EEXIST means another writer won
+version N, so re-read the head and retry on N+1 (the open-source Delta
+protocol on a POSIX filesystem). There is no crash window at all: a crash
+before the link leaves an orphan tmp/data dir that vacuum sweeps; a crash
+after the link IS a completed commit.
+
+The txn id is carried as a PARTITION column (``data/txn=<id>/p_month=…``),
+so Spark's partition discovery works unchanged under a ``basePath`` and
+every row keeps commit lineage for free; readers drop it by default.
+
+Scale notes for 100 TB: the manifest stores each file's partition value, so
+``read_snapshot(months=…)`` prunes at the METADATA level — the Spark scan
+is handed only surviving files and never lists storage (listing a
+100M-file table is the actual bottleneck cloud tables hit). A single JSON
+manifest is the minimal form; at millions of files per snapshot the same
+design shards into manifest-list + per-partition manifests (Iceberg's
+layout) without changing any reader semantics. Reference parity: this
+subsumes the ClickHouse behaviors layout.py maps (background merge ≙
+compact, TTL ≙ drop_months) while adding the versioned reads ClickHouse
+itself lacks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from pathlib import Path
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .layout import PARTITION_COL, dedup_view, with_partition_col
+
+LOG_DIR = "_log"
+DATA_DIR = "data"
+TXN_COL = "txn"
+_COMMIT_RETRIES = 50
+
+
+def _log(path: str) -> Path:
+    return Path(path) / LOG_DIR
+
+
+def _data(path: str) -> Path:
+    return Path(path) / DATA_DIR
+
+
+def latest_version(path: str) -> int | None:
+    """Highest committed version, or None for an uninitialized table.
+    O(#versions) directory scan of the log — never touches data."""
+    versions = [
+        int(p.stem[1:])
+        for p in _log(path).glob("v*.json")
+        if p.stem[1:].isdigit()
+    ]
+    return max(versions) if versions else None
+
+
+def manifest(path: str, version: int) -> dict:
+    return json.loads((_log(path) / f"v{version}.json").read_text())
+
+
+def history(path: str) -> list[dict]:
+    """All committed versions, ascending — (version, op, parent, n_files)."""
+    head = latest_version(path)
+    if head is None:
+        return []
+    out = []
+    for v in range(head + 1):
+        m = manifest(path, v)
+        out.append(
+            {
+                "version": v,
+                "op": m["op"],
+                "parent": m["parent"],
+                "n_files": len(m["files"]),
+            }
+        )
+    return out
+
+
+def _commit(path: str, files: list[dict], op: str) -> int:
+    """Optimistic commit: claim the next version number with an atomic
+    ``os.link``; EEXIST = lost the race, retry against the new head.
+    ``files`` entries are {"path": <relative>, "p_month": <yyyyMM>}."""
+    log = _log(path)
+    log.mkdir(parents=True, exist_ok=True)
+    tmp = log / f".tmp-{uuid.uuid4().hex}.json"
+    for _ in range(_COMMIT_RETRIES):
+        head = latest_version(path)
+        version = 0 if head is None else head + 1
+        body = {
+            "version": version,
+            "parent": head,
+            "op": op,
+            "files": sorted(files, key=lambda f: f["path"]),
+        }
+        tmp.write_text(json.dumps(body, indent=1))
+        try:
+            os.link(tmp, log / f"v{version}.json")
+        except FileExistsError:
+            continue  # another writer claimed this version — recompute head
+        finally:
+            tmp.unlink(missing_ok=True)
+        return version
+    raise RuntimeError(f"commit contention: lost {_COMMIT_RETRIES} races at {path}")
+
+
+def _write_txn(df: DataFrame, path: str, ts_col: str) -> list[dict]:
+    """Write a fresh immutable ``txn=`` dir (month-partitioned, sorted like
+    layout.write_table) and return its manifest entries."""
+    txn = uuid.uuid4().hex[:12]
+    dest = _data(path) / f"{TXN_COL}={txn}"
+    (
+        with_partition_col(df, ts_col)
+        .repartition(F.col(PARTITION_COL))
+        .sortWithinPartitions(ts_col)
+        .write.mode("error")
+        .partitionBy(PARTITION_COL)
+        .parquet(str(dest))
+    )
+    out = []
+    for f in dest.rglob("*.parquet"):
+        rel = f.relative_to(Path(path))
+        month = next(
+            part.split("=", 1)[1]
+            for part in rel.parts
+            if part.startswith(f"{PARTITION_COL}=")
+        )
+        out.append({"path": str(rel), "p_month": month})
+    return out
+
+
+def _current_files(path: str) -> list[dict]:
+    head = latest_version(path)
+    return [] if head is None else manifest(path, head)["files"]
+
+
+def append(df: DataFrame, path: str, ts_col: str = "ts") -> int:
+    """Commit an append: parent's files + the new txn dir's files."""
+    new = _write_txn(df, path, ts_col)
+    return _commit(path, _current_files(path) + new, "append")
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    path: str,
+    keys: Sequence[str] = ("ts", "symbol", "trade_id"),
+    version_col: str = "ingested_at",
+    ts_col: str = "ts",
+) -> int:
+    """The background-merge analog WITHOUT layout.compact's rename window:
+    rewrite the deduped survivors into a fresh txn dir and commit a
+    manifest listing ONLY it. Readers of older versions keep their files;
+    the swap is one atomic manifest link."""
+    df = dedup_view(read_snapshot(spark, path), keys, version_col).drop(PARTITION_COL)
+    new = _write_txn(df, path, ts_col)
+    return _commit(path, new, "compact")
+
+
+def drop_months(path: str, cutoff_month: str) -> int:
+    """TTL as metadata: commit a manifest excluding files of months older
+    than ``cutoff_month``. Zero data I/O; prior versions still serve the
+    dropped months until vacuum."""
+    keep = [f for f in _current_files(path) if f["p_month"] >= cutoff_month]
+    return _commit(path, keep, "retention")
+
+
+def rollback(path: str, to_version: int) -> int:
+    """Commit a new head whose file list is ``to_version``'s (append-only
+    history — the bad versions stay inspectable)."""
+    return _commit(path, manifest(path, to_version)["files"], "rollback")
+
+
+def read_snapshot(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    months: tuple[str, str] | None = None,
+    keep_txn: bool = False,
+) -> DataFrame:
+    """Read a snapshot (default: latest). ``months=(lo, hi)`` prunes at the
+    MANIFEST level — only surviving files are handed to the scan, so
+    planning cost is O(selected files) and storage is never listed."""
+    head = latest_version(path)
+    if head is None:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    v = head if version is None else version
+    files = manifest(path, v)["files"]
+    if months is not None:
+        lo, hi = months
+        files = [f for f in files if lo <= f["p_month"] <= hi]
+    if not files:
+        raise ValueError(f"version {v} of {path} has no files in range")
+    df = (
+        spark.read.option("basePath", str(_data(path)))
+        .parquet(*[str(Path(path) / f["path"]) for f in files])
+    )
+    return df if keep_txn else df.drop(TXN_COL)
+
+
+def vacuum(path: str) -> list[str]:
+    """Delete data files not referenced by the LATEST manifest (including
+    orphans from crashed appends) and prune empty dirs. After this, time
+    travel to versions that needed those files fails — run only when no
+    writer is in flight and history can be let go (Delta VACUUM semantics).
+    Returns the deleted files' relative paths."""
+    live = {f["path"] for f in _current_files(path)}
+    removed = []
+    for f in _data(path).rglob("*.parquet"):
+        rel = str(f.relative_to(Path(path)))
+        if rel not in live:
+            f.unlink()
+            removed.append(rel)
+    # non-parquet write artifacts (_SUCCESS markers) + emptied dirs
+    live_dirs = {Path(p).parent.parts for p in live}
+    live_dirs = {parts[:n] for parts in live_dirs for n in range(1, len(parts) + 1)}
+    for d in sorted(_data(path).rglob("*"), reverse=True):
+        rel_parent = d.relative_to(Path(path)).parent.parts
+        if d.is_file() and d.name.startswith("_") and rel_parent not in live_dirs:
+            d.unlink()
+        elif d.is_dir() and not any(d.iterdir()):
+            d.rmdir()
+    return sorted(removed)

@@ -1,0 +1,117 @@
+"""Snapshot-log (time travel / metadata-only maintenance) gates.
+
+Versioning semantics have no SQL oracle; like plans/migrate and
+plans/layout these are pytest-gated: every version stays exactly
+reproducible, maintenance ops are metadata-only, the commit protocol
+survives races, vacuum deletes exactly the unreferenced files."""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime
+from pathlib import Path
+
+import pytest
+
+from crypto_clickhouse_poc_spark.plans import snapshots as S
+
+
+def _batch(spark, month: int, ids, version: int = 0):
+    rows = [
+        (datetime(2024, month, 1 + (i % 27)), "BTC", i, float(100 + i), version)
+        for i in ids
+    ]
+    return spark.createDataFrame(
+        rows, "ts timestamp, symbol string, trade_id long, price double, ingested_at long"
+    )
+
+
+@pytest.fixture()
+def table(tmp_path, spark):
+    path = str(tmp_path / "snap_table")
+    S.append(_batch(spark, 1, range(10)), path)  # v0: Jan, ids 0-9
+    S.append(_batch(spark, 2, range(10, 16)), path)  # v1: Feb, ids 10-15
+    return path
+
+
+def _ids(df):
+    return sorted(r.trade_id for r in df.collect())
+
+
+def test_time_travel_reads_every_version(spark, table):
+    assert S.latest_version(table) == 1
+    assert _ids(S.read_snapshot(spark, table, version=0)) == list(range(10))
+    assert _ids(S.read_snapshot(spark, table)) == list(range(16))
+
+
+def test_compact_swaps_without_touching_old_versions(spark, table):
+    # duplicate ids 0-4 with a newer ingested_at — compact keeps the max
+    S.append(_batch(spark, 1, range(5), version=9), table)
+    v = S.compact_snapshot(spark, table)
+    head = S.read_snapshot(spark, table)
+    assert _ids(head) == list(range(16))  # dups collapsed
+    kept = {r.trade_id: r.ingested_at for r in head.collect()}
+    assert all(kept[i] == 9 for i in range(5))
+    # pre-compact version still reads the duplicate rows from the old files
+    assert len(_ids(S.read_snapshot(spark, table, version=v - 1))) == 21
+    assert S.history(table)[-1]["op"] == "compact"
+
+
+def test_retention_is_metadata_only_and_time_travels(spark, table):
+    files_before = sorted(p for p in Path(table).rglob("*.parquet"))
+    v = S.drop_months(table, "202402")
+    assert sorted(Path(table).rglob("*.parquet")) == files_before  # zero data I/O
+    assert _ids(S.read_snapshot(spark, table)) == list(range(10, 16))
+    # the dropped month is still served by the prior version
+    assert _ids(S.read_snapshot(spark, table, version=v - 1)) == list(range(16))
+
+
+def test_manifest_level_month_pruning_hands_scan_only_matching_files(spark, table):
+    df = S.read_snapshot(spark, table, months=("202402", "202402"))
+    assert _ids(df) == list(range(10, 16))
+    for f in df.inputFiles():
+        assert "p_month=202402" in f  # January files never reach the scan
+
+
+def test_rollback_restores_and_preserves_history(spark, table):
+    S.drop_months(table, "202402")
+    S.rollback(table, to_version=1)
+    assert _ids(S.read_snapshot(spark, table)) == list(range(16))
+    ops = [h["op"] for h in S.history(table)]
+    assert ops == ["append", "append", "retention", "rollback"]
+
+
+def test_commit_race_retries_to_next_version(spark, table):
+    # simulate a concurrent writer claiming v2 between head-read and link
+    log = Path(table) / S.LOG_DIR
+    racer = json.loads((log / "v1.json").read_text())
+    racer["version"] = 2
+    (log / "v2.json").write_text(json.dumps(racer))
+    v = S.append(_batch(spark, 3, range(16, 18)), table)
+    assert v == 3  # lost the race at 2, committed at 3
+    assert _ids(S.read_snapshot(spark, table)) == list(range(18))
+
+
+def test_vacuum_deletes_exactly_unreferenced_and_breaks_old_reads(spark, table):
+    v_compact = S.compact_snapshot(spark, table)
+    live = {f["path"] for f in S.manifest(table, v_compact)["files"]}
+    on_disk = {
+        str(p.relative_to(Path(table))) for p in Path(table).rglob("*.parquet")
+    }
+    removed = S.vacuum(table)
+    assert set(removed) == on_disk - live
+    assert _ids(S.read_snapshot(spark, table)) == list(range(16))  # head intact
+    with pytest.raises(Exception):
+        S.read_snapshot(spark, table, version=0).collect()
+
+
+def test_vacuum_sweeps_orphans_from_crashed_appends(spark, table):
+    # a crashed append: data written, commit never happened
+    orphan = Path(table) / S.DATA_DIR / f"{S.TXN_COL}=deadbeef" / "p_month=209901"
+    orphan.mkdir(parents=True)
+    (orphan / "part-0.parquet").write_bytes(b"not really parquet")
+    removed = S.vacuum(table)
+    assert any("deadbeef" in r for r in removed)
+    assert not (Path(table) / S.DATA_DIR / f"{S.TXN_COL}=deadbeef").exists()
+    assert _ids(S.read_snapshot(spark, table)) == list(range(16))
