@@ -56,3 +56,56 @@ def salted_join(
     )
     out = bs.join(ss, [on, SALT_COL], how)
     return out.drop(SALT_COL)
+
+
+# ---------------------------------------------------------------------------
+# Runtime bloom-filter join reduction (the third runtime-replan lever,
+# beside AQE skew-split and salting): for a selective-dim ⋈ big-fact
+# sort-merge join, Catalyst injects a bloom-filter aggregate on the
+# SELECTIVE side and applies `bloom_filter_might_contain` to the fact scan
+# BEFORE the shuffle — the shuffle then carries only probably-matching
+# rows. This is ClickHouse's "JOIN with a prefilter" / semi-join reduction
+# as a pure optimizer behavior: zero query changes.
+#
+# The thresholds exist for 100 TB reasons: building a bloom filter costs a
+# pass over the creation side (only worth it if it is small —
+# creationSideThreshold) and only pays if the application side is scan-
+# dominant (applicationSideScanSizeThreshold, default 10 GB — our test
+# fixtures sit far below it, so the demo lowers it; a real cluster keeps
+# the defaults and gets the filter exactly when it matters).
+# ---------------------------------------------------------------------------
+
+_BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # let small fixtures qualify as the "big" application side
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    # keep the join a shuffle join — a broadcast join already prunes the
+    # stream side with its build-side hash table, no bloom needed
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+class runtime_bloom_demo:
+    """Context manager: enable runtime bloom-filter injection at fixture
+    scale (runtime SQL confs only — session-safe, restored on exit)."""
+
+    def __init__(self, spark):
+        self.spark = spark
+        self._saved: dict[str, str | None] = {}
+
+    def __enter__(self):
+        for k, v in _BLOOM_CONFS.items():
+            try:
+                self._saved[k] = self.spark.conf.get(k)
+            except Exception:
+                self._saved[k] = None
+            self.spark.conf.set(k, v)
+        return self.spark
+
+    def __exit__(self, *exc):
+        for k, v in self._saved.items():
+            if v is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, v)
+        return False

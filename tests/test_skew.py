@@ -89,3 +89,35 @@ def test_salted_join_key_includes_salt(spark):
         assert SALT_COL in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_runtime_bloom_filter_reduces_fact_scan(spark):
+    """Catalyst injects a bloom-filter semi-join reduction: the selective
+    orders side builds a bloom_filter_agg and the lineitem scan applies
+    might_contain BEFORE the join shuffle. Results are identical with the
+    filter off (it only removes definite non-matches)."""
+    from pyspark.sql import functions as F
+
+    from crypto_clickhouse_poc_spark.plans.skew import runtime_bloom_demo
+    from tests.conftest import SF_CORRECT
+
+    o = spark.read.parquet(f"{SF_CORRECT}/orders.parquet")
+    l = spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet")
+
+    def q():
+        sel = o.where(F.col("o_orderpriority") == "1-URGENT")
+        return (
+            l.join(sel, l.l_orderkey == sel.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        )
+
+    baseline = sorted(tuple(r) for r in q().collect())
+    with runtime_bloom_demo(spark):
+        df = q()
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt, "no runtime bloom filter injected"
+        assert "might_contain" in opt
+        assert sorted(tuple(r) for r in df.collect()) == baseline
+    # confs restored: the shared session must keep its broadcast behavior
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
