@@ -108,20 +108,29 @@ def history(path: str) -> list[dict]:
     return out
 
 
-def _commit(path: str, files: list[dict], op: str) -> int:
+def _commit(path: str, files: list[dict], op: str, txn: tuple[str, int] | None = None) -> int:
     """Optimistic commit: claim the next version number with an atomic
     ``os.link``; EEXIST = lost the race, retry against the new head.
-    ``files`` entries are {"path": <relative>, "p_month": <yyyyMM>}."""
+    ``files`` entries are {"path": <relative>, "p_month": <yyyyMM>}.
+
+    ``txn=(app, id)`` records an idempotent-writer watermark: the manifest
+    carries forward a ``txns`` map {app: last committed id} (the Delta
+    (appId, batchId) protocol), so a replayed micro-batch can be detected
+    in O(1) from the head manifest alone."""
     log = _log(path)
     log.mkdir(parents=True, exist_ok=True)
     tmp = log / f".tmp-{uuid.uuid4().hex}.json"
     for _ in range(_COMMIT_RETRIES):
         head = latest_version(path)
         version = 0 if head is None else head + 1
+        txns = {} if head is None else manifest(path, head).get("txns", {})
+        if txn is not None:
+            txns = {**txns, txn[0]: txn[1]}
         body = {
             "version": version,
             "parent": head,
             "op": op,
+            "txns": txns,
             "files": sorted(files, key=lambda f: f["path"]),
         }
         tmp.write_text(json.dumps(body, indent=1))
@@ -165,10 +174,80 @@ def _current_files(path: str) -> list[dict]:
     return [] if head is None else manifest(path, head)["files"]
 
 
-def append(df: DataFrame, path: str, ts_col: str = "ts") -> int:
-    """Commit an append: parent's files + the new txn dir's files."""
+def last_txn(path: str, app: str) -> int | None:
+    """The idempotent-writer watermark for ``app`` — highest batch id ever
+    committed under it (read from the head manifest, O(1))."""
+    head = latest_version(path)
+    if head is None:
+        return None
+    return manifest(path, head).get("txns", {}).get(app)
+
+
+def append(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "ts",
+    txn_app: str | None = None,
+    txn_id: int | None = None,
+) -> int:
+    """Commit an append: parent's files + the new txn dir's files.
+
+    With ``txn_app``/``txn_id`` set (a streaming sink's (appId, batchId)),
+    the append is IDEMPOTENT: a batch id at or below the app's committed
+    watermark is a detected replay and is skipped without writing — this is
+    what turns foreachBatch's at-least-once batch delivery into an
+    exactly-once table. Batches of one app must be serialized (true for a
+    Structured Streaming query by construction); different apps commit
+    concurrently through the optimistic-link protocol."""
+    if txn_app is not None:
+        seen = last_txn(path, txn_app)
+        if seen is not None and txn_id is not None and txn_id <= seen:
+            return latest_version(path)  # replayed micro-batch — no-op
     new = _write_txn(df, path, ts_col)
-    return _commit(path, _current_files(path) + new, "append")
+    txn = (txn_app, int(txn_id)) if txn_app is not None else None
+    return _commit(path, _current_files(path) + new, "append", txn=txn)
+
+
+def read_changes(
+    spark: SparkSession,
+    path: str,
+    since_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Incremental consumption (change-data-feed for an append-only range):
+    the rows of files ADDED after ``since_version`` up to ``to_version``
+    (default head). Downstream jobs checkpoint the version they've consumed
+    and each run processes only the delta — O(new data), never a rescan.
+
+    Every op in the range must be an append: compaction/retention/rollback
+    rewrite VISIBILITY rather than add rows, so "files added" stops meaning
+    "rows added" — the reader raises and the consumer falls back to a full
+    re-read (the same contract Delta CDF has for non-CDC rewrites)."""
+    head = latest_version(path)
+    if head is None:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    to = head if to_version is None else to_version
+    ops = [manifest(path, v)["op"] for v in range(since_version + 1, to + 1)]
+    bad = [o for o in ops if o != "append"]
+    if bad:
+        raise ValueError(
+            f"non-append ops {bad} in ({since_version}, {to}] — "
+            "incremental read undefined; re-read the snapshot"
+        )
+    # since_version=-1 reads from the beginning (every file is "added")
+    before = (
+        set()
+        if since_version < 0
+        else {f["path"] for f in manifest(path, since_version)["files"]}
+    )
+    added = [f for f in manifest(path, to)["files"] if f["path"] not in before]
+    if not added:
+        raise ValueError(f"no files added in ({since_version}, {to}]")
+    df = (
+        spark.read.option("basePath", str(_data(path)))
+        .parquet(*[str(Path(path) / f["path"]) for f in added])
+    )
+    return df.drop(TXN_COL)
 
 
 def compact_snapshot(

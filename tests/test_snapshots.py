@@ -115,3 +115,71 @@ def test_vacuum_sweeps_orphans_from_crashed_appends(spark, table):
     assert any("deadbeef" in r for r in removed)
     assert not (Path(table) / S.DATA_DIR / f"{S.TXN_COL}=deadbeef").exists()
     assert _ids(S.read_snapshot(spark, table)) == list(range(16))
+
+
+def test_read_changes_returns_only_the_delta(spark, table):
+    inc = S.read_changes(spark, table, since_version=0)
+    assert _ids(inc) == list(range(10, 16))
+    assert _ids(S.read_changes(spark, table, since_version=-1)) == list(range(16))
+
+
+def test_read_changes_refuses_non_append_ranges(spark, table):
+    S.drop_months(table, "202402")
+    with pytest.raises(ValueError, match="non-append"):
+        S.read_changes(spark, table, since_version=0)
+    # a bounded range that stops before the retention commit still works
+    assert _ids(S.read_changes(spark, table, since_version=0, to_version=1)) == list(
+        range(10, 16)
+    )
+
+
+def test_txn_append_is_idempotent_per_app(spark, table):
+    v = S.append(_batch(spark, 3, range(16, 18)), table, txn_app="job", txn_id=0)
+    files = {f["path"] for f in S.manifest(table, v)["files"]}
+    # replayed batch: same app, same id — metadata no-op, nothing written
+    v2 = S.append(_batch(spark, 3, range(90, 99)), table, txn_app="job", txn_id=0)
+    assert v2 == v
+    assert {f["path"] for f in S.manifest(table, S.latest_version(table))["files"]} == files
+    # next batch id commits; watermark advances
+    S.append(_batch(spark, 3, range(18, 20)), table, txn_app="job", txn_id=1)
+    assert S.last_txn(table, "job") == 1
+    assert _ids(S.read_snapshot(spark, table)) == list(range(20))
+
+
+def test_snapshot_sink_streams_exactly_once_with_versioned_history(spark, tmp_path):
+    """Replay → snapshot-committing sink: every micro-batch is a committed
+    version, the final table matches the fixture exactly, and each
+    intermediate version stays readable (time travel over stream history)."""
+    from crypto_clickhouse_poc_spark.sources.replay import (
+        read_replay_stream,
+        trades_to_event_lines,
+        write_replay_chunks,
+    )
+    from crypto_clickhouse_poc_spark.streaming.snapsink import start_ingest_snapshot
+    from tests.test_streaming import _expected, _fixture_rows
+
+    rows = _fixture_rows()
+    replay_dir, dest, ckpt = (str(tmp_path / d) for d in ("replay", "snap", "ckpt"))
+    write_replay_chunks(trades_to_event_lines(rows), replay_dir, num_chunks=4)
+    q = start_ingest_snapshot(
+        read_replay_stream(spark, replay_dir), dest, ckpt, trigger_sec=0
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    head = S.latest_version(dest)
+    assert head is not None
+    assert all(h["op"] == "append" for h in S.history(dest))
+    got = sorted(
+        (r["symbol"], r["trade_id"], r["price"], r["qty"], r["ts"], r["is_buyer_maker"])
+        for r in S.read_snapshot(spark, dest)
+        .select("symbol", "trade_id", "price", "qty", "ts", "is_buyer_maker")
+        .collect()
+    )
+    assert got == _expected(rows)
+    assert S.last_txn(dest, "ingest-snapshot") is not None
+    # every stream-history version is a consistent readable snapshot
+    sizes = [S.read_snapshot(spark, dest, version=v).count() for v in range(head + 1)]
+    assert sizes == sorted(sizes) and sizes[-1] == len(rows)
