@@ -149,14 +149,26 @@ def _write_txn(df: DataFrame, path: str, ts_col: str) -> list[dict]:
     layout.write_table) and return its manifest entries."""
     txn = uuid.uuid4().hex[:12]
     dest = _data(path) / f"{TXN_COL}={txn}"
-    (
-        with_partition_col(df, ts_col)
-        .repartition(F.col(PARTITION_COL))
-        .sortWithinPartitions(ts_col)
-        .write.mode("error")
-        .partitionBy(PARTITION_COL)
-        .parquet(str(dest))
-    )
+    # INT96 (Spark's legacy timestamp default) carries NO min/max footer
+    # stats — write INT64 micros so every commit gets prunable ts stats
+    conf = df.sparkSession.conf
+    key = "spark.sql.parquet.outputTimestampType"
+    saved = conf.get(key, None)
+    conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        (
+            with_partition_col(df, ts_col)
+            .repartition(F.col(PARTITION_COL))
+            .sortWithinPartitions(ts_col)
+            .write.mode("error")
+            .partitionBy(PARTITION_COL)
+            .parquet(str(dest))
+        )
+    finally:
+        if saved is None:
+            conf.unset(key)
+        else:
+            conf.set(key, saved)
     out = []
     for f in dest.rglob("*.parquet"):
         rel = f.relative_to(Path(path))
@@ -165,8 +177,47 @@ def _write_txn(df: DataFrame, path: str, ts_col: str) -> list[dict]:
             for part in rel.parts
             if part.startswith(f"{PARTITION_COL}=")
         )
-        out.append({"path": str(rel), "p_month": month})
+        entry = {"path": str(rel), "p_month": month}
+        entry.update(_footer_stats(f, ts_col))
+        out.append(entry)
     return out
+
+
+def _footer_stats(f: Path, ts_col: str) -> dict:
+    """Per-file (rows, ts_min, ts_max) from the parquet FOOTER — the
+    Iceberg manifest-stats pattern: one metadata read at commit time buys
+    metadata-level range pruning for every future query. Missing/statless
+    columns degrade to no stats (the file is then never pruned)."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(str(f)).metadata
+    except Exception:
+        return {}
+    out: dict = {"rows": md.num_rows}
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            if col.path_in_schema == ts_col and col.statistics is not None:
+                st = col.statistics
+                if st.has_min_max:
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+    if lo is not None:
+        out["ts_min"] = _iso(lo)
+        out["ts_max"] = _iso(hi)
+    return out
+
+
+def _iso(b) -> str:
+    """Canonical tz-naive ISO form so manifest stats and query bounds
+    compare as strings: 'T' separator, no tz suffix (Spark stores UTC)."""
+    if hasattr(b, "isoformat"):
+        b = b.replace(tzinfo=None) if getattr(b, "tzinfo", None) else b
+        return b.isoformat()
+    return str(b).replace(" ", "T")
 
 
 def _current_files(path: str) -> list[dict]:
@@ -285,11 +336,18 @@ def read_snapshot(
     path: str,
     version: int | None = None,
     months: tuple[str, str] | None = None,
+    ts_range: tuple | None = None,
+    ts_col: str = "ts",
     keep_txn: bool = False,
 ) -> DataFrame:
-    """Read a snapshot (default: latest). ``months=(lo, hi)`` prunes at the
-    MANIFEST level — only surviving files are handed to the scan, so
-    planning cost is O(selected files) and storage is never listed."""
+    """Read a snapshot (default: latest). ``months=(lo, hi)`` prunes whole
+    partitions and ``ts_range=(lo, hi)`` prunes by the per-file footer
+    stats the commit recorded — both at the MANIFEST level, so only
+    surviving files are handed to the scan and storage is never listed.
+    The ts predicate is RE-APPLIED to the surviving rows (the skipping.py
+    contract: pruning is an optimization, never a semantics change), so
+    the result equals a full read filtered to the range. Files without
+    recorded stats are read, not pruned."""
     head = latest_version(path)
     if head is None:
         raise FileNotFoundError(f"no snapshots at {path}")
@@ -298,12 +356,23 @@ def read_snapshot(
     if months is not None:
         lo, hi = months
         files = [f for f in files if lo <= f["p_month"] <= hi]
+    if ts_range is not None:
+        lo, hi = (_iso(b) for b in ts_range)
+        files = [
+            f
+            for f in files
+            if "ts_min" not in f or (f["ts_min"] <= hi and f["ts_max"] >= lo)
+        ]
     if not files:
         raise ValueError(f"version {v} of {path} has no files in range")
     df = (
         spark.read.option("basePath", str(_data(path)))
         .parquet(*[str(Path(path) / f["path"]) for f in files])
     )
+    if ts_range is not None:
+        df = df.where(
+            (F.col(ts_col) >= F.lit(ts_range[0])) & (F.col(ts_col) <= F.lit(ts_range[1]))
+        )
     return df if keep_txn else df.drop(TXN_COL)
 
 

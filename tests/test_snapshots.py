@@ -183,3 +183,23 @@ def test_snapshot_sink_streams_exactly_once_with_versioned_history(spark, tmp_pa
     # every stream-history version is a consistent readable snapshot
     sizes = [S.read_snapshot(spark, dest, version=v).count() for v in range(head + 1)]
     assert sizes == sorted(sizes) and sizes[-1] == len(rows)
+
+
+def test_footer_stats_prune_files_below_partition_level(spark, table):
+    """Commits record per-file (rows, ts_min, ts_max) from the parquet
+    footers; a ts_range read prunes at the manifest level INSIDE a month
+    and re-applies the predicate, so results equal full-read-then-filter."""
+    m = S.manifest(table, S.latest_version(table))
+    assert all("ts_min" in f and "rows" in f for f in m["files"])
+
+    # January days 1-27 live in v0; ask for a 2-day slice of January
+    lo, hi = datetime(2024, 1, 3), datetime(2024, 1, 5, 23)
+    df = S.read_snapshot(spark, table, ts_range=(lo, hi))
+    full = S.read_snapshot(spark, table)
+    want = sorted(
+        r.trade_id for r in full.collect() if lo <= r.ts <= hi
+    )
+    assert _ids(df) == want and want  # non-degenerate slice
+    # the February file's stats exclude the range -> never reaches the scan
+    for f in df.inputFiles():
+        assert "p_month=202402" not in f
