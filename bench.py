@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     # text / dedup / similarity (scale paths)
     "doc_stats",
     "doc_hash_embed",
+    "doc_bpe_tokens",
     "doc_fingerprints",
     "doc_repetition",
     "corpus_prepare",

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import (
     assemble,
     bloom,
+    bpe,
     curation,
     dedup,
     embed,
@@ -45,6 +46,7 @@ _MODULES = (
     trades,
     tpch,
     text,
+    bpe,
     dedup,
     bloom,
     similarity,
