@@ -76,6 +76,25 @@ SECTIONS = [
         "(ObjectHashAggregate) — shuffle volume is groups x 4KB sketch, "
         "not rows.",
     ),
+    (
+        "corpus_hybrid_rrf",
+        "r8 hybrid retrieval: BM25 branch (two scans + 1-row broadcast) "
+        "and map-only integer-cosine branch, each ending in a TakeOrdered; "
+        "fusion is a Union + hash agg over <= 2N rows — no Generate, no "
+        "cartesian, no SMJ.",
+    ),
+    (
+        "dedup_semantic",
+        "r8 SemDeDup: assignment is the shuffle-free centroid-literal fold; "
+        "the pair stage is an equi-join ON THE CLUSTER ID (hash join, "
+        "AQE-splittable) — pair work sum(|cluster|^2), never n^2.",
+    ),
+    (
+        "doc_bpe_tokens",
+        "r8 learned-BPE token counts: corpus-side work is one explode + "
+        "broadcast vocabulary join + hash agg; segmentation cost lives on "
+        "the DISTINCT-word table, not the corpus.",
+    ),
 ]
 
 
