@@ -70,7 +70,92 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("check")
 
 
-QUERIES = {"dq_checks": dq_checks}
+_STATS_TABLE = "orders"
+_STATS_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+_STATS_MINMAX = ("o_orderkey", "o_custkey")  # integer cols: engine-safe min/max
+
+
+def dq_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE analog: per-column row count, null count, exact
+    distinct count, and (for integer columns) min/max — the statistics a
+    cost-based optimizer and a data-quality dashboard both consume.
+
+    One aggregation pass; the multiple COUNT(DISTINCT) rewrite to an
+    Expand multiplies scan rows by the distinct-agg count, which is the
+    exact-ndv price — at 100 TB swap ``countDistinct`` for
+    ``approx_count_distinct`` (HLL, one pass, no Expand) and keep the
+    same output shape; exact here so the DuckDB oracle value-checks it.
+    min/max are emitted for integer columns only: float and timestamp
+    string-casts format differently across engines, and the optimizer
+    stats consumer wants typed bounds anyway.
+    """
+    o = load(spark, sf_dir, _STATS_TABLE)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in _STATS_COLS:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"ndv_{c}"))
+    for c in _STATS_MINMAX:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    wide = o.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"nulls_{c}").alias("n_nulls"),
+                F.col(f"ndv_{c}").alias("ndv"),
+                (
+                    F.col(f"min_{c}")
+                    if c in _STATS_MINMAX
+                    else F.lit(None).cast("long")
+                ).alias("min_long"),
+                (
+                    F.col(f"max_{c}")
+                    if c in _STATS_MINMAX
+                    else F.lit(None).cast("long")
+                ).alias("max_long"),
+            )
+            for c in _STATS_COLS
+        ]
+    )
+    return wide.select(F.inline(entries)).orderBy("column")
+
+
+def _table_stats_oracle() -> str:
+    nulls = ", ".join(
+        f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS nulls_{c}, count(DISTINCT {c}) AS ndv_{c}"
+        for c in _STATS_COLS
+    )
+    minmax = ", ".join(
+        f"min({c}) AS min_{c}, max({c}) AS max_{c}" for c in _STATS_MINMAX
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT '{c}' AS \"column\", n_rows, nulls_{c} AS n_nulls, ndv_{c} AS ndv, "
+        + (
+            f"min_{c} AS min_long, max_{c} AS max_long"
+            if c in _STATS_MINMAX
+            else "CAST(NULL AS BIGINT) AS min_long, CAST(NULL AS BIGINT) AS max_long"
+        )
+        + " FROM s"
+        for c in _STATS_COLS
+    )
+    return f"""
+        WITH s AS (
+          SELECT count(*) AS n_rows, {nulls}, {minmax} FROM {_STATS_TABLE}
+        )
+        SELECT * FROM ({rows}) t ORDER BY "column"
+    """
+
+
+QUERIES = {"dq_checks": dq_checks, "dq_table_stats": dq_table_stats}
 
 ORACLES = {
     "dq_checks": """
@@ -102,3 +187,5 @@ ORACLES = {
         SELECT "check", violations FROM results ORDER BY "check"
     """,
 }
+
+ORACLES["dq_table_stats"] = _table_stats_oracle()
