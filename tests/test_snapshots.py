@@ -203,3 +203,71 @@ def test_footer_stats_prune_files_below_partition_level(spark, table):
     # the February file's stats exclude the range -> never reaches the scan
     for f in df.inputFiles():
         assert "p_month=202402" not in f
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_random_op_sequences_match_pure_model(spark, tmp_path, seed):
+    """Randomized model check: any interleaving of append / duplicate-key
+    append / compact / metadata-TTL / rollback leaves every version's read
+    equal to a pure-Python replay of the same ops (the log is the model's
+    history, nothing more)."""
+    import random as rnd
+
+    r = rnd.Random(seed)
+    path = str(tmp_path / "model_table")
+
+    def dedup(rows):
+        best = {}
+        for tid, ver, month in rows:
+            if tid not in best or ver > best[tid][1]:
+                best[tid] = (tid, ver, month)
+        return sorted(best.values())
+
+    model_versions: list[list] = []  # version -> rows [(trade_id, ver, month)]
+    cur: list = []
+    next_id = 0
+    for step in range(8):
+        ops = ["append", "append_dup", "compact", "drop", "rollback"]
+        op = r.choice(ops if model_versions else ["append"])
+        if op == "append":
+            ids = list(range(next_id, next_id + r.randint(1, 4)))
+            next_id += len(ids)
+            month = r.choice([1, 2, 3])
+            S.append(_batch(spark, month, ids, version=step), path)
+            cur = cur + [(i, step, month) for i in ids]
+        elif op == "append_dup" and cur:
+            tid, _, month = r.choice(cur)
+            S.append(_batch(spark, month, [tid], version=step), path)
+            cur = cur + [(tid, step, month)]
+        elif op == "append_dup":
+            continue
+        elif op == "compact":
+            S.compact_snapshot(spark, path, keys=("ts", "symbol", "trade_id"))
+            cur = dedup(cur)
+        elif op == "drop":
+            cutoff = f"20240{r.choice([2, 3])}"
+            S.drop_months(path, cutoff)
+            cur = [t for t in cur if f"20240{t[2]}" >= cutoff]
+        else:  # rollback
+            v = r.randrange(len(model_versions))
+            S.rollback(path, v)
+            cur = list(model_versions[v])
+        model_versions.append(list(cur))
+
+        got = sorted(
+            (rr.trade_id, rr.ingested_at, int(str(rr.p_month)[-2:]))
+            for rr in S.read_snapshot(spark, path).collect()
+        ) if cur else None
+        if cur:
+            assert got == sorted(cur), f"step {step} op {op}"
+
+    # time travel: three random historical versions replay exactly
+    for v in r.sample(range(len(model_versions)), min(3, len(model_versions))):
+        want = sorted(model_versions[v])
+        if not want:
+            continue
+        got = sorted(
+            (rr.trade_id, rr.ingested_at, int(str(rr.p_month)[-2:]))
+            for rr in S.read_snapshot(spark, path, version=v).collect()
+        )
+        assert got == want, f"version {v}"
