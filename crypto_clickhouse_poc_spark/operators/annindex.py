@@ -63,39 +63,37 @@ def quantization_error(
     rotation: list[list[float]] | None = None,
 ) -> tuple[float, int]:
     """Mean L2² PQ quantization error of ``e``'s vectors against FROZEN
-    (coarse, books): one Arrow pass emitting a (err_sum, n) partial per
-    partition — the same O(1)-rows-out shape as the moment partials, so
-    the probe costs one map scan of the batch regardless of size."""
+    (coarse, books), measured against the EXACT encoding the index stores:
+    the assignment/rotation/argmin all come from ``_pq_encode`` itself
+    (one shared kernel — the r8 review found an earlier hand-rolled copy
+    that could silently diverge from the stored codes if the encode
+    convention ever changed), and this pass just sums ‖r_sub − B[code]‖²
+    over the emitted (r, code) rows. One extra Arrow map stage with a
+    (err_sum, n) partial per partition — O(1) rows out per partition."""
+
+    enc = _pq_encode(e, coarse, books, with_residual=True, rotation=rotation)
 
     def kernel(batches):
         import numpy as np
         import pandas as pd
 
-        C = np.array([c[1] for c in coarse], dtype=np.float64)
-        cn = np.array([c[2] for c in coarse], dtype=np.float64)
         B = [np.array(b, dtype=np.float64) for b in books]
-        Rot = None if rotation is None else np.array(rotation, dtype=np.float64)
-        sub_d = C.shape[1] // PQ_M
+        sub_d = B[0].shape[1]
         err, n = 0.0, 0
         for pdf in batches:
-            Vm = np.array(pdf["v"].tolist(), dtype=np.float64)
-            if not len(Vm):
+            if not len(pdf):
                 continue
-            nrm = np.array(pdf["nrm"], dtype=np.float64)
-            a = np.argmax((Vm @ C.T) / np.outer(nrm, cn), axis=1)
-            R = Vm - C[a]
-            if Rot is not None:
-                R = R @ Rot.T
+            R = np.array(pdf["r"].tolist(), dtype=np.float64)
+            codes = np.array(pdf["code"].tolist(), dtype=np.int64)
             for m in range(PQ_M):
                 sub = R[:, m * sub_d : (m + 1) * sub_d]
-                d2 = ((sub[:, None, :] - B[m][None, :, :]) ** 2).sum(-1)
-                err += float(d2.min(axis=1).sum())
-            n += len(Vm)
+                err += float(((sub - B[m][codes[:, m]]) ** 2).sum())
+            n += len(pdf)
         if n:
             yield pd.DataFrame({"err_sum": [err], "n": [n]})
 
     parts = (
-        e.select("v", "nrm")
+        enc.select("r", "code")
         .mapInPandas(kernel, "err_sum double, n long")
         .groupBy()
         .agg(F.sum("err_sum").alias("e"), F.sum("n").alias("n"))

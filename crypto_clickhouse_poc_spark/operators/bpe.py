@@ -151,11 +151,21 @@ def _train_bpe(
     sf_dir: str,
     n_merges: int = BPE_MERGES,
     force_distributed: bool = False,
+    vocab: DataFrame | None = None,
+    vocab_rows: list[tuple] | None = None,
 ) -> list[tuple]:
+    """``vocab`` / ``vocab_rows`` let a caller that already built (or
+    collected) the vocabulary share it — ``doc_bpe_tokens`` trains AND
+    encodes off one vocabulary aggregation instead of re-scanning the
+    corpus (r8 review)."""
     key = (sf_dir, n_merges)
     if not force_distributed and key in _MERGE_MEMO:
         return _MERGE_MEMO[key]
-    vocab = _vocab(spark, sf_dir)
+    if vocab_rows is not None:
+        merges = _train_bpe_driver(vocab_rows, n_merges)
+        _MERGE_MEMO[key] = merges
+        return merges
+    vocab = _vocab(spark, sf_dir) if vocab is None else vocab
     if force_distributed:
         return _train_bpe_distributed(vocab, n_merges)
     n = vocab.limit(BPE_DRIVER_VOCAB_MAX + 1).count()
@@ -189,12 +199,23 @@ def encode_word_py(word: str, merges: list[tuple]) -> list[str]:
     return seq
 
 
-def _encode_vocab(vocab: DataFrame, merges: list[tuple]) -> DataFrame:
+def _encode_vocab(
+    vocab: DataFrame, merges: list[tuple], vocab_rows: list[tuple] | None = None
+) -> DataFrame:
     """word → n_subtokens over the distinct-word table. Adaptive like the
     trainer: small vocab segments in-process (one bounded 1-column
-    collect); a larger one applies the merge folds distributedly, with a
-    checkpoint every few merges so the nested-fold plan stays shallow."""
+    collect — skipped entirely when the caller hands over the rows it
+    already collected); a larger one applies the merge folds
+    distributedly, with a checkpoint every few merges so the nested-fold
+    plan stays shallow."""
     spark = vocab.sparkSession
+    if vocab_rows is not None:
+        return F.broadcast(
+            spark.createDataFrame(
+                [(w, len(encode_word_py(w, merges))) for w, _ in vocab_rows],
+                "word string, n_sub int",
+            )
+        )
     n = vocab.limit(BPE_DRIVER_VOCAB_MAX + 1).count()
     if n <= BPE_DRIVER_VOCAB_MAX:
         words = [w for (w,) in vocab.select("word").toPandas().itertuples(index=False)]
@@ -219,10 +240,20 @@ def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``doc_token_counts`` estimates): segment each DISTINCT word once with
     the trained merges, broadcast the vocabulary-sized word → n_subtokens
     map, and aggregate the exploded corpus against it. Corpus-side cost:
-    one explode + one broadcast equi-join + one hash agg."""
-    merges = _train_bpe(spark, sf_dir)
+    one explode + one broadcast equi-join + one hash agg. The vocabulary
+    is aggregated ONCE and shared between training and encoding; on the
+    driver path it is also collected once and both stages work off the
+    same rows (r8 review — no second corpus scan)."""
     vocab = _vocab(spark, sf_dir)
-    enc = _encode_vocab(vocab, merges)
+    n = vocab.limit(BPE_DRIVER_VOCAB_MAX + 1).count()
+    if n <= BPE_DRIVER_VOCAB_MAX:
+        pdf = vocab.toPandas()  # the ONE bounded collect for train + encode
+        rows = list(zip(pdf["word"], pdf["freq"]))
+        merges = _train_bpe(spark, sf_dir, vocab_rows=rows)
+        enc = _encode_vocab(vocab, merges, vocab_rows=rows)
+    else:
+        merges = _train_bpe(spark, sf_dir, vocab=vocab)
+        enc = _encode_vocab(vocab, merges)
     d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     toks = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("word")).where(
         F.length("word") > 0

@@ -108,10 +108,29 @@ def history(path: str) -> list[dict]:
     return out
 
 
-def _commit(path: str, files: list[dict], op: str, txn: tuple[str, int] | None = None) -> int:
+class CommitConflict(RuntimeError):
+    """Another writer committed between this operation's read and its
+    commit, and the operation's result depends on the state it read
+    (compact). Re-run the operation against the new head."""
+
+
+def _commit(
+    path: str,
+    files_fn,
+    op: str,
+    txn: tuple[str, int] | None = None,
+    expected_parent: int | None | str = "any",
+) -> int:
     """Optimistic commit: claim the next version number with an atomic
-    ``os.link``; EEXIST = lost the race, retry against the new head.
-    ``files`` entries are {"path": <relative>, "p_month": <yyyyMM>}.
+    ``os.link``; EEXIST = lost the race, so re-read the head and retry.
+
+    ``files_fn(head_files) -> files`` is RE-EVALUATED against the new
+    head's file list on every attempt — a losing writer must compose its
+    change onto the state that actually won, or it would silently drop the
+    winner's files from the table (the r8 review's data-loss repro). Ops
+    whose output is NOT a pure function of the head they read (compact:
+    the rewritten files dedup a specific snapshot) instead pass
+    ``expected_parent`` and get :class:`CommitConflict` on a lost race.
 
     ``txn=(app, id)`` records an idempotent-writer watermark: the manifest
     carries forward a ``txns`` map {app: last committed id} (the Delta
@@ -122,8 +141,13 @@ def _commit(path: str, files: list[dict], op: str, txn: tuple[str, int] | None =
     tmp = log / f".tmp-{uuid.uuid4().hex}.json"
     for _ in range(_COMMIT_RETRIES):
         head = latest_version(path)
+        if expected_parent != "any" and head != expected_parent:
+            raise CommitConflict(
+                f"{op} read version {expected_parent} but head is {head} — re-run"
+            )
         version = 0 if head is None else head + 1
-        txns = {} if head is None else manifest(path, head).get("txns", {})
+        head_m = {} if head is None else manifest(path, head)
+        txns = head_m.get("txns", {})
         if txn is not None:
             txns = {**txns, txn[0]: txn[1]}
         body = {
@@ -131,7 +155,7 @@ def _commit(path: str, files: list[dict], op: str, txn: tuple[str, int] | None =
             "parent": head,
             "op": op,
             "txns": txns,
-            "files": sorted(files, key=lambda f: f["path"]),
+            "files": sorted(files_fn(head_m.get("files", [])), key=lambda f: f["path"]),
         }
         tmp.write_text(json.dumps(body, indent=1))
         try:
@@ -249,14 +273,18 @@ def append(
     what turns foreachBatch's at-least-once batch delivery into an
     exactly-once table. Batches of one app must be serialized (true for a
     Structured Streaming query by construction); different apps commit
-    concurrently through the optimistic-link protocol."""
+    concurrently through the optimistic-link protocol — a lost race
+    re-composes this append onto the winner's file list, so concurrent
+    appends merge instead of clobbering."""
+    if (txn_app is None) != (txn_id is None):
+        raise ValueError("txn_app and txn_id must be provided together")
     if txn_app is not None:
         seen = last_txn(path, txn_app)
-        if seen is not None and txn_id is not None and txn_id <= seen:
+        if seen is not None and txn_id <= seen:
             return latest_version(path)  # replayed micro-batch — no-op
     new = _write_txn(df, path, ts_col)
     txn = (txn_app, int(txn_id)) if txn_app is not None else None
-    return _commit(path, _current_files(path) + new, "append", txn=txn)
+    return _commit(path, lambda head_files: head_files + new, "append", txn=txn)
 
 
 def read_changes(
@@ -293,12 +321,31 @@ def read_changes(
     )
     added = [f for f in manifest(path, to)["files"] if f["path"] not in before]
     if not added:
-        raise ValueError(f"no files added in ({since_version}, {to}]")
+        # polling at the head with no new commits is the normal consumer
+        # steady state — an empty delta, not an error
+        return _empty_like(spark, path).drop(TXN_COL)
     df = (
         spark.read.option("basePath", str(_data(path)))
         .parquet(*[str(Path(path) / f["path"]) for f in added])
     )
     return df.drop(TXN_COL)
+
+
+def _empty_like(spark: SparkSession, path: str) -> DataFrame:
+    """A zero-row frame with the table's exact read schema (incl. the txn
+    and partition columns): limit(0) over the newest version that has
+    files. A table whose every version is empty has no schema anywhere —
+    that is unreadable by construction and raises."""
+    head = latest_version(path)
+    for v in range(head, -1, -1):
+        files = manifest(path, v)["files"]
+        if files:
+            df = (
+                spark.read.option("basePath", str(_data(path)))
+                .parquet(*[str(Path(path) / f["path"]) for f in files[:1]])
+            )
+            return df.limit(0)
+    raise ValueError(f"{path} has no data files in any version — schema unknown")
 
 
 def compact_snapshot(
@@ -311,24 +358,37 @@ def compact_snapshot(
     """The background-merge analog WITHOUT layout.compact's rename window:
     rewrite the deduped survivors into a fresh txn dir and commit a
     manifest listing ONLY it. Readers of older versions keep their files;
-    the swap is one atomic manifest link."""
-    df = dedup_view(read_snapshot(spark, path), keys, version_col).drop(PARTITION_COL)
+    the swap is one atomic manifest link.
+
+    The rewrite dedups the SPECIFIC snapshot it read, so a concurrent
+    commit in between raises :class:`CommitConflict` (the rewritten files
+    would silently drop the interleaver's rows otherwise) — re-run against
+    the new head; the orphaned rewrite dir is swept by vacuum."""
+    read_v = latest_version(path)
+    df = dedup_view(
+        read_snapshot(spark, path, version=read_v), keys, version_col
+    ).drop(PARTITION_COL)
     new = _write_txn(df, path, ts_col)
-    return _commit(path, new, "compact")
+    return _commit(path, lambda _hf: new, "compact", expected_parent=read_v)
 
 
 def drop_months(path: str, cutoff_month: str) -> int:
     """TTL as metadata: commit a manifest excluding files of months older
     than ``cutoff_month``. Zero data I/O; prior versions still serve the
-    dropped months until vacuum."""
-    keep = [f for f in _current_files(path) if f["p_month"] >= cutoff_month]
-    return _commit(path, keep, "retention")
+    dropped months until vacuum. A pure filter of whatever head it lands
+    on — race-safe by composition."""
+    return _commit(
+        path,
+        lambda head_files: [f for f in head_files if f["p_month"] >= cutoff_month],
+        "retention",
+    )
 
 
 def rollback(path: str, to_version: int) -> int:
     """Commit a new head whose file list is ``to_version``'s (append-only
-    history — the bad versions stay inspectable)."""
-    return _commit(path, manifest(path, to_version)["files"], "rollback")
+    history — the bad versions stay inspectable). Deliberately overwrites
+    whatever head it lands on: restore-to-a-point IS the semantics."""
+    return _commit(path, lambda _hf: manifest(path, to_version)["files"], "rollback")
 
 
 def read_snapshot(
@@ -364,11 +424,14 @@ def read_snapshot(
             if "ts_min" not in f or (f["ts_min"] <= hi and f["ts_max"] >= lo)
         ]
     if not files:
-        raise ValueError(f"version {v} of {path} has no files in range")
-    df = (
-        spark.read.option("basePath", str(_data(path)))
-        .parquet(*[str(Path(path) / f["path"]) for f in files])
-    )
+        # legitimately-empty result (everything pruned, or an empty head
+        # after retention) — full-read-then-filter would be empty too
+        df = _empty_like(spark, path)
+    else:
+        df = (
+            spark.read.option("basePath", str(_data(path)))
+            .parquet(*[str(Path(path) / f["path"]) for f in files])
+        )
     if ts_range is not None:
         df = df.where(
             (F.col(ts_col) >= F.lit(ts_range[0])) & (F.col(ts_col) <= F.lit(ts_range[1]))
@@ -398,4 +461,7 @@ def vacuum(path: str) -> list[str]:
             d.unlink()
         elif d.is_dir() and not any(d.iterdir()):
             d.rmdir()
+    # orphan manifest tmps from writers that crashed before their link
+    for t in _log(path).glob(".tmp-*.json"):
+        t.unlink(missing_ok=True)
     return sorted(removed)

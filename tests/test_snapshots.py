@@ -82,15 +82,60 @@ def test_rollback_restores_and_preserves_history(spark, table):
     assert ops == ["append", "append", "retention", "rollback"]
 
 
-def test_commit_race_retries_to_next_version(spark, table):
-    # simulate a concurrent writer claiming v2 between head-read and link
+def test_commit_race_retries_and_keeps_the_winners_files(spark, table):
+    # simulate a concurrent writer claiming v2 between head-read and link,
+    # with a file of its own — the loser must re-compose onto v2's list,
+    # not clobber it with the stale v1 list (r8 review data-loss repro)
     log = Path(table) / S.LOG_DIR
     racer = json.loads((log / "v1.json").read_text())
     racer["version"] = 2
+    racer["parent"] = 1
+    winner_file = {"path": "data/txn=winner00/p_month=209912/part-w.parquet",
+                   "p_month": "209912"}
+    racer["files"] = racer["files"] + [winner_file]
     (log / "v2.json").write_text(json.dumps(racer))
     v = S.append(_batch(spark, 3, range(16, 18)), table)
     assert v == 3  # lost the race at 2, committed at 3
-    assert _ids(S.read_snapshot(spark, table)) == list(range(18))
+    head_files = {f["path"] for f in S.manifest(table, 3)["files"]}
+    assert winner_file["path"] in head_files  # the winner's commit survives
+    got = S.read_snapshot(
+        spark, table, months=("202401", "202403")
+    )  # skip the winner's fake file
+    assert _ids(got) == list(range(18))
+
+
+def test_compact_conflict_is_detected_not_silently_lost(spark, table):
+    # compact's rewrite dedups the snapshot it READ; if another commit
+    # lands in between, committing it would drop the interleaver's rows
+    with pytest.raises(S.CommitConflict):
+        S._commit(table, lambda hf: hf, "compact", expected_parent=0)  # head is 1
+
+
+def test_txn_app_without_txn_id_is_rejected_upfront(spark, table):
+    with pytest.raises(ValueError, match="together"):
+        S.append(_batch(spark, 3, [99]), table, txn_app="job")
+
+
+def test_empty_reads_return_empty_frames_not_errors(spark, table):
+    # retention that drops everything -> head read is a valid empty frame
+    S.drop_months(table, "999912")
+    empty = S.read_snapshot(spark, table)
+    assert empty.count() == 0
+    assert "trade_id" in empty.columns
+    # pruning to a range with no files -> empty, same schema
+    assert S.read_snapshot(spark, table, version=1, months=("199001", "199002")).count() == 0
+    # polling changes at the head with no new appends -> empty delta
+    S.rollback(table, 1)
+    head = S.latest_version(table)
+    inc = S.read_changes(spark, table, since_version=head)
+    assert inc.count() == 0 and "trade_id" in inc.columns
+
+
+def test_vacuum_sweeps_orphan_manifest_tmps(spark, table):
+    tmp = Path(table) / S.LOG_DIR / ".tmp-deadbeef.json"
+    tmp.write_text("{}")
+    S.vacuum(table)
+    assert not tmp.exists()
 
 
 def test_vacuum_deletes_exactly_unreferenced_and_breaks_old_reads(spark, table):
