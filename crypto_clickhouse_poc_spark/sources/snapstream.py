@@ -1,0 +1,192 @@
+"""Streaming SOURCE over the snapshot log (the Delta streaming-source
+analog, built on Spark 4's Python DataSource API).
+
+``plans/snapshots.py`` gives batch consumers ``read_changes`` — poll a
+version checkpoint, process the delta. This module removes the polling:
+the snapshot log becomes a first-class ``readStream`` source whose OFFSET
+IS THE VERSION NUMBER, so Structured Streaming's own checkpointing stores
+"which commit have I consumed" and restarts resume exactly.
+
+    spark.dataSource.register(SnapshotCommitsDataSource)
+    df = (spark.readStream.format("snapshot_commits")
+          .option("path", table_path).load())
+
+Semantics and scale shape:
+
+- ``latestOffset`` is one log-directory stat (never touches data);
+  ``partitions(start, end)`` is a manifest diff — the files ADDED in
+  (start, end] — with ONE InputPartition per file, so the read work
+  fans out to executors and a micro-batch's cost is O(new data).
+- Each partition reads its parquet file with pyarrow and yields Arrow
+  RecordBatches (the API's zero-copy path — rows never materialize in
+  Python), plus the commit lineage (txn) and partition month as columns.
+- The append-only contract of ``read_changes`` applies: a
+  compaction/retention/rollback inside the offset range rewrites
+  VISIBILITY, not content, so the source fails the batch rather than
+  replay rewritten files as if they were new rows (Delta's streaming
+  source has the same ignoreChanges refusal). Start the stream above the
+  rewrite (``startingVersion``) to resume.
+
+The schema is derived from a live data file's parquet footer (arrow
+types → Spark DDL) + the two path-derived string columns; like every
+snapshot reader, files are never listed from storage — the manifest is
+the listing.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from ..plans.snapshots import DATA_DIR, LOG_DIR, PARTITION_COL, TXN_COL
+
+_ARROW_TO_DDL = {
+    "int64": "bigint",
+    "int32": "int",
+    "int16": "smallint",
+    "int8": "tinyint",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "large_string": "string",
+    "bool": "boolean",
+    "binary": "binary",
+    "date32[day]": "date",
+}
+
+
+def _manifest(path: str, v: int) -> dict:
+    return json.loads((Path(path) / LOG_DIR / f"v{v}.json").read_text())
+
+
+def _head(path: str) -> int | None:
+    vs = [
+        int(p.stem[1:])
+        for p in (Path(path) / LOG_DIR).glob("v*.json")
+        if p.stem[1:].isdigit()
+    ]
+    return max(vs) if vs else None
+
+
+def _file_schema_ddl(path: str) -> str:
+    """Spark DDL from the newest live file's footer + the path columns."""
+    import pyarrow.parquet as pq
+
+    head = _head(path)
+    if head is None:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    for v in range(head, -1, -1):
+        files = _manifest(path, v)["files"]
+        if files:
+            sch = pq.read_schema(str(Path(path) / files[0]["path"]))
+            cols = []
+            for f in sch:
+                t = str(f.type)
+                if t.startswith("timestamp"):
+                    ddl = "timestamp"
+                else:
+                    ddl = _ARROW_TO_DDL.get(t)
+                if ddl is None:
+                    raise TypeError(f"unmapped arrow type {t} for column {f.name}")
+                cols.append(f"{f.name} {ddl}")
+            cols.append(f"{TXN_COL} string")
+            cols.append(f"{PARTITION_COL} string")
+            return ", ".join(cols)
+    raise ValueError(f"{path} has no data files in any version — schema unknown")
+
+
+class SnapshotCommitsDataSource(DataSource):
+    """``format("snapshot_commits")``: stream a snapshot table's commits.
+
+    Options: ``path`` (required), ``startingVersion`` (default: -1 =
+    from the beginning; pass the current head to tail only new commits).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "snapshot_commits"
+
+    def schema(self):
+        return _file_schema_ddl(self.options["path"])
+
+    def streamReader(self, schema) -> "SnapshotStreamReader":
+        return SnapshotStreamReader(
+            self.options["path"],
+            int(self.options.get("startingVersion", "-1")),
+            [f.name for f in schema.fields],
+        )
+
+
+class SnapshotStreamReader(DataSourceStreamReader):
+    def __init__(self, path: str, starting_version: int, columns: list[str]):
+        self.path = path
+        self.start_version = starting_version
+        self.columns = columns
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def latestOffset(self) -> dict:
+        head = _head(self.path)
+        return {"version": self.start_version if head is None else head}
+
+    def partitions(self, start: dict, end: dict):
+        since, to = start["version"], end["version"]
+        if to <= since:
+            return []
+        ops = [_manifest(self.path, v)["op"] for v in range(max(since + 1, 0), to + 1)]
+        bad = [o for o in ops if o != "append"]
+        if bad:
+            raise ValueError(
+                f"non-append ops {bad} in ({since}, {to}] — a rewrite inside "
+                "the offset range; restart the stream with startingVersion "
+                f"> {to} (rewritten files are visibility changes, not new rows)"
+            )
+        before = (
+            set()
+            if since < 0
+            else {f["path"] for f in _manifest(self.path, since)["files"]}
+        )
+        added = [
+            f for f in _manifest(self.path, to)["files"] if f["path"] not in before
+        ]
+        return [InputPartition((str(Path(self.path) / f["path"]), f["path"])) for f in added]
+
+    def read(self, partition: InputPartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        abs_path, rel = partition.value
+        parts = dict(
+            p.split("=", 1) for p in Path(rel).parent.parts if "=" in p
+        )
+        table = pq.read_table(abs_path)
+        n = table.num_rows
+        cols, names = [], []
+        for name in self.columns:
+            if name == TXN_COL:
+                cols.append(pa.array([parts.get(TXN_COL, "")] * n, pa.string()))
+            elif name == PARTITION_COL:
+                cols.append(pa.array([parts.get(PARTITION_COL, "")] * n, pa.string()))
+            else:
+                col = table.column(name)
+                t = col.type
+                if pa.types.is_timestamp(t) and t.tz is not None:
+                    col = col.cast(pa.timestamp(t.unit))  # Spark wants naive UTC
+                cols.append(col.combine_chunks())
+            names.append(name)
+        yield from pa.Table.from_arrays(cols, names=names).to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the stream's own checkpoint
+
+
+# DATA_DIR intentionally unused here: the manifest IS the file listing —
+# this source never globs the data directory.
+_ = DATA_DIR
