@@ -465,3 +465,28 @@ def vacuum(path: str) -> list[str]:
     for t in _log(path).glob(".tmp-*.json"):
         t.unlink(missing_ok=True)
     return sorted(removed)
+
+
+def maybe_compact_snapshot(
+    spark: SparkSession,
+    path: str,
+    max_live_files: int = 64,
+    keys: Sequence[str] = ("ts", "symbol", "trade_id"),
+    version_col: str = "ingested_at",
+    ts_col: str = "ts",
+) -> int | None:
+    """Compaction POLICY for snapshot tables (the twin of
+    ``streaming.compaction.maybe_compact`` for sketch-MV dirs): a
+    streaming sink commits one txn dir per micro-batch, so the head's
+    file count grows with stream lifetime; when it exceeds
+    ``max_live_files``, rewrite through :func:`compact_snapshot`.
+    The check is one manifest read — no Spark job and no storage listing
+    when under threshold. Returns the new version, or None if no
+    compaction ran (including when a concurrent commit won the race —
+    the next maintenance tick retries against the new head)."""
+    if len(_current_files(path)) <= max_live_files:
+        return None
+    try:
+        return compact_snapshot(spark, path, keys, version_col, ts_col)
+    except CommitConflict:
+        return None

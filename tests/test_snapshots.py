@@ -316,3 +316,15 @@ def test_random_op_sequences_match_pure_model(spark, tmp_path, seed):
             for rr in S.read_snapshot(spark, path, version=v).collect()
         )
         assert got == want, f"version {v}"
+
+
+def test_maybe_compact_snapshot_policy(spark, table):
+    # under threshold: one manifest read, no commit
+    before = S.latest_version(table)
+    assert S.maybe_compact_snapshot(spark, table, max_live_files=64) is None
+    assert S.latest_version(table) == before
+    # over threshold: compacts and bounds the live file count
+    v = S.maybe_compact_snapshot(spark, table, max_live_files=1)
+    assert v == before + 1
+    assert S.history(table)[-1]["op"] == "compact"
+    assert _ids(S.read_snapshot(spark, table)) == list(range(16))
