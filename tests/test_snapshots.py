@@ -328,3 +328,32 @@ def test_maybe_compact_snapshot_policy(spark, table):
     assert v == before + 1
     assert S.history(table)[-1]["op"] == "compact"
     assert _ids(S.read_snapshot(spark, table)) == list(range(16))
+
+
+def test_truly_concurrent_appends_merge_without_loss(spark, tmp_path):
+    """REAL thread-level concurrency (not a simulated race): four writers
+    appending disjoint batches simultaneously must all land — the commit
+    callback recomposes each loser onto the actual winner (the r8 review
+    data-loss class, exercised end-to-end)."""
+    import threading
+
+    path = str(tmp_path / "conc_table")
+    S.append(_batch(spark, 1, [0]), path)  # init v0
+
+    errs = []
+
+    def writer(lo):
+        try:
+            S.append(_batch(spark, 2, range(lo, lo + 3)), path)
+        except Exception as e:  # noqa: BLE001 - surfacing to the assert
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(10 + 10 * i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    want = [0] + [x for lo in (10, 20, 30, 40) for x in range(lo, lo + 3)]
+    assert _ids(S.read_snapshot(spark, path)) == sorted(want)
+    assert S.latest_version(path) == 4  # v0 init + one commit per writer
