@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "range_click_activity",
     # text / dedup / similarity (scale paths)
     "doc_stats",
+    "doc_quality_verdict",
     "doc_hash_embed",
     "doc_bpe_tokens",
     "doc_fingerprints",

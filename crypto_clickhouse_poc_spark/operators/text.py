@@ -694,8 +694,90 @@ def doc_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PPL_PCTL = 0.9  # CCNet-style relative perplexity cut: pass <= corpus p90
+
+
+def doc_quality_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble quality gate: the three scorers the repo already carries,
+    fused into one per-doc verdict — the multi-signal filter every
+    production curation pipeline runs (rule-based features + LM
+    perplexity + language-ID; cf. CCNet / Gopher's quality stack):
+
+    - rule_pass — the shared corpus gate (≥ 20 tokens, 0.4/0.3/0.3
+      composite ≥ 0.6, identical to ``quality_gated``),
+    - ppl_pass  — unigram-LM perplexity at or below the corpus p90 (a
+      RELATIVE cut, the CCNet recipe — fixed thresholds don't transfer
+      across corpora),
+    - lang_pass — the stopword-marker language gate (``doc_langid``).
+
+    Shape: one per-row feature map + the perplexity dataflow (one token
+    shuffle + broadcast LM join) + a 1-row broadcast percentile + one
+    doc_id equi-join. All comparisons are on values ROUNDED to 6dp on
+    both engines, so the verdict booleans are oracle-exact even at gate
+    boundaries.
+    """
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    n_tokens = F.size("toks")
+    ttr = F.size(F.array_distinct("toks")) / n_tokens.cast("double")
+    stop_ratio = T.stopword_count(F.col("toks")) / n_tokens.cast("double")
+    quality = (
+        F.least(n_tokens / F.lit(60.0), F.lit(1.0)) * 0.4
+        + ttr * 0.3
+        + (1 - stop_ratio) * 0.3
+    )
+    row = d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(quality, 6).alias("quality_score"),
+        F.round(stop_ratio, 6).alias("en_marker_ratio"),
+    )
+    ppl = doc_unigram_logppl(spark, sf_dir).select("doc_id", "ppl")
+    p90 = ppl.agg(F.round(F.percentile("ppl", PPL_PCTL), 6).alias("ppl_p90"))
+    out = row.join(ppl, "doc_id").crossJoin(F.broadcast(p90))
+    rule_pass = (F.col("n_tokens") >= 20) & (F.col("quality_score") >= 0.6)
+    ppl_pass = F.col("ppl") <= F.col("ppl_p90")
+    lang_pass = F.col("en_marker_ratio") >= 0.02
+    return out.select(
+        "doc_id",
+        "quality_score",
+        "ppl",
+        "ppl_p90",
+        "en_marker_ratio",
+        rule_pass.alias("rule_pass"),
+        ppl_pass.alias("ppl_pass"),
+        lang_pass.alias("lang_pass"),
+        (rule_pass & ppl_pass & lang_pass).alias("keep"),
+    ).orderBy("doc_id")
+
+
+def _quality_verdict_oracle() -> str:
+    return f"""
+        WITH ppl AS ( {ORACLES["doc_unigram_logppl"]} ),
+        p90 AS (SELECT round(quantile_cont(ppl, {PPL_PCTL}), 6) AS ppl_p90 FROM ppl),
+        feat AS (
+          SELECT doc_id,
+                 {_NTOK} AS n_tokens,
+                 round(least({_NTOK} / 60.0, 1.0) * 0.4
+                       + (len(list_distinct({_TOKS})) * 1.0 / {_NTOK}) * 0.3
+                       + (1 - {_STOP} * 1.0 / {_NTOK}) * 0.3, 6) AS quality_score,
+                 round({_STOP} * 1.0 / {_NTOK}, 6) AS en_marker_ratio
+          FROM documents WHERE text IS NOT NULL
+        )
+        SELECT f.doc_id, f.quality_score, p.ppl, p90.ppl_p90, f.en_marker_ratio,
+               (f.n_tokens >= 20 AND f.quality_score >= 0.6) AS rule_pass,
+               (p.ppl <= p90.ppl_p90) AS ppl_pass,
+               (f.en_marker_ratio >= 0.02) AS lang_pass,
+               (f.n_tokens >= 20 AND f.quality_score >= 0.6
+                AND p.ppl <= p90.ppl_p90
+                AND f.en_marker_ratio >= 0.02) AS keep
+        FROM feat f JOIN ppl p ON p.doc_id = f.doc_id CROSS JOIN p90
+        ORDER BY f.doc_id
+    """
+
+
 QUERIES = {
     "doc_stats": doc_stats,
+    "doc_quality_verdict": doc_quality_verdict,
     "doc_unigram_logppl": doc_unigram_logppl,
     "doc_hash_embed": doc_hash_embed,
     "doc_token_counts": doc_token_counts,
@@ -964,3 +1046,4 @@ ORACLES["corpus_prepare_near"] = _corpus_prepare_near_oracle()
 
 ORACLES["corpus_bm25_topk"] = _bm25_oracle()
 ORACLES["corpus_hybrid_rrf"] = _hybrid_rrf_oracle()
+ORACLES["doc_quality_verdict"] = _quality_verdict_oracle()
