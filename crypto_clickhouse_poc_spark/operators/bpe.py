@@ -280,3 +280,30 @@ QUERIES = {
 # correctness gate is exact parity with the in-module Python reference,
 # driver/distributed cross-parity, and determinism (tests/test_bpe.py)
 ORACLES: dict[str, str] = {}
+
+
+def corpus_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing by LEARNED subword counts: the ``corpus_pack``
+    dataflow (per-shard deterministic order → window cumsum → fixed-budget
+    pack ids) driven by ``doc_bpe_tokens``'s trained-tokenizer counts
+    instead of the whitespace heuristic — what an actual training-data
+    writer packs by, since the budget is a MODEL sequence length.
+
+    Reuses ``sampling.pack_accounting`` verbatim (one shared definition of
+    budget/ordering/straddle semantics) — the only change is the token
+    column, so the corpus-side cost is doc_bpe_tokens' explode +
+    broadcast join + agg followed by the one shard-keyed pack shuffle.
+    Pytest-gated against a Python recompute (the BPE counts make the
+    composite non-SQL-expressible, like every learned-tokenizer op)."""
+    from .sampling import N_SHARDS, _bucket16, pack_accounting
+
+    counts = doc_bpe_tokens(spark, sf_dir).select(
+        "doc_id", F.col("n_tokens_bpe_learned").alias("n_tok")
+    )
+    d = counts.select(
+        "doc_id", (_bucket16(F.col("doc_id")) % N_SHARDS).alias("shard"), "n_tok"
+    )
+    return pack_accounting(d)
+
+
+QUERIES["corpus_pack_bpe"] = corpus_pack_bpe

@@ -85,3 +85,39 @@ def test_learned_tokens_bounded_by_chars_and_words(spark):
         words = [w for w in docs[r.doc_id].split(" ") if w]
         chars = sum(len(w) for w in words)
         assert r.n_words <= r.n_tokens_bpe_learned <= chars + 2 * r.n_words
+
+
+def test_corpus_pack_bpe_matches_python_recompute(spark):
+    """The learned-count packing replays exactly: shard by md5-bucket,
+    order by (md5(doc_id), doc_id) within shard, cumsum -> pack id,
+    rollup — recomputed in pure Python from doc_bpe_tokens' output."""
+    import hashlib
+    from collections import defaultdict
+
+    from crypto_clickhouse_poc_spark.operators.sampling import N_SHARDS, PACK_BUDGET
+
+    counts = {
+        r.doc_id: r.n_tokens_bpe_learned
+        for r in B.doc_bpe_tokens(spark, SF_SMOKE).collect()
+    }
+
+    def md5s(x):
+        return hashlib.md5(str(x).encode()).hexdigest()
+
+    by_shard = defaultdict(list)
+    for doc, n in counts.items():
+        shard = int(md5s(doc)[:4], 16) % N_SHARDS
+        by_shard[shard].append((md5s(doc), doc, n))
+    want = defaultdict(lambda: [0, 0])
+    for shard, docs in by_shard.items():
+        cum = 0
+        for _, doc, n in sorted(docs):
+            pack = cum // PACK_BUDGET
+            cum += n
+            want[(shard, pack)][0] += 1
+            want[(shard, pack)][1] += n
+    got = {
+        (r.shard, r.pack_id): [r.n_docs, r.n_tokens]
+        for r in B.corpus_pack_bpe(spark, SF_SMOKE).collect()
+    }
+    assert got == dict(want)
