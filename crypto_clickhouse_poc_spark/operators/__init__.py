@@ -174,6 +174,18 @@ _MODULES = (
 #                                           corpus_bm25_topk and its oracle
 #                                           stay pytest-parity-gated as
 #                                           library queries)
+#   doc_stats -> doc_quality_verdict       (same pattern as the r7
+#                                           corpus_prepare -> corpus_assemble
+#                                           rotation: the verdict's rule
+#                                           branch IS doc_stats' per-row
+#                                           feature map, and the query adds
+#                                           the unigram-LM perplexity
+#                                           dataflow, the relative-p90 cut,
+#                                           and the language gate ON TOP —
+#                                           the driver hash now checks the
+#                                           ensemble's interaction.
+#                                           doc_stats + doc_unigram_logppl
+#                                           stay pytest-parity-gated)
 _DECLARED = (
     # reference §2.10 public query surface (api/server.py:57-200)
     "ev_count",
@@ -224,7 +236,7 @@ _DECLARED = (
     "ev_ohlcv_gapfill",
     "ev_funnel",
     # text / LLM-pipeline + dataset assembly + ranked retrieval
-    "doc_stats",
+    "doc_quality_verdict",
     "corpus_hybrid_rrf",
     "doc_hash_embed",
     "doc_dup_spans",
