@@ -121,3 +121,62 @@ def test_rewrite_inside_offset_range_fails_the_batch(spark, table, tmp_path):
             q.awaitTermination(30)
     finally:
         q.stop()
+
+
+def test_log_as_bus_sink_then_derived_stream(spark, tmp_path):
+    """Medallion composition: replay → snapshot SINK (exactly-once bronze
+    commits) → snapshot_commits SOURCE → per-symbol rollup. The derived
+    stream's final state equals a batch aggregate over the bronze head —
+    the log works as a bus, not just a table."""
+    from pyspark.sql import functions as F
+
+    from crypto_clickhouse_poc_spark.sources.replay import (
+        read_replay_stream,
+        trades_to_event_lines,
+        write_replay_chunks,
+    )
+    from crypto_clickhouse_poc_spark.streaming.snapsink import start_ingest_snapshot
+    from tests.test_streaming import _fixture_rows
+
+    spark.dataSource.register(SnapshotCommitsDataSource)
+    rows = _fixture_rows()
+    replay, bronze, ck1, ck2 = (
+        str(tmp_path / d) for d in ("replay", "bronze", "ck1", "ck2")
+    )
+    write_replay_chunks(trades_to_event_lines(rows), replay, num_chunks=4)
+    q1 = start_ingest_snapshot(read_replay_stream(spark, replay), bronze, ck1, trigger_sec=0)
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+
+    q2 = (
+        spark.readStream.format("snapshot_commits")
+        .option("path", bronze)
+        .load()
+        .groupBy("symbol")
+        .agg(F.count("*").alias("n"), F.round(F.sum("qty"), 6).alias("qty"))
+        .writeStream.format("memory")
+        .queryName("silver_rollup")
+        .option("checkpointLocation", ck2)
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+        got = {
+            r.symbol: (r.n, r.qty)
+            for r in spark.sql("select * from silver_rollup").collect()
+        }
+    finally:
+        q2.stop()
+
+    want = {
+        r.symbol: (r.n, r.qty)
+        for r in S.read_snapshot(spark, bronze)
+        .groupBy("symbol")
+        .agg(F.count("*").alias("n"), F.round(F.sum("qty"), 6).alias("qty"))
+        .collect()
+    }
+    assert got == want and len(got) == 2
