@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caching import bounded_cache
 from ..functions import text as T
 from ..tables import load
 
@@ -731,7 +732,13 @@ def doc_quality_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(quality, 6).alias("quality_score"),
         F.round(stop_ratio, 6).alias("en_marker_ratio"),
     )
-    ppl = doc_unigram_logppl(spark, sf_dir).select("doc_id", "ppl")
+    # the perplexity dataflow feeds BOTH the p90 aggregate and the per-doc
+    # join — cache it so the reuse is guaranteed rather than left to
+    # Catalyst's ReusedExchange (r8 second-review finding)
+    ppl = bounded_cache(
+        "text.quality_verdict_ppl",
+        doc_unigram_logppl(spark, sf_dir).select("doc_id", "ppl"),
+    )
     p90 = ppl.agg(F.round(F.percentile("ppl", PPL_PCTL), 6).alias("ppl_p90"))
     out = row.join(ppl, "doc_id").crossJoin(F.broadcast(p90))
     rule_pass = (F.col("n_tokens") >= 20) & (F.col("quality_score") >= 0.6)

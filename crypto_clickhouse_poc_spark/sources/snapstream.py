@@ -20,12 +20,16 @@ Semantics and scale shape:
 - Each partition reads its parquet file with pyarrow and yields Arrow
   RecordBatches (the API's zero-copy path — rows never materialize in
   Python), plus the commit lineage (txn) and partition month as columns.
-- The append-only contract of ``read_changes`` applies: a
-  compaction/retention/rollback inside the offset range rewrites
-  VISIBILITY, not content, so the source fails the batch rather than
-  replay rewritten files as if they were new rows (Delta's streaming
-  source has the same ignoreChanges refusal). Start the stream above the
-  rewrite (``startingVersion``) to resume.
+- Bootstrap from the default ``startingVersion=-1`` is an initial
+  SNAPSHOT of the start head's manifest (the Delta-source contract):
+  a compacted/retained history's current file list IS the current rows,
+  so a table maintained by ``maybe_compact_snapshot`` boots fine.
+- AFTER bootstrap, the append-only contract of ``read_changes`` applies:
+  a compaction/retention/rollback inside a consumed offset range
+  rewrites VISIBILITY, not content, so the source fails the batch rather
+  than replay rewritten files as if they were new rows (Delta's
+  streaming source has the same ignoreChanges refusal). Restart above
+  the rewrite (``startingVersion``) to resume.
 
 The schema is derived from a live data file's parquet footer (arrow
 types → Spark DDL) + the two path-derived string columns; like every
@@ -35,7 +39,6 @@ the listing.
 
 from __future__ import annotations
 
-import json
 from pathlib import Path
 
 from pyspark.sql.datasource import (
@@ -44,7 +47,9 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
-from ..plans.snapshots import DATA_DIR, LOG_DIR, PARTITION_COL, TXN_COL
+from ..plans.snapshots import PARTITION_COL, TXN_COL
+from ..plans.snapshots import latest_version as _head
+from ..plans.snapshots import manifest as _manifest
 
 _ARROW_TO_DDL = {
     "int64": "bigint",
@@ -59,19 +64,6 @@ _ARROW_TO_DDL = {
     "binary": "binary",
     "date32[day]": "date",
 }
-
-
-def _manifest(path: str, v: int) -> dict:
-    return json.loads((Path(path) / LOG_DIR / f"v{v}.json").read_text())
-
-
-def _head(path: str) -> int | None:
-    vs = [
-        int(p.stem[1:])
-        for p in (Path(path) / LOG_DIR).glob("v*.json")
-        if p.stem[1:].isdigit()
-    ]
-    return max(vs) if vs else None
 
 
 def _file_schema_ddl(path: str) -> str:
@@ -140,22 +132,27 @@ class SnapshotStreamReader(DataSourceStreamReader):
         since, to = start["version"], end["version"]
         if to <= since:
             return []
-        ops = [_manifest(self.path, v)["op"] for v in range(max(since + 1, 0), to + 1)]
-        bad = [o for o in ops if o != "append"]
-        if bad:
-            raise ValueError(
-                f"non-append ops {bad} in ({since}, {to}] — a rewrite inside "
-                "the offset range; restart the stream with startingVersion "
-                f"> {to} (rewritten files are visibility changes, not new rows)"
-            )
-        before = (
-            set()
-            if since < 0
-            else {f["path"] for f in _manifest(self.path, since)["files"]}
-        )
-        added = [
-            f for f in _manifest(self.path, to)["files"] if f["path"] not in before
-        ]
+        if since < 0:
+            # bootstrap from "the beginning": serve the START HEAD's
+            # manifest as an initial SNAPSHOT (the Delta-source contract —
+            # a compacted/retained history's current file list IS the
+            # current rows, so a table maintained by maybe_compact_snapshot
+            # still boots); the append-only check applies from here on
+            added = _manifest(self.path, to)["files"]
+        else:
+            ops = [_manifest(self.path, v)["op"] for v in range(since + 1, to + 1)]
+            bad = [o for o in ops if o != "append"]
+            if bad:
+                raise ValueError(
+                    f"non-append ops {bad} in ({since}, {to}] — a rewrite "
+                    "inside the offset range; restart the stream with "
+                    f"startingVersion > {to} (rewritten files are visibility "
+                    "changes, not new rows)"
+                )
+            before = {f["path"] for f in _manifest(self.path, since)["files"]}
+            added = [
+                f for f in _manifest(self.path, to)["files"] if f["path"] not in before
+            ]
         return [InputPartition((str(Path(self.path) / f["path"]), f["path"])) for f in added]
 
     def read(self, partition: InputPartition):
@@ -186,7 +183,3 @@ class SnapshotStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         pass  # offsets live in the stream's own checkpoint
 
-
-# DATA_DIR intentionally unused here: the manifest IS the file listing —
-# this source never globs the data directory.
-_ = DATA_DIR

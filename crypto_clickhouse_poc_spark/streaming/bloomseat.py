@@ -76,13 +76,23 @@ def merged_filter(spark: SparkSession, partials_path: str) -> DataFrame:
 
 
 def seen_status(trades: DataFrame, filt: DataFrame) -> DataFrame:
-    """(trade_id, status) verdicts for a candidate frame: `novel` rows are
-    guaranteed-new (no false negatives); `maybe_dup` rows go to the exact
-    dedup path. trade_id is the reporting key; the PROBED key is the full
-    sort key."""
-    keyed = trade_key(trades).select(
-        F.col("trade_id").alias("doc_id"), F.col(KEY_COL)
+    """Per-row (ts, symbol, trade_id, status) verdicts for a candidate
+    frame: `novel` rows are guaranteed-new (no false negatives);
+    `maybe_dup` rows go to the exact dedup path.
+
+    The probe's grouping id is the FULL sort key itself — trade_id alone
+    is only unique per symbol, and grouping on it would merge different
+    rows' required bits and could report an already-ingested row `novel`
+    (the r8 second-review finding: a false negative through the reporting
+    key, not the filter)."""
+    keyed = trade_key(trades)
+    verdicts = bloom_probe(
+        keyed.select(F.col(KEY_COL).alias("doc_id"), F.col(KEY_COL)),
+        filt,
+        text_col=KEY_COL,
     )
-    return bloom_probe(keyed, filt, text_col=KEY_COL).select(
-        F.col("doc_id").alias("trade_id"), "status"
+    return (
+        keyed.select("ts", "symbol", "trade_id", F.col(KEY_COL).alias("doc_id"))
+        .join(verdicts, "doc_id")
+        .select("ts", "symbol", "trade_id", "status")
     )

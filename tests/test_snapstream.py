@@ -180,3 +180,23 @@ def test_log_as_bus_sink_then_derived_stream(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) == 2
+
+
+def test_bootstrap_over_compacted_history_serves_a_snapshot(spark, table, tmp_path):
+    """A table whose HISTORY contains a compact (routine under
+    maybe_compact_snapshot) must still boot from the default
+    startingVersion=-1: the first batch is a snapshot of the start head's
+    manifest — current rows, no replay of pre-compact files."""
+    S.append(_batch(spark, 1, range(5)), table)  # duplicate-key re-append
+    S.compact_snapshot(spark, table)
+    S.append(_batch(spark, 3, range(100, 102)), table)
+    q = _start(spark, table, str(tmp_path / "ck"), "ss_boot")
+    try:
+        q.processAllAvailable()
+        assert _ids(spark, "ss_boot") == sorted(set(range(8)) | {100, 101})
+        # tailing continues append-only after the bootstrap
+        S.append(_batch(spark, 3, [200]), table)
+        q.processAllAvailable()
+        assert 200 in _ids(spark, "ss_boot")
+    finally:
+        q.stop()
