@@ -168,9 +168,23 @@ def _commit(
     raise RuntimeError(f"commit contention: lost {_COMMIT_RETRIES} races at {path}")
 
 
-def _write_txn(df: DataFrame, path: str, ts_col: str) -> list[dict]:
+def _write_txn(
+    df: DataFrame,
+    path: str,
+    ts_col: str,
+    zorder_cols: Sequence[str] | None = None,
+    n_files: int = 8,
+) -> list[dict]:
     """Write a fresh immutable ``txn=`` dir (month-partitioned, sorted like
-    layout.write_table) and return its manifest entries."""
+    layout.write_table) and return its manifest entries.
+
+    With ``zorder_cols`` (≥2 numeric columns — e.g. ("ts", "price")), the
+    rewrite range-partitions on (p_month, z-key) into ~``n_files`` files:
+    each file covers a contiguous z-range INSIDE its month, so the footer
+    ts stats the manifest records become tight per-file and ``ts_range``
+    reads prune BELOW the partition level — the z-order + skip-index
+    layout (plans/zorder.py, plans/skipping.py) expressed as a snapshot
+    compaction policy."""
     txn = uuid.uuid4().hex[:12]
     dest = _data(path) / f"{TXN_COL}={txn}"
     # INT96 (Spark's legacy timestamp default) carries NO min/max footer
@@ -180,11 +194,25 @@ def _write_txn(df: DataFrame, path: str, ts_col: str) -> list[dict]:
     saved = conf.get(key, None)
     conf.set(key, "TIMESTAMP_MICROS")
     try:
+        if zorder_cols is None:
+            out = (
+                with_partition_col(df, ts_col)
+                .repartition(F.col(PARTITION_COL))
+                .sortWithinPartitions(ts_col)
+            )
+        else:
+            from .zorder import Z_COL, zorder_key
+
+            keyed = with_partition_col(zorder_key(df, zorder_cols), ts_col)
+            out = (
+                keyed.repartitionByRange(
+                    n_files, F.col(PARTITION_COL), F.col(Z_COL)
+                )
+                .sortWithinPartitions(PARTITION_COL, Z_COL)
+                .drop(Z_COL)
+            )
         (
-            with_partition_col(df, ts_col)
-            .repartition(F.col(PARTITION_COL))
-            .sortWithinPartitions(ts_col)
-            .write.mode("error")
+            out.write.mode("error")
             .partitionBy(PARTITION_COL)
             .parquet(str(dest))
         )
@@ -354,6 +382,8 @@ def compact_snapshot(
     keys: Sequence[str] = ("ts", "symbol", "trade_id"),
     version_col: str = "ingested_at",
     ts_col: str = "ts",
+    zorder_cols: Sequence[str] | None = None,
+    n_files: int = 8,
 ) -> int:
     """The background-merge analog WITHOUT layout.compact's rename window:
     rewrite the deduped survivors into a fresh txn dir and commit a
@@ -368,7 +398,7 @@ def compact_snapshot(
     df = dedup_view(
         read_snapshot(spark, path, version=read_v), keys, version_col
     ).drop(PARTITION_COL)
-    new = _write_txn(df, path, ts_col)
+    new = _write_txn(df, path, ts_col, zorder_cols=zorder_cols, n_files=n_files)
     return _commit(path, lambda _hf: new, "compact", expected_parent=read_v)
 
 
@@ -439,13 +469,20 @@ def read_snapshot(
     return df if keep_txn else df.drop(TXN_COL)
 
 
-def vacuum(path: str) -> list[str]:
-    """Delete data files not referenced by the LATEST manifest (including
-    orphans from crashed appends) and prune empty dirs. After this, time
-    travel to versions that needed those files fails — run only when no
-    writer is in flight and history can be let go (Delta VACUUM semantics).
-    Returns the deleted files' relative paths."""
-    live = {f["path"] for f in _current_files(path)}
+def vacuum(path: str, retain_versions: int = 1) -> list[str]:
+    """Delete data files not referenced by the newest ``retain_versions``
+    manifests (including orphans from crashed appends) and prune empty
+    dirs. The default keeps only the head; a larger window preserves that
+    many versions of time travel (the Delta retention-window trade —
+    vacuum is what finally breaks older reads). Run only when no writer
+    is in flight. Returns the deleted files' relative paths."""
+    head = latest_version(path)
+    retained = (
+        []
+        if head is None
+        else range(max(0, head - max(1, retain_versions) + 1), head + 1)
+    )
+    live = {f["path"] for v in retained for f in manifest(path, v)["files"]}
     removed = []
     for f in _data(path).rglob("*.parquet"):
         rel = str(f.relative_to(Path(path)))

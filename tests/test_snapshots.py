@@ -357,3 +357,40 @@ def test_truly_concurrent_appends_merge_without_loss(spark, tmp_path):
     want = [0] + [x for lo in (10, 20, 30, 40) for x in range(lo, lo + 3)]
     assert _ids(S.read_snapshot(spark, path)) == sorted(want)
     assert S.latest_version(path) == 4  # v0 init + one commit per writer
+
+
+def test_vacuum_retention_window_preserves_recent_time_travel(spark, table):
+    # v2 = compact (new files), so v0/v1's files become unreferenced by
+    # the head but stay referenced by... nothing >= v1 except v1 itself
+    v2 = S.compact_snapshot(spark, table)
+    removed = S.vacuum(table, retain_versions=2)  # keep v1 and v2 readable
+    assert _ids(S.read_snapshot(spark, table, version=v2)) == list(range(16))
+    assert _ids(S.read_snapshot(spark, table, version=v2 - 1)) == list(range(16))
+    # v0 shared its files with v1, so nothing v0 needs was deletable here;
+    # a second compact pushes v1's files out of the window and vacuum
+    # then breaks it
+    v3 = S.compact_snapshot(spark, table)
+    S.vacuum(table, retain_versions=1)
+    assert _ids(S.read_snapshot(spark, table, version=v3)) == list(range(16))
+    with pytest.raises(Exception):
+        S.read_snapshot(spark, table, version=v2 - 1).collect()
+
+
+def test_zorder_compaction_makes_ts_range_reads_prune_within_month(spark, tmp_path):
+    """Compacting with zorder_cols splits each month into contiguous
+    (month, z) file ranges, so the manifest's per-file ts stats prune a
+    narrow ts slice to a SUBSET of the month's files — and results still
+    equal full-read-then-filter."""
+    path = str(tmp_path / "ztab")
+    # one month, days 1..27 interleaved across appends
+    S.append(_batch(spark, 1, range(0, 54, 2)), path)
+    S.append(_batch(spark, 1, range(1, 54, 2)), path)
+    v = S.compact_snapshot(spark, path, zorder_cols=("ts", "price"), n_files=6)
+    m = S.manifest(path, v)
+    assert len(m["files"]) > 2  # the month actually split
+    lo, hi = datetime(2024, 1, 2), datetime(2024, 1, 4, 23)
+    df = S.read_snapshot(spark, path, ts_range=(lo, hi))
+    full = S.read_snapshot(spark, path)
+    want = sorted(r.trade_id for r in full.collect() if lo <= r.ts <= hi)
+    assert _ids(df) == want and want
+    assert len(df.inputFiles()) < len(m["files"])  # pruned below the month
