@@ -429,6 +429,7 @@ def read_snapshot(
     ts_range: tuple | None = None,
     ts_col: str = "ts",
     keep_txn: bool = False,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Read a snapshot (default: latest). ``months=(lo, hi)`` prunes whole
     partitions and ``ts_range=(lo, hi)`` prunes by the per-file footer
@@ -437,7 +438,13 @@ def read_snapshot(
     The ts predicate is RE-APPLIED to the surviving rows (the skipping.py
     contract: pruning is an optimization, never a semantics change), so
     the result equals a full read filtered to the range. Files without
-    recorded stats are read, not pruned."""
+    recorded stats are read, not pruned.
+
+    ``merge_schema=True`` unions the footer schemas across the snapshot's
+    files (Spark's mergeSchema) — the schema-EVOLUTION read: commits are
+    free to add columns (each txn dir is self-describing), and rows from
+    pre-evolution files surface the new columns as NULL, exactly the
+    Delta ADD COLUMN semantics without a table-level schema registry."""
     head = latest_version(path)
     if head is None:
         raise FileNotFoundError(f"no snapshots at {path}")
@@ -460,6 +467,7 @@ def read_snapshot(
     else:
         df = (
             spark.read.option("basePath", str(_data(path)))
+            .option("mergeSchema", str(merge_schema).lower())
             .parquet(*[str(Path(path) / f["path"]) for f in files])
         )
     if ts_range is not None:
@@ -511,6 +519,8 @@ def maybe_compact_snapshot(
     keys: Sequence[str] = ("ts", "symbol", "trade_id"),
     version_col: str = "ingested_at",
     ts_col: str = "ts",
+    zorder_cols: Sequence[str] | None = None,
+    n_files: int = 8,
 ) -> int | None:
     """Compaction POLICY for snapshot tables (the twin of
     ``streaming.compaction.maybe_compact`` for sketch-MV dirs): a
@@ -520,10 +530,74 @@ def maybe_compact_snapshot(
     The check is one manifest read — no Spark job and no storage listing
     when under threshold. Returns the new version, or None if no
     compaction ran (including when a concurrent commit won the race —
-    the next maintenance tick retries against the new head)."""
+    the next maintenance tick retries against the new head).
+
+    ``zorder_cols`` makes each maintenance rewrite also the z-clustering
+    pass, so a streaming table's layout keeps converging to the
+    range-prunable form without a separate job — post-compaction appends
+    are un-clustered until the next threshold trip, which is exactly the
+    Delta OPTIMIZE ZORDER cadence."""
     if len(_current_files(path)) <= max_live_files:
         return None
     try:
-        return compact_snapshot(spark, path, keys, version_col, ts_col)
+        return compact_snapshot(
+            spark, path, keys, version_col, ts_col,
+            zorder_cols=zorder_cols, n_files=n_files,
+        )
     except CommitConflict:
         return None
+
+
+def diff_versions(
+    spark: SparkSession,
+    path: str,
+    v_old: int,
+    v_new: int,
+    keys: Sequence[str] = ("ts", "symbol", "trade_id"),
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """CDC-style row diff between two snapshots: full-outer join the two
+    reads on ``keys`` and classify each key as ``added`` / ``removed`` /
+    ``changed`` (any ``compare_cols`` value differs, NULL-safely);
+    unchanged keys are filtered out. ``compare_cols`` defaults to every
+    shared non-key data column.
+
+    This is the audit/backfill question a versioned table exists to
+    answer ("what did that compaction/merge actually change?"). Cost is
+    one key-partitioned shuffle of both snapshots — inherent to a
+    value-level diff; for append-only ranges prefer :func:`read_changes`,
+    which answers from the manifest alone."""
+    old = read_snapshot(spark, path, version=v_old, merge_schema=True)
+    new = read_snapshot(spark, path, version=v_new, merge_schema=True)
+    if compare_cols is None:
+        skip = set(keys) | {PARTITION_COL, TXN_COL}
+        compare_cols = [
+            c for c in old.columns if c in set(new.columns) and c not in skip
+        ]
+    o = old.select(
+        *[F.col(k).alias(f"k{i}") for i, k in enumerate(keys)],
+        *[F.col(c).alias(f"o_{c}") for c in compare_cols],
+        F.lit(1).alias("o_present"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"k{i}") for i, k in enumerate(keys)],
+        *[F.col(c).alias(f"n_{c}") for c in compare_cols],
+        F.lit(1).alias("n_present"),
+    )
+    j = o.join(n, [f"k{i}" for i in range(len(keys))], "full_outer")
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"o_{c}").eqNullSafe(F.col(f"n_{c}"))
+    kind = (
+        F.when(F.col("o_present").isNull(), F.lit("added"))
+        .when(F.col("n_present").isNull(), F.lit("removed"))
+        .when(changed, F.lit("changed"))
+    )
+    return (
+        j.withColumn("change_type", kind)
+        .where(F.col("change_type").isNotNull())
+        .select(
+            *[F.col(f"k{i}").alias(k) for i, k in enumerate(keys)],
+            "change_type",
+        )
+    )

@@ -394,3 +394,39 @@ def test_zorder_compaction_makes_ts_range_reads_prune_within_month(spark, tmp_pa
     want = sorted(r.trade_id for r in full.collect() if lo <= r.ts <= hi)
     assert _ids(df) == want and want
     assert len(df.inputFiles()) < len(m["files"])  # pruned below the month
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    path = str(tmp_path / "evo")
+    S.append(_batch(spark, 1, range(3)), path)
+    evolved = _batch(spark, 2, range(3, 5)).withColumn(
+        "venue", __import__("pyspark.sql.functions", fromlist=["lit"]).lit("X")
+    )
+    S.append(evolved, path)
+    df = S.read_snapshot(spark, path, merge_schema=True)
+    assert "venue" in df.columns
+    got = {r.trade_id: r.venue for r in df.collect()}
+    assert got == {0: None, 1: None, 2: None, 3: "X", 4: "X"}
+
+
+def test_diff_versions_classifies_added_removed_changed(spark, table):
+    # v2: re-append ids 0-1 with a newer version (will CHANGE after
+    # compact), v3 compact (dedup -> changed rows), v4 drop months
+    # before February (-> January rows removed)
+    S.append(_batch(spark, 1, range(2), version=7), table)
+    v_compact = S.compact_snapshot(spark, table)
+    S.drop_months(table, "202402")
+    head = S.latest_version(table)
+
+    d1 = {tuple(r)[:-1]: r.change_type for r in S.diff_versions(spark, table, 1, v_compact).collect()}
+    # vs v1: ids 16+ don't exist; ids 0-1 changed (ingested_at 0 -> 7)
+    kinds1 = sorted(set(d1.values()))
+    assert kinds1 == ["changed"]
+    assert len(d1) == 2
+
+    d2 = {r.trade_id: r.change_type for r in S.diff_versions(spark, table, v_compact, head).collect()}
+    assert all(v == "removed" for v in d2.values())
+    assert sorted(d2) == list(range(10))  # the dropped January rows
+
+    d3 = S.diff_versions(spark, table, 0, 1).collect()
+    assert all(r.change_type == "added" for r in d3) and len(d3) == 6
