@@ -76,7 +76,24 @@ def _data(path: str) -> Path:
 
 def latest_version(path: str) -> int | None:
     """Highest committed version, or None for an uninitialized table.
-    O(#versions) directory scan of the log — never touches data."""
+
+    O(1) amortized via the best-effort ``_head.hint`` each commit drops
+    (the Delta ``_last_checkpoint`` pattern): start at the hinted version
+    and probe FORWARD until the first missing manifest. A stale or lost
+    hint only costs extra stats (probing starts further back — worst case
+    the full directory scan fallback); a hint can never overshoot because
+    it is written only after its commit's link succeeded, and manifests
+    are never deleted. Never touches data."""
+    hint = _log(path) / "_head.hint"
+    try:
+        v = int(hint.read_text())
+        if not (_log(path) / f"v{v}.json").exists():
+            raise ValueError  # corrupt/foreign hint — fall back to scan
+        while (_log(path) / f"v{v + 1}.json").exists():
+            v += 1
+        return v
+    except (OSError, ValueError):
+        pass
     versions = [
         int(p.stem[1:])
         for p in _log(path).glob("v*.json")
@@ -164,6 +181,17 @@ def _commit(
             continue  # another writer claimed this version — recompute head
         finally:
             tmp.unlink(missing_ok=True)
+        # best-effort head hint (monotonicity-guarded: a slow writer must
+        # not roll a newer writer's hint backwards); readers probe forward
+        # from it, so losing this write entirely is only a perf miss
+        try:
+            cur = int((log / "_head.hint").read_text())
+        except (OSError, ValueError):
+            cur = -1
+        if version > cur:
+            hint_tmp = log / f".hint-{uuid.uuid4().hex}"
+            hint_tmp.write_text(str(version))
+            os.replace(hint_tmp, log / "_head.hint")
         return version
     raise RuntimeError(f"commit contention: lost {_COMMIT_RETRIES} races at {path}")
 

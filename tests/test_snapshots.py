@@ -430,3 +430,21 @@ def test_diff_versions_classifies_added_removed_changed(spark, table):
 
     d3 = S.diff_versions(spark, table, 0, 1).collect()
     assert all(r.change_type == "added" for r in d3) and len(d3) == 6
+
+
+def test_head_hint_is_fast_path_and_never_wrong(spark, table):
+    log = Path(table) / S.LOG_DIR
+    assert (log / "_head.hint").read_text() == "1"
+    # stale hint (writer crashed before updating it): probing forward finds
+    # the true head
+    (log / "_head.hint").write_text("0")
+    assert S.latest_version(table) == 1
+    # corrupt hint: falls back to the directory scan
+    (log / "_head.hint").write_text("banana")
+    assert S.latest_version(table) == 1
+    # missing hint: scan fallback
+    (log / "_head.hint").unlink()
+    assert S.latest_version(table) == 1
+    # a new commit restores the hint
+    S.append(_batch(spark, 3, [50]), table)
+    assert (log / "_head.hint").read_text() == "2"
