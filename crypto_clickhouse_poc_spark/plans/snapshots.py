@@ -19,9 +19,10 @@ and every operation is a NEW manifest over mostly-old files:
              files. O(manifest), zero I/O on data, trivially undoable.
 - rollback → commit a new version whose file list is an old version's
              (history is append-only; nothing is deleted)
-- vacuum   → physically delete files unreferenced by the LATEST manifest
-             (after which time travel to versions needing them fails — the
-             Delta VACUUM trade; requires no concurrent writers)
+- vacuum   → physically delete files unreferenced by the newest
+             ``retain_versions`` manifests (after which time travel to
+             versions needing them fails — the Delta retention-window
+             trade; requires no concurrent writers)
 
 Commits are optimistic-concurrency: the manifest is written to a unique tmp
 name and ``os.link``ed to ``v{N}.json`` — EEXIST means another writer won
@@ -189,9 +190,12 @@ def _commit(
         except (OSError, ValueError):
             cur = -1
         if version > cur:
-            hint_tmp = log / f".hint-{uuid.uuid4().hex}"
-            hint_tmp.write_text(str(version))
-            os.replace(hint_tmp, log / "_head.hint")
+            try:
+                hint_tmp = log / f".hint-{uuid.uuid4().hex}"
+                hint_tmp.write_text(str(version))
+                os.replace(hint_tmp, log / "_head.hint")
+            except OSError:
+                pass  # genuinely best-effort: the commit link IS the commit
         return version
     raise RuntimeError(f"commit contention: lost {_COMMIT_RETRIES} races at {path}")
 
@@ -382,6 +386,10 @@ def read_changes(
         return _empty_like(spark, path).drop(TXN_COL)
     df = (
         spark.read.option("basePath", str(_data(path)))
+        # change feeds must survive a schema-evolution boundary: with one
+        # arbitrary file's schema, an evolved column's values would be
+        # silently dropped from the delta
+        .option("mergeSchema", "true")
         .parquet(*[str(Path(path) / f["path"]) for f in added])
     )
     return df.drop(TXN_COL)
@@ -423,8 +431,14 @@ def compact_snapshot(
     would silently drop the interleaver's rows otherwise) — re-run against
     the new head; the orphaned rewrite dir is swept by vacuum."""
     read_v = latest_version(path)
+    # merge_schema=True: a compaction must preserve EVERY column any live
+    # file carries — with one arbitrary file's schema, compacting a
+    # schema-evolved table would permanently drop the added columns
+    # (r8 third-review finding)
     df = dedup_view(
-        read_snapshot(spark, path, version=read_v), keys, version_col
+        read_snapshot(spark, path, version=read_v, merge_schema=True),
+        keys,
+        version_col,
     ).drop(PARTITION_COL)
     new = _write_txn(df, path, ts_col, zorder_cols=zorder_cols, n_files=n_files)
     return _commit(path, lambda _hf: new, "compact", expected_parent=read_v)
@@ -457,7 +471,7 @@ def read_snapshot(
     ts_range: tuple | None = None,
     ts_col: str = "ts",
     keep_txn: bool = False,
-    merge_schema: bool = False,
+    merge_schema: bool | None = None,
 ) -> DataFrame:
     """Read a snapshot (default: latest). ``months=(lo, hi)`` prunes whole
     partitions and ``ts_range=(lo, hi)`` prunes by the per-file footer
@@ -493,11 +507,10 @@ def read_snapshot(
         # after retention) — full-read-then-filter would be empty too
         df = _empty_like(spark, path)
     else:
-        df = (
-            spark.read.option("basePath", str(_data(path)))
-            .option("mergeSchema", str(merge_schema).lower())
-            .parquet(*[str(Path(path) / f["path"]) for f in files])
-        )
+        reader = spark.read.option("basePath", str(_data(path)))
+        if merge_schema is not None:  # None defers to the session conf
+            reader = reader.option("mergeSchema", str(merge_schema).lower())
+        df = reader.parquet(*[str(Path(path) / f["path"]) for f in files])
     if ts_range is not None:
         df = df.where(
             (F.col(ts_col) >= F.lit(ts_range[0])) & (F.col(ts_col) <= F.lit(ts_range[1]))
@@ -534,8 +547,10 @@ def vacuum(path: str, retain_versions: int = 1) -> list[str]:
             d.unlink()
         elif d.is_dir() and not any(d.iterdir()):
             d.rmdir()
-    # orphan manifest tmps from writers that crashed before their link
+    # orphan manifest/hint tmps from writers that crashed mid-write
     for t in _log(path).glob(".tmp-*.json"):
+        t.unlink(missing_ok=True)
+    for t in _log(path).glob(".hint-*"):
         t.unlink(missing_ok=True)
     return sorted(removed)
 
@@ -602,24 +617,29 @@ def diff_versions(
         compare_cols = [
             c for c in old.columns if c in set(new.columns) and c not in skip
         ]
-    o = old.select(
-        *[F.col(k).alias(f"k{i}") for i, k in enumerate(keys)],
-        *[F.col(c).alias(f"o_{c}") for c in compare_cols],
-        F.lit(1).alias("o_present"),
+
+    # a key may legitimately hold MULTIPLE rows pre-compaction, so each
+    # side reduces to one row per key carrying the SORTED MULTISET of its
+    # compare values — a full-outer join of raw rows would cross-product
+    # duplicate keys and report an identical snapshot as changed (r8
+    # third-review finding). changed ⇔ the multisets differ.
+    def _grouped(df: DataFrame, side: str) -> DataFrame:
+        return (
+            df.select(
+                *[F.col(k).alias(f"k{i}") for i, k in enumerate(keys)],
+                F.struct(*[F.col(c) for c in compare_cols]).alias("v"),
+            )
+            .groupBy(*[f"k{i}" for i in range(len(keys))])
+            .agg(F.sort_array(F.collect_list("v")).alias(f"{side}_vals"))
+        )
+
+    j = _grouped(old, "o").join(
+        _grouped(new, "n"), [f"k{i}" for i in range(len(keys))], "full_outer"
     )
-    n = new.select(
-        *[F.col(k).alias(f"k{i}") for i, k in enumerate(keys)],
-        *[F.col(c).alias(f"n_{c}") for c in compare_cols],
-        F.lit(1).alias("n_present"),
-    )
-    j = o.join(n, [f"k{i}" for i in range(len(keys))], "full_outer")
-    changed = F.lit(False)
-    for c in compare_cols:
-        changed = changed | ~F.col(f"o_{c}").eqNullSafe(F.col(f"n_{c}"))
     kind = (
-        F.when(F.col("o_present").isNull(), F.lit("added"))
-        .when(F.col("n_present").isNull(), F.lit("removed"))
-        .when(changed, F.lit("changed"))
+        F.when(F.col("o_vals").isNull(), F.lit("added"))
+        .when(F.col("n_vals").isNull(), F.lit("removed"))
+        .when(~F.col("o_vals").eqNullSafe(F.col("n_vals")), F.lit("changed"))
     )
     return (
         j.withColumn("change_type", kind)

@@ -399,9 +399,9 @@ def test_zorder_compaction_makes_ts_range_reads_prune_within_month(spark, tmp_pa
 def test_schema_evolution_merge_read(spark, tmp_path):
     path = str(tmp_path / "evo")
     S.append(_batch(spark, 1, range(3)), path)
-    evolved = _batch(spark, 2, range(3, 5)).withColumn(
-        "venue", __import__("pyspark.sql.functions", fromlist=["lit"]).lit("X")
-    )
+    from pyspark.sql import functions as F
+
+    evolved = _batch(spark, 2, range(3, 5)).withColumn("venue", F.lit("X"))
     S.append(evolved, path)
     df = S.read_snapshot(spark, path, merge_schema=True)
     assert "venue" in df.columns
@@ -448,3 +448,35 @@ def test_head_hint_is_fast_path_and_never_wrong(spark, table):
     # a new commit restores the hint
     S.append(_batch(spark, 3, [50]), table)
     assert (log / "_head.hint").read_text() == "2"
+
+
+def test_diff_of_identical_snapshot_with_duplicate_keys_is_empty(spark, table):
+    # duplicate keys (same ts/symbol/trade_id, different ingested_at) are
+    # the normal pre-compaction state; self-diff must be EMPTY, not a
+    # cross-product of spurious "changed" rows
+    S.append(_batch(spark, 1, range(3), version=7), table)
+    head = S.latest_version(table)
+    assert S.diff_versions(spark, table, head, head).count() == 0
+
+
+def test_compacting_an_evolved_table_preserves_added_columns(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "evc")
+    S.append(_batch(spark, 1, range(3)), path)
+    S.append(_batch(spark, 2, range(3, 5)).withColumn("venue", F.lit("X")), path)
+    S.compact_snapshot(spark, path)
+    df = S.read_snapshot(spark, path, merge_schema=True)
+    assert "venue" in df.columns
+    got = {r.trade_id: r.venue for r in df.collect()}
+    assert got == {0: None, 1: None, 2: None, 3: "X", 4: "X"}
+    # the change feed across the evolution boundary keeps the column too
+    inc = S.read_changes(spark, path, since_version=0, to_version=1)
+    assert {r.venue for r in inc.collect()} == {"X"}
+
+
+def test_vacuum_sweeps_orphan_hint_tmps(spark, table):
+    orphan = Path(table) / S.LOG_DIR / ".hint-deadbeef"
+    orphan.write_text("0")
+    S.vacuum(table)
+    assert not orphan.exists()
