@@ -12,6 +12,10 @@ module adds that pointer. A table becomes
 and every operation is a NEW manifest over mostly-old files:
 
 - append   → write a fresh ``txn=`` dir, commit parent files + new files
+- merge    → copy-on-write MERGE INTO: rewrite ONLY the files containing
+             matching keys, carry every other file by reference
+- delete   → merge-on-read: commit a deletion vector (file, row-position
+             list); readers anti-join it, compaction materializes it
 - compact  → rewrite survivors into a fresh dir, commit ONLY the new files
              (old files stay on disk — prior versions remain readable; no
              rename window, no reader retry: the swap is one manifest link)
@@ -138,6 +142,7 @@ def _commit(
     op: str,
     txn: tuple[str, int] | None = None,
     expected_parent: int | None | str = "any",
+    dvs_fn=None,
 ) -> int:
     """Optimistic commit: claim the next version number with an atomic
     ``os.link``; EEXIST = lost the race, so re-read the head and retry.
@@ -153,7 +158,13 @@ def _commit(
     ``txn=(app, id)`` records an idempotent-writer watermark: the manifest
     carries forward a ``txns`` map {app: last committed id} (the Delta
     (appId, batchId) protocol), so a replayed micro-batch can be detected
-    in O(1) from the head manifest alone."""
+    in O(1) from the head manifest alone.
+
+    ``dvs_fn(head_dvs) -> dvs`` transforms the deletion-vector list the
+    same way ``files_fn`` transforms the file list; the default carries
+    the head's DVs forward unchanged (appends/merges must not lose a
+    prior delete), ``delete_where`` appends, compact/materialize clears,
+    rollback restores."""
     log = _log(path)
     log.mkdir(parents=True, exist_ok=True)
     tmp = log / f".tmp-{uuid.uuid4().hex}.json"
@@ -168,12 +179,17 @@ def _commit(
         txns = head_m.get("txns", {})
         if txn is not None:
             txns = {**txns, txn[0]: txn[1]}
+        head_dvs = head_m.get("dvs", [])
         body = {
             "version": version,
             "parent": head,
             "op": op,
             "txns": txns,
             "files": sorted(files_fn(head_m.get("files", [])), key=lambda f: f["path"]),
+            "dvs": sorted(
+                dvs_fn(head_dvs) if dvs_fn is not None else head_dvs,
+                key=lambda f: f["path"],
+            ),
         }
         tmp.write_text(json.dumps(body, indent=1))
         try:
@@ -412,6 +428,100 @@ def _empty_like(spark: SparkSession, path: str) -> DataFrame:
     raise ValueError(f"{path} has no data files in any version — schema unknown")
 
 
+DV_DIR = "_dv"
+_DV_FILE = "_dv_target_file"
+_DV_POS = "_dv_target_pos"
+
+
+def _dv_file_expr():
+    """The table-relative path of each row's source file, derived from
+    ``_metadata.file_path`` scheme-independently: everything after the
+    LAST ``/data/`` boundary (txn/partition dir names are ``txn=<hex>`` /
+    ``p_month=<digits>`` / ``part-*.parquet``, so the boundary is
+    unambiguous even if the table's own path contains ``/data/``)."""
+    return F.concat(
+        F.lit(f"{DATA_DIR}/"),
+        F.substring_index(F.col("_metadata.file_path"), f"/{DATA_DIR}/", -1),
+    )
+
+
+def _apply_dvs(spark: SparkSession, df: DataFrame, dvs: list[dict], path: str) -> DataFrame:
+    """Merge-on-read: anti-join the scan against the snapshot's deletion
+    vectors on (source file, row position). The DV side is broadcast — a
+    DV holds the POSITIONS of deleted rows (the Delta deletion-vector /
+    Iceberg position-delete pattern), so its size is O(deleted rows),
+    not O(table). Rows from files a DV doesn't mention pass through the
+    hash lookup untouched; no data file is ever rewritten by a delete."""
+    if not dvs:
+        return df
+    dv = spark.read.parquet(*[str(Path(path) / e["path"]) for e in dvs])
+    tagged = df.withColumn(_DV_FILE, _dv_file_expr()).withColumn(
+        _DV_POS, F.col("_metadata.row_index")
+    )
+    cond = (tagged[_DV_FILE] == dv[_DV_FILE]) & (tagged[_DV_POS] == dv[_DV_POS])
+    return tagged.join(F.broadcast(dv), cond, "left_anti").drop(_DV_FILE, _DV_POS)
+
+
+def delete_where(spark: SparkSession, path: str, predicate: str) -> int:
+    """Merge-on-read DELETE: record the (file, row-position) of every
+    matching row as a deletion vector and commit a manifest that carries
+    it — ZERO data files are rewritten (deleting 3 rows from a 1 GB file
+    costs a few KB of DV, not a 1 GB rewrite; the GDPR-erasure pattern).
+    Readers of the new version anti-join the DV (:func:`_apply_dvs`);
+    prior versions still read the rows (time travel); compaction
+    materializes the deletes and clears the DV list; vacuum sweeps DV
+    files once unreferenced.
+
+    The positions come from ``_metadata.row_index`` over the snapshot
+    the predicate was evaluated on, so a concurrent commit between read
+    and commit raises :class:`CommitConflict` (a compact would renumber
+    the rows the DV points at). The scan applies the head's EXISTING DVs
+    first, so re-deleting an already-deleted row is a no-op and DV stats
+    stay honest. Matching zero rows commits nothing and returns the head.
+
+    At a 100 TB scale point: the predicate scan is one column-pruned,
+    filter-pushed pass (row-group stats prune at the parquet level, the
+    manifest's month/ts stats could pre-prune the file list); the DV
+    write is O(matched rows). A predicate that matches most of a file is
+    better served by copy-on-write (``merge_into`` with tombstones or a
+    compact) — the same trade Delta documents for its DVs."""
+    read_v = latest_version(path)
+    if read_v is None:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    m = manifest(path, read_v)
+    if not m["files"]:
+        return read_v
+    df = _apply_dvs(
+        spark,
+        _read_files(spark, path, m["files"], merge_schema=True),
+        m.get("dvs", []),
+        path,
+    )
+    hits = df.where(predicate).select(
+        _dv_file_expr().alias(_DV_FILE),
+        F.col("_metadata.row_index").alias(_DV_POS),
+    )
+    dest = Path(path) / DV_DIR / f"dv-{uuid.uuid4().hex[:12]}"
+    hits.write.mode("error").parquet(str(dest))
+    entries = []
+    for f in dest.rglob("*.parquet"):
+        st = _footer_stats(f, "")  # rows only — position stats aren't ranges
+        if st.get("rows", 0):
+            entries.append(
+                {"path": str(f.relative_to(Path(path))), "rows": st["rows"]}
+            )
+    if not entries:
+        shutil.rmtree(dest, ignore_errors=True)  # nothing matched — no-op
+        return read_v
+    return _commit(
+        path,
+        lambda hf: hf,
+        "delete",
+        expected_parent=read_v,
+        dvs_fn=lambda head_dvs: head_dvs + entries,
+    )
+
+
 def _read_files(
     spark: SparkSession,
     path: str,
@@ -456,7 +566,12 @@ def compact_snapshot(
         version_col,
     ).drop(PARTITION_COL)
     new = _write_txn(df, path, ts_col, zorder_cols=zorder_cols, n_files=n_files)
-    return _commit(path, lambda _hf: new, "compact", expected_parent=read_v)
+    # the read above applied the snapshot's deletion vectors, so the
+    # rewrite MATERIALIZES the deletes — the new manifest starts DV-free
+    return _commit(
+        path, lambda _hf: new, "compact", expected_parent=read_v,
+        dvs_fn=lambda _dvs: [],
+    )
 
 
 def drop_months(path: str, cutoff_month: str) -> int:
@@ -472,10 +587,16 @@ def drop_months(path: str, cutoff_month: str) -> int:
 
 
 def rollback(path: str, to_version: int) -> int:
-    """Commit a new head whose file list is ``to_version``'s (append-only
-    history — the bad versions stay inspectable). Deliberately overwrites
-    whatever head it lands on: restore-to-a-point IS the semantics."""
-    return _commit(path, lambda _hf: manifest(path, to_version)["files"], "rollback")
+    """Commit a new head whose file list (and deletion-vector list) is
+    ``to_version``'s (append-only history — the bad versions stay
+    inspectable). Deliberately overwrites whatever head it lands on:
+    restore-to-a-point IS the semantics."""
+    return _commit(
+        path,
+        lambda _hf: manifest(path, to_version)["files"],
+        "rollback",
+        dvs_fn=lambda _dvs: manifest(path, to_version).get("dvs", []),
+    )
 
 
 def read_snapshot(
@@ -506,7 +627,8 @@ def read_snapshot(
     if head is None:
         raise FileNotFoundError(f"no snapshots at {path}")
     v = head if version is None else version
-    files = manifest(path, v)["files"]
+    m = manifest(path, v)
+    files = m["files"]
     if months is not None:
         lo, hi = months
         files = [f for f in files if lo <= f["p_month"] <= hi]
@@ -522,7 +644,9 @@ def read_snapshot(
         # after retention) — full-read-then-filter would be empty too
         df = _empty_like(spark, path)
     else:
-        df = _read_files(spark, path, files, merge_schema)
+        df = _apply_dvs(
+            spark, _read_files(spark, path, files, merge_schema), m.get("dvs", []), path
+        )
     if ts_range is not None:
         df = df.where(
             (F.col(ts_col) >= F.lit(ts_range[0])) & (F.col(ts_col) <= F.lit(ts_range[1]))
@@ -544,21 +668,29 @@ def vacuum(path: str, retain_versions: int = 1) -> list[str]:
         else range(max(0, head - max(1, retain_versions) + 1), head + 1)
     )
     live = {f["path"] for v in retained for f in manifest(path, v)["files"]}
+    live |= {
+        e["path"] for v in retained for e in manifest(path, v).get("dvs", [])
+    }
     removed = []
-    for f in _data(path).rglob("*.parquet"):
-        rel = str(f.relative_to(Path(path)))
-        if rel not in live:
-            f.unlink()
-            removed.append(rel)
+    scan_dirs = [_data(path)]
+    if (Path(path) / DV_DIR).exists():
+        scan_dirs.append(Path(path) / DV_DIR)
+    for root in scan_dirs:
+        for f in root.rglob("*.parquet"):
+            rel = str(f.relative_to(Path(path)))
+            if rel not in live:
+                f.unlink()
+                removed.append(rel)
     # non-parquet write artifacts (_SUCCESS markers) + emptied dirs
     live_dirs = {Path(p).parent.parts for p in live}
     live_dirs = {parts[:n] for parts in live_dirs for n in range(1, len(parts) + 1)}
-    for d in sorted(_data(path).rglob("*"), reverse=True):
-        rel_parent = d.relative_to(Path(path)).parent.parts
-        if d.is_file() and d.name.startswith("_") and rel_parent not in live_dirs:
-            d.unlink()
-        elif d.is_dir() and not any(d.iterdir()):
-            d.rmdir()
+    for root in scan_dirs:
+        for d in sorted(root.rglob("*"), reverse=True):
+            rel_parent = d.relative_to(Path(path)).parent.parts
+            if d.is_file() and d.name.startswith("_") and rel_parent not in live_dirs:
+                d.unlink()
+            elif d.is_dir() and not any(d.iterdir()):
+                d.rmdir()
     # orphan manifest/hint tmps from writers that crashed mid-write
     for t in _log(path).glob(".tmp-*.json"):
         t.unlink(missing_ok=True)
@@ -711,11 +843,18 @@ def merge_into(
     untouched = [f for f in files if f["path"] not in touched_rel]
     touched = [f for f in files if f["path"] in touched_rel]
 
-    # -- rewrite = full-outer of (touched rows) x (source) on the keys
+    # -- rewrite = full-outer of (touched rows) x (source) on the keys;
+    # the snapshot's deletion vectors are applied first, so a DV'd row
+    # neither matches nor resurrects (the rewrite also MATERIALIZES the
+    # touched files' deletes; untouched files keep their DVs, carried
+    # forward by _commit's default)
     if touched:
-        tgt = _read_files(spark, path, touched, merge_schema=True).drop(
-            TXN_COL, PARTITION_COL
-        )
+        tgt = _apply_dvs(
+            spark,
+            _read_files(spark, path, touched, merge_schema=True),
+            manifest(path, read_v).get("dvs", []),
+            path,
+        ).drop(TXN_COL, PARTITION_COL)
     else:
         tgt = _empty_like(spark, path).drop(TXN_COL, PARTITION_COL)
     t = tgt.select(
