@@ -813,6 +813,11 @@ def merge_into(
         raise ValueError(f"delete_col {delete_col!r} collides with a table column")
     if update_cols is None:
         update_cols = [c for c in data_cols if c in source.columns]
+    unknown = [c for c in update_cols if c not in data_cols]
+    if unknown:
+        raise ValueError(
+            f"update_cols {unknown} are not non-key table columns ({data_cols})"
+        )
     missing = [c for c in list(keys) + list(update_cols) if c not in source.columns]
     if missing:
         raise ValueError(f"source lacks merge columns {missing}")
@@ -826,20 +831,23 @@ def merge_into(
     # -- which files contain a matching key? (column-pruned scan: only the
     # key columns + file tag are read; manifest stats could pre-prune here
     # when a key has recorded ranges, same as read_snapshot's ts_range)
-    src_keys = source.select(*keys).distinct()
-    tagged = (
-        spark.read.option("basePath", str(_data(path)))
-        .option("mergeSchema", "true")
-        .parquet(*[str(Path(path) / f["path"]) for f in files])
-        .select(*keys, F.col("_metadata.file_path").alias("_file"))
-    )
-    touched_rel = {
-        _rel_path(r["_file"], path)
-        for r in tagged.join(F.broadcast(src_keys), keys, "left_semi")
-        .select("_file")
-        .distinct()
-        .collect()  # bounded by the table's FILE count, never its rows
-    }
+    if files:
+        src_keys = source.select(*keys).distinct()
+        tagged = (
+            spark.read.option("basePath", str(_data(path)))
+            .option("mergeSchema", "true")
+            .parquet(*[str(Path(path) / f["path"]) for f in files])
+            .select(*keys, F.col("_metadata.file_path").alias("_file"))
+        )
+        touched_rel = {
+            _rel_path(r["_file"], path)
+            for r in tagged.join(F.broadcast(src_keys), keys, "left_semi")
+            .select("_file")
+            .distinct()
+            .collect()  # bounded by the table's FILE count, never its rows
+        }
+    else:
+        touched_rel = set()  # empty head (post-retention): pure insert
     untouched = [f for f in files if f["path"] not in touched_rel]
     touched = [f for f in files if f["path"] in touched_rel]
 

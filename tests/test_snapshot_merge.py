@@ -133,6 +133,16 @@ def test_merge_source_contracts(spark, table):
     )
     with pytest.raises(ValueError, match="delete_col"):
         S.merge_into(spark, table, _batch(spark, 1, [3]), KEYS, delete_col="nope")
+    with pytest.raises(ValueError, match="update_cols"):
+        S.merge_into(spark, table, _batch(spark, 1, [3]), KEYS, update_cols=["typo"])
+
+
+def test_merge_into_an_emptied_head_is_a_pure_insert(spark, table):
+    # retention that drops every file → merge must not scan zero paths
+    S.drop_months(table, "999912")
+    v = S.merge_into(spark, table, _batch(spark, 1, [1, 2]), KEYS)
+    assert _rows(S.read_snapshot(spark, table)) == {1: 101.0, 2: 102.0}
+    assert S.manifest(table, v)["op"] == "merge"
 
 
 def test_merge_conflict_is_detected_not_silently_lost(spark, table, monkeypatch):
