@@ -126,6 +126,125 @@ def apply_scd2_batch(
     layout.swap_in(str(dest), tmp)
 
 
+def scd2_apply_snapshot(
+    dim_path: str,
+    batch: DataFrame,
+    batch_ts: str,
+    seq_col: str | None = None,
+) -> int:
+    """The transactional SCD2 apply the module docstring deferred to "a
+    transactional table format": the snapshot log now IS one, so this seat
+    applies a CDC batch through ``plans.snapshots.merge_into`` instead of
+    the full-dim rename-swap — closing ROADMAP #5 without Delta/Iceberg.
+
+    The classic MERGE-INTO SCD2 staging (the Databricks pattern) adapted
+    to a key-matched merge: the source unions three row kinds, keyed by
+    the composite (key, effective_from) so each targets exactly ONE
+    version row —
+
+    - CLOSE rows: each changed key's current version, re-keyed by its own
+      stored effective_from, carrying its OLD attributes (a no-op update)
+      plus effective_to = batch_ts, is_current = 0;
+    - OPEN rows: the changed keys' new versions at (key, batch_ts) — no
+      target row has that effective_from, so they INSERT;
+    - FIRST rows: keys with no dim row at all, also inserting at batch_ts.
+
+    Change detection is the same null-safe any-attribute predicate as
+    ``operators.warehouse.scd2_merge`` (equivalence is pytest-gated batch
+    by batch), so re-applying a delivered-twice batch stages an empty
+    source and the merge no-ops — at-least-once foreachBatch delivery
+    stays effectively exactly-once.
+
+    Scale shape vs ``apply_scd2_batch``: the rename-swap rewrites the
+    WHOLE dimension every batch; this rewrites only the files holding the
+    changed keys' current versions (merge_into's copy-on-write), appends
+    the new versions, and history files are never touched again — the
+    per-batch write cost is O(changed keys), not O(dimension), and every
+    batch is a time-travelable version with no crash window. A same-day
+    re-change of a key (old effective_from == batch_ts) would collide the
+    close and open rows on the merge key and fails loudly via
+    merge_into's duplicate-source-key contract.
+    """
+    from pyspark.sql import functions as F
+
+    from ..plans import snapshots as S
+
+    spark = batch.sparkSession
+    dim = S.read_snapshot(spark, dim_path).drop("p_month")
+    upd = collapse_batch(batch, seq_col)
+    cur = dim.where(F.col("is_current") == 1)
+    changed = (
+        cur.alias("d")
+        .join(upd.alias("u"), "key")
+        .where(
+            ~F.col("d.acctbal").eqNullSafe(F.col("u.acctbal"))
+            | ~F.col("d.name").eqNullSafe(F.col("u.name"))
+        )
+    )
+    ts = F.lit(batch_ts).cast("timestamp")
+    open_end = F.lit(_SCD2_OPEN()).cast("timestamp")
+    close_rows = changed.select(
+        "key",
+        F.col("d.effective_from").alias("effective_from"),
+        F.col("d.name").alias("name"),
+        F.col("d.acctbal").alias("acctbal"),
+        ts.alias("effective_to"),
+        F.lit(0).alias("is_current"),
+    )
+    open_rows = changed.select(
+        "key",
+        ts.alias("effective_from"),
+        F.col("u.name").alias("name"),
+        F.col("u.acctbal").alias("acctbal"),
+        open_end.alias("effective_to"),
+        F.lit(1).alias("is_current"),
+    )
+    first_rows = upd.join(dim.select("key"), "key", "left_anti").select(
+        "key",
+        ts.alias("effective_from"),
+        "name",
+        "acctbal",
+        open_end.alias("effective_to"),
+        F.lit(1).alias("is_current"),
+    )
+    source = close_rows.unionByName(open_rows).unionByName(first_rows)
+    return S.merge_into(
+        spark,
+        dim_path,
+        source,
+        keys=["key", "effective_from"],
+        ts_col="effective_from",
+    )
+
+
+def _SCD2_OPEN() -> str:
+    from ..operators.warehouse import SCD2_OPEN
+
+    return SCD2_OPEN
+
+
+def start_scd2_apply_snapshot(
+    updates: DataFrame,
+    dim_path: str,
+    checkpoint_path: str,
+    batch_ts: Callable[[int], str] = default_batch_ts,
+    seq_col: str | None = None,
+) -> StreamingQuery:
+    """Streaming seat of :func:`scd2_apply_snapshot` — same contract as
+    :func:`start_scd2_apply`, but each micro-batch lands as one snapshot
+    commit (op "merge") on the dimension's transaction log."""
+    return (
+        updates.writeStream.foreachBatch(
+            lambda df, bid: scd2_apply_snapshot(
+                dim_path, df, batch_ts(bid), seq_col
+            )
+        )
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+        .start()
+    )
+
+
 def start_scd2_apply(
     updates: DataFrame,
     dim_path: str,
