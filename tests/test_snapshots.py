@@ -253,9 +253,9 @@ def test_footer_stats_prune_files_below_partition_level(spark, table):
 @pytest.mark.parametrize("seed", [7, 23])
 def test_random_op_sequences_match_pure_model(spark, tmp_path, seed):
     """Randomized model check: any interleaving of append / duplicate-key
-    append / compact / metadata-TTL / rollback leaves every version's read
-    equal to a pure-Python replay of the same ops (the log is the model's
-    history, nothing more)."""
+    append / compact / metadata-TTL / rollback / merge-into / DV-delete
+    leaves every version's read equal to a pure-Python replay of the same
+    ops (the log is the model's history, nothing more)."""
     import random as rnd
 
     r = rnd.Random(seed)
@@ -271,8 +271,11 @@ def test_random_op_sequences_match_pure_model(spark, tmp_path, seed):
     model_versions: list[list] = []  # version -> rows [(trade_id, ver, month)]
     cur: list = []
     next_id = 0
-    for step in range(8):
-        ops = ["append", "append_dup", "compact", "drop", "rollback"]
+    for step in range(10):
+        ops = [
+            "append", "append_dup", "compact", "drop", "rollback",
+            "merge", "delete",
+        ]
         op = r.choice(ops if model_versions else ["append"])
         if op == "append":
             ids = list(range(next_id, next_id + r.randint(1, 4)))
@@ -293,6 +296,28 @@ def test_random_op_sequences_match_pure_model(spark, tmp_path, seed):
             cutoff = f"20240{r.choice([2, 3])}"
             S.drop_months(path, cutoff)
             cur = [t for t in cur if f"20240{t[2]}" >= cutoff]
+        elif op == "merge" and cur:
+            # update every copy of one live key + insert one fresh key —
+            # through the copy-on-write MERGE (keys include ts, so the
+            # source reproduces the deterministic per-(id, month) ts)
+            tid, _, month = r.choice(cur)
+            month_new = r.choice([1, 2, 3])
+            src = _batch(spark, month, [tid], version=step).union(
+                _batch(spark, month_new, [next_id], version=step)
+            )
+            S.merge_into(spark, path, src, keys=["ts", "symbol", "trade_id"])
+            cur = [
+                (t, step if (t == tid and m == month) else v, m)
+                for t, v, m in cur
+            ] + [(next_id, step, month_new)]
+            next_id += 1
+        elif op == "delete" and cur:
+            # merge-on-read DV delete of every copy of one live key
+            tid = r.choice(cur)[0]
+            S.delete_where(spark, path, f"trade_id = {tid}")
+            cur = [t for t in cur if t[0] != tid]
+        elif op in ("merge", "delete"):
+            continue
         else:  # rollback
             v = r.randrange(len(model_versions))
             S.rollback(path, v)
