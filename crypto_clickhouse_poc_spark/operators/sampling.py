@@ -339,12 +339,46 @@ def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/validation/test assignment: the split unit is
+    the NEAR-DUP CLUSTER, not the document, so two near-copies can never
+    straddle a split boundary (per-doc hashing puts ~10% of every dup
+    cluster's members in eval — the classic train/test contamination an
+    eval suite exists to prevent; cf. the decontamination practice in
+    Brown et al. 2020 §4 / Rae et al. 2021 appendix).
+
+    Composition of already-scale-shaped stages: the verified LSH pair
+    graph → min-label connected components (``dedup.min_label_clusters``:
+    driver union-find under the edge cap, distributed pointer jumping
+    above) → split = md5 bucket of the CLUSTER label mod 100 (80/10/10).
+    Deterministic, engine-portable (the md5-prefix idiom shared with the
+    samplers, replayed exactly by the DuckDB oracle), and one extra
+    per-row map over the cluster labeling — no shuffle beyond what the
+    components already paid. Singleton docs are their own cluster, so the
+    non-duplicated bulk still splits ~uniformly."""
+    from .dedup import _lsh_pairs, min_label_clusters
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    pairs = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    lbl = min_label_clusters(docs, pairs).select("doc_id", "cluster")
+    bkt = (
+        F.conv(F.substring(F.md5(F.col("cluster").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    split = (
+        F.when(bkt < 80, "train").when(bkt < 90, "validation").otherwise("test")
+    )
+    return lbl.select("doc_id", "cluster", split.alias("split")).orderBy("doc_id")
+
+
 QUERIES = {
     "corpus_sample_stratified": corpus_sample_stratified,
     "corpus_mix": corpus_mix,
     "corpus_shard": corpus_shard,
     "corpus_pack": corpus_pack,
     "corpus_shuffle": corpus_shuffle,
+    "corpus_split_leakage_safe": corpus_split_leakage_safe,
 }
 
 _B16 = (
@@ -455,3 +489,43 @@ ORACLES = {
         ORDER BY pos
     """,
 }
+
+
+def _split_oracle() -> str:
+    # cluster labels via the same transitive-closure CTE as
+    # dedup_clusters' oracle (see the clique-sensitivity note there);
+    # split = md5 bucket of the CLUSTER label, the samplers' idiom
+    from .dedup import ORACLES as _DEDUP
+
+    return f"""
+        WITH RECURSIVE pairs AS ({_DEDUP["dedup_minhash_lsh"]}),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        lbl AS (
+          SELECT d.doc_id,
+                 least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster
+          FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+          GROUP BY d.doc_id
+        )
+        SELECT doc_id, cluster,
+               CASE WHEN bkt < 80 THEN 'train'
+                    WHEN bkt < 90 THEN 'validation'
+                    ELSE 'test' END AS split
+        FROM (
+          SELECT doc_id, cluster,
+                 CAST(concat('0x', substring(md5(CAST(cluster AS VARCHAR)), 1, 4))
+                      AS INTEGER) % 100 AS bkt
+          FROM lbl
+        ) t
+        ORDER BY doc_id
+    """
+
+
+ORACLES["corpus_split_leakage_safe"] = _split_oracle()

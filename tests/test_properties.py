@@ -396,3 +396,32 @@ def test_twopass_quantiles_equal_exact_on_skewed_corpus(spark, tmp_path):
     exact = sorted(tuple(r) for r in ev_price_quantiles(spark, sf).collect())
     got = sorted(tuple(r) for r in ev_price_quantiles_twopass(spark, sf).collect())
     assert got == exact
+
+
+def test_leakage_safe_split_never_straddles_near_dup_pairs(spark):
+    """The property the split exists for: for EVERY verified LSH near-dup
+    pair, both docs land in the same split (per-doc hashing would put
+    ~19% of pairs across a boundary at 80/10/10); and all three splits
+    are non-empty at the fixture scale."""
+    from crypto_clickhouse_poc_spark.operators.dedup import _lsh_pairs
+    from crypto_clickhouse_poc_spark.operators.sampling import (
+        corpus_split_leakage_safe,
+    )
+
+    split = corpus_split_leakage_safe(spark, SF_CORRECT)
+    pairs = _lsh_pairs(spark, SF_CORRECT).select("doc_a", "doc_b")
+    a = split.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    b = split.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    straddle = (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+    assert straddle == 0
+    assert pairs.count() > 0  # the gate is vacuous on a pairless fixture
+    got = {r["split"] for r in split.select("split").distinct().collect()}
+    assert got == {"train", "validation", "test"}
