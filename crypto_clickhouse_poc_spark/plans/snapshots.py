@@ -708,6 +708,7 @@ def maybe_compact_snapshot(
     ts_col: str = "ts",
     zorder_cols: Sequence[str] | None = None,
     n_files: int = 8,
+    max_dv_rows: int = 100_000,
 ) -> int | None:
     """Compaction POLICY for snapshot tables (the twin of
     ``streaming.compaction.maybe_compact`` for sketch-MV dirs): a
@@ -723,8 +724,19 @@ def maybe_compact_snapshot(
     pass, so a streaming table's layout keeps converging to the
     range-prunable form without a separate job — post-compaction appends
     are un-clustered until the next threshold trip, which is exactly the
-    Delta OPTIMIZE ZORDER cadence."""
-    if len(_current_files(path)) <= max_live_files:
+    Delta OPTIMIZE ZORDER cadence.
+
+    ``max_dv_rows`` bounds merge-on-read debt the same way: every read
+    pays an anti-join proportional to the accumulated deletion-vector
+    rows, so once they exceed the threshold the rewrite materializes
+    them (compaction clears the DV list) even if the file count is
+    healthy."""
+    head = latest_version(path)
+    if head is None:
+        return None
+    m = manifest(path, head)
+    dv_rows = sum(e.get("rows", 0) for e in m.get("dvs", []))
+    if len(m["files"]) <= max_live_files and dv_rows <= max_dv_rows:
         return None
     try:
         return compact_snapshot(

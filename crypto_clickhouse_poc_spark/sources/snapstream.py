@@ -138,7 +138,14 @@ class SnapshotStreamReader(DataSourceStreamReader):
             # a compacted/retained history's current file list IS the
             # current rows, so a table maintained by maybe_compact_snapshot
             # still boots); the append-only check applies from here on
-            added = _manifest(self.path, to)["files"]
+            m0 = _manifest(self.path, to)
+            if m0.get("dvs"):
+                raise ValueError(
+                    "start head carries deletion vectors; the bootstrap "
+                    "snapshot serves raw files and would resurrect deleted "
+                    "rows — compact_snapshot (materialize the DVs) first"
+                )
+            added = m0["files"]
         else:
             ops = [_manifest(self.path, v)["op"] for v in range(since + 1, to + 1)]
             bad = [o for o in ops if o != "append"]

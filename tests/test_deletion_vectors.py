@@ -143,3 +143,19 @@ def test_read_changes_refuses_ranges_containing_deletes(spark, table):
     S.delete_where(spark, table, "trade_id = 3")
     with pytest.raises(ValueError, match="non-append"):
         S.read_changes(spark, table, since_version=since)
+
+
+def test_maybe_compact_triggers_on_dv_debt(spark, table):
+    # file count healthy, but accumulated DV rows exceed the threshold —
+    # the policy must materialize the merge-on-read debt
+    S.delete_where(spark, table, "trade_id IN (1, 2, 3)")
+    assert (
+        S.maybe_compact_snapshot(spark, table, max_live_files=1000, max_dv_rows=2)
+        is not None
+    )
+    assert S.manifest(table, S.latest_version(table))["dvs"] == []
+    assert _ids(S.read_snapshot(spark, table)) == [
+        i for i in range(16) if i not in (1, 2, 3)
+    ]
+    # under both thresholds: no-op
+    assert S.maybe_compact_snapshot(spark, table, max_live_files=1000) is None

@@ -200,3 +200,25 @@ def test_bootstrap_over_compacted_history_serves_a_snapshot(spark, table, tmp_pa
         assert 200 in _ids(spark, "ss_boot")
     finally:
         q.stop()
+
+
+def test_bootstrap_refuses_a_head_with_deletion_vectors(spark, table, tmp_path):
+    """The bootstrap snapshot serves RAW files; a head carrying DVs would
+    resurrect deleted rows, so the source fails the batch loudly and
+    tells the operator to compact (materialize) first."""
+    S.delete_where(spark, table, "trade_id = 2")
+    q = _start(spark, table, str(tmp_path / "ck_dv"), "ss_dv")
+    try:
+        with pytest.raises(Exception, match="deletion vectors"):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    # after compaction the DV list is empty and bootstrap serves the
+    # materialized state
+    S.compact_snapshot(spark, table)
+    q = _start(spark, table, str(tmp_path / "ck_dv2"), "ss_dv2")
+    try:
+        q.processAllAvailable()
+        assert _ids(spark, "ss_dv2") == [i for i in range(8) if i != 2]
+    finally:
+        q.stop()
