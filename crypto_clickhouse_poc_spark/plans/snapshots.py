@@ -283,11 +283,19 @@ def _write_txn(
     return out
 
 
-def _footer_stats(f: Path, ts_col: str) -> dict:
-    """Per-file (rows, ts_min, ts_max) from the parquet FOOTER — the
-    Iceberg manifest-stats pattern: one metadata read at commit time buys
-    metadata-level range pruning for every future query. Missing/statless
-    columns degrade to no stats (the file is then never pruned)."""
+def _footer_stats(f: Path, ts_col: str, collect_cols: bool = True) -> dict:
+    """Per-file stats from the parquet FOOTER — the Iceberg manifest-stats
+    pattern: one metadata read at commit time buys metadata-level range
+    pruning for every future query. Records (rows, ts_min, ts_max) for
+    the layout's time column plus, under ``cols``, a {name: [min, max]}
+    map for every primitive numeric/temporal column with footer stats
+    (ints/floats raw, timestamps in the canonical ISO form) — the ranges
+    ``merge_into`` prunes its key scan with. Strings are skipped (their
+    truncated footer stats would bloat the manifest for little pruning
+    power) and missing/statless columns degrade to no stats (the file is
+    then never pruned)."""
+    import datetime as _dt
+
     import pyarrow.parquet as pq
 
     try:
@@ -295,19 +303,37 @@ def _footer_stats(f: Path, ts_col: str) -> dict:
     except Exception:
         return {}
     out: dict = {"rows": md.num_rows}
-    lo = hi = None
+    mins: dict = {}
+    maxs: dict = {}
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
             col = g.column(ci)
-            if col.path_in_schema == ts_col and col.statistics is not None:
-                st = col.statistics
-                if st.has_min_max:
-                    lo = st.min if lo is None else min(lo, st.min)
-                    hi = st.max if hi is None else max(hi, st.max)
-    if lo is not None:
-        out["ts_min"] = _iso(lo)
-        out["ts_max"] = _iso(hi)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = col.path_in_schema
+            if not isinstance(
+                st.min, (int, float, _dt.datetime, _dt.date)
+            ) or isinstance(st.min, bool):
+                continue
+            mins[name] = st.min if name not in mins else min(mins[name], st.min)
+            maxs[name] = st.max if name not in maxs else max(maxs[name], st.max)
+    if ts_col in mins:
+        out["ts_min"] = _iso(mins[ts_col])
+        out["ts_max"] = _iso(maxs[ts_col])
+    if collect_cols and mins:
+
+        def _enc(v):
+            return _iso(v) if isinstance(v, (_dt.datetime, _dt.date)) else v
+
+        good = {
+            c: [_enc(mins[c]), _enc(maxs[c])]
+            for c in mins
+            if not (isinstance(mins[c], float) and mins[c] != mins[c])  # NaN
+        }
+        if good:
+            out["cols"] = good
     return out
 
 
@@ -505,7 +531,7 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> int:
     hits.write.mode("error").parquet(str(dest))
     entries = []
     for f in dest.rglob("*.parquet"):
-        st = _footer_stats(f, "")  # rows only — position stats aren't ranges
+        st = _footer_stats(f, "", collect_cols=False)  # rows only
         if st.get("rows", 0):
             entries.append(
                 {"path": str(f.relative_to(Path(path))), "rows": st["rows"]}
@@ -747,6 +773,34 @@ def maybe_compact_snapshot(
         return None
 
 
+def _merge_candidates(files: list[dict], keys: Sequence[str], src_rng: dict) -> list[dict]:
+    """Manifest-level candidate pruning for a merge: a file can contain a
+    matching row only if, for EVERY key column, its recorded [min, max]
+    overlaps the source's — any stats-covered key with a disjoint range
+    proves no row in the file equals any source row on ALL keys.
+    Conservative: files without recorded stats for a key are kept, and a
+    key absent from ``src_rng`` (empty source) keeps nothing. Timestamps
+    compare in the shared canonical ISO form (homogeneous format, so
+    string order is time order)."""
+    if any(src_rng.get(k) is None for k in keys):
+        return []  # empty source: nothing can match anywhere
+    out = []
+    for f in files:
+        stats = f.get("cols", {})
+        keep = True
+        for k in keys:
+            if k not in stats:
+                continue
+            lo, hi = stats[k]
+            s_lo, s_hi = src_rng[k]
+            if s_hi < lo or s_lo > hi:
+                keep = False
+                break
+        if keep:
+            out.append(f)
+    return out
+
+
 def _rel_path(uri: str, path: str) -> str:
     """Manifest-relative form of a ``_metadata.file_path`` URI."""
     p = uri
@@ -840,15 +894,39 @@ def merge_into(
                 f"insert=True needs every table column in the source; missing {missing}"
             )
 
-    # -- which files contain a matching key? (column-pruned scan: only the
-    # key columns + file tag are read; manifest stats could pre-prune here
-    # when a key has recorded ranges, same as read_snapshot's ts_range)
+    # -- which files contain a matching key? Two pruning levels: the
+    # MANIFEST's per-file key ranges drop files whose stats are disjoint
+    # from the source's key range (no scan at all — O(manifest), the
+    # Iceberg pattern), then a column-pruned scan of the survivors' key
+    # columns + file tag settles exact membership.
     if files:
+        import datetime as _dt
+
+        rng_row = source.agg(
+            *[F.min(k).alias(f"lo_{i}") for i, k in enumerate(keys)],
+            *[F.max(k).alias(f"hi_{i}") for i, k in enumerate(keys)],
+        ).collect()[0]
+
+        def _enc(v):
+            return _iso(v) if isinstance(v, (_dt.datetime, _dt.date)) else v
+
+        src_rng = {
+            k: (
+                None
+                if rng_row[f"lo_{i}"] is None
+                else (_enc(rng_row[f"lo_{i}"]), _enc(rng_row[f"hi_{i}"]))
+            )
+            for i, k in enumerate(keys)
+        }
+        candidates = _merge_candidates(files, keys, src_rng)
+    else:
+        candidates = []
+    if candidates:
         src_keys = source.select(*keys).distinct()
         tagged = (
             spark.read.option("basePath", str(_data(path)))
             .option("mergeSchema", "true")
-            .parquet(*[str(Path(path) / f["path"]) for f in files])
+            .parquet(*[str(Path(path) / f["path"]) for f in candidates])
             .select(*keys, F.col("_metadata.file_path").alias("_file"))
         )
         touched_rel = {
@@ -859,7 +937,7 @@ def merge_into(
             .collect()  # bounded by the table's FILE count, never its rows
         }
     else:
-        touched_rel = set()  # empty head (post-retention): pure insert
+        touched_rel = set()  # empty head/source: pure insert (or no-op)
     untouched = [f for f in files if f["path"] not in touched_rel]
     touched = [f for f in files if f["path"] in touched_rel]
 

@@ -185,3 +185,27 @@ def F_lit(v):
     from pyspark.sql import functions as F
 
     return F.lit(v)
+
+
+def test_manifest_key_stats_prune_merge_candidates(spark, table):
+    from crypto_clickhouse_poc_spark.plans.snapshots import _merge_candidates
+
+    files = S.manifest(table, 1)["files"]
+    # every data file carries numeric key ranges in the manifest
+    assert all("cols" in f and "trade_id" in f["cols"] for f in files)
+    # source keys 3..7 overlap only the Jan file(s) (ids 0-9); the Feb
+    # files (ids 10-15) are pruned WITHOUT any scan
+    cand = _merge_candidates(files, ["symbol", "trade_id"], {
+        "symbol": ("BTC", "BTC"), "trade_id": (3, 7),
+    })
+    assert cand and all(f["p_month"] == "202401" for f in cand)
+    # empty source prunes everything; statless files are conservatively kept
+    assert _merge_candidates(files, ["trade_id"], {"trade_id": None}) == []
+    bare = [{"path": "x", "p_month": "202401"}]
+    assert _merge_candidates(bare, ["trade_id"], {"trade_id": (0, 1)}) == bare
+    # and the end-to-end merge over the pruned candidate set is correct
+    v = S.merge_into(spark, table, _batch(spark, 1, [3, 7], price=999.0), KEYS)
+    head = _rows(S.read_snapshot(spark, table))
+    assert head[3] == 999.0 and head[7] == 999.0 and len(head) == 16
+    feb = {f["path"] for f in S.manifest(table, 1)["files"] if f["p_month"] == "202402"}
+    assert feb <= {f["path"] for f in S.manifest(table, v)["files"]}
