@@ -529,3 +529,155 @@ def _split_oracle() -> str:
 
 
 ORACLES["corpus_split_leakage_safe"] = _split_oracle()
+
+
+def corpus_split_assign_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental leakage-safe split: assign a NEW batch of documents to
+    train/validation/test CONSISTENTLY with an existing corpus's split —
+    the append-time twin of :func:`corpus_split_leakage_safe`, the same
+    way ``dedup_incremental_lsh`` twins the symmetric pair scan (fixture
+    convention shared with it: doc_id >= ``dedup.INCREMENT_SPLIT`` is the
+    new batch).
+
+    The rule that keeps BOTH leak directions closed:
+
+    - new docs are clustered among THEMSELVES (min-label components over
+      the new-new pair graph) — a new-new near-dup pair can never
+      straddle;
+    - a new cluster with ANY member near-dupping an existing doc inherits
+      that doc's split (anchor = min matched base doc_id, base split =
+      the base-only leakage-safe split) — a new copy of a train doc can
+      never land in eval;
+    - an unanchored cluster hashes its own label, the batch analog of the
+      full recompute.
+
+    Per-append cost: the cross pair probe is the incremental band join
+    (probe side = batch only), the new-new closure runs on the BATCH, and
+    the base split is a lookup into the persisted assignment — nothing
+    rescans the corpus. The known incremental approximation (shared with
+    every anchor-based scheme): a new doc bridging TWO base clusters that
+    the full recompute would merge takes the min anchor's split; the
+    batch path (:func:`corpus_split_leakage_safe` over everything) is the
+    periodic reconciliation."""
+    from .dedup import INCREMENT_SPLIT, _lsh_pairs, min_label_clusters
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    pairs = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    s = F.lit(INCREMENT_SPLIT)
+    base_docs = docs.where(F.col("doc_id") < s)
+    new_docs = docs.where(F.col("doc_id") >= s)
+    # pairs come doc_a < doc_b and the batch is the high id range, so
+    # cross pairs are always (base=doc_a, new=doc_b)
+    base_pairs = pairs.where((F.col("doc_a") < s) & (F.col("doc_b") < s))
+    new_pairs = pairs.where((F.col("doc_a") >= s) & (F.col("doc_b") >= s))
+    cross = pairs.where((F.col("doc_a") < s) & (F.col("doc_b") >= s)).select(
+        F.col("doc_b").alias("doc_new"), F.col("doc_a").alias("doc_base")
+    )
+
+    def _split_of(cluster: Column) -> Column:
+        bkt = (
+            F.conv(F.substring(F.md5(cluster.cast("string")), 1, 4), 16, 10)
+            .cast("int")
+            % 100
+        )
+        return (
+            F.when(bkt < 80, "train").when(bkt < 90, "validation").otherwise("test")
+        )
+
+    base_split = min_label_clusters(base_docs, base_pairs).select(
+        F.col("doc_id").alias("anchor"),
+        _split_of(F.col("cluster")).alias("anchor_split"),
+    )
+    new_lbl = min_label_clusters(new_docs, new_pairs).select("doc_id", "cluster")
+    anchors = (
+        cross.join(new_lbl, cross.doc_new == new_lbl.doc_id)
+        .groupBy("cluster")
+        .agg(F.min("doc_base").alias("anchor"))
+    )
+    return (
+        new_lbl.join(F.broadcast(anchors), "cluster", "left")
+        .join(F.broadcast(base_split), "anchor", "left")
+        .select(
+            "doc_id",
+            "cluster",
+            "anchor",
+            F.coalesce(F.col("anchor_split"), _split_of(F.col("cluster"))).alias(
+                "split"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["corpus_split_assign_new"] = corpus_split_assign_new
+
+
+def _split_assign_oracle() -> str:
+    from .dedup import INCREMENT_SPLIT as _S
+    from .dedup import ORACLES as _DEDUP
+
+    bucket = (
+        "CAST(concat('0x', substring(md5(CAST({c} AS VARCHAR)), 1, 4)) "
+        "AS INTEGER) % 100"
+    )
+    case = (
+        "CASE WHEN " + bucket + " < 80 THEN 'train' "
+        "WHEN " + bucket + " < 90 THEN 'validation' ELSE 'test' END"
+    )
+    return f"""
+        WITH RECURSIVE pairs AS ({_DEDUP["dedup_minhash_lsh"]}),
+        bedges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          WHERE doc_a < {_S} AND doc_b < {_S}
+          UNION SELECT doc_b, doc_a FROM pairs
+          WHERE doc_a < {_S} AND doc_b < {_S}
+        ),
+        breach(a, b) AS (
+          SELECT a, b FROM bedges
+          UNION
+          SELECT r.a, e.b FROM breach r JOIN bedges e ON r.b = e.a
+        ),
+        blbl AS (
+          SELECT d.doc_id,
+                 least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster
+          FROM documents d LEFT JOIN breach r ON r.a = d.doc_id
+          WHERE d.doc_id < {_S}
+          GROUP BY d.doc_id
+        ),
+        bsplit AS (
+          SELECT doc_id, {case.format(c="cluster")} AS split FROM blbl
+        ),
+        nedges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          WHERE doc_a >= {_S} AND doc_b >= {_S}
+          UNION SELECT doc_b, doc_a FROM pairs
+          WHERE doc_a >= {_S} AND doc_b >= {_S}
+        ),
+        nreach(a, b) AS (
+          SELECT a, b FROM nedges
+          UNION
+          SELECT r.a, e.b FROM nreach r JOIN nedges e ON r.b = e.a
+        ),
+        nlbl AS (
+          SELECT d.doc_id,
+                 least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster
+          FROM documents d LEFT JOIN nreach r ON r.a = d.doc_id
+          WHERE d.doc_id >= {_S}
+          GROUP BY d.doc_id
+        ),
+        anchors AS (
+          SELECT n.cluster, min(p.doc_a) AS anchor
+          FROM pairs p JOIN nlbl n ON p.doc_b = n.doc_id
+          WHERE p.doc_a < {_S} AND p.doc_b >= {_S}
+          GROUP BY n.cluster
+        )
+        SELECT n.doc_id, n.cluster, a.anchor,
+               coalesce(bs.split, {case.format(c="n.cluster")}) AS split
+        FROM nlbl n
+        LEFT JOIN anchors a ON a.cluster = n.cluster
+        LEFT JOIN bsplit bs ON bs.doc_id = a.anchor
+        ORDER BY n.doc_id
+    """
+
+
+ORACLES["corpus_split_assign_new"] = _split_assign_oracle()

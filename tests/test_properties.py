@@ -425,3 +425,57 @@ def test_leakage_safe_split_never_straddles_near_dup_pairs(spark):
     assert pairs.count() > 0  # the gate is vacuous on a pairless fixture
     got = {r["split"] for r in split.select("split").distinct().collect()}
     assert got == {"train", "validation", "test"}
+
+
+def test_incremental_split_assignment_leak_directions(spark):
+    """Both leak directions of the append-time split: (1) no new-new
+    near-dup pair straddles splits; (2) every anchored new cluster's
+    split equals its anchor's split in the BASE-ONLY leakage-safe
+    assignment (a new copy of a train doc can't land in eval)."""
+    from crypto_clickhouse_poc_spark.operators.dedup import (
+        INCREMENT_SPLIT,
+        _lsh_pairs,
+        min_label_clusters,
+    )
+    from crypto_clickhouse_poc_spark.operators.sampling import (
+        corpus_split_assign_new,
+    )
+    from crypto_clickhouse_poc_spark.tables import load
+
+    out = corpus_split_assign_new(spark, SF_CORRECT)
+    pairs = _lsh_pairs(spark, SF_CORRECT).select("doc_a", "doc_b")
+    nn = pairs.where(
+        (F.col("doc_a") >= INCREMENT_SPLIT) & (F.col("doc_b") >= INCREMENT_SPLIT)
+    )
+    a = out.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    b = out.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    straddle = (
+        nn.join(a, "doc_a").join(b, "doc_b").where(F.col("sa") != F.col("sb"))
+    )
+    assert straddle.count() == 0 and nn.count() > 0
+
+    # anchored consistency against the base-only split
+    docs = load(spark, SF_CORRECT, "documents").select("doc_id")
+    bp = pairs.where(
+        (F.col("doc_a") < INCREMENT_SPLIT) & (F.col("doc_b") < INCREMENT_SPLIT)
+    )
+    base_lbl = min_label_clusters(
+        docs.where(F.col("doc_id") < INCREMENT_SPLIT), bp
+    )
+    bkt = (
+        F.conv(F.substring(F.md5(F.col("cluster").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    base = base_lbl.select(
+        F.col("doc_id").alias("anchor"),
+        F.when(bkt < 80, "train")
+        .when(bkt < 90, "validation")
+        .otherwise("test")
+        .alias("base_split"),
+    )
+    anchored = out.where(F.col("anchor").isNotNull())
+    bad = anchored.join(base, "anchor").where(
+        F.col("split") != F.col("base_split")
+    )
+    assert bad.count() == 0 and anchored.count() > 0
