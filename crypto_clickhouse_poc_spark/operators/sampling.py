@@ -339,6 +339,21 @@ def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def split_of_cluster(cluster: Column) -> Column:
+    """80/10/10 split from a cluster label: md5 bucket mod 100 — ONE copy
+    of the idiom, shared by the batch split and its append-time twin (the
+    two must agree bit-for-bit or an anchored inheritance would drift
+    from the batch reconciliation)."""
+    bkt = (
+        F.conv(F.substring(F.md5(cluster.cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    return (
+        F.when(bkt < 80, "train").when(bkt < 90, "validation").otherwise("test")
+    )
+
+
 def corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/validation/test assignment: the split unit is
     the NEAR-DUP CLUSTER, not the document, so two near-copies can never
@@ -361,15 +376,9 @@ def corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id")
     pairs = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     lbl = min_label_clusters(docs, pairs).select("doc_id", "cluster")
-    bkt = (
-        F.conv(F.substring(F.md5(F.col("cluster").cast("string")), 1, 4), 16, 10)
-        .cast("int")
-        % 100
-    )
-    split = (
-        F.when(bkt < 80, "train").when(bkt < 90, "validation").otherwise("test")
-    )
-    return lbl.select("doc_id", "cluster", split.alias("split")).orderBy("doc_id")
+    return lbl.select(
+        "doc_id", "cluster", split_of_cluster(F.col("cluster")).alias("split")
+    ).orderBy("doc_id")
 
 
 QUERIES = {
@@ -574,19 +583,9 @@ def corpus_split_assign_new(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_b").alias("doc_new"), F.col("doc_a").alias("doc_base")
     )
 
-    def _split_of(cluster: Column) -> Column:
-        bkt = (
-            F.conv(F.substring(F.md5(cluster.cast("string")), 1, 4), 16, 10)
-            .cast("int")
-            % 100
-        )
-        return (
-            F.when(bkt < 80, "train").when(bkt < 90, "validation").otherwise("test")
-        )
-
     base_split = min_label_clusters(base_docs, base_pairs).select(
         F.col("doc_id").alias("anchor"),
-        _split_of(F.col("cluster")).alias("anchor_split"),
+        split_of_cluster(F.col("cluster")).alias("anchor_split"),
     )
     new_lbl = min_label_clusters(new_docs, new_pairs).select("doc_id", "cluster")
     anchors = (
@@ -601,7 +600,9 @@ def corpus_split_assign_new(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "cluster",
             "anchor",
-            F.coalesce(F.col("anchor_split"), _split_of(F.col("cluster"))).alias(
+            F.coalesce(
+                F.col("anchor_split"), split_of_cluster(F.col("cluster"))
+            ).alias(
                 "split"
             ),
         )
