@@ -568,10 +568,17 @@ def corpus_split_assign_new(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full recompute would merge takes the min anchor's split; the
     batch path (:func:`corpus_split_leakage_safe` over everything) is the
     periodic reconciliation."""
+    from ..caching import bounded_cache
     from .dedup import INCREMENT_SPLIT, _lsh_pairs, min_label_clusters
 
     docs = load(spark, sf_dir, "documents").select("doc_id")
-    pairs = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # the pair frame feeds THREE filters (base-base, new-new, cross) plus
+    # two eagerly-checkpointed closures — cache it once or the whole LSH
+    # dataflow re-runs per reference (the duplicate-rate-bounded pair
+    # list is tiny; bounded_cache caps the site at one live copy)
+    pairs = bounded_cache(
+        "sampling.split_pairs", _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    )
     s = F.lit(INCREMENT_SPLIT)
     base_docs = docs.where(F.col("doc_id") < s)
     new_docs = docs.where(F.col("doc_id") >= s)
