@@ -1008,6 +1008,33 @@ def merge_into(
     )
 
 
+def merge_into_retry(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    keys: Sequence[str],
+    retries: int = 5,
+    **kw,
+) -> int:
+    """:func:`merge_into` with conflict retries: the merge is a pure
+    function of (table state, source), so on :class:`CommitConflict` the
+    whole operation safely re-runs against the winner's head — unlike
+    append, the retry must re-do the reads (touched files and the
+    rewrite depend on the state), which is why the loop lives here
+    instead of inside ``_commit``. Each failed attempt orphans its txn
+    dir; vacuum sweeps those. The production caller is a CDC apply
+    racing maintenance (``maybe_compact_snapshot``) — single-writer
+    tables never need it."""
+    for _ in range(max(1, retries)):
+        try:
+            return merge_into(spark, path, source, keys, **kw)
+        except CommitConflict:
+            continue
+    raise CommitConflict(
+        f"merge lost {retries} races at {path} — check for a maintenance loop"
+    )
+
+
 def diff_versions(
     spark: SparkSession,
     path: str,

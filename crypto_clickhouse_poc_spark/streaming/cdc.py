@@ -208,7 +208,13 @@ def scd2_apply_snapshot(
         F.lit(1).alias("is_current"),
     )
     source = close_rows.unionByName(open_rows).unionByName(first_rows)
-    return S.merge_into(
+    # merge_into_retry: the only commits that can legally interleave with
+    # a CDC apply are row-preserving maintenance (compact/vacuum-era
+    # rewrites — Structured Streaming serializes the CDC batches
+    # themselves), so re-running the merge against the winner's head with
+    # the SAME staged source is correct; the staging values don't depend
+    # on file layout.
+    return S.merge_into_retry(
         spark,
         dim_path,
         source,

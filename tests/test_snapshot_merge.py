@@ -209,3 +209,23 @@ def test_manifest_key_stats_prune_merge_candidates(spark, table):
     assert head[3] == 999.0 and head[7] == 999.0 and len(head) == 16
     feb = {f["path"] for f in S.manifest(table, 1)["files"] if f["p_month"] == "202402"}
     assert feb <= {f["path"] for f in S.manifest(table, v)["files"]}
+
+
+def test_merge_into_retry_survives_one_lost_race(spark, table, monkeypatch):
+    # same interleaver as the conflict test, but through the retry
+    # wrapper: attempt 1 loses to the mid-flight append, attempt 2
+    # re-runs against the new head — both the interleaver's row and the
+    # merge survive
+    orig = S._write_txn
+
+    def interleave(df, path, ts_col, **kw):
+        out = orig(df, path, ts_col, **kw)
+        if not getattr(interleave, "fired", False):
+            interleave.fired = True
+            S.append(_batch(df.sparkSession, 3, [300]), table)
+        return out
+
+    monkeypatch.setattr(S, "_write_txn", interleave)
+    S.merge_into_retry(spark, table, _batch(spark, 1, [3], price=9.0), KEYS)
+    head = _rows(S.read_snapshot(spark, table))
+    assert head[3] == 9.0 and head[300] == 400.0 and len(head) == 17
