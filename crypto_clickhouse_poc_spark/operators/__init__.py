@@ -186,6 +186,22 @@ _MODULES = (
 #                                           ensemble's interaction.
 #                                           doc_stats + doc_unigram_logppl
 #                                           stay pytest-parity-gated)
+#
+# Round-9 rotation (round-8 verdict item #3):
+#   corpus_mix -> corpus_split_leakage_safe (mix's stratum-keyed two-pass
+#                                           threshold shuffle is executed
+#                                           INSIDE the declared
+#                                           corpus_assemble chain, so its
+#                                           arithmetic stays under the
+#                                           driver hash transitively, and
+#                                           corpus_mix + its oracle stay
+#                                           pytest-parity-gated; the
+#                                           leakage-safe train/val/test
+#                                           split — a first-class LLM-
+#                                           pipeline operator family
+#                                           (cluster-keyed assignment over
+#                                           the near-dup graph) — gains
+#                                           its first driver verdict)
 _DECLARED = (
     # reference §2.10 public query surface (api/server.py:57-200)
     "ev_count",
@@ -242,7 +258,7 @@ _DECLARED = (
     "doc_dup_spans",
     "doc_winnow",
     "corpus_assemble",
-    "corpus_mix",
+    "corpus_split_leakage_safe",
     "corpus_pack",
     # joins: TPC-H representative set + SCD2 merge (agg-only, join+topk,
     # multiway broadcast, pure scan, correlated scalar subquery,

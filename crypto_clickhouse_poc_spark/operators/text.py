@@ -453,11 +453,22 @@ def doc_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~64×. This is the repo's own materialize-before-the-lambda lesson
     (``functions/text.py:88``) one level down: hash each token once into
     a (bucket, sign) struct via a lambda VARIABLE (computed per element,
-    not per use), then fold the cheap integer update. Values are
-    bit-identical (same bucket/sign arithmetic, commutative ±1 sums) —
-    the DuckDB oracle is unchanged.
+    not per use), then fold the cheap integer update.
+
+    Declared shape (r9, the r8 verdict's one red row): the driver
+    canonicalizes results through pandas ``sort_values``, which cannot
+    hash list-valued cells — so the DECLARED output is the vector
+    ``posexplode``d to ``(doc_id, dim, value)`` long rows. Full value
+    coverage survives (every dimension of every doc is under the hash);
+    the vector form stays available as ``_hash_embed_frame`` for
+    in-plan consumers (``corpus_hybrid_rrf``). The explode is a
+    Generate node fused into the same map stage — still no shuffle
+    before the presentation sort.
     """
-    return _hash_embed_frame(spark, sf_dir).orderBy("doc_id")
+    vec = _hash_embed_frame(spark, sf_dir)
+    return vec.select(
+        "doc_id", F.posexplode("embedding").alias("dim", "value")
+    ).orderBy("doc_id", "dim")
 
 
 def _hash_embed_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -612,7 +623,7 @@ def _hybrid_rrf_oracle() -> str:
                       AS INTEGER) AS lr
           FROM ( {_bm25_oracle()} ) b
         ),
-        emb AS ( {ORACLES["doc_hash_embed"]} ),
+        emb AS ( {_HASH_EMBED_VEC_SQL} ),
         sem_top AS (
           SELECT doc_id, CAST({dot} AS DOUBLE)
                    / sqrt(CAST(list_sum(list_transform(embedding, x -> x * x))
@@ -887,8 +898,10 @@ _NTOK = f"len({_TOKS})"
 _STOP = f"len(list_filter({_TOKS}, t -> t = 'the' OR t = 'a'))"
 _CHARSUM = f"list_sum(list_transform({_TOKS}, t -> length(t)))"
 
-ORACLES = {
-    "doc_hash_embed": f"""
+# the VECTOR-shaped hash-embedding oracle: shared by the declared (exploded)
+# doc_hash_embed oracle below, the hybrid-RRF oracle's emb CTE, and the
+# NULL-text pytest gate — one arithmetic definition, three consumers
+_HASH_EMBED_VEC_SQL = f"""
         SELECT doc_id,
                list_transform(range(0, {HASH_EMBED_DIM}), i ->
                  CAST(coalesce(list_sum(list_transform(string_split(text, ' '), t ->
@@ -899,7 +912,18 @@ ORACLES = {
                                   THEN 1 ELSE -1 END
                         ELSE 0 END)), 0) AS BIGINT)) AS embedding
         FROM documents
-        ORDER BY doc_id
+    """
+
+ORACLES = {
+    # declared shape = the vector exploded to (doc_id, dim, value) long rows:
+    # the driver's pandas sort_values canonicalizer cannot hash list cells
+    # (the r8 red row), and the exploded rows keep every value under the hash
+    "doc_hash_embed": f"""
+        WITH emb AS ( {_HASH_EMBED_VEC_SQL} )
+        SELECT doc_id, CAST(i AS INTEGER) AS dim,
+               embedding[CAST(i AS INTEGER) + 1] AS value
+        FROM emb CROSS JOIN range(0, {HASH_EMBED_DIM}) AS t(i)
+        ORDER BY doc_id, dim
     """,
     "doc_unigram_logppl": f"""
         WITH toks AS (

@@ -97,7 +97,7 @@ def test_hash_embed_null_text_yields_zero_vector(spark, duck):
     sf = tempfile.mkdtemp()
     df.write.parquet(os.path.join(sf, "documents.parquet"))
     rows = {r["doc_id"]: list(r["embedding"])
-            for r in TX.doc_hash_embed(spark, sf).collect()}
+            for r in TX._hash_embed_frame(spark, sf).collect()}
     assert rows[2] == [0] * TX.HASH_EMBED_DIM
     assert any(v != 0 for v in rows[1])
     duck.execute("DROP VIEW IF EXISTS documents_nulltext")
@@ -105,9 +105,15 @@ def test_hash_embed_null_text_yields_zero_vector(spark, duck):
         f"CREATE VIEW documents_nulltext AS SELECT * FROM "
         f"'{os.path.join(sf, 'documents.parquet')}/*.parquet'"
     )
-    sql = TX.ORACLES["doc_hash_embed"].replace("FROM documents", "FROM documents_nulltext")
+    sql = TX._HASH_EMBED_VEC_SQL.replace("FROM documents", "FROM documents_nulltext")
     want = {r[0]: list(r[1]) for r in duck.sql(sql).fetchall()}
     assert rows == want
+    # and the DECLARED (exploded) shape carries the same zero rows: the
+    # r9 driver-hashable projection must not drop the NULL-text doc
+    flat = {(r["doc_id"], r["dim"]): r["value"]
+            for r in TX.doc_hash_embed(spark, sf).collect()}
+    assert all(flat[(2, i)] == 0 for i in range(TX.HASH_EMBED_DIM))
+    assert len(flat) == 2 * TX.HASH_EMBED_DIM
 
 
 def test_mg_distributed_merge_equals_driver_loop(spark):

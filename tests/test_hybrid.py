@@ -52,7 +52,7 @@ def test_dense_branch_matches_numpy_cosine(spark):
     import numpy as np
 
     qv = np.array(TX._hash_embed_py(TX.BM25_QUERY), dtype=np.int64)
-    emb = TX.doc_hash_embed(spark, SF_SMOKE).collect()
+    emb = TX._hash_embed_frame(spark, SF_SMOKE).collect()
     scored = []
     for r in emb:
         v = np.array(r.embedding, dtype=np.int64)

@@ -44,3 +44,18 @@ def test_query_schema_unchanged(name, spark):
         f"{name}: output schema changed; if intentional, regenerate "
         "tests/query_schemas.json (see module docstring)"
     )
+
+
+def test_declared_surface_has_only_scalar_columns():
+    """The driver canonicalizes declared results through pandas
+    ``sort_values``, which cannot hash list/dict-valued cells — a declared
+    array/map/struct column is a guaranteed red row even with oracle-exact
+    values (the r8 ``doc_hash_embed`` lesson). Library-only queries may
+    keep vector shapes (pytest compares them itself); the DECLARED surface
+    may not."""
+    for name in operators._DECLARED:
+        for col, dtype in SNAPSHOT[name]:
+            assert not dtype.startswith(("array<", "map<", "struct<")), (
+                f"declared query {name} exposes non-scalar column "
+                f"{col}:{dtype}; explode or stringify it"
+            )

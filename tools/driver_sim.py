@@ -71,13 +71,27 @@ def _canon_val(v):
 
 
 def _canon_frame(pdf):
-    """(sorted columns, sorted canonical row tuples) for a pandas frame."""
+    """(sorted columns, canonical row tuples in pandas sort order).
+
+    The sort MUST go through pandas ``sort_values`` — the DRIVER's
+    canonicalization path — not a Python tuple sort: ``sort_values``
+    factorizes each column and CRASHES on unhashable cells
+    (list/ndarray), which is exactly how the r8 ``doc_hash_embed``
+    red row shipped — the old tuple-sort here handled lists fine while
+    the driver's pandas sort raised ``TypeError: unhashable type``.
+    The simulator must fail where the driver fails (the r6
+    ``cust_scd2_merge`` lesson, one conversion step later)."""
     cols = sorted(pdf.columns)
-    rows = sorted(
+    pdf = pdf[cols].sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+    rows = [
         tuple(_canon_val(v) for v in row)
-        for row in pdf[cols].itertuples(index=False, name=None)
-    )
-    return cols, rows
+        for row in pdf.itertuples(index=False, name=None)
+    ]
+    # the canonical-string pass erases ordering differences the raw sort
+    # keyed on (e.g. -0.0 vs 0.0, NaN position); re-sort the CANONICAL
+    # tuples so both sides compare in one deterministic order — the raw
+    # sort_values above is kept purely to reproduce driver-side crashes
+    return cols, sorted(rows)
 
 
 results = {}
@@ -85,6 +99,19 @@ for name, fn in qs.items():
     t0 = time.time()
     try:
         sdf = fn(spark, SF)
+        # schema lint: the driver's pandas canonicalizer only handles
+        # scalar cells — a declared array/map/struct column is a red row
+        # even when its values are oracle-exact (r8 doc_hash_embed)
+        complex_cols = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in sdf.schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if complex_cols:
+            raise TypeError(
+                f"declared output has non-scalar columns {complex_cols}; "
+                "explode or stringify them (driver sort_values cannot hash)"
+            )
         # toPandas IS the gate: the driver converts through pandas, so
         # conversion-time failures must reproduce here
         scols, srows = _canon_frame(sdf.toPandas())
