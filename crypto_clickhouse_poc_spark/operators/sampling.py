@@ -540,7 +540,9 @@ def _split_oracle() -> str:
 ORACLES["corpus_split_leakage_safe"] = _split_oracle()
 
 
-def corpus_split_assign_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_split_assign_new(
+    spark: SparkSession, sf_dir: str, base_assignment: DataFrame | None = None
+) -> DataFrame:
     """Incremental leakage-safe split: assign a NEW batch of documents to
     train/validation/test CONSISTENTLY with an existing corpus's split —
     the append-time twin of :func:`corpus_split_leakage_safe`, the same
@@ -561,13 +563,18 @@ def corpus_split_assign_new(spark: SparkSession, sf_dir: str) -> DataFrame:
       full recompute.
 
     Per-append cost: the cross pair probe is the incremental band join
-    (probe side = batch only), the new-new closure runs on the BATCH, and
-    the base split is a lookup into the persisted assignment — nothing
-    rescans the corpus. The known incremental approximation (shared with
-    every anchor-based scheme): a new doc bridging TWO base clusters that
-    the full recompute would merge takes the min anchor's split; the
-    batch path (:func:`corpus_split_leakage_safe` over everything) is the
-    periodic reconciliation."""
+    (probe side = batch only) and the new-new closure runs on the BATCH.
+    The base split is looked up from ``base_assignment`` when the caller
+    passes the persisted ``(doc_id, split)`` table (the production append
+    pattern — only the anchor rows are joined, nothing rescans the base
+    corpus); without it, this FIXTURE recomputes the base-only clustering
+    from the shared pair graph so the driver-checkable query stays
+    self-contained on the static tables. The known incremental
+    approximation (shared with every anchor-based scheme): a new doc
+    bridging TWO base clusters that the full recompute would merge takes
+    the min anchor's split; the batch path
+    (:func:`corpus_split_leakage_safe` over everything) is the periodic
+    reconciliation."""
     from ..caching import bounded_cache
     from .dedup import INCREMENT_SPLIT, _lsh_pairs, min_label_clusters
 
@@ -590,19 +597,28 @@ def corpus_split_assign_new(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_b").alias("doc_new"), F.col("doc_a").alias("doc_base")
     )
 
-    base_split = min_label_clusters(base_docs, base_pairs).select(
-        F.col("doc_id").alias("anchor"),
-        split_of_cluster(F.col("cluster")).alias("anchor_split"),
-    )
+    if base_assignment is not None:
+        base_split = base_assignment.select(
+            F.col("doc_id").alias("anchor"), F.col("split").alias("anchor_split")
+        )
+    else:
+        base_split = min_label_clusters(base_docs, base_pairs).select(
+            F.col("doc_id").alias("anchor"),
+            split_of_cluster(F.col("cluster")).alias("anchor_split"),
+        )
     new_lbl = min_label_clusters(new_docs, new_pairs).select("doc_id", "cluster")
     anchors = (
         cross.join(new_lbl, cross.doc_new == new_lbl.doc_id)
         .groupBy("cluster")
         .agg(F.min("doc_base").alias("anchor"))
     )
+    # resolve the (few) anchors' splits FIRST — broadcasting the anchor
+    # list into the (possibly corpus-sized, when persisted) assignment
+    # keeps the lookup anchor-proportional, and the doc-level join then
+    # broadcasts only one row per anchored cluster
+    anchored = base_split.join(F.broadcast(anchors), "anchor")
     return (
-        new_lbl.join(F.broadcast(anchors), "cluster", "left")
-        .join(F.broadcast(base_split), "anchor", "left")
+        new_lbl.join(F.broadcast(anchored), "cluster", "left")
         .select(
             "doc_id",
             "cluster",

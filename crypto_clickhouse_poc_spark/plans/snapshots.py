@@ -53,6 +53,7 @@ itself lacks.
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
 import shutil
@@ -82,23 +83,27 @@ def _data(path: str) -> Path:
 def latest_version(path: str) -> int | None:
     """Highest committed version, or None for an uninitialized table.
 
-    O(1) amortized via the best-effort ``_head.hint`` each commit drops
-    (the Delta ``_last_checkpoint`` pattern): start at the hinted version
-    and probe FORWARD until the first missing manifest. A stale or lost
-    hint only costs extra stats (probing starts further back — worst case
-    the full directory scan fallback); a hint can never overshoot because
-    it is written only after its commit's link succeeded, and manifests
-    are never deleted. Never touches data."""
-    hint = _log(path) / "_head.hint"
-    try:
-        v = int(hint.read_text())
-        if not (_log(path) / f"v{v}.json").exists():
-            raise ValueError  # corrupt/foreign hint — fall back to scan
-        while (_log(path) / f"v{v + 1}.json").exists():
-            v += 1
-        return v
-    except (OSError, ValueError):
-        pass
+    O(1) amortized via the best-effort ``_head.hint`` each commit drops:
+    start at the hinted version and probe FORWARD until the first missing
+    manifest. With the hint lost (cold start on a foreign copy of the
+    table, a hint write that lost its race forever), the DURABLE
+    ``_last_checkpoint`` pointer (written every ``CHECKPOINT_EVERY``
+    commits — the Delta ``_last_checkpoint`` file proper, r9) bounds the
+    forward probe to the commits since the last checkpoint; only a table
+    with neither falls back to the full ``_log/`` glob. Neither hint nor
+    checkpoint can overshoot (both are written only after their commit's
+    link succeeded, and manifests are never deleted). Never touches
+    data."""
+    for start in (_log(path) / "_head.hint", _log(path) / "_last_checkpoint"):
+        try:
+            v = int(start.read_text())
+            if not (_log(path) / f"v{v}.json").exists():
+                raise ValueError  # corrupt/foreign pointer — next fallback
+            while (_log(path) / f"v{v + 1}.json").exists():
+                v += 1
+            return v
+        except (OSError, ValueError):
+            continue
     versions = [
         int(p.stem[1:])
         for p in _log(path).glob("v*.json")
@@ -346,6 +351,29 @@ def _iso(b) -> str:
     return str(b).replace(" ", "T")
 
 
+def _utc_naive(b) -> _dt.datetime:
+    """A user-supplied time bound as a naive UTC datetime: naive input is
+    taken AS UTC (the documented ts_range convention — the table's footer
+    stats are UTC instants), aware input is converted, ISO strings are
+    parsed first. One normalization feeding both manifest pruning and the
+    row filter, so the two always agree."""
+    if isinstance(b, str):
+        b = _dt.datetime.fromisoformat(b.replace(" ", "T"))
+    if isinstance(b, _dt.datetime):
+        if b.tzinfo is not None:
+            b = b.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return b
+    if isinstance(b, _dt.date):
+        return _dt.datetime(b.year, b.month, b.day)
+    raise TypeError(f"ts_range bound must be datetime/date/ISO string, got {b!r}")
+
+
+def _epoch_micros(b: _dt.datetime) -> int:
+    """Naive-UTC datetime -> integer epoch microseconds (tz-independent,
+    comparable to F.unix_micros of a timestamp column)."""
+    return (b - _dt.datetime(1970, 1, 1)) // _dt.timedelta(microseconds=1)
+
+
 def _current_files(path: str) -> list[dict]:
     head = latest_version(path)
     return [] if head is None else manifest(path, head)["files"]
@@ -440,15 +468,20 @@ def read_changes(
 def _empty_like(spark: SparkSession, path: str) -> DataFrame:
     """A zero-row frame with the table's exact read schema (incl. the txn
     and partition columns): limit(0) over the newest version that has
-    files. A table whose every version is empty has no schema anywhere —
-    that is unreadable by construction and raises."""
+    files, with mergeSchema — on a schema-EVOLVED table a single
+    arbitrary file may predate the evolution and lack the new columns,
+    and a consumer selecting them from the empty frame would raise
+    (r8 ADVICE). Footer-only cost, no row reads. A table whose every
+    version is empty has no schema anywhere — that is unreadable by
+    construction and raises."""
     head = latest_version(path)
     for v in range(head, -1, -1):
         files = manifest(path, v)["files"]
         if files:
             df = (
                 spark.read.option("basePath", str(_data(path)))
-                .parquet(*[str(Path(path) / f["path"]) for f in files[:1]])
+                .option("mergeSchema", "true")
+                .parquet(*[str(Path(path) / f["path"]) for f in files])
             )
             return df.limit(0)
     raise ValueError(f"{path} has no data files in any version — schema unknown")
@@ -659,7 +692,13 @@ def read_snapshot(
         lo, hi = months
         files = [f for f in files if lo <= f["p_month"] <= hi]
     if ts_range is not None:
-        lo, hi = (_iso(b) for b in ts_range)
+        # bounds are UTC instants (naive datetimes = UTC; aware datetimes
+        # are converted): the SAME normalized values feed the manifest
+        # string pruning below and the row filter further down, so the
+        # two can never disagree on a non-UTC driver (pruning must be an
+        # optimization, never a semantics change)
+        b_lo, b_hi = (_utc_naive(b) for b in ts_range)
+        lo, hi = _iso(b_lo), _iso(b_hi)
         files = [
             f
             for f in files
@@ -674,9 +713,19 @@ def read_snapshot(
             spark, _read_files(spark, path, files, merge_schema), m.get("dvs", []), path
         )
     if ts_range is not None:
-        df = df.where(
-            (F.col(ts_col) >= F.lit(ts_range[0])) & (F.col(ts_col) <= F.lit(ts_range[1]))
-        )
+        if df.schema[ts_col].dataType.typeName() == "timestamp":
+            # compare as UTC micros: F.lit(datetime) would re-interpret
+            # the naive bound through the DRIVER OS timezone, silently
+            # dropping in-range rows whenever that differs from the UTC
+            # the pruning above assumed (r8 ADVICE finding)
+            df = df.where(
+                (F.unix_micros(F.col(ts_col)) >= _epoch_micros(b_lo))
+                & (F.unix_micros(F.col(ts_col)) <= _epoch_micros(b_hi))
+            )
+        else:
+            df = df.where(
+                (F.col(ts_col) >= F.lit(b_lo)) & (F.col(ts_col) <= F.lit(b_hi))
+            )
     return df if keep_txn else df.drop(TXN_COL)
 
 
@@ -902,19 +951,39 @@ def merge_into(
     if files:
         import datetime as _dt
 
+        # Timestamp (TIMESTAMP WITH LOCAL TIME ZONE) bounds must NOT be
+        # collected as Python datetimes: PySpark renders them through the
+        # DRIVER OS timezone, while the manifest's footer stats are UTC —
+        # on a non-UTC driver the string comparison in _merge_candidates
+        # would prune the very files holding matching keys and the merge
+        # would silently insert duplicates. Collect tz-independent UTC
+        # micros engine-side (unix_micros) and rebuild the UTC-naive
+        # datetime on the driver, so _iso emits the footer's exact form.
+        ts_keys = {
+            k
+            for k in keys
+            if source.schema[k].dataType.typeName() == "timestamp"
+        }
+
+        def _bound(agg_fn, k, alias):
+            col = agg_fn(k)
+            return (F.unix_micros(col) if k in ts_keys else col).alias(alias)
+
         rng_row = source.agg(
-            *[F.min(k).alias(f"lo_{i}") for i, k in enumerate(keys)],
-            *[F.max(k).alias(f"hi_{i}") for i, k in enumerate(keys)],
+            *[_bound(F.min, k, f"lo_{i}") for i, k in enumerate(keys)],
+            *[_bound(F.max, k, f"hi_{i}") for i, k in enumerate(keys)],
         ).collect()[0]
 
-        def _enc(v):
+        def _enc(k, v):
+            if k in ts_keys:
+                v = _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=v)
             return _iso(v) if isinstance(v, (_dt.datetime, _dt.date)) else v
 
         src_rng = {
             k: (
                 None
                 if rng_row[f"lo_{i}"] is None
-                else (_enc(rng_row[f"lo_{i}"]), _enc(rng_row[f"hi_{i}"]))
+                else (_enc(k, rng_row[f"lo_{i}"]), _enc(k, rng_row[f"hi_{i}"]))
             )
             for i, k in enumerate(keys)
         }

@@ -31,10 +31,11 @@ Semantics and scale shape:
   streaming source has the same ignoreChanges refusal). Restart above
   the rewrite (``startingVersion``) to resume.
 
-The schema is derived from a live data file's parquet footer (arrow
-types → Spark DDL) + the two path-derived string columns; like every
-snapshot reader, files are never listed from storage — the manifest is
-the listing.
+The schema is the UNION of the live files' parquet footers (arrow
+types → Spark DDL; evolved columns null-filled for files that predate
+them) + the two path-derived string columns; like every snapshot
+reader, files are never listed from storage — the manifest is the
+listing.
 """
 
 from __future__ import annotations
@@ -67,7 +68,13 @@ _ARROW_TO_DDL = {
 
 
 def _file_schema_ddl(path: str) -> str:
-    """Spark DDL from the newest live file's footer + the path columns."""
+    """Spark DDL from the UNION of the live files' footers + the path
+    columns. One arbitrary file is not enough on a schema-EVOLVED table
+    (the log explicitly supports column adds): a pre-evolution file
+    would hide the new columns from the stream entirely (r8 ADVICE).
+    Columns appear in first-seen manifest order — pre-evolution columns
+    first, evolved columns appended — matching mergeSchema's layout.
+    Footer-only cost, O(files in the head manifest)."""
     import pyarrow.parquet as pq
 
     head = _head(path)
@@ -76,17 +83,20 @@ def _file_schema_ddl(path: str) -> str:
     for v in range(head, -1, -1):
         files = _manifest(path, v)["files"]
         if files:
-            sch = pq.read_schema(str(Path(path) / files[0]["path"]))
-            cols = []
-            for f in sch:
-                t = str(f.type)
-                if t.startswith("timestamp"):
-                    ddl = "timestamp"
-                else:
-                    ddl = _ARROW_TO_DDL.get(t)
-                if ddl is None:
-                    raise TypeError(f"unmapped arrow type {t} for column {f.name}")
-                cols.append(f"{f.name} {ddl}")
+            seen: dict[str, str] = {}
+            for fe in files:
+                sch = pq.read_schema(str(Path(path) / fe["path"]))
+                for f in sch:
+                    t = str(f.type)
+                    ddl = "timestamp" if t.startswith("timestamp") else _ARROW_TO_DDL.get(t)
+                    if ddl is None:
+                        raise TypeError(f"unmapped arrow type {t} for column {f.name}")
+                    if seen.setdefault(f.name, ddl) != ddl:
+                        raise TypeError(
+                            f"column {f.name} has conflicting types across the "
+                            f"snapshot's files ({seen[f.name]} vs {ddl})"
+                        )
+            cols = [f"{n} {d}" for n, d in seen.items()]
             cols.append(f"{TXN_COL} string")
             cols.append(f"{PARTITION_COL} string")
             return ", ".join(cols)
@@ -111,12 +121,34 @@ class SnapshotCommitsDataSource(DataSource):
         return SnapshotStreamReader(
             self.options["path"],
             int(self.options.get("startingVersion", "-1")),
-            [f.name for f in schema.fields],
+            [(f.name, f.dataType.simpleString()) for f in schema.fields],
         )
 
 
+# Spark DDL -> arrow type, for null-filling a declared column that a
+# pre-evolution file lacks (inverse of _ARROW_TO_DDL's value set)
+def _arrow_type(ddl: str):
+    import pyarrow as pa
+
+    return {
+        "bigint": pa.int64(),
+        "int": pa.int32(),
+        "smallint": pa.int16(),
+        "tinyint": pa.int8(),
+        "double": pa.float64(),
+        "float": pa.float32(),
+        "string": pa.string(),
+        "boolean": pa.bool_(),
+        "binary": pa.binary(),
+        "date": pa.date32(),
+        "timestamp": pa.timestamp("us"),
+    }[ddl]
+
+
 class SnapshotStreamReader(DataSourceStreamReader):
-    def __init__(self, path: str, starting_version: int, columns: list[str]):
+    def __init__(
+        self, path: str, starting_version: int, columns: list[tuple[str, str]]
+    ):
         self.path = path
         self.start_version = starting_version
         self.columns = columns
@@ -173,11 +205,17 @@ class SnapshotStreamReader(DataSourceStreamReader):
         table = pq.read_table(abs_path)
         n = table.num_rows
         cols, names = [], []
-        for name in self.columns:
+        for name, ddl in self.columns:
             if name == TXN_COL:
                 cols.append(pa.array([parts.get(TXN_COL, "")] * n, pa.string()))
             elif name == PARTITION_COL:
                 cols.append(pa.array([parts.get(PARTITION_COL, "")] * n, pa.string()))
+            elif name not in table.column_names:
+                # declared column absent from this (pre-evolution) file:
+                # nulls of the declared type, the mergeSchema read
+                # semantics (r8 ADVICE — a KeyError here killed the
+                # stream on any schema-evolved table)
+                cols.append(pa.nulls(n, type=_arrow_type(ddl)))
             else:
                 col = table.column(name)
                 t = col.type

@@ -479,3 +479,35 @@ def test_incremental_split_assignment_leak_directions(spark):
         F.col("split") != F.col("base_split")
     )
     assert bad.count() == 0 and anchored.count() > 0
+
+
+def test_split_assign_new_accepts_persisted_base_assignment(spark):
+    """The production append path: passing the PERSISTED base
+    ``(doc_id, split)`` assignment must yield row-identical results to
+    the self-contained fixture recompute — the parameter only changes
+    where the anchor lookup reads from, never the assignment rule."""
+    from crypto_clickhouse_poc_spark.operators.dedup import (
+        INCREMENT_SPLIT,
+        _lsh_pairs,
+        min_label_clusters,
+    )
+    from crypto_clickhouse_poc_spark.operators.sampling import (
+        corpus_split_assign_new,
+        split_of_cluster,
+    )
+    from crypto_clickhouse_poc_spark.tables import load
+
+    docs = load(spark, SF_CORRECT, "documents").select("doc_id")
+    pairs = _lsh_pairs(spark, SF_CORRECT).select("doc_a", "doc_b")
+    bp = pairs.where(
+        (F.col("doc_a") < INCREMENT_SPLIT) & (F.col("doc_b") < INCREMENT_SPLIT)
+    )
+    persisted = min_label_clusters(
+        docs.where(F.col("doc_id") < INCREMENT_SPLIT), bp
+    ).select("doc_id", split_of_cluster(F.col("cluster")).alias("split"))
+
+    got = sorted(
+        map(tuple, corpus_split_assign_new(spark, SF_CORRECT, persisted).collect())
+    )
+    want = sorted(map(tuple, corpus_split_assign_new(spark, SF_CORRECT).collect()))
+    assert got == want and len(got) > 0

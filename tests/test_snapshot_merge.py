@@ -229,3 +229,47 @@ def test_merge_into_retry_survives_one_lost_race(spark, table, monkeypatch):
     S.merge_into_retry(spark, table, _batch(spark, 1, [3], price=9.0), KEYS)
     head = _rows(S.read_snapshot(spark, table))
     assert head[3] == 9.0 and head[300] == 400.0 and len(head) == 17
+
+
+def test_merge_timestamp_key_pruning_is_driver_tz_independent(spark, tmp_path):
+    """Manifest key-range pruning on a TIMESTAMP merge key must compare
+    UTC against UTC: collecting the source bounds as Python datetimes
+    renders them through the driver OS timezone, and under TZ=America/
+    New_York a 17:00-UTC key collected as 12:00 made _merge_candidates
+    prune the very file holding the match — the merge then silently
+    INSERTED a duplicate instead of updating (r8 ADVICE, high). The
+    bounds are now collected as tz-independent unix_micros."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "tz_merge")
+    # one file whose ts stats are a single 17:00-UTC instant (narrow
+    # enough that a 5-hour driver-tz shift makes the ranges disjoint)
+    rows = [
+        (datetime(2024, 1, 1, 17, 0, 0), "BTC", i, float(100 + i), 0)
+        for i in range(5)
+    ]
+    S.append(spark.createDataFrame(rows, SCHEMA), path)  # written under UTC
+    # engine-built source: key instants never cross the Python boundary
+    src = (
+        S.read_snapshot(spark, path)
+        .where(F.col("trade_id") == 3)
+        .withColumn("price", F.lit(999.0))
+    )
+    old = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    _time.tzset()
+    try:
+        S.merge_into(spark, path, src, ["ts", "trade_id"])
+    finally:
+        if old is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old
+        _time.tzset()
+    head = S.read_snapshot(spark, path).collect()
+    assert len(head) == 5, f"duplicate insert: {sorted(r.trade_id for r in head)}"
+    got3 = [r.price for r in head if r.trade_id == 3]
+    assert got3 == [999.0], f"match was pruned away and re-inserted: {got3}"

@@ -505,3 +505,35 @@ def test_vacuum_sweeps_orphan_hint_tmps(spark, table):
     orphan.write_text("0")
     S.vacuum(table)
     assert not orphan.exists()
+
+
+def test_ts_range_read_is_driver_tz_independent(spark, tmp_path):
+    """read_snapshot(ts_range=...) bounds are UTC instants for BOTH the
+    manifest pruning (ISO-string compare vs UTC footer stats) and the
+    row filter. Pre-r9 the filter was F.lit(naive datetime), which the
+    driver re-interpreted through the OS timezone — under TZ=America/
+    New_York the pruning kept the file but the filter dropped every
+    in-range row (r8 ADVICE, medium)."""
+    import os
+    import time as _time
+    from datetime import datetime
+
+    path = str(tmp_path / "tz_range")
+    rows = [
+        (datetime(2024, 1, 1, 17, 0, 0), "BTC", i, float(i), 0) for i in range(4)
+    ]
+    schema = "ts timestamp, symbol string, trade_id long, price double, ingested_at long"
+    S.append(spark.createDataFrame(rows, schema), path)  # written under UTC
+    lo, hi = datetime(2024, 1, 1, 16), datetime(2024, 1, 1, 18)
+    old = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    _time.tzset()
+    try:
+        got = S.read_snapshot(spark, path, ts_range=(lo, hi)).count()
+    finally:
+        if old is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old
+        _time.tzset()
+    assert got == 4, "pruning and the row filter disagreed on the bounds"

@@ -222,3 +222,27 @@ def test_bootstrap_refuses_a_head_with_deletion_vectors(spark, table, tmp_path):
         assert _ids(spark, "ss_dv2") == [i for i in range(8) if i != 2]
     finally:
         q.stop()
+
+
+def test_streams_schema_evolved_table_with_null_fill(spark, tmp_path):
+    """Bootstrap over a schema-EVOLVED table: the source's declared
+    schema is the UNION of the live files' footers, and a partition
+    whose file predates an evolved column yields NULLs of the declared
+    type for it (r8 ADVICE — the single-footer schema either dropped
+    the column or the reader KeyError'd)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "evo_stream")
+    S.append(_batch(spark, 1, range(3)), path)  # pre-evolution file
+    S.append(_batch(spark, 2, range(3, 5)).withColumn("venue", F.lit("X")), path)
+    spark.dataSource.register(SnapshotCommitsDataSource)
+    q = _start(spark, path, str(tmp_path / "ck"), "ss_evo")
+    try:
+        q.processAllAvailable()
+        got = {
+            r.trade_id: r.venue
+            for r in spark.sql("select trade_id, venue from ss_evo").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {0: None, 1: None, 2: None, 3: "X", 4: "X"}
