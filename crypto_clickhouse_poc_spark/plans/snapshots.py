@@ -117,12 +117,18 @@ def manifest(path: str, version: int) -> dict:
 
 
 def history(path: str) -> list[dict]:
-    """All committed versions, ascending — (version, op, parent, n_files)."""
+    """All committed versions, ascending — (version, op, parent, n_files).
+
+    Reads the newest checkpoint's cumulative summary and walks only the
+    manifests committed SINCE it, so the per-call manifest-read count is
+    bounded by ``CHECKPOINT_EVERY`` regardless of table age (r9; was
+    O(versions))."""
     head = latest_version(path)
     if head is None:
         return []
-    out = []
-    for v in range(head + 1):
+    ckpt = _read_last_checkpoint(path)
+    out = list(ckpt["history"]) if ckpt and ckpt["version"] <= head else []
+    for v in range(len(out), head + 1):
         m = manifest(path, v)
         out.append(
             {
@@ -133,6 +139,73 @@ def history(path: str) -> list[dict]:
             }
         )
     return out
+
+
+# checkpoint cadence: the worst-case cold probe / history walk is this
+# many manifest stats past the last checkpoint
+CHECKPOINT_EVERY = 100
+
+
+def _read_last_checkpoint(path: str) -> dict | None:
+    """The newest checkpoint body via the ``_last_checkpoint`` pointer,
+    or None. Strictly an accelerator: any failure degrades to the
+    non-checkpointed path, never to a wrong answer."""
+    try:
+        v = int((_log(path) / "_last_checkpoint").read_text())
+        return json.loads((_log(path) / f"ckpt-v{v}.json").read_text())
+    except (OSError, ValueError, json.JSONDecodeError):
+        return None
+
+
+def _write_checkpoint(path: str, version: int) -> None:
+    """Write ``ckpt-v<version>.json`` — the head version, its full
+    manifest (self-contained disaster copy), and the CUMULATIVE compact
+    history through it — then advance the ``_last_checkpoint`` pointer
+    (atomic replace, monotonicity-guarded like the head hint).
+
+    Cost is O(CHECKPOINT_EVERY), not O(versions): the history prefix is
+    carried over from the previous checkpoint and only the interval's
+    manifests are read. Best-effort by contract — every reader has a
+    correct fallback — and idempotent: a concurrent committer writing
+    the same checkpoint loses the ``os.link`` race harmlessly."""
+    prev = _read_last_checkpoint(path)
+    hist = (
+        list(prev["history"])
+        if prev and prev["version"] < version
+        else []
+    )
+    for v in range(len(hist), version + 1):
+        m = manifest(path, v)
+        hist.append(
+            {
+                "version": v,
+                "op": m["op"],
+                "parent": m["parent"],
+                "n_files": len(m["files"]),
+            }
+        )
+    body = {
+        "version": version,
+        "history": hist,
+        "manifest": manifest(path, version),
+    }
+    log = _log(path)
+    tmp = log / f".ckpt-{uuid.uuid4().hex}.json"
+    tmp.write_text(json.dumps(body, indent=1))
+    try:
+        os.link(tmp, log / f"ckpt-v{version}.json")
+    except FileExistsError:
+        pass  # another committer checkpointed this version first
+    finally:
+        tmp.unlink(missing_ok=True)
+    try:
+        cur = int((log / "_last_checkpoint").read_text())
+    except (OSError, ValueError):
+        cur = -1
+    if version > cur:
+        ptr_tmp = log / f".ckptptr-{uuid.uuid4().hex}"
+        ptr_tmp.write_text(str(version))
+        os.replace(ptr_tmp, log / "_last_checkpoint")
 
 
 class CommitConflict(RuntimeError):
@@ -217,6 +290,11 @@ def _commit(
                 os.replace(hint_tmp, log / "_head.hint")
             except OSError:
                 pass  # genuinely best-effort: the commit link IS the commit
+        if version > 0 and version % CHECKPOINT_EVERY == 0:
+            try:
+                _write_checkpoint(path, version)
+            except OSError:
+                pass  # accelerator only; readers fall back correctly
         return version
     raise RuntimeError(f"commit contention: lost {_COMMIT_RETRIES} races at {path}")
 
@@ -770,6 +848,8 @@ def vacuum(path: str, retain_versions: int = 1) -> list[str]:
     for t in _log(path).glob(".tmp-*.json"):
         t.unlink(missing_ok=True)
     for t in _log(path).glob(".hint-*"):
+        t.unlink(missing_ok=True)
+    for t in _log(path).glob(".ckpt*-*"):
         t.unlink(missing_ok=True)
     return sorted(removed)
 

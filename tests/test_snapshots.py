@@ -251,13 +251,17 @@ def test_footer_stats_prune_files_below_partition_level(spark, table):
 
 
 @pytest.mark.parametrize("seed", [7, 23])
-def test_random_op_sequences_match_pure_model(spark, tmp_path, seed):
+def test_random_op_sequences_match_pure_model(spark, tmp_path, seed, monkeypatch):
     """Randomized model check: any interleaving of append / duplicate-key
     append / compact / metadata-TTL / rollback / merge-into / DV-delete
     leaves every version's read equal to a pure-Python replay of the same
-    ops (the log is the model's history, nothing more)."""
+    ops (the log is the model's history, nothing more). Checkpoints fire
+    every 3 commits (r9) and two invariants hold after EVERY op: the head
+    resolves without the best-effort hint, and history() through the
+    checkpoint equals the direct manifest walk."""
     import random as rnd
 
+    monkeypatch.setattr(S, "CHECKPOINT_EVERY", 3)
     r = rnd.Random(seed)
     path = str(tmp_path / "model_table")
 
@@ -323,6 +327,20 @@ def test_random_op_sequences_match_pure_model(spark, tmp_path, seed):
             S.rollback(path, v)
             cur = list(model_versions[v])
         model_versions.append(list(cur))
+
+        # checkpoint invariants (r9)
+        (Path(path) / S.LOG_DIR / "_head.hint").unlink(missing_ok=True)
+        assert S.latest_version(path) == len(model_versions) - 1
+        want_hist = [
+            {
+                "version": v,
+                "op": S.manifest(path, v)["op"],
+                "parent": S.manifest(path, v)["parent"],
+                "n_files": len(S.manifest(path, v)["files"]),
+            }
+            for v in range(len(model_versions))
+        ]
+        assert S.history(path) == want_hist, f"step {step} op {op}"
 
         got = sorted(
             (rr.trade_id, rr.ingested_at, int(str(rr.p_month)[-2:]))
@@ -537,3 +555,58 @@ def test_ts_range_read_is_driver_tz_independent(spark, tmp_path):
             os.environ["TZ"] = old
         _time.tzset()
     assert got == 4, "pruning and the row filter disagreed on the bounds"
+
+
+def test_checkpoint_bounds_cold_start_reads(spark, tmp_path, monkeypatch):
+    """The durable checkpoint (r9): cold latest_version with NO head
+    hint resolves through _last_checkpoint with a bounded forward probe
+    — never the full _log glob — and history() reads only the manifests
+    committed since the checkpoint."""
+    import pathlib
+
+    monkeypatch.setattr(S, "CHECKPOINT_EVERY", 4)
+    path = str(tmp_path / "ckpt_table")
+    for i in range(10):
+        S.append(_batch(spark, 1, [i]), path)  # v0..v9; checkpoints at 4, 8
+    log = Path(path) / "_log"
+    assert (log / "ckpt-v4.json").exists() and (log / "ckpt-v8.json").exists()
+    assert (log / "_last_checkpoint").read_text() == "8"
+
+    (log / "_head.hint").unlink()
+    real_glob = pathlib.Path.glob
+
+    def no_glob(self, pat):
+        if self == log and pat == "v*.json":
+            raise AssertionError("cold latest_version fell back to the full glob")
+        return real_glob(self, pat)
+
+    monkeypatch.setattr(pathlib.Path, "glob", no_glob)
+    assert S.latest_version(path) == 9  # checkpoint 8 + forward probe
+    monkeypatch.setattr(pathlib.Path, "glob", real_glob)
+
+    calls: list[int] = []
+    real_manifest = S.manifest
+    monkeypatch.setattr(
+        S, "manifest", lambda p, v: (calls.append(v), real_manifest(p, v))[1]
+    )
+    hist = S.history(path)
+    assert [h["version"] for h in hist] == list(range(10))
+    assert hist[3]["op"] == "append" and hist[3]["n_files"] == 4
+    assert calls == [9], f"history read pre-checkpoint manifests: {calls}"
+
+
+def test_vacuum_keeps_checkpoints_and_sweeps_their_tmps(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(S, "CHECKPOINT_EVERY", 2)
+    path = str(tmp_path / "ckpt_vac")
+    for i in range(3):
+        S.append(_batch(spark, 1, [i]), path)
+    log = Path(path) / "_log"
+    (log / ".ckpt-deadbeef.json").write_text("{}")  # crashed writer artifact
+    (log / ".ckptptr-deadbeef").write_text("2")
+    S.vacuum(path)
+    assert (log / "ckpt-v2.json").exists()
+    assert (log / "_last_checkpoint").read_text() == "2"
+    assert not (log / ".ckpt-deadbeef.json").exists()
+    assert not (log / ".ckptptr-deadbeef").exists()
+    # the checkpointed table still reads exactly
+    assert _ids(S.read_snapshot(spark, path)) == [0, 1, 2]
