@@ -23,7 +23,10 @@ Semantics and scale shape:
 - Bootstrap from the default ``startingVersion=-1`` is an initial
   SNAPSHOT of the start head's manifest (the Delta-source contract):
   a compacted/retained history's current file list IS the current rows,
-  so a table maintained by ``maybe_compact_snapshot`` boots fine.
+  so a table maintained by ``maybe_compact_snapshot`` boots fine. A
+  DV-carrying head boots too (r9): the deletion vectors' positions are
+  grouped per file driver-side and dropped in each partition's Arrow
+  reader — the bootstrap equals ``read_snapshot``'s merge-on-read view.
 - AFTER bootstrap, the append-only contract of ``read_changes`` applies:
   a compaction/retention/rollback inside a consumed offset range
   rewrites VISIBILITY, not content, so the source fails the batch rather
@@ -103,6 +106,25 @@ def _file_schema_ddl(path: str) -> str:
     raise ValueError(f"{path} has no data files in any version — schema unknown")
 
 
+def _dv_positions(path: str, dvs: list[dict]) -> dict[str, list[int]]:
+    """{target file relative path: deleted row positions} from the
+    manifest's deletion-vector entries — one pyarrow read of the
+    O(deleted rows) DV set, driver-side, at bootstrap only."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, list[int]] = {}
+    for e in dvs:
+        t = pq.read_table(
+            str(Path(path) / e["path"]), columns=["_dv_target_file", "_dv_target_pos"]
+        )
+        for f, p in zip(
+            t.column("_dv_target_file").to_pylist(),
+            t.column("_dv_target_pos").to_pylist(),
+        ):
+            out.setdefault(f, []).append(p)
+    return out
+
+
 class SnapshotCommitsDataSource(DataSource):
     """``format("snapshot_commits")``: stream a snapshot table's commits.
 
@@ -169,15 +191,24 @@ class SnapshotStreamReader(DataSourceStreamReader):
             # manifest as an initial SNAPSHOT (the Delta-source contract —
             # a compacted/retained history's current file list IS the
             # current rows, so a table maintained by maybe_compact_snapshot
-            # still boots); the append-only check applies from here on
+            # still boots); the append-only check applies from here on.
+            # A DV-carrying head bootstraps too (r9): the deletion
+            # vectors' (file, position) pairs are grouped per target file
+            # HERE — one driver-side read of the O(deleted rows) DV set —
+            # and each partition's reader drops its own positions, the
+            # same anti-join semantics as _apply_dvs without a join.
             m0 = _manifest(self.path, to)
-            if m0.get("dvs"):
-                raise ValueError(
-                    "start head carries deletion vectors; the bootstrap "
-                    "snapshot serves raw files and would resurrect deleted "
-                    "rows — compact_snapshot (materialize the DVs) first"
+            dv_pos = _dv_positions(self.path, m0.get("dvs", []))
+            return [
+                InputPartition(
+                    (
+                        str(Path(self.path) / f["path"]),
+                        f["path"],
+                        sorted(dv_pos.get(f["path"], ())),
+                    )
                 )
-            added = m0["files"]
+                for f in m0["files"]
+            ]
         else:
             ops = [_manifest(self.path, v)["op"] for v in range(since + 1, to + 1)]
             bad = [o for o in ops if o != "append"]
@@ -192,17 +223,29 @@ class SnapshotStreamReader(DataSourceStreamReader):
             added = [
                 f for f in _manifest(self.path, to)["files"] if f["path"] not in before
             ]
-        return [InputPartition((str(Path(self.path) / f["path"]), f["path"])) for f in added]
+        return [
+            InputPartition((str(Path(self.path) / f["path"]), f["path"], []))
+            for f in added
+        ]
 
     def read(self, partition: InputPartition):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        abs_path, rel = partition.value
+        abs_path, rel, dv_positions = partition.value
         parts = dict(
             p.split("=", 1) for p in Path(rel).parent.parts if "=" in p
         )
         table = pq.read_table(abs_path)
+        if dv_positions:
+            # merge-on-read at bootstrap: drop this file's DV'd row
+            # positions (row order in the file IS the position space the
+            # DV recorded, the _metadata.row_index convention)
+            import numpy as np
+
+            mask = np.ones(table.num_rows, dtype=bool)
+            mask[np.asarray(dv_positions, dtype=np.int64)] = False
+            table = table.filter(pa.array(mask))
         n = table.num_rows
         cols, names = [], []
         for name, ddl in self.columns:

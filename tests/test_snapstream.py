@@ -202,24 +202,29 @@ def test_bootstrap_over_compacted_history_serves_a_snapshot(spark, table, tmp_pa
         q.stop()
 
 
-def test_bootstrap_refuses_a_head_with_deletion_vectors(spark, table, tmp_path):
-    """The bootstrap snapshot serves RAW files; a head carrying DVs would
-    resurrect deleted rows, so the source fails the batch loudly and
-    tells the operator to compact (materialize) first."""
+def test_bootstrap_applies_deletion_vectors(spark, table, tmp_path):
+    """Bootstrap over a DV-carrying head (r9; previously refused): the
+    deleted positions are dropped in the Arrow reader — the stream's
+    initial snapshot equals read_snapshot's merge-on-read view, no
+    forced compact. Post-bootstrap deletes remain a rewrite refusal
+    (visibility change inside a consumed range)."""
     S.delete_where(spark, table, "trade_id = 2")
     q = _start(spark, table, str(tmp_path / "ck_dv"), "ss_dv")
     try:
-        with pytest.raises(Exception, match="deletion vectors"):
+        q.processAllAvailable()
+        assert _ids(spark, "ss_dv") == [i for i in range(8) if i != 2]
+        # a delete AFTER bootstrap is still a refused rewrite
+        S.delete_where(spark, table, "trade_id = 3")
+        with pytest.raises(Exception, match="non-append"):
             q.processAllAvailable()
     finally:
         q.stop()
-    # after compaction the DV list is empty and bootstrap serves the
-    # materialized state
+    # compaction then serves the materialized state on a fresh bootstrap
     S.compact_snapshot(spark, table)
     q = _start(spark, table, str(tmp_path / "ck_dv2"), "ss_dv2")
     try:
         q.processAllAvailable()
-        assert _ids(spark, "ss_dv2") == [i for i in range(8) if i != 2]
+        assert _ids(spark, "ss_dv2") == [i for i in range(8) if i not in (2, 3)]
     finally:
         q.stop()
 
