@@ -16,6 +16,9 @@ and every operation is a NEW manifest over mostly-old files:
              matching keys, carry every other file by reference
 - delete   → merge-on-read: commit a deletion vector (file, row-position
              list); readers anti-join it, compaction materializes it
+- eq_delete→ merge-on-read by KEY VALUES (Iceberg equality-delete):
+             commit the key rows without reading the table at all;
+             applies only to files added before it (sequenced)
 - compact  → rewrite survivors into a fresh dir, commit ONLY the new files
              (old files stay on disk — prior versions remain readable; no
              rename window, no reader retry: the swap is one manifest link)
@@ -221,6 +224,7 @@ def _commit(
     txn: tuple[str, int] | None = None,
     expected_parent: int | None | str = "any",
     dvs_fn=None,
+    eq_dvs_fn=None,
 ) -> int:
     """Optimistic commit: claim the next version number with an atomic
     ``os.link``; EEXIST = lost the race, so re-read the head and retry.
@@ -242,7 +246,10 @@ def _commit(
     same way ``files_fn`` transforms the file list; the default carries
     the head's DVs forward unchanged (appends/merges must not lose a
     prior delete), ``delete_where`` appends, compact/materialize clears,
-    rollback restores."""
+    rollback restores. ``eq_dvs_fn(head_eq, version) -> eq_dvs`` is the
+    same seam for EQUALITY deletes (it additionally receives the commit
+    version being claimed, which sequences the delete — see
+    :func:`delete_by_keys`)."""
     log = _log(path)
     log.mkdir(parents=True, exist_ok=True)
     tmp = log / f".tmp-{uuid.uuid4().hex}.json"
@@ -258,14 +265,31 @@ def _commit(
         if txn is not None:
             txns = {**txns, txn[0]: txn[1]}
         head_dvs = head_m.get("dvs", [])
+        head_eq = head_m.get("eq_dvs", [])
+        head_paths = {f["path"] for f in head_m.get("files", [])}
+        # stamp the commit version on genuinely-NEW file entries (copies,
+        # so a retry restamps fresh and head dicts are never mutated):
+        # equality deletes sequence against this — an eq-delete drops a
+        # row only when its file's added_v predates the delete's commit,
+        # the Iceberg sequence-number rule at file granularity. Entries
+        # predating the field read as added_v=0 (all eq-deletes apply —
+        # the conservative direction).
+        files = [dict(f) for f in files_fn(head_m.get("files", []))]
+        for f in files:
+            if "added_v" not in f and f["path"] not in head_paths:
+                f["added_v"] = version
         body = {
             "version": version,
             "parent": head,
             "op": op,
             "txns": txns,
-            "files": sorted(files_fn(head_m.get("files", [])), key=lambda f: f["path"]),
+            "files": sorted(files, key=lambda f: f["path"]),
             "dvs": sorted(
                 dvs_fn(head_dvs) if dvs_fn is not None else head_dvs,
+                key=lambda f: f["path"],
+            ),
+            "eq_dvs": sorted(
+                eq_dvs_fn(head_eq, version) if eq_dvs_fn is not None else head_eq,
                 key=lambda f: f["path"],
             ),
         }
@@ -582,21 +606,46 @@ def _dv_file_expr():
     )
 
 
-def _apply_dvs(spark: SparkSession, df: DataFrame, dvs: list[dict], path: str) -> DataFrame:
+def _apply_dvs(spark: SparkSession, df: DataFrame, m: dict, path: str) -> DataFrame:
     """Merge-on-read: anti-join the scan against the snapshot's deletion
-    vectors on (source file, row position). The DV side is broadcast — a
-    DV holds the POSITIONS of deleted rows (the Delta deletion-vector /
-    Iceberg position-delete pattern), so its size is O(deleted rows),
-    not O(table). Rows from files a DV doesn't mention pass through the
-    hash lookup untouched; no data file is ever rewritten by a delete."""
-    if not dvs:
+    vectors. Two kinds, same seam:
+
+    - POSITION deletes (``dvs``, Delta DV / Iceberg position-delete):
+      the vector holds the (source file, row position) of deleted rows,
+      so its size is O(deleted rows), not O(table).
+    - EQUALITY deletes (``eq_dvs``, Iceberg equality-delete, r9): the
+      vector holds KEY VALUES; a row is dropped when its keys match any
+      delete row AND its file was added BEFORE the delete committed
+      (``added_v < entry.v`` — the sequence rule that lets the same key
+      be re-inserted after the delete). One broadcast anti-join per
+      equality-delete commit; compaction materializes and clears both.
+
+    Both sides are broadcast; rows from files no vector mentions pass
+    through the hash lookups untouched; no data file is ever rewritten
+    by a delete."""
+    dvs, eq = m.get("dvs", []), m.get("eq_dvs", [])
+    if not dvs and not eq:
         return df
-    dv = spark.read.parquet(*[str(Path(path) / e["path"]) for e in dvs])
-    tagged = df.withColumn(_DV_FILE, _dv_file_expr()).withColumn(
-        _DV_POS, F.col("_metadata.row_index")
-    )
-    cond = (tagged[_DV_FILE] == dv[_DV_FILE]) & (tagged[_DV_POS] == dv[_DV_POS])
-    return tagged.join(F.broadcast(dv), cond, "left_anti").drop(_DV_FILE, _DV_POS)
+    tagged = df.withColumn(_DV_FILE, _dv_file_expr())
+    if dvs:
+        dv = spark.read.parquet(*[str(Path(path) / e["path"]) for e in dvs])
+        tagged = tagged.withColumn(_DV_POS, F.col("_metadata.row_index"))
+        cond = (tagged[_DV_FILE] == dv[_DV_FILE]) & (tagged[_DV_POS] == dv[_DV_POS])
+        tagged = tagged.join(F.broadcast(dv), cond, "left_anti").drop(_DV_POS)
+    if eq:
+        added = spark.createDataFrame(
+            [(f["path"], f.get("added_v", 0)) for f in m["files"]],
+            f"{_DV_FILE} string, _added_v long",
+        )
+        tagged = tagged.join(F.broadcast(added), _DV_FILE, "left")
+        for e in eq:
+            kdf = spark.read.parquet(str(Path(path) / e["path"]))
+            cond = F.coalesce(tagged["_added_v"], F.lit(0)) < F.lit(e["v"])
+            for c in e["cols"]:
+                cond = cond & (tagged[c] == kdf[c])
+            tagged = tagged.join(F.broadcast(kdf), cond, "left_anti")
+        tagged = tagged.drop("_added_v")
+    return tagged.drop(_DV_FILE)
 
 
 def delete_where(spark: SparkSession, path: str, predicate: str) -> int:
@@ -631,7 +680,7 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> int:
     df = _apply_dvs(
         spark,
         _read_files(spark, path, m["files"], merge_schema=True),
-        m.get("dvs", []),
+        m,
         path,
     )
     hits = df.where(predicate).select(
@@ -656,6 +705,55 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> int:
         "delete",
         expected_parent=read_v,
         dvs_fn=lambda head_dvs: head_dvs + entries,
+    )
+
+
+def delete_by_keys(
+    spark: SparkSession, path: str, keys: DataFrame, cols: Sequence[str] | None = None
+) -> int:
+    """EQUALITY delete (the Iceberg equality-delete file, r9): delete
+    every row whose ``cols`` values match a row of ``keys`` — WITHOUT
+    reading the table at all. Where :func:`delete_where` scans the
+    snapshot to record positions, this records the KEY VALUES and lets
+    every reader anti-join them (:func:`_apply_dvs`); total cost is
+    O(keys), the GDPR-erasure path when the victim rows' locations are
+    unknown (late-arriving erasure requests, streaming upserts).
+
+    Sequencing (Iceberg's sequence-number rule at file granularity): the
+    delete's commit version is recorded on the entry, every data file
+    records the version that added it, and the delete applies only to
+    files added BEFORE it — re-inserting the same key afterwards is
+    visible. Compaction materializes and clears equality deletes like
+    position DVs; ``maybe_compact_snapshot`` counts their rows toward
+    the merge-on-read debt threshold. No conflict window: the commit is
+    a pure append to the eq-delete list, race-safe by composition."""
+    cols = list(cols or keys.columns)
+    key_rows = keys.select(*cols).distinct()
+    dest = Path(path) / DV_DIR / f"eqdv-{uuid.uuid4().hex[:12]}"
+    key_rows.write.mode("error").parquet(str(dest))
+    entries = []
+    for f in dest.rglob("*.parquet"):
+        st = _footer_stats(f, "", collect_cols=False)  # rows only
+        if st.get("rows", 0):
+            entries.append(
+                {
+                    "path": str(f.relative_to(Path(path))),
+                    "cols": cols,
+                    "rows": st["rows"],
+                }
+            )
+    if not entries:
+        shutil.rmtree(dest, ignore_errors=True)  # empty key set — no-op
+        head = latest_version(path)
+        if head is None:
+            raise FileNotFoundError(f"no snapshots at {path}")
+        return head
+    return _commit(
+        path,
+        lambda hf: hf,
+        "eq_delete",
+        eq_dvs_fn=lambda head_eq, version: head_eq
+        + [{**e, "v": version} for e in entries],
     )
 
 
@@ -705,9 +803,12 @@ def compact_snapshot(
     new = _write_txn(df, path, ts_col, zorder_cols=zorder_cols, n_files=n_files)
     # the read above applied the snapshot's deletion vectors, so the
     # rewrite MATERIALIZES the deletes — the new manifest starts DV-free
+    # the read above applied position AND equality deletes, so the
+    # rewrite materializes both — the new manifest starts vector-free
     return _commit(
         path, lambda _hf: new, "compact", expected_parent=read_v,
         dvs_fn=lambda _dvs: [],
+        eq_dvs_fn=lambda _eq, _v: [],
     )
 
 
@@ -733,6 +834,7 @@ def rollback(path: str, to_version: int) -> int:
         lambda _hf: manifest(path, to_version)["files"],
         "rollback",
         dvs_fn=lambda _dvs: manifest(path, to_version).get("dvs", []),
+        eq_dvs_fn=lambda _eq, _v: manifest(path, to_version).get("eq_dvs", []),
     )
 
 
@@ -788,7 +890,7 @@ def read_snapshot(
         df = _empty_like(spark, path)
     else:
         df = _apply_dvs(
-            spark, _read_files(spark, path, files, merge_schema), m.get("dvs", []), path
+            spark, _read_files(spark, path, files, merge_schema), m, path
         )
     if ts_range is not None:
         if df.schema[ts_col].dataType.typeName() == "timestamp":
@@ -822,7 +924,10 @@ def vacuum(path: str, retain_versions: int = 1) -> list[str]:
     )
     live = {f["path"] for v in retained for f in manifest(path, v)["files"]}
     live |= {
-        e["path"] for v in retained for e in manifest(path, v).get("dvs", [])
+        e["path"]
+        for v in retained
+        for kind in ("dvs", "eq_dvs")
+        for e in manifest(path, v).get(kind, [])
     }
     removed = []
     scan_dirs = [_data(path)]
@@ -890,7 +995,9 @@ def maybe_compact_snapshot(
     if head is None:
         return None
     m = manifest(path, head)
-    dv_rows = sum(e.get("rows", 0) for e in m.get("dvs", []))
+    dv_rows = sum(
+        e.get("rows", 0) for k in ("dvs", "eq_dvs") for e in m.get(k, [])
+    )
     if len(m["files"]) <= max_live_files and dv_rows <= max_dv_rows:
         return None
     try:
@@ -1099,7 +1206,7 @@ def merge_into(
         tgt = _apply_dvs(
             spark,
             _read_files(spark, path, touched, merge_schema=True),
-            manifest(path, read_v).get("dvs", []),
+            manifest(path, read_v),
             path,
         ).drop(TXN_COL, PARTITION_COL)
     else:

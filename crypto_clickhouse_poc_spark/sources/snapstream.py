@@ -198,6 +198,12 @@ class SnapshotStreamReader(DataSourceStreamReader):
             # and each partition's reader drops its own positions, the
             # same anti-join semantics as _apply_dvs without a join.
             m0 = _manifest(self.path, to)
+            if m0.get("eq_dvs"):
+                raise ValueError(
+                    "start head carries equality deletes; the bootstrap "
+                    "reader drops positions, not key matches — "
+                    "compact_snapshot (materialize them) first"
+                )
             dv_pos = _dv_positions(self.path, m0.get("dvs", []))
             return [
                 InputPartition(

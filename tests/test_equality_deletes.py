@@ -1,0 +1,179 @@
+"""Equality-delete gates (plans/snapshots.delete_by_keys — the Iceberg
+equality-delete file, r9 ROADMAP 2b).
+
+Position deletes (test_deletion_vectors.py) need the victims' (file,
+row-index); equality deletes need only KEY VALUES, cost O(keys), no table
+read. The gates pin: zero-rewrite economics, the sequence rule (the
+delete applies only to files added before it — a re-inserted key is
+visible), interaction with merge/SCD2-style updates, materialization by
+compaction, rollback restore, vacuum's live-set accounting, the
+maintenance-debt threshold, and the streaming-source bootstrap refusal.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+from pathlib import Path
+
+import pytest
+
+from crypto_clickhouse_poc_spark.plans import snapshots as S
+
+SCHEMA = "ts timestamp, symbol string, trade_id long, price double, ingested_at long"
+
+
+def _batch(spark, month: int, ids, version: int = 0, price=None):
+    rows = [
+        (
+            datetime(2024, month, 1 + (i % 27)),
+            "BTC",
+            i,
+            float(100 + i) if price is None else float(price),
+            version,
+        )
+        for i in ids
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _keys(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "trade_id long")
+
+
+@pytest.fixture()
+def table(tmp_path, spark):
+    path = str(tmp_path / "eq_table")
+    S.append(_batch(spark, 1, range(6)), path)  # v0
+    S.append(_batch(spark, 2, range(6, 10)), path)  # v1
+    return path
+
+
+def _ids(df):
+    return sorted(r.trade_id for r in df.collect())
+
+
+def test_eq_delete_drops_matches_without_touching_data(spark, table):
+    files_before = {f["path"] for f in S.manifest(table, 1)["files"]}
+    v = S.delete_by_keys(spark, table, _keys(spark, [2, 7]))
+    m = S.manifest(table, v)
+    assert {f["path"] for f in m["files"]} == files_before  # zero rewrites
+    assert m["op"] == "eq_delete" and len(m["eq_dvs"]) >= 1
+    assert all(e["cols"] == ["trade_id"] and e["v"] == v for e in m["eq_dvs"])
+    assert _ids(S.read_snapshot(spark, table)) == [0, 1, 3, 4, 5, 6, 8, 9]
+    # time travel: the pre-delete version still reads everything
+    assert _ids(S.read_snapshot(spark, table, version=v - 1)) == list(range(10))
+
+
+def test_eq_delete_is_sequenced_reinsert_survives(spark, table):
+    S.delete_by_keys(spark, table, _keys(spark, [3]))
+    # the SAME key re-appended after the delete must be visible —
+    # its file's added_v postdates the delete's commit version
+    S.append(_batch(spark, 3, [3], version=9), table)
+    head = S.read_snapshot(spark, table).collect()
+    got = {r.trade_id: r.ingested_at for r in head}
+    assert got[3] == 9 and len(head) == 10
+    # and a SECOND delete of that key removes the re-insert too
+    S.delete_by_keys(spark, table, _keys(spark, [3]))
+    assert _ids(S.read_snapshot(spark, table)) == [0, 1, 2, 4, 5, 6, 7, 8, 9]
+
+
+def test_eq_delete_composes_with_position_deletes(spark, table):
+    S.delete_where(spark, table, "trade_id = 1")  # position DV
+    S.delete_by_keys(spark, table, _keys(spark, [8]))  # equality
+    assert _ids(S.read_snapshot(spark, table)) == [0, 2, 3, 4, 5, 6, 7, 9]
+
+
+def test_eq_delete_multi_column_keys(spark, table):
+    keys = spark.createDataFrame(
+        [("BTC", 4), ("ETH", 5)], "symbol string, trade_id long"
+    )
+    S.delete_by_keys(spark, table, keys)
+    # only the (BTC, 4) row matches — no ETH rows exist
+    assert _ids(S.read_snapshot(spark, table)) == [0, 1, 2, 3, 5, 6, 7, 8, 9]
+
+
+def test_merge_into_does_not_resurrect_eq_deleted_rows(spark, table):
+    S.delete_by_keys(spark, table, _keys(spark, [5]))
+    # merging an update for the deleted key: no live target row matches,
+    # so it INSERTS a fresh (post-delete) row — visible thereafter
+    src = _batch(spark, 1, [5], price=777.0)
+    S.merge_into(spark, table, src, keys=["ts", "symbol", "trade_id"])
+    head = {r.trade_id: r.price for r in S.read_snapshot(spark, table).collect()}
+    assert head[5] == 777.0 and len(head) == 10
+
+
+def test_compact_materializes_equality_deletes(spark, table):
+    S.delete_by_keys(spark, table, _keys(spark, [0, 9]))
+    want = _ids(S.read_snapshot(spark, table))
+    v = S.compact_snapshot(spark, table, keys=("ts", "symbol", "trade_id"))
+    m = S.manifest(table, v)
+    assert m["eq_dvs"] == [] and m["dvs"] == []
+    assert _ids(S.read_snapshot(spark, table)) == want == list(range(1, 9))
+
+
+def test_rollback_restores_the_eq_delete_list(spark, table):
+    v_del = S.delete_by_keys(spark, table, _keys(spark, [2]))
+    S.compact_snapshot(spark, table, keys=("ts", "symbol", "trade_id"))
+    S.rollback(table, v_del)
+    head = S.latest_version(table)
+    assert S.manifest(table, head)["eq_dvs"] == S.manifest(table, v_del)["eq_dvs"]
+    assert _ids(S.read_snapshot(spark, table)) == [i for i in range(10) if i != 2]
+
+
+def test_vacuum_keeps_live_eq_files_then_sweeps_after_compact(spark, table):
+    S.delete_by_keys(spark, table, _keys(spark, [6]))
+    eq_paths = [e["path"] for e in S.manifest(table, S.latest_version(table))["eq_dvs"]]
+    assert eq_paths
+    S.vacuum(table)  # head still carries the eq delete — files must live
+    for p in eq_paths:
+        assert (Path(table) / p).exists()
+    assert _ids(S.read_snapshot(spark, table)) == [i for i in range(10) if i != 6]
+    S.compact_snapshot(spark, table, keys=("ts", "symbol", "trade_id"))
+    S.vacuum(table)  # materialized — the eq files are unreferenced now
+    for p in eq_paths:
+        assert not (Path(table) / p).exists()
+
+
+def test_maybe_compact_counts_eq_rows_toward_dv_debt(spark, table):
+    S.delete_by_keys(spark, table, _keys(spark, [1, 2, 3]))
+    assert S.maybe_compact_snapshot(
+        spark, table, max_live_files=64, keys=("ts", "symbol", "trade_id"),
+        max_dv_rows=2,
+    ) is not None
+    assert S.manifest(table, S.latest_version(table))["eq_dvs"] == []
+
+
+def test_empty_key_set_is_a_noop_commit_free(spark, table):
+    head = S.latest_version(table)
+    got = S.delete_by_keys(spark, table, _keys(spark, []))
+    assert got == head and S.latest_version(table) == head
+
+
+def test_read_changes_refuses_ranges_containing_eq_deletes(spark, table):
+    S.delete_by_keys(spark, table, _keys(spark, [4]))
+    with pytest.raises(ValueError, match="non-append"):
+        S.read_changes(spark, table, since_version=0)
+
+
+def test_stream_bootstrap_refuses_eq_delete_head(spark, table, tmp_path):
+    from crypto_clickhouse_poc_spark.sources.snapstream import (
+        SnapshotCommitsDataSource,
+    )
+
+    S.delete_by_keys(spark, table, _keys(spark, [4]))
+    spark.dataSource.register(SnapshotCommitsDataSource)
+    q = (
+        spark.readStream.format("snapshot_commits")
+        .option("path", table)
+        .load()
+        .writeStream.format("memory")
+        .queryName("ss_eq")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        with pytest.raises(Exception, match="equality deletes"):
+            q.processAllAvailable()
+    finally:
+        q.stop()

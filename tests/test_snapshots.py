@@ -278,7 +278,7 @@ def test_random_op_sequences_match_pure_model(spark, tmp_path, seed, monkeypatch
     for step in range(10):
         ops = [
             "append", "append_dup", "compact", "drop", "rollback",
-            "merge", "delete",
+            "merge", "delete", "eq_delete",
         ]
         op = r.choice(ops if model_versions else ["append"])
         if op == "append":
@@ -320,7 +320,21 @@ def test_random_op_sequences_match_pure_model(spark, tmp_path, seed, monkeypatch
             tid = r.choice(cur)[0]
             S.delete_where(spark, path, f"trade_id = {tid}")
             cur = [t for t in cur if t[0] != tid]
-        elif op in ("merge", "delete"):
+        elif op == "eq_delete" and cur:
+            # equality delete of one live key: every CURRENT copy's file
+            # predates the delete, so all of them drop (a later append of
+            # the same key is revived by the sequence rule — exercised by
+            # the model whenever append_dup re-picks a deleted id)
+            tid = r.choice(cur)[0]
+            import pyspark.sql.functions as _F
+
+            S.delete_by_keys(
+                spark,
+                path,
+                spark.range(1).select(_F.lit(tid).alias("trade_id")),
+            )
+            cur = [t for t in cur if t[0] != tid]
+        elif op in ("merge", "delete", "eq_delete"):
             continue
         else:  # rollback
             v = r.randrange(len(model_versions))
