@@ -46,9 +46,11 @@ Scale notes for 100 TB: the manifest stores each file's partition value, so
 ``read_snapshot(months=…)`` prunes at the METADATA level — the Spark scan
 is handed only surviving files and never lists storage (listing a
 100M-file table is the actual bottleneck cloud tables hit). A single JSON
-manifest is the minimal form; at millions of files per snapshot the same
-design shards into manifest-list + per-partition manifests (Iceberg's
-layout) without changing any reader semantics. Reference parity: this
+manifest is the minimal form up to ``SHARD_FILES`` entries; past that the
+version file holds per-month CONTENT-ADDRESSED shard references
+(Iceberg's manifest-list layout, r9): a commit rewrites only the months
+it touched, identical month-shards are stored once across versions, and
+``manifest()`` splices the list back so no reader changes. Reference parity: this
 subsumes the ClickHouse behaviors layout.py maps (background merge ≙
 compact, TTL ≙ drop_months) while adding the versioned reads ClickHouse
 itself lacks.
@@ -115,8 +117,67 @@ def latest_version(path: str) -> int | None:
     return max(versions) if versions else None
 
 
-def manifest(path: str, version: int) -> dict:
-    return json.loads((_log(path) / f"v{version}.json").read_text())
+# shard the file list out of v{N}.json above this many entries (the
+# Iceberg manifest-list layout): the version file then holds one
+# content-addressed reference per partition month, and a commit rewrites
+# only the months it touched
+SHARD_FILES = 512
+
+
+def manifest(path: str, version: int, months: tuple[str, str] | None = None) -> dict:
+    """The version's manifest with ``files`` MATERIALIZED.
+
+    Small tables inline the list in ``v{N}.json``. Past ``SHARD_FILES``
+    entries the version file instead carries ``files_ref`` — one
+    content-addressed shard (``m-<sha>.json``, grouped by partition
+    month) per month — and this accessor splices them back, so every
+    reader keeps its ``m["files"]`` shape unchanged. ``months=(lo, hi)``
+    skips loading shards wholly outside the range (manifest-level
+    pruning one level up: a months-pruned read of a million-file table
+    never even parses the other months' metadata)."""
+    m = json.loads((_log(path) / f"v{version}.json").read_text())
+    if "files" not in m:
+        refs = m["files_ref"]
+        if months is not None:
+            lo, hi = months
+            refs = [r for r in refs if lo <= r["p_month"] <= hi]
+        m["files"] = [
+            f
+            for r in refs
+            for f in json.loads((_log(path) / r["path"]).read_text())
+        ]
+    return m
+
+
+def _write_shards(path: str, files: list[dict]) -> list[dict]:
+    """Write the file list as per-month, CONTENT-ADDRESSED shard files
+    and return the reference list. A month whose file set is unchanged
+    since any earlier commit hashes to the SAME name — the ``os.link``
+    is then a no-op — so the log's write cost per commit is O(changed
+    months), not O(table files), and identical shards are stored once
+    across all versions (Iceberg's unchanged-manifest reuse)."""
+    import hashlib
+
+    groups: dict[str, list[dict]] = {}
+    for f in files:
+        groups.setdefault(f.get("p_month", "?"), []).append(f)
+    log = _log(path)
+    refs = []
+    for month in sorted(groups):
+        blob = json.dumps(groups[month], sort_keys=True)
+        name = f"m-{hashlib.sha256(blob.encode()).hexdigest()[:16]}.json"
+        dest = log / name
+        if not dest.exists():
+            tmp = log / f".shard-{uuid.uuid4().hex}.json"
+            tmp.write_text(blob)
+            try:
+                os.link(tmp, dest)
+            except FileExistsError:
+                pass  # identical content already committed — reuse
+            finally:
+                tmp.unlink(missing_ok=True)
+        refs.append({"path": name, "p_month": month, "n": len(groups[month])})
+    return refs
 
 
 def history(path: str) -> list[dict]:
@@ -283,7 +344,6 @@ def _commit(
             "parent": head,
             "op": op,
             "txns": txns,
-            "files": sorted(files, key=lambda f: f["path"]),
             "dvs": sorted(
                 dvs_fn(head_dvs) if dvs_fn is not None else head_dvs,
                 key=lambda f: f["path"],
@@ -293,6 +353,13 @@ def _commit(
                 key=lambda f: f["path"],
             ),
         }
+        sorted_files = sorted(files, key=lambda f: f["path"])
+        if len(sorted_files) > SHARD_FILES:
+            # big table: per-month content-addressed shards; the version
+            # file stays O(months) and unchanged months cost nothing
+            body["files_ref"] = _write_shards(path, sorted_files)
+        else:
+            body["files"] = sorted_files
         tmp.write_text(json.dumps(body, indent=1))
         try:
             os.link(tmp, log / f"v{version}.json")
@@ -866,7 +933,9 @@ def read_snapshot(
     if head is None:
         raise FileNotFoundError(f"no snapshots at {path}")
     v = head if version is None else version
-    m = manifest(path, v)
+    # months pushes down into manifest(): on a sharded log the other
+    # months' shard files are never even parsed
+    m = manifest(path, v, months=months)
     files = m["files"]
     if months is not None:
         lo, hi = months
@@ -955,6 +1024,8 @@ def vacuum(path: str, retain_versions: int = 1) -> list[str]:
     for t in _log(path).glob(".hint-*"):
         t.unlink(missing_ok=True)
     for t in _log(path).glob(".ckpt*-*"):
+        t.unlink(missing_ok=True)
+    for t in _log(path).glob(".shard-*.json"):
         t.unlink(missing_ok=True)
     return sorted(removed)
 

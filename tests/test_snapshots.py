@@ -262,6 +262,7 @@ def test_random_op_sequences_match_pure_model(spark, tmp_path, seed, monkeypatch
     import random as rnd
 
     monkeypatch.setattr(S, "CHECKPOINT_EVERY", 3)
+    monkeypatch.setattr(S, "SHARD_FILES", 3)  # r9: the whole sequence runs sharded
     r = rnd.Random(seed)
     path = str(tmp_path / "model_table")
 
