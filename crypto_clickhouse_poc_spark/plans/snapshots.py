@@ -879,6 +879,80 @@ def compact_snapshot(
     )
 
 
+def optimize_small_files(
+    spark: SparkSession,
+    path: str,
+    min_rows: int = 50_000,
+    ts_col: str = "ts",
+    zorder_cols: Sequence[str] | None = None,
+    n_files: int = 1,
+) -> int:
+    """Incremental bin-packing compaction (the Delta OPTIMIZE semantics):
+    coalesce only the files SMALLER than ``min_rows`` into ~``n_files``
+    well-laid-out files and carry every other file by reference — no
+    dedup, no row-set change, pure re-layout.
+
+    Why it exists next to :func:`compact_snapshot`: compact rewrites the
+    WHOLE live set (O(table)) because its job is merging duplicate keys;
+    a streaming sink's actual steady-state problem is small-file debt —
+    one txn dir per micro-batch — and paying a full-table rewrite every
+    maintenance tick is the wrong asymptote. This op is O(small files):
+    at 100 TB a table with a thousand 5-minute micro-batch files and a
+    hundred 1 GB compacted files rewrites a few hundred MB, not 100 TB.
+
+    Deletion-vector interaction: the rewrite reads its victims through
+    :func:`_apply_dvs`, so position AND equality deletes on REWRITTEN
+    files are materialized; DV rows targeting untouched files are
+    carried (consolidated into a fresh DV file), equality-delete entries
+    stay listed (rewritten rows escape them by the ``added_v`` sequence
+    rule — they were already applied; untouched files remain subject).
+    Like compact, the rewrite depends on the snapshot it read:
+    :class:`CommitConflict` on an interleaved commit, orphans swept by
+    vacuum. Returns the new version, or the head unchanged when fewer
+    than two small files exist (nothing to pack)."""
+    read_v = latest_version(path)
+    if read_v is None:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    m = manifest(path, read_v)
+    # a file without recorded rows (legacy entry) is treated as small —
+    # rewriting is always semantics-preserving
+    small = [f for f in m["files"] if f.get("rows", 0) < min_rows]
+    untouched = [f for f in m["files"] if f.get("rows", 0) >= min_rows]
+    if len(small) < 2:
+        return read_v
+    df = _apply_dvs(
+        spark, _read_files(spark, path, small, merge_schema=True), m, path
+    ).drop(TXN_COL, PARTITION_COL)
+    new_entries = _write_txn(
+        df, path, ts_col, zorder_cols=zorder_cols, n_files=n_files
+    )
+    # consolidate surviving DV rows (those targeting carried files);
+    # positions inside rewritten files died with the rewrite
+    new_dvs: list[dict] = []
+    if m.get("dvs"):
+        rewritten = {f["path"] for f in small}
+        keep = spark.read.parquet(
+            *[str(Path(path) / e["path"]) for e in m["dvs"]]
+        ).where(~F.col(_DV_FILE).isin(rewritten))
+        dest = Path(path) / DV_DIR / f"dv-{uuid.uuid4().hex[:12]}"
+        keep.write.mode("error").parquet(str(dest))
+        for f in dest.rglob("*.parquet"):
+            st = _footer_stats(f, "", collect_cols=False)
+            if st.get("rows", 0):
+                new_dvs.append(
+                    {"path": str(f.relative_to(Path(path))), "rows": st["rows"]}
+                )
+        if not new_dvs:
+            shutil.rmtree(dest, ignore_errors=True)
+    return _commit(
+        path,
+        lambda _hf: untouched + new_entries,
+        "optimize",
+        expected_parent=read_v,
+        dvs_fn=lambda _d: new_dvs,
+    )
+
+
 def drop_months(path: str, cutoff_month: str) -> int:
     """TTL as metadata: commit a manifest excluding files of months older
     than ``cutoff_month``. Zero data I/O; prior versions still serve the
