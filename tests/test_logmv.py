@@ -1,0 +1,142 @@
+"""Log-driven incremental MV gates (plans/logmv): the rollup equals a
+full batch recompute after ANY interleaving of base appends and
+refreshes; the watermark makes replayed refreshes no-ops (exactly-once
+without sidecar checkpoints); a non-append base op degrades to one
+atomic rebuild; partial-merge compaction is read-invisible."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from crypto_clickhouse_poc_spark.plans import logmv as M
+from crypto_clickhouse_poc_spark.plans import snapshots as S
+from crypto_clickhouse_poc_spark.streaming.bars import bars_batch
+
+SCHEMA = "ts timestamp, symbol string, trade_id long, price double, qty double, ingested_at long"
+T0 = datetime(2024, 3, 1, 9, 0, 0)
+
+
+def _batch(spark, ids, minute_of=lambda i: i % 3):
+    rows = [
+        (
+            T0 + timedelta(minutes=minute_of(i), seconds=i % 60),
+            "BTC" if i % 2 else "ETH",
+            i,
+            float(100 + (i * 7) % 31),
+            1.0 + (i % 5),
+            0,
+        )
+        for i in ids
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _rows(df):
+    return sorted(
+        tuple(r) for r in df.select(
+            "minute", "symbol", "open", "high", "low", "close", "volume", "trades"
+        ).collect()
+    )
+
+
+@pytest.fixture()
+def paths(tmp_path):
+    return str(tmp_path / "base"), str(tmp_path / "mv")
+
+
+def test_incremental_equals_recompute_at_every_step(spark, paths):
+    base, mv = paths
+    for k in range(4):
+        S.append(_batch(spark, range(k * 40, (k + 1) * 40)), base)
+        v = M.refresh_rollup(spark, base, mv)
+        assert v is not None
+        expect = _rows(bars_batch(S.read_snapshot(spark, base)))
+        assert _rows(M.read_rollup(spark, mv)) == expect
+    # steady state: nothing new -> None, MV unchanged
+    assert M.refresh_rollup(spark, base, mv) is None
+
+
+def test_refresh_is_exactly_once_under_replay(spark, paths):
+    base, mv = paths
+    S.append(_batch(spark, range(50)), base)
+    M.refresh_rollup(spark, base, mv)
+    head_mv = S.latest_version(mv)
+    # a crashed scheduler re-running the SAME refresh: the watermark in the
+    # MV's own manifest detects the replay inside append -> no new version
+    from crypto_clickhouse_poc_spark.streaming.bars import partial_bars
+
+    delta = S.read_changes(spark, base, -1, S.latest_version(base))
+    assert (
+        S.append(partial_bars(delta), mv, ts_col="minute",
+                 txn_app="logmv", txn_id=S.latest_version(base))
+        == head_mv
+    )
+    assert S.latest_version(mv) == head_mv
+    assert M.refresh_rollup(spark, base, mv) is None
+
+
+def test_non_append_base_op_degrades_to_atomic_rebuild(spark, paths):
+    base, mv = paths
+    S.append(_batch(spark, range(60)), base)
+    M.refresh_rollup(spark, base, mv)
+    S.delete_where(spark, base, "trade_id = 7")
+    S.append(_batch(spark, range(60, 90)), base)
+    v = M.refresh_rollup(spark, base, mv)  # range has a delete -> rebuild
+    m = S.manifest(mv, v)
+    assert m["op"] == "rebuild"
+    assert m["txns"]["logmv"] == S.latest_version(base)
+    expect = _rows(bars_batch(S.read_snapshot(spark, base)))
+    assert _rows(M.read_rollup(spark, mv)) == expect
+    # and the NEXT refresh is incremental again
+    S.append(_batch(spark, range(90, 110)), base)
+    v2 = M.refresh_rollup(spark, base, mv)
+    assert S.manifest(mv, v2)["op"] == "append"
+    assert _rows(M.read_rollup(spark, mv)) == _rows(
+        bars_batch(S.read_snapshot(spark, base))
+    )
+
+
+def test_compact_rollup_is_read_invisible_and_bounds_partials(spark, paths):
+    base, mv = paths
+    for k in range(3):
+        S.append(_batch(spark, range(k * 30, (k + 1) * 30)), base)
+        M.refresh_rollup(spark, base, mv)
+    before = _rows(M.read_rollup(spark, mv))
+    n_partials_before = S.read_snapshot(spark, mv).count()
+    v = M.compact_rollup(spark, mv)
+    assert S.manifest(mv, v)["op"] == "compact"
+    assert _rows(M.read_rollup(spark, mv)) == before
+    groups = len({(r[0], r[1]) for r in before})
+    assert S.read_snapshot(spark, mv).count() == groups < n_partials_before
+    # watermark survives compaction -> refreshes stay incremental
+    S.append(_batch(spark, range(90, 120)), base)
+    v2 = M.refresh_rollup(spark, base, mv)
+    assert S.manifest(mv, v2)["op"] == "append"
+    assert _rows(M.read_rollup(spark, mv)) == _rows(
+        bars_batch(S.read_snapshot(spark, base))
+    )
+
+
+def test_compact_rollup_conflict_detected(spark, paths, monkeypatch):
+    base, mv = paths
+    S.append(_batch(spark, range(40)), base)
+    M.refresh_rollup(spark, base, mv)
+    orig = S._write_txn
+
+    def interleave(df, path, ts_col, **kw):
+        out = orig(df, path, ts_col, **kw)
+        if not getattr(interleave, "fired", False):
+            interleave.fired = True
+            S.append(_batch(df.sparkSession, range(40, 50)), base)
+            M.refresh_rollup(df.sparkSession, base, mv)
+        return out
+
+    monkeypatch.setattr(S, "_write_txn", interleave)
+    with pytest.raises(S.CommitConflict):
+        M.compact_rollup(spark, mv)
+    monkeypatch.setattr(S, "_write_txn", orig)
+    assert _rows(M.read_rollup(spark, mv)) == _rows(
+        bars_batch(S.read_snapshot(spark, base))
+    )
