@@ -263,6 +263,55 @@ def doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.explode(fps).alias("fingerprint"))
 
 
+CHUNK_TOKENS = 64  # context-window length (tokens per chunk)
+CHUNK_STRIDE = 48  # window step — 16-token overlap between neighbors
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the context-window prep step of a
+    pre-training pipeline (long docs sliced into fixed-token windows with
+    overlap so no span is ever split across a boundary unrepresented).
+
+    Dual of ``corpus_pack`` (which PACKS short docs up to a budget): this
+    SPLITS long docs down to one. Per-row map + posexplode, zero shuffle —
+    each doc yields ceil(max(n - overlap, 1) / stride) chunks keyed
+    (doc_id, chunk_id), with the chunk fingerprinted (md5) rather than
+    materialized, so the output stays narrow while still value-checking
+    the exact window contents against the oracle. At 100 TB the op is
+    embarrassingly parallel and output-proportional; downstream packing /
+    tokenization reads the chunk table, never re-slices text.
+    """
+    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    w = F.split(F.col("text"), " ")
+    d = d.withColumn("w", w).withColumn("n", F.size(w))
+    starts = F.filter(
+        F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_STRIDE)),
+        # a window fully covered by its predecessor adds no new tokens —
+        # emit it only when it reaches past the previous window's end
+        lambda s: (s == 0) | (s + CHUNK_TOKENS - CHUNK_STRIDE < F.col("n")),
+    )
+    # w rides along through the explode — no join back, the plan stays a
+    # single scan + generate (shuffle-free)
+    ex = d.select(
+        "doc_id", "n", "w", F.posexplode(starts).alias("chunk_id", "start")
+    )
+    chunk = F.slice(F.col("w"), F.col("start") + 1, CHUNK_TOKENS)
+    return (
+        ex.select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.col("start").cast("long").alias("chunk_start"),
+            F.least(F.lit(CHUNK_TOKENS), F.col("n") - F.col("start"))
+            .cast("long")
+            .alias("n_chunk_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+        )
+        # no presentation sort: the parity harness and the driver both
+        # canonicalize row order — keeping it out leaves the plan a single
+        # scan + generate with zero exchanges
+    )
+
+
 def corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus preparation: quality gate → exact dedup → split →
     rollup. The composition a training-data pipeline actually ships:
@@ -805,6 +854,7 @@ QUERIES = {
     "corpus_top_tokens": corpus_top_tokens,
     "doc_split": doc_split,
     "doc_winnow": doc_winnow,
+    "doc_chunks": doc_chunks,
     "corpus_prepare": corpus_prepare,
     "corpus_prepare_near": corpus_prepare_near,
     "corpus_bm25_topk": corpus_bm25_topk,
@@ -1043,6 +1093,31 @@ ORACLES = {
           FROM g
         )
         SELECT doc_id, unnest(fps) AS fingerprint FROM f
+    """,
+    "doc_chunks": f"""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS w,
+                 len(string_split(text, ' ')) AS n
+          FROM documents WHERE text IS NOT NULL
+        ),
+        starts AS (
+          SELECT doc_id, w, n, unnest(range(0, n, {CHUNK_STRIDE})) AS start
+          FROM t
+        ),
+        kept AS (
+          SELECT doc_id, w, n, start,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1
+                   AS chunk_id
+          FROM starts
+          WHERE start = 0 OR start + {CHUNK_TOKENS - CHUNK_STRIDE} < n
+        )
+        SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+               CAST(start AS BIGINT) AS chunk_start,
+               CAST(least({CHUNK_TOKENS}, n - start) AS BIGINT)
+                 AS n_chunk_tokens,
+               md5(array_to_string(w[start + 1:start + {CHUNK_TOKENS}], ' '))
+                 AS chunk_md5
+        FROM kept ORDER BY doc_id, chunk_id
     """,
     "corpus_prepare": f"""
         WITH gated AS (
