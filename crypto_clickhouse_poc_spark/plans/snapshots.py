@@ -407,7 +407,15 @@ def _write_txn(
     reads prune BELOW the partition level — the z-order + skip-index
     layout (plans/zorder.py, plans/skipping.py) expressed as a snapshot
     compaction policy."""
-    txn = uuid.uuid4().hex[:12]
+    # the 't' prefix is load-bearing: a RAW 12-hex id occasionally matches
+    # ^\d+e\d+$ (e.g. "9536e1363716", ~1 in 250 draws), and Spark's
+    # partition-value type inference parses that as scientific-notation
+    # BigDecimal and calls toBigInteger — expanding 10^1363716 via
+    # BigInteger.pow and pinning a core for the better part of an hour on
+    # the FIRST read of the table (observed live in this repo's suite).
+    # A leading letter makes every txn value unparseable as any numeric
+    # type, so inference always lands on string.
+    txn = "t" + uuid.uuid4().hex[:12]
     dest = _data(path) / f"{TXN_COL}={txn}"
     # INT96 (Spark's legacy timestamp default) carries NO min/max footer
     # stats — write INT64 micros so every commit gets prunable ts stats

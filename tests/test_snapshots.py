@@ -116,6 +116,20 @@ def test_txn_app_without_txn_id_is_rejected_upfront(spark, table):
         S.append(_batch(spark, 3, [99]), table, txn_app="job")
 
 
+def test_txn_dir_ids_can_never_parse_as_numbers(spark, table):
+    """A raw 12-hex txn id occasionally matches ^\\d+e\\d+$ (about 1 in
+    250 draws, e.g. "9536e1363716"); Spark's partition-value inference
+    then parses it as scientific-notation BigDecimal and toBigInteger
+    expands 10^1363716 — observed pinning a core for 23+ minutes on the
+    first read of the table. The writer must letter-prefix every txn id
+    so inference can only ever land on string."""
+    import re
+
+    for v in range(S.latest_version(table) + 1):
+        for f in S.manifest(table, v)["files"]:
+            assert re.match(r"data/txn=t[0-9a-f]{12}/", f["path"]), f["path"]
+
+
 def test_empty_reads_return_empty_frames_not_errors(spark, table):
     # retention that drops everything -> head read is a valid empty frame
     S.drop_months(table, "999912")
