@@ -85,7 +85,11 @@ def refresh_rollup(
     Returns the MV version committed, or ``None`` when the MV is already
     at the base head (the polling steady state). Safe to call from a
     crashed/replayed scheduler: the watermark check inside ``append``
-    makes a duplicate refresh a detected no-op.
+    makes a duplicate refresh a detected no-op. Safe under CONCURRENT
+    refreshers too: the commit re-validates the watermark against the
+    winning head, so the loser raises
+    :class:`plans.snapshots.CommitConflict` (its orphan txn dir is
+    vacuum's to sweep) instead of double-counting the delta.
     """
     head = S.latest_version(base_path)
     if head is None:

@@ -324,6 +324,18 @@ def _commit(
         head_m = {} if head is None else manifest(path, head)
         txns = head_m.get("txns", {})
         if txn is not None:
+            # re-validate the watermark against the head that will actually
+            # be the parent: append()'s pre-check reads the head BEFORE the
+            # txn dir is written, so two concurrent writers of one app can
+            # BOTH pass it and double-commit the same batch (observed shape:
+            # two logmv refreshers folding one delta twice). The loser must
+            # fail here, not land — its orphan dir is vacuum's to sweep.
+            seen = txns.get(txn[0])
+            if seen is not None and txn[1] <= seen:
+                raise CommitConflict(
+                    f"txn {txn} at or below app watermark {seen} — "
+                    "a concurrent writer already committed this batch"
+                )
             txns = {**txns, txn[0]: txn[1]}
         head_dvs = head_m.get("dvs", [])
         head_eq = head_m.get("eq_dvs", [])
@@ -578,11 +590,14 @@ def append(
     the append is IDEMPOTENT: a batch id at or below the app's committed
     watermark is a detected replay and is skipped without writing — this is
     what turns foreachBatch's at-least-once batch delivery into an
-    exactly-once table. Batches of one app must be serialized (true for a
-    Structured Streaming query by construction); different apps commit
-    concurrently through the optimistic-link protocol — a lost race
-    re-composes this append onto the winner's file list, so concurrent
-    appends merge instead of clobbering."""
+    exactly-once table. Batches of one app are serialized for a
+    Structured Streaming query by construction; if two writers of one app
+    DO race (e.g. two logmv refreshers folding the same delta), the
+    commit re-validates the watermark against the winning head and the
+    loser gets :class:`CommitConflict` instead of double-committing.
+    Different apps commit concurrently through the optimistic-link
+    protocol — a lost race re-composes this append onto the winner's file
+    list, so concurrent appends merge instead of clobbering."""
     if (txn_app is None) != (txn_id is None):
         raise ValueError("txn_app and txn_id must be provided together")
     if txn_app is not None:

@@ -119,6 +119,31 @@ def test_compact_rollup_is_read_invisible_and_bounds_partials(spark, paths):
     )
 
 
+def test_concurrent_refreshers_cannot_double_count(spark, paths, monkeypatch):
+    """Two refreshers of the same app racing on one delta: append's
+    pre-check reads the head before either commits, so BOTH pass it —
+    the loser must die at the commit's watermark re-validation, not land
+    a second copy of the partials (which would double every volume)."""
+    base, mv = paths
+    S.append(_batch(spark, range(40)), base)
+    orig = S._write_txn
+
+    def interleave(df, path, ts_col, **kw):
+        out = orig(df, path, ts_col, **kw)
+        if not getattr(interleave, "fired", False) and path == mv:
+            interleave.fired = True
+            M.refresh_rollup(df.sparkSession, base, mv)  # B wins the race
+        return out
+
+    monkeypatch.setattr(S, "_write_txn", interleave)
+    with pytest.raises(S.CommitConflict):
+        M.refresh_rollup(spark, base, mv)  # A loses — must NOT double-count
+    monkeypatch.setattr(S, "_write_txn", orig)
+    assert _rows(M.read_rollup(spark, mv)) == _rows(
+        bars_batch(S.read_snapshot(spark, base))
+    )
+
+
 def test_compact_rollup_conflict_detected(spark, paths, monkeypatch):
     base, mv = paths
     S.append(_batch(spark, range(40)), base)
