@@ -104,8 +104,18 @@ def refresh_rollup(
         # non-append op in the range: incremental read undefined -> one
         # atomic full rebuild, watermark moved in the same commit
         return rebuild_rollup(spark, base_path, mv_path, partial_fn, app)
+    # txn_expect=consumed is the exact compare-and-set: this delta is
+    # (consumed, head], so it may land ONLY onto the watermark it was
+    # computed from — a concurrent refresher that consumed from a
+    # different head would otherwise slip past the monotone check with a
+    # higher id and fold the overlapping range twice
     return S.append(
-        partial_fn(delta), mv_path, ts_col="minute", txn_app=app, txn_id=head
+        partial_fn(delta),
+        mv_path,
+        ts_col="minute",
+        txn_app=app,
+        txn_id=head,
+        txn_expect=consumed,
     )
 
 
@@ -117,50 +127,70 @@ def rebuild_rollup(
     app: str = "logmv",
 ) -> int:
     """Full recompute committed as ONE manifest swap: the new partials
-    replace every prior MV file, deletes are cleared (the MV carries
-    none), and the watermark jumps to the base head — readers of older MV
-    versions keep their files (time travel intact), vacuum sweeps them
-    after retention."""
+    replace every prior MV file, deletes are cleared (the rewrite read
+    through them), and the watermark jumps to the base head — readers of
+    older MV versions keep their files (time travel intact), vacuum
+    sweeps them after retention. ``txn_expect="force"`` because a
+    total-replacement commit cannot double-count whatever the watermark
+    was (including the forced-rebuild-of-a-current-MV case, where the
+    re-stamped head EQUALS the watermark); the base read is PINNED to
+    the captured head so a base append landing mid-rebuild is left for
+    the next refresh instead of being folded in beyond the watermark."""
     head = S.latest_version(base_path)
     if head is None:
         raise FileNotFoundError(f"no snapshots at {base_path}")
-    partials = partial_fn(S.read_snapshot(spark, base_path))
+    partials = partial_fn(S.read_snapshot(spark, base_path, version=head))
     entries = S._write_txn(partials, mv_path, ts_col="minute")
     return S._commit(
         mv_path,
         lambda _hf: entries,
         "rebuild",
         txn=(app, head),
+        txn_expect="force",
         dvs_fn=lambda _d: [],
         eq_dvs_fn=lambda _e, _v: [],
     )
 
 
 def read_rollup(
-    spark: SparkSession, mv_path: str, version: int | None = None
+    spark: SparkSession,
+    mv_path: str,
+    version: int | None = None,
+    final_fn: Callable[[DataFrame], DataFrame] = reaggregate_bars,
 ) -> DataFrame:
     """The MV's query surface: merge partials at read time. Equals
-    ``bars_batch`` over the base snapshot the watermark points at."""
-    return reaggregate_bars(S.read_snapshot(spark, mv_path, version=version))
+    ``bars_batch`` over the base snapshot the watermark points at.
+    An MV maintained with a custom ``partial_fn`` must supply the
+    matching ``final_fn`` (the three algebra callables — partial, merge,
+    final — travel together; mixing families corrupts silently)."""
+    return final_fn(S.read_snapshot(spark, mv_path, version=version))
 
 
-def compact_rollup(spark: SparkSession, mv_path: str, app: str = "logmv") -> int:
-    """Fold accumulated partial rows into one partial per (minute,
-    symbol). Closed-algebra compaction: reads before and after are
-    IDENTICAL (gated in tests); only the partial-row count changes, so a
-    weekly compact bounds read-time merge work regardless of refresh
-    cadence. Conflicts with an interleaved refresh surface as
+def compact_rollup(
+    spark: SparkSession,
+    mv_path: str,
+    merge_fn: Callable[[DataFrame], DataFrame] = _merge_partials,
+) -> int:
+    """Fold accumulated partial rows into one partial per group with
+    ``merge_fn`` (default: the bars partial x partial algebra — an MV
+    with a custom ``partial_fn`` must supply its own closed merge).
+    Reads before and after are IDENTICAL (gated in tests); only the
+    partial-row count changes, so a weekly compact bounds read-time
+    merge work regardless of refresh cadence. Any deletion vectors on
+    the MV are materialized by the rewrite (the read applies them), so
+    their entries are cleared like compact_snapshot does. Conflicts with
+    an interleaved refresh surface as
     :class:`plans.snapshots.CommitConflict` — re-run after it."""
     read_v = S.latest_version(mv_path)
     if read_v is None:
         raise FileNotFoundError(f"no snapshots at {mv_path}")
-    merged = _merge_partials(
-        S.read_snapshot(spark, mv_path, version=read_v)
-    )
+    merged = merge_fn(S.read_snapshot(spark, mv_path, version=read_v))
     entries = S._write_txn(merged, mv_path, ts_col="minute")
     return S._commit(
         mv_path,
         lambda _hf: entries,
         "compact",
         expected_parent=read_v,
+        dvs_fn=lambda _d: [],
+        eq_dvs_fn=lambda _e, _v: [],
     )

@@ -283,6 +283,7 @@ def _commit(
     files_fn,
     op: str,
     txn: tuple[str, int] | None = None,
+    txn_expect: int | None | str = "monotone",
     expected_parent: int | None | str = "any",
     dvs_fn=None,
     eq_dvs_fn=None,
@@ -330,11 +331,30 @@ def _commit(
             # BOTH pass it and double-commit the same batch (observed shape:
             # two logmv refreshers folding one delta twice). The loser must
             # fail here, not land — its orphan dir is vacuum's to sweep.
+            # Three validation modes (``txn_expect``):
+            # - "monotone" (default): reject ids at-or-below the watermark
+            #   — enough for writers whose batches share one lineage (a
+            #   streaming sink's serialized batch ids);
+            # - an int/None: exact compare-and-set — the writer states the
+            #   watermark it READ, so two refreshers that consumed from
+            #   DIFFERENT base heads can't both land overlapping deltas
+            #   (monotone alone admits that: ids 5 and 6 over deltas
+            #   (3,5] and (3,6] are both "above" watermark 3);
+            # - "force": skip validation — ONLY for total-replacement
+            #   commits (rebuild) whose files_fn discards every prior
+            #   file, so re-stamping any watermark cannot double-count.
             seen = txns.get(txn[0])
-            if seen is not None and txn[1] <= seen:
+            if txn_expect == "monotone":
+                if seen is not None and txn[1] <= seen:
+                    raise CommitConflict(
+                        f"txn {txn} at or below app watermark {seen} — "
+                        "a concurrent writer already committed this batch"
+                    )
+            elif txn_expect != "force" and seen != txn_expect:
                 raise CommitConflict(
-                    f"txn {txn} at or below app watermark {seen} — "
-                    "a concurrent writer already committed this batch"
+                    f"txn {txn} expected app watermark {txn_expect} but head "
+                    f"has {seen} — a concurrent writer moved it; re-read and "
+                    "recompute the delta"
                 )
             txns = {**txns, txn[0]: txn[1]}
         head_dvs = head_m.get("dvs", [])
@@ -583,6 +603,7 @@ def append(
     ts_col: str = "ts",
     txn_app: str | None = None,
     txn_id: int | None = None,
+    txn_expect: int | None | str = "monotone",
 ) -> int:
     """Commit an append: parent's files + the new txn dir's files.
 
@@ -595,9 +616,15 @@ def append(
     DO race (e.g. two logmv refreshers folding the same delta), the
     commit re-validates the watermark against the winning head and the
     loser gets :class:`CommitConflict` instead of double-committing.
-    Different apps commit concurrently through the optimistic-link
-    protocol — a lost race re-composes this append onto the winner's file
-    list, so concurrent appends merge instead of clobbering."""
+    Writers whose batch RANGES depend on the watermark they read (an
+    incremental refresher consuming (watermark, head]) must pass
+    ``txn_expect=<the watermark they read>`` — the exact compare-and-set
+    closes the interleaving where two refreshers observed different
+    heads and both ids clear the monotone check while their deltas
+    overlap. Different apps commit concurrently through the
+    optimistic-link protocol — a lost race re-composes this append onto
+    the winner's file list, so concurrent appends merge instead of
+    clobbering."""
     if (txn_app is None) != (txn_id is None):
         raise ValueError("txn_app and txn_id must be provided together")
     if txn_app is not None:
@@ -606,7 +633,13 @@ def append(
             return latest_version(path)  # replayed micro-batch — no-op
     new = _write_txn(df, path, ts_col)
     txn = (txn_app, int(txn_id)) if txn_app is not None else None
-    return _commit(path, lambda head_files: head_files + new, "append", txn=txn)
+    return _commit(
+        path,
+        lambda head_files: head_files + new,
+        "append",
+        txn=txn,
+        txn_expect=txn_expect,
+    )
 
 
 def read_changes(
@@ -738,6 +771,33 @@ def _apply_dvs(spark: SparkSession, df: DataFrame, m: dict, path: str) -> DataFr
     return tagged.drop(_DV_FILE)
 
 
+def _write_dv_entries(
+    df: DataFrame, path: str, prefix: str, extra: dict | None = None
+) -> list[dict]:
+    """Write a deletion-vector frame under ``_dv/<prefix>-<id>`` and
+    return its manifest entries (``{path, rows}`` + ``extra`` fields per
+    file); an all-empty write is removed and returns ``[]``. ONE
+    definition for the three DV writers (delete_where, delete_by_keys,
+    optimize_small_files' consolidation) so footer-stat and empty-dir
+    handling can never drift between them."""
+    dest = Path(path) / DV_DIR / f"{prefix}-{uuid.uuid4().hex[:12]}"
+    df.write.mode("error").parquet(str(dest))
+    entries = []
+    for f in dest.rglob("*.parquet"):
+        st = _footer_stats(f, "", collect_cols=False)  # rows only
+        if st.get("rows", 0):
+            entries.append(
+                {
+                    "path": str(f.relative_to(Path(path))),
+                    "rows": st["rows"],
+                    **(extra or {}),
+                }
+            )
+    if not entries:
+        shutil.rmtree(dest, ignore_errors=True)
+    return entries
+
+
 def delete_where(spark: SparkSession, path: str, predicate: str) -> int:
     """Merge-on-read DELETE: record the (file, row-position) of every
     matching row as a deletion vector and commit a manifest that carries
@@ -777,18 +837,9 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> int:
         _dv_file_expr().alias(_DV_FILE),
         F.col("_metadata.row_index").alias(_DV_POS),
     )
-    dest = Path(path) / DV_DIR / f"dv-{uuid.uuid4().hex[:12]}"
-    hits.write.mode("error").parquet(str(dest))
-    entries = []
-    for f in dest.rglob("*.parquet"):
-        st = _footer_stats(f, "", collect_cols=False)  # rows only
-        if st.get("rows", 0):
-            entries.append(
-                {"path": str(f.relative_to(Path(path))), "rows": st["rows"]}
-            )
+    entries = _write_dv_entries(hits, path, "dv")
     if not entries:
-        shutil.rmtree(dest, ignore_errors=True)  # nothing matched — no-op
-        return read_v
+        return read_v  # nothing matched — no-op
     return _commit(
         path,
         lambda hf: hf,
@@ -819,21 +870,9 @@ def delete_by_keys(
     a pure append to the eq-delete list, race-safe by composition."""
     cols = list(cols or keys.columns)
     key_rows = keys.select(*cols).distinct()
-    dest = Path(path) / DV_DIR / f"eqdv-{uuid.uuid4().hex[:12]}"
-    key_rows.write.mode("error").parquet(str(dest))
-    entries = []
-    for f in dest.rglob("*.parquet"):
-        st = _footer_stats(f, "", collect_cols=False)  # rows only
-        if st.get("rows", 0):
-            entries.append(
-                {
-                    "path": str(f.relative_to(Path(path))),
-                    "cols": cols,
-                    "rows": st["rows"],
-                }
-            )
+    entries = _write_dv_entries(key_rows, path, "eqdv", {"cols": cols})
     if not entries:
-        shutil.rmtree(dest, ignore_errors=True)  # empty key set — no-op
+        # empty key set — no-op
         head = latest_version(path)
         if head is None:
             raise FileNotFoundError(f"no snapshots at {path}")
@@ -911,9 +950,12 @@ def optimize_small_files(
     n_files: int = 1,
 ) -> int:
     """Incremental bin-packing compaction (the Delta OPTIMIZE semantics):
-    coalesce only the files SMALLER than ``min_rows`` into ~``n_files``
-    well-laid-out files and carry every other file by reference — no
-    dedup, no row-set change, pure re-layout.
+    coalesce only the files SMALLER than ``min_rows`` into well-laid-out
+    files — one per touched month (the month-partitioned layout's natural
+    bin), or ~``n_files`` z-range files when ``zorder_cols`` is given
+    (``n_files`` has no effect otherwise; the month IS the bin) — and
+    carry every other file by reference. No dedup, no row-set change,
+    pure re-layout.
 
     Why it exists next to :func:`compact_snapshot`: compact rewrites the
     WHOLE live set (O(table)) because its job is merging duplicate keys;
@@ -957,16 +999,7 @@ def optimize_small_files(
         keep = spark.read.parquet(
             *[str(Path(path) / e["path"]) for e in m["dvs"]]
         ).where(~F.col(_DV_FILE).isin(rewritten))
-        dest = Path(path) / DV_DIR / f"dv-{uuid.uuid4().hex[:12]}"
-        keep.write.mode("error").parquet(str(dest))
-        for f in dest.rglob("*.parquet"):
-            st = _footer_stats(f, "", collect_cols=False)
-            if st.get("rows", 0):
-                new_dvs.append(
-                    {"path": str(f.relative_to(Path(path))), "rows": st["rows"]}
-                )
-        if not new_dvs:
-            shutil.rmtree(dest, ignore_errors=True)
+        new_dvs = _write_dv_entries(keep, path, "dv")
     return _commit(
         path,
         lambda _hf: untouched + new_entries,

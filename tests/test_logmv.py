@@ -144,6 +144,72 @@ def test_concurrent_refreshers_cannot_double_count(spark, paths, monkeypatch):
     )
 
 
+def test_different_head_refreshers_cannot_double_count(spark, paths, monkeypatch):
+    """The subtler race the exact compare-and-set exists for: refresher B
+    consumed (0,1] and landed watermark 1; refresher A consumed (0,2]
+    from a later head, so its id 2 clears a monotone check — but its
+    delta overlaps B's. A must die at the CAS (expected watermark 0,
+    found 1), and a plain re-refresh then converges."""
+    base, mv = paths
+    S.append(_batch(spark, range(30)), base)
+    M.refresh_rollup(spark, base, mv)  # watermark 0
+    S.append(_batch(spark, range(30, 60)), base)  # v1
+    S.append(_batch(spark, range(60, 90)), base)  # v2
+    from crypto_clickhouse_poc_spark.streaming.bars import partial_bars
+
+    orig = S._write_txn
+
+    def interleave(df, path, ts_col, **kw):
+        out = orig(df, path, ts_col, **kw)
+        if not getattr(interleave, "fired", False) and path == mv:
+            interleave.fired = True  # B: consumed (0,1] from the OLDER head
+            monkeypatch.setattr(S, "_write_txn", orig)
+            S.append(
+                partial_bars(S.read_changes(df.sparkSession, base, 0, 1)),
+                mv, ts_col="minute", txn_app="logmv", txn_id=1, txn_expect=0,
+            )
+            monkeypatch.setattr(S, "_write_txn", interleave)
+        return out
+
+    monkeypatch.setattr(S, "_write_txn", interleave)
+    with pytest.raises(S.CommitConflict):
+        M.refresh_rollup(spark, base, mv)  # A: delta (0,2], id 2 > watermark 1
+    monkeypatch.setattr(S, "_write_txn", orig)
+    assert M.refresh_rollup(spark, base, mv) is not None  # folds (1,2]
+    assert _rows(M.read_rollup(spark, mv)) == _rows(
+        bars_batch(S.read_snapshot(spark, base))
+    )
+
+
+def test_forced_rebuild_of_current_mv_is_allowed(spark, paths):
+    """rebuild is the repair/force-recompute API: re-stamping a watermark
+    EQUAL to the current one must not conflict (a total-replacement
+    commit cannot double-count)."""
+    base, mv = paths
+    S.append(_batch(spark, range(40)), base)
+    M.refresh_rollup(spark, base, mv)
+    v = M.rebuild_rollup(spark, base, mv)
+    m = S.manifest(mv, v)
+    assert m["op"] == "rebuild"
+    assert m["txns"]["logmv"] == S.latest_version(base)
+    assert _rows(M.read_rollup(spark, mv)) == _rows(
+        bars_batch(S.read_snapshot(spark, base))
+    )
+
+
+def test_compact_rollup_materializes_and_clears_mv_deletes(spark, paths):
+    base, mv = paths
+    S.append(_batch(spark, range(40)), base)
+    M.refresh_rollup(spark, base, mv)
+    S.delete_where(spark, mv, "symbol = 'ETH'")
+    before = _rows(M.read_rollup(spark, mv))
+    assert all(r[1] != "ETH" for r in before) and before
+    v = M.compact_rollup(spark, mv)
+    m = S.manifest(mv, v)
+    assert m["dvs"] == [] and m["eq_dvs"] == []  # materialized, not carried
+    assert _rows(M.read_rollup(spark, mv)) == before
+
+
 def test_compact_rollup_conflict_detected(spark, paths, monkeypatch):
     base, mv = paths
     S.append(_batch(spark, range(40)), base)
