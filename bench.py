@@ -166,6 +166,16 @@ def main() -> None:
     # JVM/codegen warmup on a trivial scan (not timed)
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
+    # machine-speed fingerprint: two FIXED workloads (a CPython loop and a
+    # codegen'd JVM fold) whose cost depends only on the host's
+    # single-thread speed, never on this repo's code. Cross-round bench
+    # ratios divide out by these — r8's "contaminated" artifact and an
+    # idle r9 run both showed a ~1.2-1.3x UNIFORM slowdown on untouched
+    # queries, which loadavg could not explain; the fingerprint makes
+    # machine drift distinguishable from code regressions.
+    cpu_probe = _cpu_fingerprint(spark)
+    print(f"# cpu fingerprint: {cpu_probe}", flush=True)
+
     # one UNTIMED warmup + three timed runs per query, report the median.
     # The warmup is what the streaming stages already do, applied to the
     # query loop: measured on the heaviest entry, a fresh session runs
@@ -239,10 +249,36 @@ def main() -> None:
                 "loadavg_start": [round(x, 2) for x in load_start],
                 "loadavg_end": [round(x, 2) for x in os.getloadavg()],
                 "contended": contended,
+                "cpu_probe": cpu_probe,
             }
         ),
         flush=True,
     )
+
+
+def _cpu_fingerprint(spark) -> dict:
+    """Single-thread host-speed probes, median of 3: a pure-CPython
+    arithmetic loop and a whole-stage-codegen JVM fold over a fixed
+    range. Both are repo-independent constants — only the machine moves
+    them."""
+    py_runs, jvm_runs = [], []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(10_000_000):
+            x += i * i
+        py_runs.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        # murmur3 per element keeps the fold CPU-bound; the bigint sum of
+        # 2e8 32-bit hashes stays far under 2^63 (ANSI-safe)
+        spark.range(0, 200_000_000, 1, 1).selectExpr(
+            "sum(cast(hash(id) as bigint))"
+        ).collect()
+        jvm_runs.append(time.perf_counter() - t0)
+    return {
+        "py_loop_s": round(statistics.median(py_runs), 3),
+        "jvm_range_s": round(statistics.median(jvm_runs), 3),
+    }
 
 
 def _run_ingest(spark, n_rows: int, batches: int = 4) -> float:

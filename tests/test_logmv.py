@@ -210,6 +210,67 @@ def test_compact_rollup_materializes_and_clears_mv_deletes(spark, paths):
     assert _rows(M.read_rollup(spark, mv)) == before
 
 
+def test_lakehouse_loop_stream_to_log_to_incremental_mv(spark, tmp_path):
+    """The full loop the round's pieces compose into: WS-replay stream →
+    exactly-once snapshot-log ingest (bronze) → log-driven incremental MV
+    refresh (silver bars) → OPTIMIZE on bronze (a non-append op) → the
+    next refresh degrades to an atomic rebuild — and the MV equals the
+    batch recompute at every step."""
+    from crypto_clickhouse_poc_spark.sources.replay import (
+        read_replay_stream,
+        trades_to_event_lines,
+        write_replay_chunks,
+    )
+    from crypto_clickhouse_poc_spark.streaming.snapsink import start_ingest_snapshot
+    from tests.test_streaming import _fixture_rows
+
+    rows = _fixture_rows()
+    replay, bronze, mv, ck = (
+        str(tmp_path / d) for d in ("replay", "bronze", "mv", "ck")
+    )
+    write_replay_chunks(trades_to_event_lines(rows), replay, num_chunks=4)
+    q = start_ingest_snapshot(read_replay_stream(spark, replay), bronze, ck, trigger_sec=0)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    from pyspark.sql import functions as F
+
+    assert M.refresh_rollup(spark, bronze, mv) is not None
+    assert _rows(M.read_rollup(spark, mv)) == _rows(
+        bars_batch(S.read_snapshot(spark, bronze))
+    )
+
+    def _more(shift):  # new trades in bronze's exact schema
+        return S.read_snapshot(spark, bronze).limit(20).withColumn(
+            "trade_id", F.col("trade_id") + shift
+        )
+
+    S.append(_more(1_000_000), bronze)
+    v = M.refresh_rollup(spark, bronze, mv)
+    assert S.manifest(mv, v)["op"] == "append"  # steady state: incremental
+
+    # bin-pack bronze's micro-batch debt (>=2 files now): a visibility
+    # rewrite, so the next refresh must detect it and rebuild atomically
+    assert S.manifest(bronze, S.latest_version(bronze))["op"] != "optimize"
+    opt_v = S.optimize_small_files(spark, bronze, min_rows=10_000_000)
+    assert S.manifest(bronze, opt_v)["op"] == "optimize"
+    S.append(_more(2_000_000), bronze)  # and new data after it
+    v = M.refresh_rollup(spark, bronze, mv)
+    assert S.manifest(mv, v)["op"] == "rebuild"
+    assert _rows(M.read_rollup(spark, mv)) == _rows(
+        bars_batch(S.read_snapshot(spark, bronze))
+    )
+    # steady state returns to incremental appends
+    S.append(_more(3_000_000), bronze)
+    v2 = M.refresh_rollup(spark, bronze, mv)
+    assert S.manifest(mv, v2)["op"] == "append"
+    assert _rows(M.read_rollup(spark, mv)) == _rows(
+        bars_batch(S.read_snapshot(spark, bronze))
+    )
+
+
 def test_compact_rollup_conflict_detected(spark, paths, monkeypatch):
     base, mv = paths
     S.append(_batch(spark, range(40)), base)
