@@ -202,6 +202,29 @@ def test_bootstrap_over_compacted_history_serves_a_snapshot(spark, table, tmp_pa
         q.stop()
 
 
+def test_bootstrap_over_optimized_head_and_midstream_refusal(spark, table, tmp_path):
+    """optimize_small_files is a visibility rewrite like compact: a fresh
+    bootstrap serves the bin-packed head's snapshot, while an optimize
+    landing INSIDE a consumed range is a refused rewrite (same
+    ignoreChanges contract)."""
+    S.append(_batch(spark, 3, range(100, 103)), table)
+    v = S.optimize_small_files(spark, table, min_rows=10_000_000)
+    assert S.manifest(table, v)["op"] == "optimize"
+    q = _start(spark, table, str(tmp_path / "ck_opt"), "ss_opt")
+    try:
+        q.processAllAvailable()
+        assert _ids(spark, "ss_opt") == sorted(set(range(8)) | {100, 101, 102})
+        S.append(_batch(spark, 3, [200]), table)
+        q.processAllAvailable()
+        assert 200 in _ids(spark, "ss_opt")  # tails appends after the boot
+        S.append(_batch(spark, 3, [201]), table)
+        S.optimize_small_files(spark, table, min_rows=10_000_000)
+        with pytest.raises(Exception, match="non-append"):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def test_bootstrap_applies_deletion_vectors(spark, table, tmp_path):
     """Bootstrap over a DV-carrying head (r9; previously refused): the
     deleted positions are dropped in the Arrow reader — the stream's
