@@ -210,6 +210,37 @@ def test_compact_rollup_materializes_and_clears_mv_deletes(spark, paths):
     assert _rows(M.read_rollup(spark, mv)) == before
 
 
+def test_thread_stress_concurrent_refreshers_converge(spark, paths):
+    """Real threads, no monkeypatch: 4 refreshers race on every delta.
+    Whatever subset wins, losers must only ever see CommitConflict (or
+    the steady-state None), and the rollup must equal the batch
+    recompute — never a double-fold."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    base, mv = paths
+    S.append(_batch(spark, range(30)), base)
+    M.refresh_rollup(spark, base, mv)  # MV exists before the race
+    outcomes = []
+
+    def racer(_):
+        try:
+            return ("ok", M.refresh_rollup(spark, base, mv))
+        except S.CommitConflict:
+            return ("conflict", None)
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        for step in range(3):
+            S.append(_batch(spark, range(30 * (step + 1), 30 * (step + 2))), base)
+            outcomes += list(ex.map(racer, range(4)))
+            assert _rows(M.read_rollup(spark, mv)) == _rows(
+                bars_batch(S.read_snapshot(spark, base))
+            ), f"diverged at step {step}: {outcomes}"
+    wins = [o for o in outcomes if o[0] == "ok" and o[1] is not None]
+    # exactly one racer lands each step's delta: later starters see the
+    # moved watermark and return None, interleaved ones die at the CAS
+    assert len(wins) == 3, outcomes
+
+
 def test_lakehouse_loop_stream_to_log_to_incremental_mv(spark, tmp_path):
     """The full loop the round's pieces compose into: WS-replay stream →
     exactly-once snapshot-log ingest (bronze) → log-driven incremental MV

@@ -52,7 +52,7 @@ def test_ev_latest_is_topk(spark):
 
 
 def test_per_row_text_ops_are_shuffle_free(spark):
-    for name in ("doc_stats", "doc_fingerprints", "doc_split"):
+    for name in ("doc_stats", "doc_fingerprints", "doc_split", "doc_chunks"):
         plan = _plan(spark, name)
         assert "Exchange" not in plan, name
 
