@@ -264,7 +264,7 @@ def test_footer_stats_prune_files_below_partition_level(spark, table):
         assert "p_month=202402" not in f
 
 
-@pytest.mark.parametrize("seed", [7, 23])
+@pytest.mark.parametrize("seed", [7, 23, 41])
 def test_random_op_sequences_match_pure_model(spark, tmp_path, seed, monkeypatch):
     """Randomized model check: any interleaving of append / duplicate-key
     append / compact / metadata-TTL / rollback / merge-into / DV-delete
@@ -293,7 +293,7 @@ def test_random_op_sequences_match_pure_model(spark, tmp_path, seed, monkeypatch
     for step in range(10):
         ops = [
             "append", "append_dup", "compact", "drop", "rollback",
-            "merge", "delete", "eq_delete",
+            "merge", "delete", "eq_delete", "optimize",
         ]
         op = r.choice(ops if model_versions else ["append"])
         if op == "append":
@@ -349,6 +349,14 @@ def test_random_op_sequences_match_pure_model(spark, tmp_path, seed, monkeypatch
                 spark.range(1).select(_F.lit(tid).alias("trade_id")),
             )
             cur = [t for t in cur if t[0] != tid]
+        elif op == "optimize":
+            # pure re-layout (r9): bin-pack sub-threshold files, carry
+            # the rest; position deletes on rewritten files materialize,
+            # so the visible row set — the model — is unchanged
+            if S.optimize_small_files(spark, path, min_rows=3) == len(
+                model_versions
+            ) - 1:
+                continue  # <2 small files: no commit this step
         elif op in ("merge", "delete", "eq_delete"):
             continue
         else:  # rollback
