@@ -22,6 +22,7 @@ from . import (
     assemble,
     bloom,
     bpe,
+    cms,
     curation,
     dedup,
     embed,
@@ -49,6 +50,7 @@ _MODULES = (
     bpe,
     dedup,
     bloom,
+    cms,
     similarity,
     embed,
     opq,
