@@ -1009,6 +1009,30 @@ def optimize_small_files(
     )
 
 
+def register_snapshot(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    version: int | None = None,
+    months: tuple[str, str] | None = None,
+    ts_range: tuple | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """SQL front door for a snapshot table (survey S8: the reference's
+    only query interface is SQL strings): register the — optionally
+    time-traveled / manifest-pruned — read as a temp view, so
+    ``spark.sql("SELECT ... FROM <name>")`` serves the snapshot.
+    Time travel in SQL is a named view per pinned version
+    (``register_snapshot(..., "trades_v3", version=3)``); the view holds
+    the manifest's file list at registration, so later commits don't
+    move it (re-register to follow the head)."""
+    df = read_snapshot(
+        spark, path, version=version, months=months, ts_range=ts_range, ts_col=ts_col
+    )
+    df.createOrReplaceTempView(name)
+    return df
+
+
 def drop_months(path: str, cutoff_month: str) -> int:
     """TTL as metadata: commit a manifest excluding files of months older
     than ``cutoff_month``. Zero data I/O; prior versions still serve the

@@ -116,6 +116,23 @@ def test_txn_app_without_txn_id_is_rejected_upfront(spark, table):
         S.append(_batch(spark, 3, [99]), table, txn_app="job")
 
 
+def test_register_snapshot_serves_sql_with_time_travel(spark, table):
+    """The SQL front door: head and pinned-version views answer
+    spark.sql, and the pinned view does not move when the table does."""
+    S.register_snapshot(spark, table, "snap_head")
+    S.register_snapshot(spark, table, "snap_v0", version=0)
+    n_head = spark.sql("SELECT count(*) AS n FROM snap_head").first().n
+    assert n_head == 16 and spark.sql("SELECT count(*) AS n FROM snap_v0").first().n == 10
+    S.append(_batch(spark, 3, [500]), table)
+    # pinned views hold their manifest; re-register to follow the head
+    assert spark.sql("SELECT count(*) AS n FROM snap_head").first().n == n_head
+    S.register_snapshot(spark, table, "snap_head")
+    assert spark.sql("SELECT count(*) AS n FROM snap_head").first().n == n_head + 1
+    assert spark.sql(
+        "SELECT max(trade_id) AS m FROM snap_head WHERE symbol = 'BTC'"
+    ).first().m == 500
+
+
 def test_txn_dir_ids_can_never_parse_as_numbers(spark, table):
     """A raw 12-hex txn id occasionally matches ^\\d+e\\d+$ (about 1 in
     250 draws, e.g. "9536e1363716"); Spark's partition-value inference
