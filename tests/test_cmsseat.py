@@ -73,6 +73,28 @@ def test_point_estimates_stay_one_sided_through_the_stream(spark, tmp_path):
     assert rows and all(r.cms_est >= r.freq for r in rows)
 
 
+def test_compact_rollup_bounds_cms_partials_read_invisibly(spark, tmp_path):
+    """The generic MV compaction with the CMS sum algebra: flush
+    partials collapse to one row per (minute, d, bucket), reads are
+    identical, and the seat's exactly-once watermark survives."""
+    from crypto_clickhouse_poc_spark.plans import logmv as M
+
+    dest, _ = _run_seat(spark, tmp_path)
+    before = sorted(map(tuple, CS.merged_cells(spark, dest).collect()))
+    n_before = S.read_snapshot(spark, dest, ts_col="minute").count()
+    committed = S.last_txn(dest, CS.CMS_APP)
+    M.compact_rollup(
+        spark,
+        dest,
+        merge_fn=lambda df: df.groupBy("minute", "d", "bucket").agg(
+            F.sum("cnt").alias("cnt")
+        ),
+    )
+    assert sorted(map(tuple, CS.merged_cells(spark, dest).collect())) == before
+    assert S.read_snapshot(spark, dest, ts_col="minute").count() <= n_before
+    assert S.last_txn(dest, CS.CMS_APP) == committed  # watermark carried
+
+
 def test_per_minute_cells_partition_the_global_sketch(spark, tmp_path):
     dest, _ = _run_seat(spark, tmp_path)
     by_min = CS.merged_cells(spark, dest, by_minute=True)
