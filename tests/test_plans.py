@@ -474,13 +474,11 @@ def test_twopass_quantiles_no_value_buffering(spark):
 
 
 def test_hash_embed_is_scan_fused_map(spark):
-    """doc_hash_embed: the featurizer is a pure per-row fold — the only
-    exchange in the plan is the final ORDER BY's range partitioning (no
-    aggregation shuffle, no join, no Python)."""
+    """doc_hash_embed: the featurizer is a pure per-row fold+generate
+    with NO exchange at all (r9: the presentation sort was dropped —
+    its range-partition bounds sampling re-ran the md5 fold, 3.82 →
+    2.08 s at sf0.1; the driver canonicalizes row order itself)."""
     plan = _plan(spark, "doc_hash_embed")
     assert "Join" not in plan
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
-    import re
-
-    assert not re.search(r"Exchange hashpartitioning", plan)
-    assert len(re.findall(r"Exchange rangepartitioning", plan)) == 1
+    assert "Exchange" not in plan
