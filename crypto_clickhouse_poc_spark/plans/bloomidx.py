@@ -1,0 +1,164 @@
+"""Per-file Bloom index for point lookups on snapshot tables.
+
+The manifest's footer stats already prune by RANGE (``ts_range`` reads
+skip files whose min/max exclude the bound). Point lookups on a
+high-cardinality key ("fetch trade 982734", "find document <hash>")
+get nothing from ranges — at 100 TB the query otherwise opens every
+file the month prune leaves. The lakehouse answer (Delta's bloom-filter
+index, Hudi's bloom metadata, Iceberg puffin blobs) is a tiny per-FILE
+Bloom filter on the key: a probe touches k bit positions, a file whose
+filter misses any of them provably lacks the key, and false positives
+only cost a wasted scan — never a wrong result, because the predicate
+is re-applied to the survivors (the repo-wide contract: pruning is an
+optimization, never a semantics change).
+
+Design — an ADVISORY SIDECAR, not a commit:
+
+- ``build_bloom_index`` scans one snapshot version grouped by
+  ``_metadata.file_path`` into (file, word, bits) rows — the same
+  portable md5 bit arithmetic as ``operators/bloom.py`` (one explode +
+  one map-side-combined ``bit_or`` aggregate; ≤ BLOOM_WORDS rows per
+  file, ~2 KB each) — written under ``_idx/`` and published with an
+  atomic pointer swap.
+- Readers treat the index as a hint keyed by file path: a manifest file
+  ABSENT from the index (appended after the build, or never indexed) is
+  always read. Correctness never depends on index freshness; rebuild
+  cadence is a cost knob, exactly like OPTIMIZE.
+- ``read_point`` probes with a word-pushed scan of the sidecar (k words
+  of the grid, not the whole index), prunes the manifest's file list,
+  and re-applies the equality predicate through the normal DV-aware
+  read path — deletes stay applied.
+- ``vacuum`` never scans ``_idx`` (it sweeps ``data/`` and ``_dv``), so
+  an index outlives retention; a dropped index is just an unlinked dir.
+
+Scale: the index is O(files x BLOOM_WORDS) rows with the probe reading
+O(files x k/BLOOM_WORDS) of it; the driver materializes verdicts only
+for files that survive the earlier month/ts pruning — the same
+driver-side O(manifest) the log already carries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.bloom import _word_bits, bloom_positions
+from . import snapshots as S
+
+IDX_DIR = "_idx"
+
+
+def _pointer(path: str, key_col: str) -> Path:
+    return Path(path) / IDX_DIR / f"bloom-{key_col}.json"
+
+
+def build_bloom_index(spark: SparkSession, path: str, key_col: str) -> dict:
+    """Build + atomically publish the per-file Bloom index of ``key_col``
+    over the CURRENT head's files. One scan of the snapshot (column-
+    pruned to the key + file metadata), one hash aggregate. Returns the
+    published pointer ({dir, version, n_files})."""
+    head = S.latest_version(path)
+    if head is None:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    m = S.manifest(path, head)
+    df = S._read_files(spark, path, m["files"], merge_schema=True)
+    # null keys contribute no bits; a file holding ONLY nulls is then
+    # absent from the index, and pruning it is correct — an equality
+    # probe can never match null
+    pos = df.where(F.col(key_col).isNotNull()).select(
+        S._dv_file_expr().alias("file"),
+        F.explode(bloom_positions(F.col(key_col).cast("string"))).alias("pos"),
+    )
+    words = _word_bits(pos).groupBy("file", "word").agg(F.bit_or("bits").alias("bits"))
+    idx_root = Path(path) / IDX_DIR
+    idx_root.mkdir(parents=True, exist_ok=True)
+    tmp = idx_root / f".build-{uuid.uuid4().hex[:12]}"
+    words.write.mode("error").parquet(str(tmp))
+    dest = idx_root / f"bloom-{key_col}-v{head}-{uuid.uuid4().hex[:6]}"
+    os.replace(tmp, dest)
+    meta = {"dir": dest.name, "version": head, "n_files": len(m["files"])}
+    ptr_tmp = idx_root / f".ptr-{uuid.uuid4().hex}"
+    old = _pointer(path, key_col)
+    prev = json.loads(old.read_text())["dir"] if old.exists() else None
+    ptr_tmp.write_text(json.dumps(meta))
+    os.replace(ptr_tmp, old)
+    if prev and prev != dest.name:
+        shutil.rmtree(idx_root / prev, ignore_errors=True)  # superseded build
+    return meta
+
+
+def _maybe_files(
+    spark: SparkSession, path: str, key_col: str, value
+) -> set[str] | None:
+    """File paths the index CANNOT rule out for ``value`` — or None when
+    no index exists (prune nothing). Word-pushed: the scan reads only
+    the k words the probe value hashes to."""
+    ptr = _pointer(path, key_col)
+    if not ptr.exists():
+        return None
+    meta = json.loads(ptr.read_text())
+    idx = spark.read.parquet(str(Path(path) / IDX_DIR / meta["dir"]))
+    probe = (
+        spark.range(1)
+        .select(F.explode(bloom_positions(F.lit(str(value)))).alias("pos"))
+        .distinct()
+    )
+    need = _word_bits(probe.select("pos")).groupBy("word").agg(
+        F.bit_or("bits").alias("req")
+    )
+    hits = (
+        idx.join(F.broadcast(need), "word")
+        .withColumn("ok", F.col("bits").bitwiseAND(F.col("req")) == F.col("req"))
+        .groupBy("file")
+        .agg(F.bool_and("ok").alias("ok"), F.count("*").alias("n_words"))
+    )
+    # a file must carry ALL probed words with all bits set; missing word
+    # rows mean an unset bit (bit_or over an absent row is 0) -> ruled out
+    n_words_needed = need.count()
+    return {
+        r.file for r in hits.collect() if r.ok and r.n_words == n_words_needed
+    }
+
+
+def read_point(
+    spark: SparkSession, path: str, key_col: str, value
+) -> DataFrame:
+    """Point lookup through the index: prune the head manifest's files to
+    those the Bloom cannot rule out (files newer than the index are
+    always kept), read the survivors DV-aware, and re-apply the equality
+    predicate. Equals a full-scan filter by construction."""
+    head = S.latest_version(path)
+    if head is None:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    m = S.manifest(path, head)
+    maybe = _maybe_files(spark, path, key_col, value)
+    ptr = _pointer(path, key_col)
+    indexed_version = (
+        json.loads(ptr.read_text())["version"] if ptr.exists() else None
+    )
+    if maybe is None:
+        files = m["files"]
+    else:
+        files = [
+            f
+            for f in m["files"]
+            if f["path"] in maybe
+            # appended after the build: the index knows nothing -> read
+            or f.get("added_v", 0) > indexed_version
+        ]
+    if not files:
+        return (
+            S._empty_like(spark, path)
+            .drop(S.TXN_COL)
+            .where(F.col(key_col).cast("string") == str(value))
+        )
+    df = S._apply_dvs(
+        spark, S._read_files(spark, path, files, merge_schema=True), m, path
+    ).drop(S.TXN_COL)
+    return df.where(F.col(key_col).cast("string") == str(value))

@@ -1,0 +1,96 @@
+"""Per-file Bloom index gates (plans/bloomidx): point lookups equal the
+full-scan filter for present AND absent keys, the probe provably skips
+files (inputFiles shrinks), post-index appends are conservatively read,
+deletion vectors stay applied, the empty-prune path keeps the schema,
+and the sidecar survives vacuum."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from crypto_clickhouse_poc_spark.plans import bloomidx as B
+from crypto_clickhouse_poc_spark.plans import snapshots as S
+
+SCHEMA = "ts timestamp, symbol string, trade_id long, price double, ingested_at long"
+
+
+def _batch(spark, month, ids):
+    rows = [(datetime(2024, month, 1), "BTC", i, float(i), 0) for i in ids]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+@pytest.fixture()
+def table(tmp_path, spark):
+    path = str(tmp_path / "idx_table")
+    S.append(_batch(spark, 1, range(0, 40)), path)  # file(s) in Jan
+    S.append(_batch(spark, 2, range(40, 80)), path)  # Feb
+    S.append(_batch(spark, 3, range(80, 120)), path)  # Mar
+    return path
+
+
+def _full_filter(spark, table, v):
+    return sorted(
+        map(
+            tuple,
+            S.read_snapshot(spark, table).where(F.col("trade_id") == v).collect(),
+        )
+    )
+
+
+def test_point_lookup_equals_full_scan_and_skips_files(spark, table):
+    meta = B.build_bloom_index(spark, table, "trade_id")
+    assert meta["n_files"] == 3
+    n_all = len(S.read_snapshot(spark, table).inputFiles())
+    hit = B.read_point(spark, table, "trade_id", 57)
+    assert sorted(map(tuple, hit.collect())) == _full_filter(spark, table, 57)
+    # the key lives in ONE month's txn file — the probe must not open
+    # the others (Bloom FP is theoretically possible but ~2e-4 here)
+    assert len(hit.inputFiles()) < n_all
+    # absent key: every file ruled out -> empty result, schema intact
+    miss = B.read_point(spark, table, "trade_id", 999_999)
+    assert miss.count() == 0
+    assert miss.columns == hit.columns
+
+
+def test_unindexed_appends_are_read_conservatively(spark, table):
+    B.build_bloom_index(spark, table, "trade_id")
+    S.append(_batch(spark, 1, [500]), table)  # AFTER the index build
+    got = B.read_point(spark, table, "trade_id", 500)
+    assert [r.trade_id for r in got.collect()] == [500]
+
+
+def test_deletes_stay_applied_through_the_pruned_read(spark, table):
+    B.build_bloom_index(spark, table, "trade_id")
+    S.delete_where(spark, table, "trade_id = 57")
+    assert B.read_point(spark, table, "trade_id", 57).count() == 0
+    S.delete_by_keys(
+        spark, table, spark.createDataFrame([(58,)], "trade_id long")
+    )
+    assert B.read_point(spark, table, "trade_id", 58).count() == 0
+    assert B.read_point(spark, table, "trade_id", 59).count() == 1
+
+
+def test_rebuild_covers_new_files_and_tightens_pruning(spark, table):
+    B.build_bloom_index(spark, table, "trade_id")
+    S.append(_batch(spark, 2, [700]), table)
+    loose = len(B.read_point(spark, table, "trade_id", 57).inputFiles())
+    B.build_bloom_index(spark, table, "trade_id")  # rebuild at new head
+    tight = B.read_point(spark, table, "trade_id", 57)
+    assert len(tight.inputFiles()) <= loose
+    assert sorted(map(tuple, tight.collect())) == _full_filter(spark, table, 57)
+    assert B.read_point(spark, table, "trade_id", 700).count() == 1
+
+
+def test_index_survives_vacuum_and_missing_index_means_full_read(spark, table):
+    # no index yet: read_point is just filter-over-full-read
+    assert B.read_point(spark, table, "trade_id", 5).count() == 1
+    B.build_bloom_index(spark, table, "trade_id")
+    S.compact_snapshot(spark, table)
+    S.vacuum(table)
+    # post-compact files are NEWER than the index -> conservative read,
+    # still correct; the sidecar itself was not swept
+    assert B._pointer(table, "trade_id").exists()
+    assert B.read_point(spark, table, "trade_id", 5).count() == 1
