@@ -49,17 +49,20 @@ BLOOM_BITS = BLOOM_WORDS * WORD_BITS
 BLOOM_HASHES = 4  # k independent salted-md5 hash functions
 
 
-def bloom_positions(text: Column) -> Column:
+def bloom_positions(text: Column, bits: int = BLOOM_BITS) -> Column:
     """``BLOOM_HASHES`` bit positions for one document's content: salted
-    md5 prefixes reduced mod BLOOM_BITS — deterministic, engine-portable
+    md5 prefixes reduced mod ``bits`` — deterministic, engine-portable
     integer arithmetic (8 hex digits < 2^32 fits BIGINT exactly in both
-    engines)."""
+    engines). The default size is the corpus filter's; callers sizing a
+    filter to their own element count (the per-file snapshot index)
+    pass their own ``bits`` — a filter holding n keys wants ~10n bits,
+    and an undersized one silently saturates into all-maybe."""
     return F.array(
         *[
             F.conv(
                 F.substring(F.md5(F.concat(F.lit(f"{j}:"), text)), 1, 8), 16, 10
             ).cast("long")
-            % BLOOM_BITS
+            % bits
             for j in range(BLOOM_HASHES)
         ]
     )

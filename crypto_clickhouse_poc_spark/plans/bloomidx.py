@@ -58,22 +58,37 @@ def _pointer(path: str, key_col: str) -> Path:
     return Path(path) / IDX_DIR / f"bloom-{key_col}.json"
 
 
+BITS_PER_KEY = 10  # ~1% false-positive rate at k=4
+_MIN_BITS = 1 << 14  # 2 KB floor
+_MAX_BITS = 1 << 25  # 4 MB/file ceiling — beyond this, split the file
+
+
 def build_bloom_index(spark: SparkSession, path: str, key_col: str) -> dict:
     """Build + atomically publish the per-file Bloom index of ``key_col``
     over the CURRENT head's files. One scan of the snapshot (column-
-    pruned to the key + file metadata), one hash aggregate. Returns the
-    published pointer ({dir, version, n_files})."""
+    pruned to the key + file metadata), one hash aggregate. The filter
+    is AUTO-SIZED to the largest file's row count (~BITS_PER_KEY bits
+    per key, power of two): a fixed-size filter silently saturates into
+    all-maybe once files outgrow it — measured on a 62k-rows/file table,
+    16 Kib filters pruned nothing. Returns the published pointer
+    ({dir, version, n_files, bits})."""
     head = S.latest_version(path)
     if head is None:
         raise FileNotFoundError(f"no snapshots at {path}")
     m = S.manifest(path, head)
+    max_rows = max((f.get("rows", 0) for f in m["files"]), default=0)
+    bits = _MIN_BITS
+    while bits < min(_MAX_BITS, BITS_PER_KEY * max(1, max_rows)):
+        bits <<= 1
     df = S._read_files(spark, path, m["files"], merge_schema=True)
     # null keys contribute no bits; a file holding ONLY nulls is then
     # absent from the index, and pruning it is correct — an equality
     # probe can never match null
     pos = df.where(F.col(key_col).isNotNull()).select(
         S._dv_file_expr().alias("file"),
-        F.explode(bloom_positions(F.col(key_col).cast("string"))).alias("pos"),
+        F.explode(
+            bloom_positions(F.col(key_col).cast("string"), bits=bits)
+        ).alias("pos"),
     )
     words = _word_bits(pos).groupBy("file", "word").agg(F.bit_or("bits").alias("bits"))
     idx_root = Path(path) / IDX_DIR
@@ -82,7 +97,7 @@ def build_bloom_index(spark: SparkSession, path: str, key_col: str) -> dict:
     words.write.mode("error").parquet(str(tmp))
     dest = idx_root / f"bloom-{key_col}-v{head}-{uuid.uuid4().hex[:6]}"
     os.replace(tmp, dest)
-    meta = {"dir": dest.name, "version": head, "n_files": len(m["files"])}
+    meta = {"dir": dest.name, "version": head, "n_files": len(m["files"]), "bits": bits}
     ptr_tmp = idx_root / f".ptr-{uuid.uuid4().hex}"
     old = _pointer(path, key_col)
     prev = json.loads(old.read_text())["dir"] if old.exists() else None
@@ -103,26 +118,38 @@ def _maybe_files(
     if not ptr.exists():
         return None
     meta = json.loads(ptr.read_text())
+    # the probe's k positions are pure md5 arithmetic — compute them
+    # DRIVER-side (hashlib mirrors bloom_positions exactly; the shared
+    # arithmetic is pinned by a test) so the whole probe is ONE word-
+    # pushed scan of the sidecar instead of three jobs and a join
+    import hashlib
+
+    bits = meta.get("bits", 1 << 14)
+    need: dict[int, int] = {}
+    from ..operators.bloom import BLOOM_HASHES, WORD_BITS
+
+    for j in range(BLOOM_HASHES):
+        pos = (
+            int(hashlib.md5(f"{j}:{value}".encode()).hexdigest()[:8], 16) % bits
+        )
+        need[pos // WORD_BITS] = need.get(pos // WORD_BITS, 0) | (
+            1 << (pos % WORD_BITS)
+        )
     idx = spark.read.parquet(str(Path(path) / IDX_DIR / meta["dir"]))
-    probe = (
-        spark.range(1)
-        .select(F.explode(bloom_positions(F.lit(str(value)))).alias("pos"))
-        .distinct()
+    rows = (
+        idx.where(F.col("word").isin(*[int(w) for w in need]))
+        .select("file", "word", "bits")
+        .collect()
     )
-    need = _word_bits(probe.select("pos")).groupBy("word").agg(
-        F.bit_or("bits").alias("req")
-    )
-    hits = (
-        idx.join(F.broadcast(need), "word")
-        .withColumn("ok", F.col("bits").bitwiseAND(F.col("req")) == F.col("req"))
-        .groupBy("file")
-        .agg(F.bool_and("ok").alias("ok"), F.count("*").alias("n_words"))
-    )
-    # a file must carry ALL probed words with all bits set; missing word
-    # rows mean an unset bit (bit_or over an absent row is 0) -> ruled out
-    n_words_needed = need.count()
+    got: dict[str, dict[int, int]] = {}
+    for r in rows:
+        got.setdefault(r.file, {})[r.word] = r.bits
+    # a file must carry ALL probed words with all bits set; a missing
+    # word row means an unset bit -> ruled out
     return {
-        r.file for r in hits.collect() if r.ok and r.n_words == n_words_needed
+        f
+        for f, words in got.items()
+        if all(words.get(w, 0) & req == req for w, req in need.items())
     }
 
 

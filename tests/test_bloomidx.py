@@ -84,6 +84,30 @@ def test_rebuild_covers_new_files_and_tightens_pruning(spark, table):
     assert B.read_point(spark, table, "trade_id", 700).count() == 1
 
 
+def test_driver_probe_positions_match_engine_hashing(spark):
+    """read_point computes probe positions driver-side with hashlib; the
+    mirror must stay bit-identical to the engine's bloom_positions."""
+    import hashlib
+
+    from crypto_clickhouse_poc_spark.operators.bloom import (
+        BLOOM_HASHES,
+        bloom_positions,
+    )
+
+    for val, bits in (("777777", 1 << 20), ("BTC|9", 1 << 14)):
+        eng = (
+            spark.range(1)
+            .select(bloom_positions(F.lit(val), bits=bits).alias("p"))
+            .first()
+            .p
+        )
+        py = [
+            int(hashlib.md5(f"{j}:{val}".encode()).hexdigest()[:8], 16) % bits
+            for j in range(BLOOM_HASHES)
+        ]
+        assert list(eng) == py
+
+
 def test_index_survives_vacuum_and_missing_index_means_full_read(spark, table):
     # no index yet: read_point is just filter-over-full-read
     assert B.read_point(spark, table, "trade_id", 5).count() == 1
