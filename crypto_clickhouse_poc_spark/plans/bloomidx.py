@@ -108,63 +108,75 @@ def build_bloom_index(spark: SparkSession, path: str, key_col: str) -> dict:
     return meta
 
 
+def _need_words(value, bits: int) -> dict[int, int]:
+    """The probe's k positions as {word: required-bits mask} — pure md5
+    arithmetic computed DRIVER-side (hashlib mirrors bloom_positions
+    exactly; the shared arithmetic is pinned by a test)."""
+    import hashlib
+
+    from ..operators.bloom import BLOOM_HASHES, WORD_BITS
+
+    need: dict[int, int] = {}
+    for j in range(BLOOM_HASHES):
+        pos = int(hashlib.md5(f"{j}:{value}".encode()).hexdigest()[:8], 16) % bits
+        need[pos // WORD_BITS] = need.get(pos // WORD_BITS, 0) | (
+            1 << (pos % WORD_BITS)
+        )
+    return need
+
+
 def _maybe_files(
-    spark: SparkSession, path: str, key_col: str, value
+    spark: SparkSession, path: str, key_col: str, values: list
 ) -> set[str] | None:
-    """File paths the index CANNOT rule out for ``value`` — or None when
-    no index exists (prune nothing). Word-pushed: the scan reads only
-    the k words the probe value hashes to."""
+    """File paths the index CANNOT rule out for ANY of ``values`` — or
+    None when no index exists (prune nothing). ONE word-pushed scan of
+    the sidecar covers every probe value: the scan reads only the union
+    of the k words each value hashes to."""
     ptr = _pointer(path, key_col)
     if not ptr.exists():
         return None
     meta = json.loads(ptr.read_text())
-    # the probe's k positions are pure md5 arithmetic — compute them
-    # DRIVER-side (hashlib mirrors bloom_positions exactly; the shared
-    # arithmetic is pinned by a test) so the whole probe is ONE word-
-    # pushed scan of the sidecar instead of three jobs and a join
-    import hashlib
-
     bits = meta.get("bits", 1 << 14)
-    need: dict[int, int] = {}
-    from ..operators.bloom import BLOOM_HASHES, WORD_BITS
-
-    for j in range(BLOOM_HASHES):
-        pos = (
-            int(hashlib.md5(f"{j}:{value}".encode()).hexdigest()[:8], 16) % bits
-        )
-        need[pos // WORD_BITS] = need.get(pos // WORD_BITS, 0) | (
-            1 << (pos % WORD_BITS)
-        )
+    needs = {str(v): _need_words(v, bits) for v in values}
+    all_words = {w for need in needs.values() for w in need}
+    if not all_words:
+        return set()
     idx = spark.read.parquet(str(Path(path) / IDX_DIR / meta["dir"]))
     rows = (
-        idx.where(F.col("word").isin(*[int(w) for w in need]))
+        idx.where(F.col("word").isin(*[int(w) for w in all_words]))
         .select("file", "word", "bits")
         .collect()
     )
     got: dict[str, dict[int, int]] = {}
     for r in rows:
         got.setdefault(r.file, {})[r.word] = r.bits
-    # a file must carry ALL probed words with all bits set; a missing
-    # word row means an unset bit -> ruled out
+    # a file survives if SOME value's words are all present with all
+    # bits set; a missing word row means an unset bit -> that value is
+    # ruled out for that file
     return {
         f
         for f, words in got.items()
-        if all(words.get(w, 0) & req == req for w, req in need.items())
+        if any(
+            all(words.get(w, 0) & req == req for w, req in need.items())
+            for need in needs.values()
+        )
     }
 
 
-def read_point(
-    spark: SparkSession, path: str, key_col: str, value
+def read_points(
+    spark: SparkSession, path: str, key_col: str, values: list
 ) -> DataFrame:
-    """Point lookup through the index: prune the head manifest's files to
-    those the Bloom cannot rule out (files newer than the index are
-    always kept), read the survivors DV-aware, and re-apply the equality
-    predicate. Equals a full-scan filter by construction."""
+    """Batched point lookup through the index: prune the head manifest's
+    files to those the Bloom cannot rule out for ANY probe value (files
+    newer than the index are always kept), read the survivors DV-aware,
+    and re-apply the IN predicate. Equals a full-scan filter by
+    construction; the whole probe costs one word-pushed index scan
+    regardless of how many keys are batched."""
     head = S.latest_version(path)
     if head is None:
         raise FileNotFoundError(f"no snapshots at {path}")
     m = S.manifest(path, head)
-    maybe = _maybe_files(spark, path, key_col, value)
+    maybe = _maybe_files(spark, path, key_col, values)
     ptr = _pointer(path, key_col)
     indexed_version = (
         json.loads(ptr.read_text())["version"] if ptr.exists() else None
@@ -179,13 +191,19 @@ def read_point(
             # appended after the build: the index knows nothing -> read
             or f.get("added_v", 0) > indexed_version
         ]
+    wanted = [str(v) for v in values]
     if not files:
         return (
             S._empty_like(spark, path)
             .drop(S.TXN_COL)
-            .where(F.col(key_col).cast("string") == str(value))
+            .where(F.col(key_col).cast("string").isin(*wanted))
         )
     df = S._apply_dvs(
         spark, S._read_files(spark, path, files, merge_schema=True), m, path
     ).drop(S.TXN_COL)
-    return df.where(F.col(key_col).cast("string") == str(value))
+    return df.where(F.col(key_col).cast("string").isin(*wanted))
+
+
+def read_point(spark: SparkSession, path: str, key_col: str, value) -> DataFrame:
+    """Single-key point lookup — ``read_points`` with one probe value."""
+    return read_points(spark, path, key_col, [value])

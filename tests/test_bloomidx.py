@@ -84,6 +84,26 @@ def test_rebuild_covers_new_files_and_tightens_pruning(spark, table):
     assert B.read_point(spark, table, "trade_id", 700).count() == 1
 
 
+def test_batched_lookup_equals_full_scan_isin(spark, table):
+    B.build_bloom_index(spark, table, "trade_id")
+    keys = [3, 57, 111, 999_999]  # three months + one absent
+    got = B.read_points(spark, table, "trade_id", keys)
+    want = sorted(
+        map(
+            tuple,
+            S.read_snapshot(spark, table)
+            .where(F.col("trade_id").isin(*keys))
+            .collect(),
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == want and len(want) == 3
+    # the union of three single-file keys still skips nothing it needs
+    assert len(got.inputFiles()) == 3
+    # an all-absent batch prunes everything and keeps the schema
+    empty = B.read_points(spark, table, "trade_id", [888_888, 999_999])
+    assert empty.count() == 0 and empty.columns == got.columns
+
+
 def test_driver_probe_positions_match_engine_hashing(spark):
     """read_point computes probe positions driver-side with hashlib; the
     mirror must stay bit-identical to the engine's bloom_positions."""
