@@ -163,6 +163,32 @@ def _maybe_files(
     }
 
 
+def maybe_rebuild_bloom_index(
+    spark: SparkSession, path: str, key_col: str, max_stale_files: int = 16
+) -> dict | None:
+    """Rebuild POLICY (the twin of ``snapshots.maybe_compact_snapshot``):
+    every file added after the index build is read UNPRUNED by point
+    lookups, so staleness degrades the index gracefully toward a full
+    scan. When more than ``max_stale_files`` manifest files postdate the
+    build (or no index exists yet), rebuild at the current head. The
+    check is one manifest read + one pointer read — no Spark job when
+    under threshold. Returns the new pointer, or None if fresh enough."""
+    head = S.latest_version(path)
+    if head is None:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    ptr = _pointer(path, key_col)
+    if ptr.exists():
+        indexed_version = json.loads(ptr.read_text())["version"]
+        stale = sum(
+            1
+            for f in S.manifest(path, head)["files"]
+            if f.get("added_v", 0) > indexed_version
+        )
+        if stale <= max_stale_files:
+            return None
+    return build_bloom_index(spark, path, key_col)
+
+
 def read_points(
     spark: SparkSession, path: str, key_col: str, values: list
 ) -> DataFrame:

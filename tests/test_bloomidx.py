@@ -128,6 +128,22 @@ def test_driver_probe_positions_match_engine_hashing(spark):
         assert list(eng) == py
 
 
+def test_maybe_rebuild_policy(spark, table):
+    # no index yet -> builds unconditionally
+    meta = B.maybe_rebuild_bloom_index(spark, table, "trade_id")
+    assert meta is not None and meta["version"] == S.latest_version(table)
+    # fresh -> no-op (no Spark job)
+    assert B.maybe_rebuild_bloom_index(spark, table, "trade_id") is None
+    # under threshold staleness -> still a no-op; over -> rebuild
+    S.append(_batch(spark, 1, [300]), table)
+    assert B.maybe_rebuild_bloom_index(spark, table, "trade_id", 2) is None
+    S.append(_batch(spark, 1, [301]), table)
+    S.append(_batch(spark, 1, [302]), table)
+    meta2 = B.maybe_rebuild_bloom_index(spark, table, "trade_id", 2)
+    assert meta2 is not None and meta2["version"] == S.latest_version(table)
+    assert B.read_point(spark, table, "trade_id", 302).count() == 1
+
+
 def test_index_survives_vacuum_and_missing_index_means_full_read(spark, table):
     # no index yet: read_point is just filter-over-full-read
     assert B.read_point(spark, table, "trade_id", 5).count() == 1
