@@ -50,6 +50,19 @@ def _bucket(d: int, token: Column) -> Column:
     )
 
 
+def _fanout(token: Column) -> Column:
+    """The D-row grid fan-out of one token — an explodable array of
+    (d, bucket) structs. ONE definition shared by the batch cells, the
+    probe, and the streaming seat, so the grid arithmetic can never
+    desynchronize between them."""
+    return F.array(
+        *[
+            F.struct(F.lit(d).alias("d"), _bucket(d, token).alias("bucket"))
+            for d in range(CMS_D)
+        ]
+    )
+
+
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "documents")
@@ -62,16 +75,7 @@ def _cms_cells(toks: DataFrame) -> DataFrame:
     """The sketch: (d, bucket, cnt) cells. One hash aggregation whose
     partial (map-side) combine bounds shuffle rows at D x W per
     partition — corpus size never reaches the exchange."""
-    pair = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(d).alias("d"), _bucket(d, F.col("token")).alias("bucket")
-                )
-                for d in range(CMS_D)
-            ]
-        )
-    )
+    pair = F.explode(_fanout(F.col("token")))
     return (
         toks.select(pair.alias("p"))
         .select("p.d", "p.bucket")
@@ -86,19 +90,7 @@ def cms_point_estimates(cells: DataFrame, probes: DataFrame) -> DataFrame:
     The grid is broadcast (<= D x W rows by construction)."""
     ride = [c for c in probes.columns if c != "token"]
     fanned = probes.select(
-        "token",
-        *ride,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("d"),
-                        _bucket(d, F.col("token")).alias("bucket"),
-                    )
-                    for d in range(CMS_D)
-                ]
-            )
-        ).alias("p"),
+        "token", *ride, F.explode(_fanout(F.col("token"))).alias("p")
     ).select("token", *ride, "p.d", "p.bucket")
     return (
         fanned.join(F.broadcast(cells), ["d", "bucket"])

@@ -63,7 +63,7 @@ _MIN_BITS = 1 << 14  # 2 KB floor
 _MAX_BITS = 1 << 25  # 4 MB/file ceiling — beyond this, split the file
 
 
-def build_bloom_index(spark: SparkSession, path: str, key_col: str) -> dict:
+def build_bloom_index(spark: SparkSession, path: str, key_col: str) -> dict | None:
     """Build + atomically publish the per-file Bloom index of ``key_col``
     over the CURRENT head's files. One scan of the snapshot (column-
     pruned to the key + file metadata), one hash aggregate. The filter
@@ -71,16 +71,33 @@ def build_bloom_index(spark: SparkSession, path: str, key_col: str) -> dict:
     per key, power of two): a fixed-size filter silently saturates into
     all-maybe once files outgrow it — measured on a 62k-rows/file table,
     16 Kib filters pruned nothing. Returns the published pointer
-    ({dir, version, n_files, bits})."""
+    ({dir, version, n_files, bits}), or None for an empty head (nothing
+    to index — an existing pointer is left in place).
+
+    Key types are restricted to integral/string/date: Python's str() and
+    Spark's cast-to-string disagree on float/decimal rendering
+    ('1e+20' vs '1.0E20'), which would make the driver-side probe hash
+    DIFFERENT positions than the build — a Bloom false negative, the one
+    error class the structure promises away. Rejected loudly here."""
     head = S.latest_version(path)
     if head is None:
         raise FileNotFoundError(f"no snapshots at {path}")
     m = S.manifest(path, head)
+    if not m["files"]:
+        return None  # empty head (e.g. retention dropped every month)
+    df = S._read_files(spark, path, m["files"], merge_schema=True)
+    kind = df.schema[key_col].dataType.typeName()
+    if kind not in ("integer", "long", "short", "byte", "string", "date"):
+        raise TypeError(
+            f"bloom index key {key_col} has type {kind}: float/decimal/"
+            "timestamp keys render differently in Python str() and Spark "
+            "CAST AS STRING, so the probe could false-negative — index an "
+            "integral/string key instead"
+        )
     max_rows = max((f.get("rows", 0) for f in m["files"]), default=0)
     bits = _MIN_BITS
     while bits < min(_MAX_BITS, BITS_PER_KEY * max(1, max_rows)):
         bits <<= 1
-    df = S._read_files(spark, path, m["files"], merge_schema=True)
     # null keys contribute no bits; a file holding ONLY nulls is then
     # absent from the index, and pruning it is correct — an equality
     # probe can never match null
@@ -100,11 +117,17 @@ def build_bloom_index(spark: SparkSession, path: str, key_col: str) -> dict:
     meta = {"dir": dest.name, "version": head, "n_files": len(m["files"]), "bits": bits}
     ptr_tmp = idx_root / f".ptr-{uuid.uuid4().hex}"
     old = _pointer(path, key_col)
-    prev = json.loads(old.read_text())["dir"] if old.exists() else None
+    old_meta = json.loads(old.read_text()) if old.exists() else {}
+    # one-generation grace window: keep the directly superseded build on
+    # disk (a reader holding the old pointer may still be scanning it)
+    # and delete only the GRANDPARENT — the same retention idea vacuum
+    # applies to data files, at depth 1
+    meta["prev"] = old_meta.get("dir")
     ptr_tmp.write_text(json.dumps(meta))
     os.replace(ptr_tmp, old)
-    if prev and prev != dest.name:
-        shutil.rmtree(idx_root / prev, ignore_errors=True)  # superseded build
+    grandparent = old_meta.get("prev")
+    if grandparent and grandparent not in (dest.name, meta["prev"]):
+        shutil.rmtree(idx_root / grandparent, ignore_errors=True)
     return meta
 
 
@@ -127,11 +150,14 @@ def _need_words(value, bits: int) -> dict[int, int]:
 
 def _maybe_files(
     spark: SparkSession, path: str, key_col: str, values: list
-) -> set[str] | None:
-    """File paths the index CANNOT rule out for ANY of ``values`` — or
-    None when no index exists (prune nothing). ONE word-pushed scan of
-    the sidecar covers every probe value: the scan reads only the union
-    of the k words each value hashes to."""
+) -> tuple[set[str], dict] | None:
+    """(file paths the index CANNOT rule out for ANY of ``values``, the
+    pointer meta the probe actually used) — or None when no index exists
+    (prune nothing). Meta rides along so the caller derives coverage
+    from the SAME pointer read (a concurrent rebuild between two reads
+    would otherwise prune files the probe never saw). ONE word-pushed
+    scan of the sidecar covers every probe value: the scan reads only
+    the union of the k words each value hashes to."""
     ptr = _pointer(path, key_col)
     if not ptr.exists():
         return None
@@ -140,7 +166,7 @@ def _maybe_files(
     needs = {str(v): _need_words(v, bits) for v in values}
     all_words = {w for need in needs.values() for w in need}
     if not all_words:
-        return set()
+        return set(), meta
     idx = spark.read.parquet(str(Path(path) / IDX_DIR / meta["dir"]))
     rows = (
         idx.where(F.col("word").isin(*[int(w) for w in all_words]))
@@ -160,29 +186,30 @@ def _maybe_files(
             all(words.get(w, 0) & req == req for w, req in need.items())
             for need in needs.values()
         )
-    }
+    }, meta
 
 
 def maybe_rebuild_bloom_index(
     spark: SparkSession, path: str, key_col: str, max_stale_files: int = 16
 ) -> dict | None:
     """Rebuild POLICY (the twin of ``snapshots.maybe_compact_snapshot``):
-    every file added after the index build is read UNPRUNED by point
+    every head file the index never saw is read UNPRUNED by point
     lookups, so staleness degrades the index gracefully toward a full
-    scan. When more than ``max_stale_files`` manifest files postdate the
-    build (or no index exists yet), rebuild at the current head. The
-    check is one manifest read + one pointer read — no Spark job when
-    under threshold. Returns the new pointer, or None if fresh enough."""
+    scan. When more than ``max_stale_files`` of the head's files are
+    outside the indexed version's manifest (post-build appends, rollback
+    re-exposures), or no index exists yet, rebuild at the current head.
+    The check is two manifest reads + one pointer read — no Spark job
+    when under threshold. Returns the new pointer, or None if fresh
+    enough (or the head is empty)."""
     head = S.latest_version(path)
     if head is None:
         raise FileNotFoundError(f"no snapshots at {path}")
     ptr = _pointer(path, key_col)
     if ptr.exists():
-        indexed_version = json.loads(ptr.read_text())["version"]
+        meta = json.loads(ptr.read_text())
+        covered = {f["path"] for f in S.manifest(path, meta["version"])["files"]}
         stale = sum(
-            1
-            for f in S.manifest(path, head)["files"]
-            if f.get("added_v", 0) > indexed_version
+            1 for f in S.manifest(path, head)["files"] if f["path"] not in covered
         )
         if stale <= max_stale_files:
             return None
@@ -194,28 +221,32 @@ def read_points(
 ) -> DataFrame:
     """Batched point lookup through the index: prune the head manifest's
     files to those the Bloom cannot rule out for ANY probe value (files
-    newer than the index are always kept), read the survivors DV-aware,
+    the index never saw are always kept), read the survivors DV-aware,
     and re-apply the IN predicate. Equals a full-scan filter by
     construction; the whole probe costs one word-pushed index scan
-    regardless of how many keys are batched."""
+    regardless of how many keys are batched.
+
+    Coverage is EXACT, not heuristic: a file is prunable only when it
+    was part of the indexed version's own manifest (one O(1)-checkpointed
+    manifest read). An added_v comparison would be wrong under rollback
+    — a rollback can re-expose files OLDER than the build that the
+    build's head didn't contain, and those must be read."""
     head = S.latest_version(path)
     if head is None:
         raise FileNotFoundError(f"no snapshots at {path}")
     m = S.manifest(path, head)
-    maybe = _maybe_files(spark, path, key_col, values)
-    ptr = _pointer(path, key_col)
-    indexed_version = (
-        json.loads(ptr.read_text())["version"] if ptr.exists() else None
-    )
-    if maybe is None:
+    probed = _maybe_files(spark, path, key_col, values)
+    if probed is None:
         files = m["files"]
     else:
+        maybe, meta = probed
+        covered = {f["path"] for f in S.manifest(path, meta["version"])["files"]}
         files = [
             f
             for f in m["files"]
-            if f["path"] in maybe
-            # appended after the build: the index knows nothing -> read
-            or f.get("added_v", 0) > indexed_version
+            # not in the build's manifest (post-build append, rollback
+            # re-exposure): the index knows nothing about it -> read
+            if f["path"] not in covered or f["path"] in maybe
         ]
     wanted = [str(v) for v in values]
     if not files:

@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.cms import CMS_D, _bucket
+from ..operators.cms import _fanout
 from ..plans import snapshots as S
 from .ingest import FLUSH_EVERY_SEC, normalize
 
@@ -34,15 +34,9 @@ CMS_APP = "cms-partials"
 
 def _minute_cells(df: DataFrame, token: Column) -> DataFrame:
     """(minute, d, bucket, cnt) partials for one batch — the windowed
-    twin of ``operators.cms._cms_cells``."""
-    pair = F.explode(
-        F.array(
-            *[
-                F.struct(F.lit(d).alias("d"), _bucket(d, token).alias("bucket"))
-                for d in range(CMS_D)
-            ]
-        )
-    )
+    twin of ``operators.cms._cms_cells``, built on the SAME shared grid
+    fan-out so streaming and batch sketches can never desynchronize."""
+    pair = F.explode(_fanout(token))
     return (
         df.select(F.date_trunc("minute", F.col("ts")).alias("minute"), pair.alias("p"))
         .select("minute", "p.d", "p.bucket")

@@ -128,6 +128,40 @@ def test_driver_probe_positions_match_engine_hashing(spark):
         assert list(eng) == py
 
 
+def test_rollback_reexposed_files_are_read_not_pruned(spark, table):
+    """The review's rollback hole: compact, index the compacted head,
+    then roll back — the pre-compact files re-exposed by the rollback
+    were never seen by the index and MUST be read (an added_v heuristic
+    would prune them and silently lose rows)."""
+    pre = S.latest_version(table)
+    S.compact_snapshot(spark, table)
+    B.build_bloom_index(spark, table, "trade_id")
+    S.rollback(table, pre)
+    got = B.read_point(spark, table, "trade_id", 57)
+    assert [r.trade_id for r in got.collect()] == [57]
+    # and the staleness policy SEES the re-exposure as staleness
+    assert B.maybe_rebuild_bloom_index(spark, table, "trade_id", 0) is not None
+
+
+def test_float_keys_are_rejected_and_empty_head_is_a_noop(spark, table, tmp_path):
+    with pytest.raises(TypeError, match="float/decimal"):
+        B.build_bloom_index(spark, table, "price")
+    S.drop_months(table, "999912")  # retention empties the head
+    assert B.build_bloom_index(spark, table, "trade_id") is None
+
+
+def test_superseded_index_gets_one_generation_grace(spark, table):
+    m1 = B.build_bloom_index(spark, table, "trade_id")
+    m2 = B.build_bloom_index(spark, table, "trade_id")
+    from pathlib import Path
+
+    root = Path(table) / B.IDX_DIR
+    assert (root / m1["dir"]).exists()  # parent kept for in-flight readers
+    m3 = B.build_bloom_index(spark, table, "trade_id")
+    assert not (root / m1["dir"]).exists()  # grandparent swept
+    assert (root / m2["dir"]).exists() and (root / m3["dir"]).exists()
+
+
 def test_maybe_rebuild_policy(spark, table):
     # no index yet -> builds unconditionally
     meta = B.maybe_rebuild_bloom_index(spark, table, "trade_id")

@@ -235,9 +235,11 @@ def test_thread_stress_concurrent_refreshers_converge(spark, paths):
             assert _rows(M.read_rollup(spark, mv)) == _rows(
                 bars_batch(S.read_snapshot(spark, base))
             ), f"diverged at step {step}: {outcomes}"
-    wins = [o for o in outcomes if o[0] == "ok" and o[1] is not None]
-    # exactly one racer lands each step's delta: later starters see the
-    # moved watermark and return None, interleaved ones die at the CAS
+    # exactly one COMMIT lands per step — but append's replay pre-check
+    # can hand a second racer the winner's version as a silent no-op
+    # (non-None!), so count distinct committed versions, not non-None
+    # returns
+    wins = {v for ok, v in outcomes if ok == "ok" and v is not None}
     assert len(wins) == 3, outcomes
 
 
