@@ -299,6 +299,28 @@ def pack_accounting(d: DataFrame) -> DataFrame:
     )
 
 
+def corpus_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing over CHUNKS instead of whole docs — the step
+    after ``text.doc_chunks``: a long doc's 64-token windows are the
+    packing units, so no training sequence ever truncates more than a
+    window boundary (the standard chunk-then-pack pipeline). Same shared
+    ``pack_accounting`` dataflow and conventions as ``corpus_pack``;
+    the unit id is the synthetic ``doc_id * 1_000_000 + chunk_id`` (a
+    collision needs a 48M-token doc) and every chunk SHARDS WITH ITS
+    PARENT doc (md5 of the parent id), keeping one document's windows in
+    one writer's stream. One generate + one shard-keyed window shuffle
+    at any corpus size."""
+    from .text import doc_chunks
+
+    ch = doc_chunks(spark, sf_dir)
+    units = ch.select(
+        (_bucket16(F.col("doc_id")) % N_SHARDS).alias("shard"),
+        (F.col("doc_id") * 1_000_000 + F.col("chunk_id")).alias("doc_id"),
+        F.col("n_chunk_tokens").alias("n_tok"),
+    )
+    return pack_accounting(units)
+
+
 def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global training-order shuffle: every doc gets an
     exact position in a reproducible pseudo-random order (rank by
@@ -386,6 +408,7 @@ QUERIES = {
     "corpus_mix": corpus_mix,
     "corpus_shard": corpus_shard,
     "corpus_pack": corpus_pack,
+    "corpus_chunk_pack": corpus_chunk_pack,
     "corpus_shuffle": corpus_shuffle,
     "corpus_split_leakage_safe": corpus_split_leakage_safe,
 }
@@ -537,6 +560,38 @@ def _split_oracle() -> str:
     """
 
 
+def _chunk_pack_oracle() -> str:
+    """The doc_chunks oracle chained into the pack SQL: units are the
+    synthetic chunk ids, sharded by the PARENT doc's md5 bucket."""
+    from .text import ORACLES as _TEXT_ORACLES
+
+    return f"""
+        WITH chunks AS ({_TEXT_ORACLES["doc_chunks"]}),
+        units AS (
+          SELECT {_B16} % {N_SHARDS} AS shard,
+                 doc_id * 1000000 + chunk_id AS unit,
+                 n_chunk_tokens AS n_tok
+          FROM chunks
+        ),
+        packed AS (
+          SELECT shard, n_tok,
+                 CAST(floor(
+                   (sum(n_tok) OVER (
+                      PARTITION BY shard
+                      ORDER BY md5(CAST(unit AS VARCHAR)), unit
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - n_tok) / {PACK_BUDGET}.0) AS BIGINT) AS pack_id
+          FROM units
+        )
+        SELECT shard, pack_id, count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        FROM packed
+        GROUP BY shard, pack_id
+        ORDER BY shard, pack_id
+    """
+
+
+ORACLES["corpus_chunk_pack"] = _chunk_pack_oracle()
 ORACLES["corpus_split_leakage_safe"] = _split_oracle()
 
 
