@@ -193,13 +193,13 @@ def history(path: str) -> list[dict]:
     ckpt = _read_last_checkpoint(path)
     out = list(ckpt["history"]) if ckpt and ckpt["version"] <= head else []
     for v in range(len(out), head + 1):
-        m = manifest(path, v)
+        m = json.loads((_log(path) / f"v{v}.json").read_text())
         out.append(
             {
                 "version": v,
                 "op": m["op"],
                 "parent": m["parent"],
-                "n_files": len(m["files"]),
+                "n_files": _n_files(path, v),
             }
         )
     return out
@@ -208,6 +208,18 @@ def history(path: str) -> list[dict]:
 # checkpoint cadence: the worst-case cold probe / history walk is this
 # many manifest stats past the last checkpoint
 CHECKPOINT_EVERY = 100
+
+
+def _n_files(path: str, version: int) -> int:
+    """File count of a version WITHOUT materializing sharded manifests:
+    the version body either inlines ``files`` or carries per-month
+    ``files_ref`` entries whose ``n`` sums to the answer — history
+    walks and checkpoint builds stay O(months) per version instead of
+    parsing every shard's file entries."""
+    m = json.loads((_log(path) / f"v{version}.json").read_text())
+    if "files" in m:
+        return len(m["files"])
+    return sum(r["n"] for r in m["files_ref"])
 
 
 def _read_last_checkpoint(path: str) -> dict | None:
@@ -239,19 +251,26 @@ def _write_checkpoint(path: str, version: int) -> None:
         else []
     )
     for v in range(len(hist), version + 1):
-        m = manifest(path, v)
+        m = json.loads((_log(path) / f"v{v}.json").read_text())
         hist.append(
             {
                 "version": v,
                 "op": m["op"],
                 "parent": m["parent"],
-                "n_files": len(m["files"]),
+                "n_files": _n_files(path, v),
             }
         )
+    # the disaster copy embeds the RAW version body (files_ref for a
+    # sharded table — O(months)), never the spliced file list: a
+    # checkpoint that serialized all 100M file entries would make every
+    # CHECKPOINT_EVERY-th commit O(table), defeating the sharded log's
+    # O(changed-month) write-cost contract
     body = {
         "version": version,
         "history": hist,
-        "manifest": manifest(path, version),
+        "manifest_raw": json.loads(
+            (_log(path) / f"v{version}.json").read_text()
+        ),
     }
     log = _log(path)
     tmp = log / f".ckpt-{uuid.uuid4().hex}.json"
@@ -703,10 +722,22 @@ def _empty_like(spark: SparkSession, path: str) -> DataFrame:
     for v in range(head, -1, -1):
         files = manifest(path, v)["files"]
         if files:
+            # ONE file per txn dir covers every schema the snapshot can
+            # contain (a commit's dir is written by a single DataFrame,
+            # so schemas are uniform within it) — merging all files'
+            # footers would make the steady-state empty read_changes
+            # poll an O(live files) schema-inference job
+            seen: set[str] = set()
+            sample = [
+                f
+                for f in files
+                if (d := f["path"].split("/")[1]) not in seen
+                and not seen.add(d)
+            ]
             df = (
                 spark.read.option("basePath", str(_data(path)))
                 .option("mergeSchema", "true")
-                .parquet(*[str(Path(path) / f["path"]) for f in files])
+                .parquet(*[str(Path(path) / f["path"]) for f in sample])
             )
             return df.limit(0)
     raise ValueError(f"{path} has no data files in any version — schema unknown")
@@ -868,15 +899,33 @@ def delete_by_keys(
     position DVs; ``maybe_compact_snapshot`` counts their rows toward
     the merge-on-read debt threshold. No conflict window: the commit is
     a pure append to the eq-delete list, race-safe by composition."""
+    head = latest_version(path)
+    if head is None:
+        # checked up front: writing the key parquet first would CREATE a
+        # bogus v0 table at a typo'd path and report success
+        raise FileNotFoundError(f"no snapshots at {path}")
     cols = list(cols or keys.columns)
-    key_rows = keys.select(*cols).distinct()
+    try:
+        table_cols = set(_empty_like(spark, path).columns)
+    except ValueError:
+        return head  # no data files in any version — nothing to delete
+    missing = [c for c in cols if c not in table_cols]
+    if missing:
+        # validated BEFORE committing: one bad entry would make every
+        # subsequent read (including compact, the repair path) raise on
+        # the missing column — only rollback could un-brick the table
+        raise ValueError(
+            f"eq-delete cols {missing} not in table schema "
+            f"{sorted(table_cols)}"
+        )
+    # ONE part file: keys are small by contract (O(keys) is the op's
+    # point), and each part file becomes an eq_dvs entry that costs
+    # every future read its own anti-join — a 200-partition distinct
+    # would turn one delete into 200 chained joins
+    key_rows = keys.select(*cols).distinct().coalesce(1)
     entries = _write_dv_entries(key_rows, path, "eqdv", {"cols": cols})
     if not entries:
-        # empty key set — no-op
-        head = latest_version(path)
-        if head is None:
-            raise FileNotFoundError(f"no snapshots at {path}")
-        return head
+        return head  # empty key set — no-op
     return _commit(
         path,
         lambda hf: hf,
@@ -1052,7 +1101,15 @@ def rollback(path: str, to_version: int) -> int:
     restore-to-a-point IS the semantics."""
     return _commit(
         path,
-        lambda _hf: manifest(path, to_version)["files"],
+        # legacy entries (pre-added_v) must be restored WITH added_v=0
+        # pinned: _commit stamps the NEW commit's version onto unstamped
+        # entries outside the head, and a resurrected file stamped with
+        # the rollback's own version would escape every equality delete
+        # recorded before it (deletes apply only to files added earlier)
+        lambda _hf: [
+            {**f, "added_v": f.get("added_v", 0)}
+            for f in manifest(path, to_version)["files"]
+        ],
         "rollback",
         dvs_fn=lambda _dvs: manifest(path, to_version).get("dvs", []),
         eq_dvs_fn=lambda _eq, _v: manifest(path, to_version).get("eq_dvs", []),

@@ -86,8 +86,19 @@ def _file_schema_ddl(path: str) -> str:
     for v in range(head, -1, -1):
         files = _manifest(path, v)["files"]
         if files:
+            # ONE footer per txn dir: a commit's dir is written by a
+            # single DataFrame, so schemas are uniform within it — a
+            # per-file loop would serialize O(live files) driver-side
+            # metadata reads into every stream (re)start
+            dirs: set[str] = set()
+            sample = [
+                fe
+                for fe in files
+                if (d := fe["path"].split("/")[1]) not in dirs
+                and not dirs.add(d)
+            ]
             seen: dict[str, str] = {}
-            for fe in files:
+            for fe in sample:
                 sch = pq.read_schema(str(Path(path) / fe["path"]))
                 for f in sch:
                     t = str(f.type)

@@ -177,3 +177,42 @@ def test_stream_bootstrap_refuses_eq_delete_head(spark, table, tmp_path):
             q.processAllAvailable()
     finally:
         q.stop()
+
+
+def test_input_validation_and_single_entry_per_delete(spark, table, tmp_path):
+    # cols outside the table schema are rejected BEFORE committing — a
+    # bad entry would fail every later read including the repair path
+    with pytest.raises(ValueError, match="not in table schema"):
+        S.delete_by_keys(spark, table, _keys(spark, [1]), cols=["trade"])
+    # a typo'd path raises instead of silently creating a bogus table
+    with pytest.raises(FileNotFoundError):
+        S.delete_by_keys(spark, str(tmp_path / "nope"), _keys(spark, [1]))
+    # one delete = ONE eq_dvs entry (every entry costs every future read
+    # its own anti-join), no matter the shuffle partitioning
+    v = S.delete_by_keys(spark, table, _keys(spark, [2, 5, 7]))
+    assert len(S.manifest(table, v)["eq_dvs"]) == 1
+
+
+def test_rollback_of_legacy_entries_keeps_equality_deletes(spark, tmp_path):
+    """Pre-added_v tables: a rollback restores entries WITHOUT the field,
+    and _commit stamps unstamped non-head entries with the NEW version —
+    rollback must pin added_v=0 first, or resurrected files escape every
+    equality delete recorded before the rollback."""
+    import json
+
+    path = str(tmp_path / "legacy_table")
+    S.append(_batch(spark, 1, range(10)), path)  # v0
+    p = S._log(path) / "v0.json"
+    m = json.loads(p.read_text())
+    for f in m["files"]:
+        f.pop("added_v", None)  # simulate a pre-r9 manifest
+    p.write_text(json.dumps(m))
+    S.delete_by_keys(spark, path, _keys(spark, [3]))  # v1 (applies: 0 < 1)
+    assert sorted(
+        r.trade_id for r in S.read_snapshot(spark, path).collect()
+    ) == [i for i in range(10) if i != 3]
+    S.compact_snapshot(spark, path)  # v2 materializes the delete
+    S.rollback(path, 1)  # v3 restores the legacy files + the eq delete
+    assert sorted(
+        r.trade_id for r in S.read_snapshot(spark, path).collect()
+    ) == [i for i in range(10) if i != 3]

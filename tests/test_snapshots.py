@@ -646,7 +646,9 @@ def test_checkpoint_bounds_cold_start_reads(spark, tmp_path, monkeypatch):
     hist = S.history(path)
     assert [h["version"] for h in hist] == list(range(10))
     assert hist[3]["op"] == "append" and hist[3]["n_files"] == 4
-    assert calls == [9], f"history read pre-checkpoint manifests: {calls}"
+    # r9 second pass: history reads RAW version bodies (files_ref "n"
+    # sums give counts), never materializing sharded manifests at all
+    assert calls == [], f"history materialized manifests: {calls}"
 
 
 def test_vacuum_keeps_checkpoints_and_sweeps_their_tmps(spark, tmp_path, monkeypatch):
