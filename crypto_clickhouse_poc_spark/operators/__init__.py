@@ -204,6 +204,34 @@ _MODULES = (
 #                                           (cluster-keyed assignment over
 #                                           the near-dup graph) — gains
 #                                           its first driver verdict)
+#
+# Round-10 rotation (round-9 verdict item #1): the round-9 families —
+# context-window chunking (text.py) and Count-Min frequency sketching
+# (cms.py) — were pytest-only; two strict-twin entries rotate out so each
+# gets a driver hash verdict:
+#   dedup_simhash -> doc_chunks             (simhash's banded-LSH bucket
+#                                           join is the SAME shape as
+#                                           dedup_minhash_lsh's, which
+#                                           stays declared; simhash + its
+#                                           oracle stay pytest-parity-gated.
+#                                           doc_chunks brings the sliding-
+#                                           window chunking family — the
+#                                           zero-exchange posexplode over
+#                                           the token array — under the
+#                                           driver hash)
+#   tpch_q5 -> corpus_cms_freq              (q5's multiway-broadcast join +
+#                                           agg decomposes into q3's
+#                                           join+agg+topk and
+#                                           region_nation_rollup's
+#                                           dim-chain, both declared; q5 +
+#                                           its oracle stay pytest-gated.
+#                                           cms_freq brings the mergeable
+#                                           D×W-grid sketch family — the
+#                                           one map-side-combined
+#                                           aggregation + broadcast probe —
+#                                           under the driver hash,
+#                                           oracle-exact via md5 grid
+#                                           arithmetic mirrored in SQL)
 _DECLARED = (
     # reference §2.10 public query surface (api/server.py:57-200)
     "ev_count",
@@ -225,13 +253,13 @@ _DECLARED = (
     "sql_hourly_pivot",
     "sql_corr_subquery",
     "dq_checks",
-    # dedup family (exact → LSH → clusters → simhash → embedding-LSH; the
+    # dedup family (exact → LSH → clusters → embedding-LSH; simhash rotated
+    # to library in r10 — its banded-LSH shape twins dedup_minhash_lsh; the
     # O(n²) exactness baselines dedup_embedding / dedup_jaccard_topk and the
     # rollup twin dedup_minhash_summary stay pytest-gated library functions)
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_clusters",
-    "dedup_simhash",
     "dedup_embedding_lsh",
     # similarity search (brute-force baseline + IVF probe; ann_srp_search is
     # the same SRP dataflow as dedup_embedding_lsh — library)
@@ -257,6 +285,8 @@ _DECLARED = (
     "doc_quality_verdict",
     "corpus_hybrid_rrf",
     "doc_hash_embed",
+    "doc_chunks",
+    "corpus_cms_freq",
     "doc_dup_spans",
     "doc_winnow",
     "corpus_assemble",
@@ -267,7 +297,6 @@ _DECLARED = (
     # semi+anti, anti+scalar-avg, ROLLUP)
     "tpch_q1",
     "tpch_q3",
-    "tpch_q5",
     "tpch_q6",
     "cust_scd2_merge",
     "tpch_q17",
