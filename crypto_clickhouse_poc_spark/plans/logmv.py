@@ -26,12 +26,18 @@ folds accumulated partials into one row per group — the partial algebra
 is CLOSED under merge, so compaction is semantics-free and the MV's
 read cost stays bounded by |groups|, not refresh count.
 
-When the base range contains a NON-append op (compaction, retention,
-rollback — visibility rewrites where "files added" stops meaning "rows
-added"), ``read_changes`` refuses and :func:`refresh_rollup` falls back
+When the base range contains a NON-append op, the refresh dispatches on
+what the ops MEAN (r10, the Delta-CDF-consumer contract): layout ops
+(compact/optimize) change no logical rows, so the CDC feed
+(:func:`plans.snapshots.read_changes_cdc`) carries just the appended
+data and ANY algebra advances the watermark; deleting ops (position-DV
+delete, equality delete, retention, merge) emit retraction rows that an
+INVERTIBLE algebra (:func:`partial_sums` — sum/count form a group under
+addition; CMS cells share the property) absorbs as negative partials in
+the same watermarked commit. Only non-invertible algebras facing
+deletes, and genuine visibility rewrites (rollback/rebuild), fall back
 to :func:`rebuild_rollup`: one full recompute committed atomically with
-the new watermark — the same degradation contract Delta CDF consumers
-implement.
+the new watermark.
 
 Scale notes (100 TB): steady-state refresh cost is O(delta), the rollup
 table is |minutes x symbols| (bounded, tiny next to the fact table), and
@@ -45,6 +51,7 @@ from __future__ import annotations
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..streaming.bars import partial_bars, reaggregate_bars
 from . import snapshots as S
@@ -59,8 +66,6 @@ def _merge_partials(partials: DataFrame) -> DataFrame:
     """partial x partial -> partial (closed): fold many partial rows per
     (minute, symbol) into one, KEEPING the merge keys so the result can
     be merged again by later refreshes."""
-    from pyspark.sql import functions as F
-
     return partials.groupBy("minute", "symbol").agg(
         F.min_by("open", F.col("open_key")).alias("open"),
         F.min_by(F.col("open_key"), F.col("open_key")).alias("open_key"),
@@ -73,12 +78,127 @@ def _merge_partials(partials: DataFrame) -> DataFrame:
     )
 
 
+# --- The multi-resolution cascade (r10): the 1m→1h rollup maintained from
+# the 1m MV's OWN transaction log. The bars partial algebra is CLOSED under
+# merge and hour groups are unions of minute groups, so the hour partials of
+# a DELTA of minute partials merge exactly — the cascade is just
+# refresh_rollup with the 1m MV as base and this partial_fn; end-to-end the
+# multires view (ev_ohlcv_multires's semantics) becomes incremental at every
+# level instead of batch-recomputed. A compact_rollup on the 1m MV is a
+# layout op (CDC no-change), so the cascade's watermark rides through it;
+# only a 1m rebuild forces an (already O(|1m groups|), not O(trades))
+# cascade rebuild.
+
+
+def _hour_merge_aggs() -> list:
+    return [
+        F.min_by("open", F.col("open_key")).alias("open"),
+        F.min_by(F.col("open_key"), F.col("open_key")).alias("open_key"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max_by("close", F.col("close_key")).alias("close"),
+        F.max_by(F.col("close_key"), F.col("close_key")).alias("close_key"),
+        F.sum("volume").alias("volume"),
+        F.sum("trades").alias("trades"),
+    ]
+
+
+def hour_partials(minute_partials: DataFrame) -> DataFrame:
+    """1m partial rows -> 1h partial rows (merge keys kept: closed, so
+    later cascade refreshes and compacts keep merging exactly)."""
+    return minute_partials.groupBy(
+        F.date_trunc("hour", F.col("minute")).alias("hour"), "symbol"
+    ).agg(*_hour_merge_aggs())
+
+
+def merge_hour_partials(partials: DataFrame) -> DataFrame:
+    """Closed partial x partial merge for ``compact_rollup`` of the 1h MV."""
+    return partials.groupBy("hour", "symbol").agg(*_hour_merge_aggs())
+
+
+def reaggregate_hours(partials: DataFrame) -> DataFrame:
+    """Read-time merge of 1h partials -> final hour bars (equals the batch
+    hour-truncated OHLCV over the raw trades — gated in tests)."""
+    return partials.groupBy("hour", "symbol").agg(
+        F.min_by("open", F.col("open_key")).alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max_by("close", F.col("close_key")).alias("close"),
+        F.sum("volume").alias("volume"),
+        F.sum("trades").alias("trades"),
+    )
+
+
+def refresh_cascade(
+    spark: SparkSession, mv_1m_path: str, mv_1h_path: str, app: str = "logmv-1h"
+) -> int | None:
+    """One cascade tick: fold the 1m MV's new partial rows into the 1h
+    rollup — O(new 1m partials), never a re-read of the 1m MV (let alone
+    the trades base). Exactly-once end to end: the 1h watermark is the 1m
+    MV VERSION consumed, committed atomically with the hour partials,
+    same as every other rollup."""
+    return refresh_rollup(
+        spark,
+        mv_1m_path,
+        mv_1h_path,
+        partial_fn=hour_partials,
+        app=app,
+        ts_col="hour",
+    )
+
+
+# --- The invertible (retractable) algebra family: sum/count partials form
+# a GROUP under addition (negate = multiply by -1), so a delete on the base
+# is absorbed by appending negative partials — the abelian-group condition
+# streaming engines state for retractable aggregates; the same property CMS
+# cells have (operators/cms.py) and min/max/open/close do NOT.
+
+
+def partial_sums(batch: DataFrame) -> DataFrame:
+    """Per-(minute, symbol) volume/trade-count partials — the invertible
+    counterpart of ``partial_bars`` (same trades input schema)."""
+    return batch.groupBy(
+        F.date_trunc("minute", F.col("ts")).alias("minute"), "symbol"
+    ).agg(F.sum("qty").alias("volume"), F.count("*").alias("trades"))
+
+
+def negate_sums(partials: DataFrame) -> DataFrame:
+    """partial -> inverse partial: appending ``negate_sums(partial_sums(
+    deleted_rows))`` exactly cancels those rows' prior contribution."""
+    return partials.withColumn("volume", -F.col("volume")).withColumn(
+        "trades", -F.col("trades")
+    )
+
+
+def merge_sums(partials: DataFrame) -> DataFrame:
+    """Closed partial x partial merge for :func:`compact_rollup`. Groups
+    whose counts net to zero were fully retracted — their zero rows are
+    dropped (absent group ≡ zero partials; a future insert re-creates it)."""
+    return (
+        partials.groupBy("minute", "symbol")
+        .agg(F.sum("volume").alias("volume"), F.sum("trades").alias("trades"))
+        .where(F.col("trades") != 0)
+    )
+
+
+def final_sums(partials: DataFrame) -> DataFrame:
+    """Read-time merge for the sums MV: groups that net to zero rows are
+    fully deleted and must not surface as zero-valued bars."""
+    return (
+        partials.groupBy("minute", "symbol")
+        .agg(F.sum("volume").alias("volume"), F.sum("trades").alias("trades"))
+        .where(F.col("trades") > 0)
+    )
+
+
 def refresh_rollup(
     spark: SparkSession,
     base_path: str,
     mv_path: str,
     partial_fn: Callable[[DataFrame], DataFrame] = partial_bars,
     app: str = "logmv",
+    negate_fn: Callable[[DataFrame], DataFrame] | None = None,
+    ts_col: str = "minute",
 ) -> int | None:
     """Fold the base table's new commits into the rollup MV.
 
@@ -90,6 +210,24 @@ def refresh_rollup(
     winning head, so the loser raises
     :class:`plans.snapshots.CommitConflict` (its orphan txn dir is
     vacuum's to sweep) instead of double-counting the delta.
+
+    Range dispatch (r10 — Delta-CDF-consumer semantics):
+
+    - all appends → the O(delta) fast path (:func:`snapshots.read_changes`,
+      zero manifest splices beyond the range ends);
+    - layout ops only on top (compact/optimize — logical content
+      unchanged) → the CDC feed, whose insert rows are exactly the
+      appended data: ANY algebra consumes it, the watermark advances,
+      NO rebuild (previously every compact on the base forced one);
+    - deleting ops in range (delete / eq_delete / retention / merge)
+      AND ``negate_fn`` given → CDC with RETRACTIONS: the MV appends
+      ``partial_fn(inserts) ∪ negate_fn(partial_fn(deletes))`` in one
+      watermarked commit. Requires an INVERTIBLE partial algebra
+      (sum/count/CMS-cell — :func:`partial_sums`/:func:`negate_sums`);
+      min/max/open/close partials cannot retract, leave ``negate_fn``
+      unset for those;
+    - deleting ops without ``negate_fn``, or visibility rewrites
+      (rollback/rebuild) → one atomic :func:`rebuild_rollup`.
     """
     head = S.latest_version(base_path)
     if head is None:
@@ -98,21 +236,37 @@ def refresh_rollup(
     since = -1 if consumed is None else consumed
     if head <= since:
         return None
-    try:
+    ops = set(S.changed_ops(base_path, since, head))
+    deleting = ops & set(S._CDC_DELETING)
+    if ops <= {"append"}:
         delta = S.read_changes(spark, base_path, since, head)
-    except ValueError:
-        # non-append op in the range: incremental read undefined -> one
-        # atomic full rebuild, watermark moved in the same commit
-        return rebuild_rollup(spark, base_path, mv_path, partial_fn, app)
+        parts = partial_fn(delta)
+    elif not ops <= set(S._CDC_COVERED) or (deleting and negate_fn is None):
+        # visibility rewrite in range, or retractions the algebra can't
+        # absorb -> one full recompute, watermark moved in the same commit
+        return rebuild_rollup(
+            spark, base_path, mv_path, partial_fn, app, ts_col=ts_col
+        )
+    else:
+        cdc = S.read_changes_cdc(spark, base_path, since, head)
+        ins = cdc.where(F.col(S.CDC_TYPE) == "insert").drop(
+            S.CDC_TYPE, S.CDC_VERSION
+        )
+        parts = partial_fn(ins)
+        if deleting:
+            dels = cdc.where(F.col(S.CDC_TYPE) == "delete").drop(
+                S.CDC_TYPE, S.CDC_VERSION
+            )
+            parts = parts.unionByName(negate_fn(partial_fn(dels)))
     # txn_expect=consumed is the exact compare-and-set: this delta is
     # (consumed, head], so it may land ONLY onto the watermark it was
     # computed from — a concurrent refresher that consumed from a
     # different head would otherwise slip past the monotone check with a
     # higher id and fold the overlapping range twice
     return S.append(
-        partial_fn(delta),
+        parts,
         mv_path,
-        ts_col="minute",
+        ts_col=ts_col,
         txn_app=app,
         txn_id=head,
         txn_expect=consumed,
@@ -125,6 +279,7 @@ def rebuild_rollup(
     mv_path: str,
     partial_fn: Callable[[DataFrame], DataFrame] = partial_bars,
     app: str = "logmv",
+    ts_col: str = "minute",
 ) -> int:
     """Full recompute committed as ONE manifest swap: the new partials
     replace every prior MV file, deletes are cleared (the rewrite read
@@ -140,7 +295,7 @@ def rebuild_rollup(
     if head is None:
         raise FileNotFoundError(f"no snapshots at {base_path}")
     partials = partial_fn(S.read_snapshot(spark, base_path, version=head))
-    entries = S._write_txn(partials, mv_path, ts_col="minute")
+    entries = S._write_txn(partials, mv_path, ts_col=ts_col)
     return S._commit(
         mv_path,
         lambda _hf: entries,
@@ -170,6 +325,7 @@ def compact_rollup(
     spark: SparkSession,
     mv_path: str,
     merge_fn: Callable[[DataFrame], DataFrame] = _merge_partials,
+    ts_col: str = "minute",
 ) -> int:
     """Fold accumulated partial rows into one partial per group with
     ``merge_fn`` (default: the bars partial x partial algebra — an MV
@@ -185,7 +341,7 @@ def compact_rollup(
     if read_v is None:
         raise FileNotFoundError(f"no snapshots at {mv_path}")
     merged = merge_fn(S.read_snapshot(spark, mv_path, version=read_v))
-    entries = S._write_txn(merged, mv_path, ts_col="minute")
+    entries = S._write_txn(merged, mv_path, ts_col=ts_col)
     return S._commit(
         mv_path,
         lambda _hf: entries,
@@ -193,4 +349,9 @@ def compact_rollup(
         expected_parent=read_v,
         dvs_fn=lambda _d: [],
         eq_dvs_fn=lambda _e, _v: [],
+        # an interleaved REFRESH is a pure append of new partials — the
+        # merge algebra is closed, so carrying those rows forward is the
+        # same as refreshing after the compact; without this a frequent
+        # refresher starves compaction forever (r10 rebase rule)
+        on_conflict="rebase_appends",
     )

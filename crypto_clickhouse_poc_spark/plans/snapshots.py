@@ -328,6 +328,7 @@ def _commit(
     expected_parent: int | None | str = "any",
     dvs_fn=None,
     eq_dvs_fn=None,
+    on_conflict: str = "raise",
 ) -> int:
     """Optimistic commit: claim the next version number with an atomic
     ``os.link``; EEXIST = lost the race, so re-read the head and retry.
@@ -352,16 +353,44 @@ def _commit(
     rollback restores. ``eq_dvs_fn(head_eq, version) -> eq_dvs`` is the
     same seam for EQUALITY deletes (it additionally receives the commit
     version being claimed, which sequences the delete — see
-    :func:`delete_by_keys`)."""
+    :func:`delete_by_keys`).
+
+    ``on_conflict="rebase_appends"`` (r10, the Iceberg/Delta conflict-
+    resolution rule for logically disjoint commits): when
+    ``expected_parent`` lost the race but EVERY interleaved commit in
+    ``(expected_parent, head]`` was a pure append, re-attempt with the
+    winner as parent — ``files_fn`` is evaluated against the EXPECTED
+    parent's file list (the state the op actually read) and the
+    interleaved appends' files (``added_v > expected_parent``) are
+    carried forward verbatim. Sound because appends are disjoint from
+    any rewrite's read set by construction: they add fresh txn dirs,
+    never touch existing files, and never add deletion vectors (so the
+    head's dvs/eq_dvs equal the expected parent's, and an appended file
+    can't be referenced by any existing DV nor subject to any existing
+    equality delete — its ``added_v`` postdates every ``eq.v``).
+    Without this, a 5 s-cadence streaming sink starves every
+    OPTIMIZE/compact forever. Any non-append interleave still raises."""
     log = _log(path)
     log.mkdir(parents=True, exist_ok=True)
     tmp = log / f".tmp-{uuid.uuid4().hex}.json"
     for _ in range(_COMMIT_RETRIES):
         head = latest_version(path)
+        rebased = False
         if expected_parent != "any" and head != expected_parent:
-            raise CommitConflict(
-                f"{op} read version {expected_parent} but head is {head} — re-run"
+            rebased = (
+                on_conflict == "rebase_appends"
+                and expected_parent is not None
+                and head is not None
+                and head > expected_parent
+                and all(
+                    o == "append"
+                    for o in changed_ops(path, expected_parent, head)
+                )
             )
+            if not rebased:
+                raise CommitConflict(
+                    f"{op} read version {expected_parent} but head is {head} — re-run"
+                )
         version = 0 if head is None else head + 1
         head_m = {} if head is None else manifest(path, head)
         txns = head_m.get("txns", {})
@@ -408,7 +437,19 @@ def _commit(
         # the Iceberg sequence-number rule at file granularity. Entries
         # predating the field read as added_v=0 (all eq-deletes apply —
         # the conservative direction).
-        files = [dict(f) for f in files_fn(head_m.get("files", []))]
+        if rebased:
+            # files_fn sees the state the op READ; the append-only
+            # interleave rides along untouched (it is in the head
+            # manifest, so the stamping below leaves its added_v alone)
+            carried = [
+                dict(f)
+                for f in head_m.get("files", [])
+                if f.get("added_v", 0) > expected_parent
+            ]
+            base_files = manifest(path, expected_parent).get("files", [])
+            files = [dict(f) for f in files_fn(base_files)] + carried
+        else:
+            files = [dict(f) for f in files_fn(head_m.get("files", []))]
         for f in files:
             if "added_v" not in f and f["path"] not in head_paths:
                 f["added_v"] = version
@@ -733,6 +774,164 @@ def read_changes(
     return df.drop(TXN_COL)
 
 
+CDC_TYPE = "_change_type"
+CDC_VERSION = "_commit_version"
+
+# how each op surfaces in the change feed (Delta CDF's contract, re-derived
+# from this log's own metadata — no per-commit change files are written):
+#   append    -> inserts: rows of the files stamped added_v == v
+#   delete    -> deletes: exactly the (file, row-position) rows the new
+#                deletion vectors name (already net of earlier deletes —
+#                delete_where evaluates through the head's DVs)
+#   eq_delete -> deletes: snapshot(v-1) semi-joined to the key rows (every
+#                file at v-1 has added_v < v, so the sequence rule reduces
+#                to plain visibility at v-1)
+#   retention -> deletes: the dropped files' rows, at v-1 visibility
+#   merge     -> COARSE file-level diff: deletes = removed files' visible
+#                rows, inserts = added files' rows. Unchanged rows in a
+#                rewritten file appear as a paired delete+insert — exact
+#                after any sum-class (invertible) aggregation, NOT a
+#                row-precise audit feed (diff_versions is that).
+#   compact / optimize -> logical content unchanged: nothing emitted
+#   rollback / rebuild / unknown -> refuse: arbitrary visibility rewrites
+#                the feed cannot represent (Delta CDF refuses RESTORE too)
+_CDC_NO_CHANGE = ("compact", "optimize")
+_CDC_DELETING = ("delete", "eq_delete", "retention", "merge")
+_CDC_COVERED = ("append",) + _CDC_DELETING + _CDC_NO_CHANGE
+
+
+def read_changes_cdc(
+    spark: SparkSession,
+    path: str,
+    since_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change-data-feed read of ``(since_version, to_version]``: the table's
+    rows tagged ``_change_type`` ('insert' | 'delete') + ``_commit_version``.
+
+    Where :func:`read_changes` refuses any non-append range, this feed also
+    represents the DELETING ops (position-DV deletes, equality deletes,
+    retention, merge) as retraction rows and the layout ops (compact,
+    optimize) as no-change — so an incremental consumer with an INVERTIBLE
+    algebra (sum/count partials, CMS cells) survives the most common
+    production event, an erasure on a base with MVs, without an O(base)
+    rebuild (``plans/logmv.refresh_rollup``). Only genuine visibility
+    rewrites (rollback, rebuild) still raise ``ValueError``.
+
+    Costs, per covered commit — never O(table) except the documented one:
+    appends read only the added files; position deletes read only the
+    files the new DVs name; retention/merge read only the removed/added
+    files; eq_delete is the exception — emitting the deleted ROWS needs a
+    key semi-join against snapshot(v-1), one broadcast-key scan of the
+    pre-delete snapshot (the keys alone don't carry the group columns a
+    consumer folds by). Consumers that only ever see appends should stay
+    on :func:`read_changes` (zero manifest loads beyond the two ends)."""
+    head = latest_version(path)
+    if head is None:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    to = head if to_version is None else to_version
+    ops = changed_ops(path, since_version, to)
+    bad = sorted({o for o in ops if o not in _CDC_COVERED})
+    if bad:
+        raise ValueError(
+            f"ops {bad} in ({since_version}, {to}] rewrite visibility — "
+            "CDC undefined; re-read the snapshot"
+        )
+    pieces: list[DataFrame] = []
+
+    def _tag(df: DataFrame, kind: str, v: int) -> None:
+        pieces.append(
+            df.drop(TXN_COL)
+            .withColumn(CDC_TYPE, F.lit(kind))
+            .withColumn(CDC_VERSION, F.lit(v))
+        )
+
+    for v, op in zip(range(since_version + 1, to + 1), ops):
+        if op in _CDC_NO_CHANGE:
+            continue
+        if op in ("append", "merge"):
+            m_v = manifest(path, v)
+            added = [f for f in m_v["files"] if f.get("added_v") == v]
+            if added:
+                _tag(_read_files(spark, path, added, merge_schema=True), "insert", v)
+        if op in ("merge", "retention"):
+            m_v = manifest(path, v)
+            m_prev = manifest(path, v - 1)
+            now = {f["path"] for f in m_v["files"]}
+            removed = [f for f in m_prev["files"] if f["path"] not in now]
+            if removed:
+                # visible-at-(v-1) rows of the dropped/rewritten files:
+                # _apply_dvs touches only rows present in the frame, so
+                # handing it the full v-1 manifest restricts correctly
+                gone = _apply_dvs(
+                    spark,
+                    _read_files(spark, path, removed, merge_schema=True),
+                    m_prev,
+                    path,
+                )
+                _tag(gone, "delete", v)
+        elif op == "delete":
+            prev = {e["path"] for e in _version_body(path, v - 1).get("dvs", [])}
+            new_dvs = [
+                e for e in _version_body(path, v)["dvs"] if e["path"] not in prev
+            ]
+            if new_dvs:
+                dv = spark.read.parquet(
+                    *[str(Path(path) / e["path"]) for e in new_dvs]
+                )
+                # distinct target files: bounded by the table's FILE count
+                targets = [r[0] for r in dv.select(_DV_FILE).distinct().collect()]
+                scan = (
+                    spark.read.option("basePath", str(_data(path)))
+                    .option("mergeSchema", "true")
+                    .parquet(*[str(Path(path) / p) for p in targets])
+                    .withColumn(_DV_FILE, _dv_file_expr())
+                    .withColumn(_DV_POS, F.col("_metadata.row_index"))
+                )
+                hit = scan.join(
+                    F.broadcast(dv), [_DV_FILE, _DV_POS], "left_semi"
+                ).drop(_DV_FILE, _DV_POS)
+                _tag(hit, "delete", v)
+        elif op == "eq_delete":
+            prev = {e["path"] for e in _version_body(path, v - 1).get("eq_dvs", [])}
+            new_eq = [
+                e
+                for e in _version_body(path, v)["eq_dvs"]
+                if e["path"] not in prev
+            ]
+            if new_eq:
+                base = read_snapshot(spark, path, version=v - 1)
+                # one semi-join per key-column set; a commit's entries share
+                # cols (one delete_by_keys call), so this is one join in
+                # practice — union the key files first to keep it that way
+                by_cols: dict[tuple, list[str]] = {}
+                for e in new_eq:
+                    by_cols.setdefault(tuple(e["cols"]), []).append(e["path"])
+                for cols, kpaths in by_cols.items():
+                    kdf = spark.read.parquet(
+                        *[str(Path(path) / p) for p in kpaths]
+                    )
+                    _tag(
+                        base.join(F.broadcast(kdf), list(cols), "left_semi"),
+                        "delete",
+                        v,
+                    )
+    if not pieces:
+        return (
+            _empty_like(spark, path)
+            .drop(TXN_COL)
+            .withColumn(CDC_TYPE, F.lit("insert"))
+            .withColumn(CDC_VERSION, F.lit(0))
+            .limit(0)
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        # schema evolution inside the range: later files may carry more
+        # columns — earlier pieces surface them as NULL
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
 def _empty_like(spark: SparkSession, path: str) -> DataFrame:
     """A zero-row frame with the table's exact read schema (incl. the txn
     and partition columns): limit(0) over the newest version that has
@@ -882,15 +1081,21 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> int:
     m = manifest(path, read_v)
     if not m["files"]:
         return read_v
-    df = _apply_dvs(
-        spark,
-        _read_files(spark, path, m["files"], merge_schema=True),
-        m,
-        path,
+    # (file, pos) must be materialized on the RAW scan: _apply_dvs's
+    # equality-delete path projects through joins, after which the
+    # `_metadata` pseudo-column is no longer resolvable (latent until a
+    # delete_where followed an eq_delete — found by the r10 CDC model
+    # check). Private aliases so they can't collide with _apply_dvs's own
+    # working columns.
+    scan = (
+        _read_files(spark, path, m["files"], merge_schema=True)
+        .withColumn("_hit_file", _dv_file_expr())
+        .withColumn("_hit_pos", F.col("_metadata.row_index"))
     )
+    df = _apply_dvs(spark, scan, m, path)
     hits = df.where(predicate).select(
-        _dv_file_expr().alias(_DV_FILE),
-        F.col("_metadata.row_index").alias(_DV_POS),
+        F.col("_hit_file").alias(_DV_FILE),
+        F.col("_hit_pos").alias(_DV_POS),
     )
     entries = _write_dv_entries(hits, path, "dv")
     if not entries:
@@ -901,6 +1106,13 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> int:
         "delete",
         expected_parent=read_v,
         dvs_fn=lambda head_dvs: head_dvs + entries,
+        # the guarded hazard is ROW RENUMBERING (a compact would move the
+        # positions the DV points at); appends add fresh files and leave
+        # every existing row where it was, so they rebase. Rows an
+        # interleaved append inserts that happen to match the predicate
+        # survive — the delete applies to the snapshot it read, standard
+        # snapshot-isolation semantics (Delta's DELETE behaves the same).
+        on_conflict="rebase_appends",
     )
 
 
@@ -1011,6 +1223,9 @@ def compact_snapshot(
         path, lambda _hf: new, "compact", expected_parent=read_v,
         dvs_fn=lambda _dvs: [],
         eq_dvs_fn=lambda _eq, _v: [],
+        # an append-only interleave carries forward; its rows were not
+        # part of the deduped snapshot, same as an append landing after
+        on_conflict="rebase_appends",
     )
 
 
@@ -1079,6 +1294,10 @@ def optimize_small_files(
         "optimize",
         expected_parent=read_v,
         dvs_fn=lambda _d: new_dvs,
+        # a streaming sink appending every few seconds must never starve
+        # the maintenance tick: pure-append interleaves rebase (their
+        # small files simply become the NEXT optimize's debt)
+        on_conflict="rebase_appends",
     )
 
 

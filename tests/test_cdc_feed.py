@@ -1,0 +1,315 @@
+"""Delete-aware change-data-feed gates (snapshots.read_changes_cdc +
+logmv retractable refresh).
+
+Contracts gated here:
+
+- the feed's NET effect (inserts minus deletes, per key) equals the
+  snapshot diff over the same range, for every covered op — the
+  invertible-consumption semantics the feed promises;
+- position-DV deletes, equality deletes and retention emit EXACTLY the
+  deleted rows; compact/optimize emit nothing; rollback refuses;
+- a sums MV refreshed through deletes equals the batch recompute and
+  commits an APPEND (never a rebuild) — the O(delta+deletes) path;
+- a non-invertible MV facing a compact-only range advances its watermark
+  without rebuilding (layout ops are logical no-ops for CDC);
+- a randomized op-interleaving model check: refresh after every op,
+  rollup == recompute at every step.
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from crypto_clickhouse_poc_spark.plans import logmv as M
+from crypto_clickhouse_poc_spark.plans import snapshots as S
+
+SCHEMA = (
+    "ts timestamp, symbol string, trade_id long, price double, qty double,"
+    " ingested_at long"
+)
+T0 = datetime(2024, 3, 1, 9, 0, 0)
+
+
+def _batch(spark, ids, month=3):
+    rows = [
+        (
+            datetime(2024, month, 1, 9, i % 3, i % 60),
+            "BTC" if i % 2 else "ETH",
+            i,
+            float(100 + (i * 7) % 31),
+            1.0 + (i % 5),
+            0,
+        )
+        for i in ids
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _net(cdc):
+    """insert rows minus delete rows, per trade_id — the feed's net effect."""
+    sign = F.when(F.col(S.CDC_TYPE) == "insert", 1).otherwise(-1)
+    return {
+        r["trade_id"]: r["n"]
+        for r in cdc.groupBy("trade_id").agg(F.sum(sign).alias("n")).collect()
+        if r["n"] != 0
+    }
+
+
+def _ids(df):
+    return sorted(r.trade_id for r in df.collect())
+
+
+def test_cdc_append_then_position_delete_emits_exact_rows(spark, tmp_path):
+    path = str(tmp_path / "t")
+    S.append(_batch(spark, range(20)), path)  # v0
+    S.append(_batch(spark, range(20, 30)), path)  # v1
+    S.delete_where(spark, path, "trade_id in (3, 21)")  # v2
+    cdc = S.read_changes_cdc(spark, path, -1)
+    ins = cdc.where(F.col(S.CDC_TYPE) == "insert")
+    dels = cdc.where(F.col(S.CDC_TYPE) == "delete")
+    assert _ids(ins) == list(range(30))
+    assert _ids(dels) == [3, 21]
+    # deleted rows carry full content (the consumer folds them by group)
+    row = dels.where("trade_id = 3").collect()[0]
+    assert row["symbol"] == "BTC" and row["qty"] == 4.0
+    # net effect == live snapshot
+    assert sorted(_net(cdc)) == _ids(S.read_snapshot(spark, path))
+    # versions are stamped
+    assert dels.select(S.CDC_VERSION).distinct().collect()[0][0] == 2
+
+
+def test_cdc_mid_range_consumption_sees_only_the_delta(spark, tmp_path):
+    path = str(tmp_path / "t")
+    S.append(_batch(spark, range(10)), path)  # v0
+    S.delete_where(spark, path, "trade_id = 1")  # v1
+    S.append(_batch(spark, range(10, 14)), path)  # v2
+    cdc = S.read_changes_cdc(spark, path, 0)  # (v0, v2]
+    assert _ids(cdc.where(F.col(S.CDC_TYPE) == "insert")) == [10, 11, 12, 13]
+    assert _ids(cdc.where(F.col(S.CDC_TYPE) == "delete")) == [1]
+
+
+def test_cdc_eq_delete_emits_matching_rows_and_respects_sequencing(
+    spark, tmp_path
+):
+    path = str(tmp_path / "t")
+    S.append(_batch(spark, range(10)), path)  # v0
+    keys = spark.createDataFrame([(2,), (4,)], "trade_id long")
+    S.delete_by_keys(spark, path, keys)  # v1
+    # re-insert id 2 AFTER the delete: visible again (sequence rule) and
+    # must NOT be retro-emitted as a delete
+    S.append(_batch(spark, [2]), path)  # v2
+    cdc = S.read_changes_cdc(spark, path, -1)
+    assert _ids(cdc.where(F.col(S.CDC_TYPE) == "delete")) == [2, 4]
+    assert _ids(cdc.where(F.col(S.CDC_TYPE) == "insert")) == sorted(
+        list(range(10)) + [2]
+    )
+    assert sorted(_net(cdc)) == _ids(S.read_snapshot(spark, path))
+
+
+def test_cdc_retention_emits_dropped_months_rows(spark, tmp_path):
+    path = str(tmp_path / "t")
+    S.append(_batch(spark, range(6), month=1), path)  # v0 Jan
+    S.append(_batch(spark, range(6, 10), month=2), path)  # v1 Feb
+    S.drop_months(path, "202402")  # v2: Jan dropped
+    cdc = S.read_changes_cdc(spark, path, 1)  # just the retention commit
+    dels = cdc.where(F.col(S.CDC_TYPE) == "delete")
+    assert _ids(dels) == list(range(6))
+    assert cdc.where(F.col(S.CDC_TYPE) == "insert").count() == 0
+
+
+def test_cdc_layout_ops_emit_nothing(spark, tmp_path):
+    path = str(tmp_path / "t")
+    S.append(_batch(spark, range(10)), path)
+    S.append(_batch(spark, range(10, 20)), path)
+    S.delete_where(spark, path, "trade_id = 5")
+    v_before = S.latest_version(path)
+    S.optimize_small_files(spark, path, min_rows=10_000)
+    S.compact_snapshot(spark, path)
+    cdc = S.read_changes_cdc(spark, path, v_before)
+    assert cdc.count() == 0
+    # and the whole-history net still matches the live table (the compact
+    # MATERIALIZED the delete; CDC must not double-emit it)
+    whole = S.read_changes_cdc(spark, path, -1)
+    assert sorted(_net(whole)) == _ids(S.read_snapshot(spark, path))
+
+
+def test_cdc_merge_net_effect_equals_snapshot_diff(spark, tmp_path):
+    path = str(tmp_path / "t")
+    S.append(_batch(spark, range(12)), path)  # v0
+    v0 = S.latest_version(path)
+    src = _batch(spark, [3, 4, 50]).withColumn("price", F.lit(999.0))
+    S.merge_into(spark, path, src, keys=["trade_id"])  # update 3,4; insert 50
+    cdc = S.read_changes_cdc(spark, path, v0)
+    net = _net(cdc)
+    # coarse file-level CDC: unchanged rows appear as paired delete+insert
+    # and cancel; the NET is exactly the merge's insert
+    assert sorted(net) == [50]
+    # updated rows net to zero but their new values are in the inserts
+    upd = cdc.where(
+        (F.col(S.CDC_TYPE) == "insert") & F.col("trade_id").isin(3, 4)
+    )
+    assert {r["price"] for r in upd.collect()} == {999.0}
+
+
+def test_cdc_refuses_rollback(spark, tmp_path):
+    path = str(tmp_path / "t")
+    S.append(_batch(spark, range(5)), path)
+    S.append(_batch(spark, range(5, 9)), path)
+    S.rollback(path, 0)
+    with pytest.raises(ValueError, match="rollback"):
+        S.read_changes_cdc(spark, path, 0)
+
+
+def _sums_expect(spark, path):
+    return sorted(
+        tuple(r)
+        for r in M.final_sums(
+            M.partial_sums(S.read_snapshot(spark, path))
+        ).collect()
+    )
+
+
+def _sums_mv(spark, mv):
+    return sorted(
+        tuple(r)
+        for r in M.read_rollup(spark, mv, final_fn=M.final_sums).collect()
+    )
+
+
+def test_sums_mv_consumes_deletes_without_rebuild(spark, tmp_path):
+    base, mv = str(tmp_path / "base"), str(tmp_path / "mv")
+    S.append(_batch(spark, range(60)), base)
+    M.refresh_rollup(
+        spark, base, mv, partial_fn=M.partial_sums, negate_fn=M.negate_sums
+    )
+    # GDPR-style erasure on the base: position delete AND equality delete
+    S.delete_where(spark, base, "trade_id in (7, 8, 9)")
+    S.delete_by_keys(
+        spark, base, spark.createDataFrame([(10,), (11,)], "trade_id long")
+    )
+    v = M.refresh_rollup(
+        spark, base, mv, partial_fn=M.partial_sums, negate_fn=M.negate_sums
+    )
+    assert v is not None
+    # the refresh APPENDED negative partials — it did not rebuild
+    assert S._version_body(mv, S.latest_version(mv))["op"] == "append"
+    assert _sums_mv(spark, mv) == _sums_expect(spark, base)
+    # steady state and replay safety unchanged
+    assert (
+        M.refresh_rollup(
+            spark, base, mv, partial_fn=M.partial_sums, negate_fn=M.negate_sums
+        )
+        is None
+    )
+
+
+def test_sums_mv_group_fully_deleted_disappears(spark, tmp_path):
+    base, mv = str(tmp_path / "base"), str(tmp_path / "mv")
+    # minute 0 contains exactly ids with i % 3 == 0 pattern; delete ALL of
+    # one group's rows and the group must vanish from the rollup, not
+    # surface as a zero row
+    S.append(_batch(spark, range(30)), base)
+    M.refresh_rollup(
+        spark, base, mv, partial_fn=M.partial_sums, negate_fn=M.negate_sums
+    )
+    S.delete_where(spark, base, "symbol = 'ETH'")
+    M.refresh_rollup(
+        spark, base, mv, partial_fn=M.partial_sums, negate_fn=M.negate_sums
+    )
+    got = _sums_mv(spark, mv)
+    assert got == _sums_expect(spark, base)
+    assert all(r[1] == "BTC" for r in [(None, g[1]) for g in got])
+    # compaction drops the netted-zero partials and preserves reads
+    M.compact_rollup(spark, mv, merge_fn=M.merge_sums)
+    assert _sums_mv(spark, mv) == got
+
+
+def test_non_invertible_mv_survives_compact_without_rebuild(spark, tmp_path):
+    base, mv = str(tmp_path / "base"), str(tmp_path / "mv")
+    S.append(_batch(spark, range(40)), base)
+    M.refresh_rollup(spark, base, mv)  # default partial_bars (non-invertible)
+    S.append(_batch(spark, range(40, 55)), base)
+    S.optimize_small_files(spark, base, min_rows=10_000)  # layout-only op
+    v = M.refresh_rollup(spark, base, mv)
+    assert v is not None
+    # layout ops change no logical rows: the refresh consumed the CDC
+    # inserts and APPENDED — no O(base) rebuild (pre-r10 behavior)
+    assert S._version_body(mv, S.latest_version(mv))["op"] == "append"
+    from crypto_clickhouse_poc_spark.streaming.bars import bars_batch
+
+    expect = sorted(
+        tuple(r)
+        for r in bars_batch(S.read_snapshot(spark, base))
+        .select("minute", "symbol", "open", "high", "low", "close")
+        .collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in M.read_rollup(spark, mv)
+        .select("minute", "symbol", "open", "high", "low", "close")
+        .collect()
+    )
+    assert got == expect
+
+
+def test_non_invertible_mv_still_rebuilds_on_deletes(spark, tmp_path):
+    base, mv = str(tmp_path / "base"), str(tmp_path / "mv")
+    S.append(_batch(spark, range(40)), base)
+    M.refresh_rollup(spark, base, mv)
+    S.delete_where(spark, base, "trade_id < 5")
+    M.refresh_rollup(spark, base, mv)  # no negate_fn -> must rebuild
+    assert S._version_body(mv, S.latest_version(mv))["op"] == "rebuild"
+    from crypto_clickhouse_poc_spark.streaming.bars import bars_batch
+
+    assert sorted(
+        tuple(r) for r in M.read_rollup(spark, mv).collect()
+    ) == sorted(tuple(r) for r in bars_batch(S.read_snapshot(spark, base)).collect())
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_random_op_interleaving_matches_recompute(spark, tmp_path, seed):
+    """Model check: any interleaving of appends / position deletes /
+    eq-deletes / layout ops, refreshed after every step, keeps the sums
+    MV equal to the batch recompute."""
+    rng = random.Random(seed)
+    base, mv = str(tmp_path / "base"), str(tmp_path / "mv")
+    S.append(_batch(spark, range(25)), base)
+    next_id = 25
+    live = list(range(25))
+
+    def refresh():
+        M.refresh_rollup(
+            spark, base, mv, partial_fn=M.partial_sums, negate_fn=M.negate_sums
+        )
+        assert _sums_mv(spark, mv) == _sums_expect(spark, base)
+
+    refresh()
+    for _ in range(8):
+        op = rng.choice(["append", "delete", "eq_delete", "optimize", "compact"])
+        if op == "append":
+            S.append(_batch(spark, range(next_id, next_id + 10)), base)
+            live += list(range(next_id, next_id + 10))
+            next_id += 10
+        elif op == "delete" and live:
+            victims = rng.sample(live, min(3, len(live)))
+            S.delete_where(
+                spark, base, f"trade_id in ({','.join(map(str, victims))})"
+            )
+            live = [i for i in live if i not in victims]
+        elif op == "eq_delete" and live:
+            victims = rng.sample(live, min(2, len(live)))
+            S.delete_by_keys(
+                spark,
+                base,
+                spark.createDataFrame([(v,) for v in victims], "trade_id long"),
+            )
+            live = [i for i in live if i not in victims]
+        elif op == "optimize":
+            S.optimize_small_files(spark, base, min_rows=10_000)
+        elif op == "compact":
+            S.compact_snapshot(spark, base)
+        refresh()

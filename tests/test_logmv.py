@@ -284,14 +284,16 @@ def test_lakehouse_loop_stream_to_log_to_incremental_mv(spark, tmp_path):
     v = M.refresh_rollup(spark, bronze, mv)
     assert S.manifest(mv, v)["op"] == "append"  # steady state: incremental
 
-    # bin-pack bronze's micro-batch debt (>=2 files now): a visibility
-    # rewrite, so the next refresh must detect it and rebuild atomically
+    # bin-pack bronze's micro-batch debt (>=2 files now): a LAYOUT-only
+    # rewrite — r10's op-aware dispatch knows it changes no logical rows,
+    # so the refresh consumes just the post-optimize appends through the
+    # CDC feed and APPENDS (pre-r10 this forced an O(base) rebuild)
     assert S.manifest(bronze, S.latest_version(bronze))["op"] != "optimize"
     opt_v = S.optimize_small_files(spark, bronze, min_rows=10_000_000)
     assert S.manifest(bronze, opt_v)["op"] == "optimize"
     S.append(_more(2_000_000), bronze)  # and new data after it
     v = M.refresh_rollup(spark, bronze, mv)
-    assert S.manifest(mv, v)["op"] == "rebuild"
+    assert S.manifest(mv, v)["op"] == "append"
     assert _rows(M.read_rollup(spark, mv)) == _rows(
         bars_batch(S.read_snapshot(spark, bronze))
     )
@@ -304,7 +306,15 @@ def test_lakehouse_loop_stream_to_log_to_incremental_mv(spark, tmp_path):
     )
 
 
-def test_compact_rollup_conflict_detected(spark, paths, monkeypatch):
+def test_compact_rollup_rebases_over_interleaved_refresh(
+    spark, paths, monkeypatch
+):
+    """r10 contract change (was: CommitConflict): an interleaved refresh
+    is a pure APPEND of partials, logically disjoint from the compact's
+    rewrite — the compact rebases onto it, carrying the new partials and
+    the moved watermark forward, so frequent refreshers can never starve
+    compaction. Reads stay exact; a non-append interleave (another
+    compact) still conflicts — covered in test_commit_rebase."""
     base, mv = paths
     S.append(_batch(spark, range(40)), base)
     M.refresh_rollup(spark, base, mv)
@@ -319,9 +329,118 @@ def test_compact_rollup_conflict_detected(spark, paths, monkeypatch):
         return out
 
     monkeypatch.setattr(S, "_write_txn", interleave)
-    with pytest.raises(S.CommitConflict):
-        M.compact_rollup(spark, mv)
+    v = M.compact_rollup(spark, mv)
     monkeypatch.setattr(S, "_write_txn", orig)
+    assert v == S.latest_version(mv)
+    assert S._version_body(mv, v)["op"] == "compact"
+    assert S.last_txn(mv, "logmv") == S.latest_version(base)
     assert _rows(M.read_rollup(spark, mv)) == _rows(
         bars_batch(S.read_snapshot(spark, base))
     )
+    assert M.refresh_rollup(spark, base, mv) is None  # watermark intact
+
+
+def _hour_rows(df):
+    return sorted(
+        tuple(r)
+        for r in df.select(
+            "hour", "symbol", "open", "high", "low", "close", "volume", "trades"
+        ).collect()
+    )
+
+
+def _hour_batch_expect(spark, base):
+    from pyspark.sql import functions as F
+
+    return _hour_rows(
+        S.read_snapshot(spark, base)
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), "symbol")
+        .agg(
+            F.min_by("price", F.struct("ts", "trade_id")).alias("open"),
+            F.max("price").alias("high"),
+            F.min("price").alias("low"),
+            F.max_by("price", F.struct("ts", "trade_id")).alias("close"),
+            F.sum("qty").alias("volume"),
+            F.count("*").alias("trades"),
+        )
+    )
+
+
+def test_cascade_1m_to_1h_is_incremental_end_to_end(spark, tmp_path):
+    """The multires rollup maintained from the 1m MV's OWN log: after any
+    interleaving of base appends, 1m refreshes and cascade ticks, the 1h
+    read equals the batch hour-OHLCV over the raw trades; every cascade
+    commit is an APPEND of O(new 1m partials)."""
+    base = str(tmp_path / "base")
+    mv1m = str(tmp_path / "mv1m")
+    mv1h = str(tmp_path / "mv1h")
+    # spread trades over 3 hours so the hour grouping is non-trivial
+    for k in range(3):
+        S.append(
+            _batch(spark, range(k * 40, (k + 1) * 40), minute_of=lambda i: (i % 7) * 25),
+            base,
+        )
+        M.refresh_rollup(spark, base, mv1m)
+        v = M.refresh_cascade(spark, mv1m, mv1h)
+        assert v is not None
+        assert S._version_body(mv1h, S.latest_version(mv1h))["op"] == "append"
+        got = _hour_rows(M.read_rollup(spark, mv1h, final_fn=M.reaggregate_hours))
+        assert got == _hour_batch_expect(spark, base)
+    # steady state at BOTH levels
+    assert M.refresh_rollup(spark, base, mv1m) is None
+    assert M.refresh_cascade(spark, mv1m, mv1h) is None
+
+
+def test_cascade_rides_through_1m_compaction_without_rebuild(spark, tmp_path):
+    base = str(tmp_path / "base")
+    mv1m = str(tmp_path / "mv1m")
+    mv1h = str(tmp_path / "mv1h")
+    S.append(_batch(spark, range(50), minute_of=lambda i: (i % 5) * 30), base)
+    M.refresh_rollup(spark, base, mv1m)
+    M.refresh_cascade(spark, mv1m, mv1h)
+    S.append(_batch(spark, range(50, 80), minute_of=lambda i: (i % 5) * 30), base)
+    M.refresh_rollup(spark, base, mv1m)
+    M.compact_rollup(spark, mv1m)  # layout op on the CASCADE's base
+    v = M.refresh_cascade(spark, mv1m, mv1h)
+    assert v is not None
+    # compact is a CDC no-change: the cascade appended, no rebuild
+    assert S._version_body(mv1h, S.latest_version(mv1h))["op"] == "append"
+    assert _hour_rows(
+        M.read_rollup(spark, mv1h, final_fn=M.reaggregate_hours)
+    ) == _hour_batch_expect(spark, base)
+    # compaction of the upper level via the parameterized merge
+    before = _hour_rows(M.read_rollup(spark, mv1h, final_fn=M.reaggregate_hours))
+    M.compact_rollup(spark, mv1h, merge_fn=M.merge_hour_partials, ts_col="hour")
+    assert (
+        _hour_rows(M.read_rollup(spark, mv1h, final_fn=M.reaggregate_hours))
+        == before
+    )
+
+
+def test_cascade_1m_rebuild_degrades_cascade_to_rebuild_then_recovers(
+    spark, tmp_path
+):
+    base = str(tmp_path / "base")
+    mv1m = str(tmp_path / "mv1m")
+    mv1h = str(tmp_path / "mv1h")
+    S.append(_batch(spark, range(40), minute_of=lambda i: (i % 4) * 20), base)
+    M.refresh_rollup(spark, base, mv1m)
+    M.refresh_cascade(spark, mv1m, mv1h)
+    # a delete on the TRADES base forces the 1m MV to rebuild (bars are
+    # non-invertible); the cascade then sees a rebuild op and rebuilds too
+    S.delete_where(spark, base, "trade_id = 3")
+    M.refresh_rollup(spark, base, mv1m)
+    assert S._version_body(mv1m, S.latest_version(mv1m))["op"] == "rebuild"
+    M.refresh_cascade(spark, mv1m, mv1h)
+    assert S._version_body(mv1h, S.latest_version(mv1h))["op"] == "rebuild"
+    assert _hour_rows(
+        M.read_rollup(spark, mv1h, final_fn=M.reaggregate_hours)
+    ) == _hour_batch_expect(spark, base)
+    # and the NEXT tick is incremental again at both levels
+    S.append(_batch(spark, range(100, 120), minute_of=lambda i: (i % 4) * 20), base)
+    M.refresh_rollup(spark, base, mv1m)
+    M.refresh_cascade(spark, mv1m, mv1h)
+    assert S._version_body(mv1h, S.latest_version(mv1h))["op"] == "append"
+    assert _hour_rows(
+        M.read_rollup(spark, mv1h, final_fn=M.reaggregate_hours)
+    ) == _hour_batch_expect(spark, base)

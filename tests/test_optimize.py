@@ -78,7 +78,12 @@ def test_optimize_respects_equality_delete_sequencing(spark, table):
     assert got[13] == 9 and len(got) == 18
 
 
-def test_optimize_conflict_is_detected(spark, table, monkeypatch):
+def test_optimize_rebases_over_a_pure_append(spark, table, monkeypatch):
+    """r10 contract change (was: CommitConflict): a pure-append interleave
+    is logically disjoint from the rewrite — optimize rebases onto it and
+    both commits survive; the appended small file becomes the NEXT
+    optimize's debt. Non-append interleaves still conflict — gated in
+    tests/test_commit_rebase.py."""
     orig = S._write_txn
 
     def interleave(df, path, ts_col, **kw):
@@ -89,11 +94,13 @@ def test_optimize_conflict_is_detected(spark, table, monkeypatch):
         return out
 
     monkeypatch.setattr(S, "_write_txn", interleave)
-    with pytest.raises(S.CommitConflict):
-        S.optimize_small_files(spark, table, min_rows=5)
-    # the interleaver's commit is intact; the orphan rewrite dir is
-    # vacuum's problem, not the table's
-    assert 99 in _ids(S.read_snapshot(spark, table))
+    before = _ids(S.read_snapshot(spark, table))
+    v = S.optimize_small_files(spark, table, min_rows=5)
+    monkeypatch.setattr(S, "_write_txn", orig)
+    assert v == S.latest_version(table)
+    assert S._version_body(table, v)["op"] == "optimize"
+    # nothing lost on either side of the race
+    assert _ids(S.read_snapshot(spark, table)) == sorted(before + [99])
 
 
 def test_optimize_is_a_noop_below_two_small_files(spark, tmp_path):
