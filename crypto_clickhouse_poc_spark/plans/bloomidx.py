@@ -22,8 +22,14 @@ Design — an ADVISORY SIDECAR, not a commit:
   atomic pointer swap.
 - Readers treat the index as a hint keyed by file path: a manifest file
   ABSENT from the index (appended after the build, or never indexed) is
-  always read. Correctness never depends on index freshness; rebuild
+  always read. Correctness never depends on index freshness; maintenance
   cadence is a cost knob, exactly like OPTIMIZE.
+- ``extend_bloom_index`` (r10) keeps maintenance O(new files): it scans
+  only the head files the sidecar never saw and publishes the merged
+  pointer (``dirs`` accumulates one parquet dir per extension; probes
+  union them in the same word-pushed scan). Full rebuild is reserved
+  for saturation (new files outgrowing the built filter size) and key
+  changes — the write-time pattern Delta's bloom index uses.
 - ``read_point`` probes with a word-pushed scan of the sidecar (k words
   of the grid, not the whole index), prunes the manifest's file list,
   and re-applies the equality predicate through the normal DV-aware
@@ -98,37 +104,139 @@ def build_bloom_index(spark: SparkSession, path: str, key_col: str) -> dict | No
     bits = _MIN_BITS
     while bits < min(_MAX_BITS, BITS_PER_KEY * max(1, max_rows)):
         bits <<= 1
-    # null keys contribute no bits; a file holding ONLY nulls is then
-    # absent from the index, and pruning it is correct — an equality
-    # probe can never match null
+    words = _bloom_words(df, key_col, bits)
+    dest = _write_idx_dir(path, key_col, head, words)
+    meta = {
+        "dirs": [dest.name],
+        "version": head,
+        "n_files": len(m["files"]),
+        "bits": bits,
+    }
+    _publish_pointer(path, key_col, meta, supersede=True)
+    return meta
+
+
+def _bloom_words(df: DataFrame, key_col: str, bits: int) -> DataFrame:
+    """(file, word, bits) rows for one scan's key column — the shared
+    kernel of build and extend, so their bit arithmetic can never drift.
+    Null keys contribute no bits; a file holding ONLY nulls is then
+    absent from the index, and pruning it is correct — an equality
+    probe can never match null."""
     pos = df.where(F.col(key_col).isNotNull()).select(
         S._dv_file_expr().alias("file"),
         F.explode(
             bloom_positions(F.col(key_col).cast("string"), bits=bits)
         ).alias("pos"),
     )
-    words = _word_bits(pos).groupBy("file", "word").agg(F.bit_or("bits").alias("bits"))
+    return _word_bits(pos).groupBy("file", "word").agg(
+        F.bit_or("bits").alias("bits")
+    )
+
+
+def _write_idx_dir(path: str, key_col: str, head: int, words: DataFrame) -> Path:
     idx_root = Path(path) / IDX_DIR
     idx_root.mkdir(parents=True, exist_ok=True)
     tmp = idx_root / f".build-{uuid.uuid4().hex[:12]}"
     words.write.mode("error").parquet(str(tmp))
     dest = idx_root / f"bloom-{key_col}-v{head}-{uuid.uuid4().hex[:6]}"
     os.replace(tmp, dest)
-    meta = {"dir": dest.name, "version": head, "n_files": len(m["files"]), "bits": bits}
-    ptr_tmp = idx_root / f".ptr-{uuid.uuid4().hex}"
+    return dest
+
+
+def _dirs_of(meta: dict) -> list[str]:
+    """Pointer-format shim: r9 pointers carried a single ``dir``; r10
+    pointers carry ``dirs`` (base build + extensions)."""
+    if "dirs" in meta:
+        return list(meta["dirs"])
+    return [meta["dir"]] if meta.get("dir") else []
+
+
+def _publish_pointer(
+    path: str, key_col: str, meta: dict, supersede: bool
+) -> None:
+    """Atomic pointer swap with a one-generation grace window: a REBUILD
+    (``supersede=True``) records the old build's dirs as ``prev`` — a
+    reader holding the old pointer may still be scanning them — and
+    deletes only the GRANDPARENT generation (the same retention idea
+    vacuum applies to data files, at depth 1). An EXTENSION does not
+    supersede anything: the old dirs stay part of the live index and
+    ``prev`` carries over unchanged."""
+    idx_root = Path(path) / IDX_DIR
     old = _pointer(path, key_col)
     old_meta = json.loads(old.read_text()) if old.exists() else {}
-    # one-generation grace window: keep the directly superseded build on
-    # disk (a reader holding the old pointer may still be scanning it)
-    # and delete only the GRANDPARENT — the same retention idea vacuum
-    # applies to data files, at depth 1
-    meta["prev"] = old_meta.get("dir")
+    old_prev = old_meta.get("prev")
+    old_prev = (
+        [old_prev] if isinstance(old_prev, str) else list(old_prev or [])
+    )
+    if supersede:
+        meta["prev"] = _dirs_of(old_meta)
+        doomed = old_prev
+    else:
+        meta["prev"] = old_prev
+        doomed = []
+    ptr_tmp = idx_root / f".ptr-{uuid.uuid4().hex}"
     ptr_tmp.write_text(json.dumps(meta))
     os.replace(ptr_tmp, old)
-    grandparent = old_meta.get("prev")
-    if grandparent and grandparent not in (dest.name, meta["prev"]):
-        shutil.rmtree(idx_root / grandparent, ignore_errors=True)
-    return meta
+    live = set(meta["dirs"]) | set(meta["prev"])
+    for g in doomed:
+        if g not in live:
+            shutil.rmtree(idx_root / g, ignore_errors=True)
+
+
+def extend_bloom_index(spark: SparkSession, path: str, key_col: str) -> dict | None:
+    """Incrementally index ONLY the head files the sidecar has never seen
+    — O(new files), the write-time pattern Delta's bloom index uses —
+    and publish the merged pointer atomically. Returns the new pointer
+    meta, ``None`` when the index already covers the head (steady state:
+    two manifest reads, no Spark job), or delegates to
+    :func:`build_bloom_index` when there is no index yet or the new
+    files OUTGROW the built filter size (a fixed-size filter silently
+    saturates into all-maybe — the measured failure the auto-sizing in
+    build exists for; extension must never un-size it).
+
+    The coverage contract is unchanged: after publishing, a file is
+    prunable iff it is in the pointer ``version``'s manifest (now the
+    current head), and files absent from the index dirs within that
+    coverage are null-only files, prunable by construction. Probes union
+    all dirs in one word-pushed scan."""
+    head = S.latest_version(path)
+    if head is None:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    ptr = _pointer(path, key_col)
+    if not ptr.exists():
+        return build_bloom_index(spark, path, key_col)
+    meta = json.loads(ptr.read_text())
+    m = S.manifest(path, head)
+    if not m["files"]:
+        return None  # empty head — existing pointer left in place
+    covered = {f["path"] for f in S.manifest(path, meta["version"])["files"]}
+    new_files = [f for f in m["files"] if f["path"] not in covered]
+    if not new_files:
+        return None  # head ⊆ coverage (or equal) — nothing to do
+    bits = meta.get("bits", _MIN_BITS)
+    max_rows = max((f.get("rows", 0) for f in new_files), default=0)
+    if BITS_PER_KEY * max(1, max_rows) > bits and bits < _MAX_BITS:
+        # a new file would saturate the existing filter size: re-size by
+        # full rebuild (reserved for exactly this and key changes)
+        return build_bloom_index(spark, path, key_col)
+    df = S._read_files(spark, path, new_files, merge_schema=True)
+    kind = df.schema[key_col].dataType.typeName()
+    if kind not in ("integer", "long", "short", "byte", "string", "date"):
+        raise TypeError(
+            f"bloom index key {key_col} has type {kind}: float/decimal/"
+            "timestamp keys render differently in Python str() and Spark "
+            "CAST AS STRING, so the probe could false-negative — index an "
+            "integral/string key instead"
+        )
+    dest = _write_idx_dir(path, key_col, head, _bloom_words(df, key_col, bits))
+    new_meta = {
+        "dirs": _dirs_of(meta) + [dest.name],
+        "version": head,
+        "n_files": len(m["files"]),
+        "bits": bits,
+    }
+    _publish_pointer(path, key_col, new_meta, supersede=False)
+    return new_meta
 
 
 def _need_words(value, bits: int) -> dict[int, int]:
@@ -167,7 +275,9 @@ def _maybe_files(
     all_words = {w for need in needs.values() for w in need}
     if not all_words:
         return set(), meta
-    idx = spark.read.parquet(str(Path(path) / IDX_DIR / meta["dir"]))
+    idx = spark.read.parquet(
+        *[str(Path(path) / IDX_DIR / d) for d in _dirs_of(meta)]
+    )
     rows = (
         idx.where(F.col("word").isin(*[int(w) for w in all_words]))
         .select("file", "word", "bits")
@@ -192,15 +302,17 @@ def _maybe_files(
 def maybe_rebuild_bloom_index(
     spark: SparkSession, path: str, key_col: str, max_stale_files: int = 16
 ) -> dict | None:
-    """Rebuild POLICY (the twin of ``snapshots.maybe_compact_snapshot``):
+    """Maintenance POLICY (the twin of ``snapshots.maybe_compact_snapshot``):
     every head file the index never saw is read UNPRUNED by point
     lookups, so staleness degrades the index gracefully toward a full
     scan. When more than ``max_stale_files`` of the head's files are
     outside the indexed version's manifest (post-build appends, rollback
-    re-exposures), or no index exists yet, rebuild at the current head.
-    The check is two manifest reads + one pointer read — no Spark job
-    when under threshold. Returns the new pointer, or None if fresh
-    enough (or the head is empty)."""
+    re-exposures), EXTEND the index over just those files (r10 —
+    O(new files), never the O(table) rescan; ``extend_bloom_index``
+    itself escalates to a full rebuild only on saturation or a missing
+    index). The under-threshold check is two manifest reads + one
+    pointer read — no Spark job. Returns the new pointer, or None if
+    fresh enough (or the head is empty)."""
     head = S.latest_version(path)
     if head is None:
         raise FileNotFoundError(f"no snapshots at {path}")
@@ -213,6 +325,7 @@ def maybe_rebuild_bloom_index(
         )
         if stale <= max_stale_files:
             return None
+        return extend_bloom_index(spark, path, key_col)
     return build_bloom_index(spark, path, key_col)
 
 

@@ -156,10 +156,76 @@ def test_superseded_index_gets_one_generation_grace(spark, table):
     from pathlib import Path
 
     root = Path(table) / B.IDX_DIR
-    assert (root / m1["dir"]).exists()  # parent kept for in-flight readers
+    d1, d2 = B._dirs_of(m1)[0], B._dirs_of(m2)[0]
+    assert (root / d1).exists()  # parent kept for in-flight readers
     m3 = B.build_bloom_index(spark, table, "trade_id")
-    assert not (root / m1["dir"]).exists()  # grandparent swept
-    assert (root / m2["dir"]).exists() and (root / m3["dir"]).exists()
+    assert not (root / d1).exists()  # grandparent swept
+    assert (root / d2).exists() and (root / B._dirs_of(m3)[0]).exists()
+
+
+def test_extend_indexes_only_new_files_and_keeps_lookups_exact(
+    spark, table, monkeypatch
+):
+    """The incremental-maintenance gate (r9 verdict item #3): extension
+    scans ONLY manifest files absent from the sidecar — O(new files),
+    never the O(table) rescan — and index-covered point lookups are
+    identical before/after."""
+    B.build_bloom_index(spark, table, "trade_id")
+    before = sorted(
+        map(tuple, B.read_point(spark, table, "trade_id", 57).collect())
+    )
+    S.append(_batch(spark, 4, range(200, 220)), table)  # April, new files
+    scanned = []
+    real = B.S._read_files
+    monkeypatch.setattr(
+        B.S,
+        "_read_files",
+        lambda sp, p, files, **kw: scanned.append([f["path"] for f in files])
+        or real(sp, p, files, **kw),
+    )
+    meta = B.extend_bloom_index(spark, table, "trade_id")
+    monkeypatch.undo()
+    assert meta is not None and meta["version"] == S.latest_version(table)
+    # exactly one scan, of exactly the post-build files (April only)
+    assert len(scanned) == 1
+    assert all("p_month=202404" in p for p in scanned[0]), scanned[0]
+    # extension is covering: the new key is now PRUNED-lookup-served
+    hit = B.read_point(spark, table, "trade_id", 205)
+    assert [r.trade_id for r in hit.collect()] == [205]
+    n_all = len(S.read_snapshot(spark, table).inputFiles())
+    assert len(hit.inputFiles()) < n_all
+    # pre-existing lookups unchanged
+    assert (
+        sorted(map(tuple, B.read_point(spark, table, "trade_id", 57).collect()))
+        == before
+    )
+    # steady state: nothing new -> no-op, no Spark job needed
+    assert B.extend_bloom_index(spark, table, "trade_id") is None
+
+
+def test_extend_escalates_to_rebuild_on_saturation(spark, table, monkeypatch):
+    """New files bigger than the built filter can absorb must trigger a
+    full re-sized rebuild — extension must never silently saturate."""
+    B.build_bloom_index(spark, table, "trade_id")
+    import json as _json
+
+    ptr = B._pointer(table, "trade_id")
+    meta = _json.loads(ptr.read_text())
+    assert meta["bits"] == B._MIN_BITS  # 40-row files -> floor size
+    # an append big enough that BITS_PER_KEY * rows > _MIN_BITS
+    n = B._MIN_BITS // B.BITS_PER_KEY + 10
+    S.append(_batch(spark, 5, range(1000, 1000 + n)), table)
+    calls = []
+    real_build = B.build_bloom_index
+    monkeypatch.setattr(
+        B,
+        "build_bloom_index",
+        lambda *a, **kw: calls.append(1) or real_build(*a, **kw),
+    )
+    m2 = B.extend_bloom_index(spark, table, "trade_id")
+    assert calls == [1]  # escalated
+    assert m2["bits"] > B._MIN_BITS
+    assert B.read_point(spark, table, "trade_id", 1001).count() == 1
 
 
 def test_maybe_rebuild_policy(spark, table):
