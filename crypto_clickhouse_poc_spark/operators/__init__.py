@@ -25,6 +25,7 @@ from . import (
     cms,
     curation,
     dedup,
+    dsir,
     embed,
     freq,
     multimodal,
@@ -49,6 +50,7 @@ _MODULES = (
     text,
     bpe,
     dedup,
+    dsir,
     bloom,
     cms,
     similarity,

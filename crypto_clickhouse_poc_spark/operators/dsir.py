@@ -1,0 +1,161 @@
+"""DSIR-style data selection: importance weights over hashed n-gram buckets.
+
+Xie et al. 2023, "Data Selection for Language Models via Importance
+Resampling" (arXiv:2302.03169): estimate how target-like each raw document
+is by fitting two bag-of-hashed-ngrams unigram models — one on a TARGET
+sample, one on the RAW corpus — and weighting every document by
+
+    log w(x) = sum_b  count_b(x) * ( log p_target(b) - log p_raw(b) )
+
+where ``b`` ranges over ``DSIR_BUCKETS`` hash buckets (the paper's hashed
+n-gram features; unigrams here) and both models are add-1 smoothed. Docs
+whose token distribution matches the target score high; selection then
+keeps the top of the weight ranking (the paper resamples with Gumbel
+noise — the deterministic top-k variant is the same ordering).
+
+This is the data-selection operator the LLM-pipeline family otherwise
+lacks: quality filters (doc_quality_verdict) judge documents in isolation;
+DSIR judges them against a DISTRIBUTION ("more like Wikipedia, less like
+raw crawl"). The target here is the fixture's ``lang = 'en'`` slice — the
+stand-in for "the high-quality domain sample".
+
+Spark shape (one explode + three map-side-combined aggregates, no UDFs):
+
+1. tokens -> (doc, lang, bucket, n) partials — the ONLY data-sized
+   shuffle, keyed (doc_id, bucket), map-side combined to the doc's
+   distinct-bucket count (<= DSIR_BUCKETS per doc);
+2. bucket stats: one <=DSIR_BUCKETS-row aggregate computing raw and
+   target counts TOGETHER (the target model is a conditional sum — one
+   pass, not two corpus scans over separate frames);
+3. totals: a 1-row aggregate, broadcast back;
+4. weights: per-doc sum of n * score(bucket) through a broadcast join of
+   the <=DSIR_BUCKETS-row score table.
+
+At 100 TB: stage 1 is the scan + one bounded-key shuffle; everything
+after it is metadata-sized. The md5-prefix bucket arithmetic is the
+repo's established SQL-replayable hashing (text.doc_hash_embed), so the
+whole operator is DuckDB-oracle-EXACT — no other learned-encoder scoring
+path in the pipeline family can claim that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load
+
+DSIR_BUCKETS = 64
+DSIR_TARGET_LANG = "en"
+
+
+def _bucket(col):
+    return (
+        F.conv(F.substring(F.md5(col), 1, 4), 16, 10).cast("int")
+        % DSIR_BUCKETS
+    )
+
+
+def dsir_weights_frame(
+    docs: DataFrame, target_pred=None, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, dsir_logw) for an arbitrary documents frame.
+
+    ``target_pred`` is the boolean Column selecting the target sample
+    (default: ``lang = DSIR_TARGET_LANG``). Factored out of the query so
+    the planted-shift gate can run it on synthetic corpora."""
+    if target_pred is None:
+        target_pred = F.col("lang") == DSIR_TARGET_LANG
+    d = docs.select(
+        "doc_id",
+        target_pred.alias("_tgt"),
+        F.coalesce(
+            F.split(F.col(text_col), " "), F.array().cast("array<string>")
+        ).alias("w"),
+    )
+    # explode_outer keeps token-less docs as one NULL-token row, so every
+    # doc surfaces in the output (weight 0) without a join-back later
+    toks = d.select("doc_id", "_tgt", F.explode_outer("w").alias("t"))
+    per = toks.groupBy(
+        "doc_id",
+        "_tgt",
+        F.when(F.col("t").isNotNull(), _bucket(F.col("t"))).alias("b"),
+    ).agg(F.count("t").alias("n"))  # count(t) skips the NULL-token rows
+    stats = (
+        per.where(F.col("b").isNotNull())
+        .groupBy("b")
+        .agg(
+            F.sum("n").alias("raw_n"),
+            F.sum(F.when(F.col("_tgt"), F.col("n")).otherwise(F.lit(0))).alias(
+                "tgt_n"
+            ),
+        )
+    )
+    tot = stats.agg(
+        F.sum("raw_n").alias("raw_tot"), F.sum("tgt_n").alias("tgt_tot")
+    )
+    score = stats.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("tgt_n") + 1) / (F.col("tgt_tot") + DSIR_BUCKETS))
+            - F.log((F.col("raw_n") + 1) / (F.col("raw_tot") + DSIR_BUCKETS))
+        ).alias("s"),
+    )
+    return (
+        per.join(F.broadcast(score), "b", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.coalesce(F.col("s"), F.lit(0.0)) * F.col("n")), 6
+            ).alias("dsir_logw")
+        )
+    )
+
+
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance weight against the ``lang='en'``
+    target slice. Higher = more target-like; feed to top-k selection or
+    weighted sampling (``corpus_mix``-style threshold pass)."""
+    return dsir_weights_frame(load(spark, sf_dir, "documents"))
+
+
+QUERIES = {"corpus_dsir_weights": corpus_dsir_weights}
+
+ORACLES = {
+    "corpus_dsir_weights": f"""
+        WITH docs AS (
+          SELECT doc_id, lang = '{DSIR_TARGET_LANG}' AS tgt,
+                 CASE WHEN text IS NULL THEN []
+                      ELSE string_split(text, ' ') END AS w
+          FROM documents
+        ),
+        toks AS (SELECT doc_id, tgt, unnest(w) AS t FROM docs),
+        per AS (
+          SELECT doc_id, tgt,
+                 CAST(concat('0x', substring(md5(t), 1, 4)) AS INTEGER)
+                   % {DSIR_BUCKETS} AS b,
+                 count(*) AS n
+          FROM toks GROUP BY 1, 2, 3
+        ),
+        stats AS (
+          SELECT b, sum(n) AS raw_n,
+                 sum(CASE WHEN tgt THEN n ELSE 0 END) AS tgt_n
+          FROM per GROUP BY 1
+        ),
+        tot AS (
+          SELECT sum(raw_n) AS raw_tot, sum(tgt_n) AS tgt_tot FROM stats
+        ),
+        score AS (
+          SELECT b,
+                 ln((tgt_n + 1.0) / (tgt_tot + {DSIR_BUCKETS}))
+               - ln((raw_n + 1.0) / (raw_tot + {DSIR_BUCKETS})) AS s
+          FROM stats CROSS JOIN tot
+        ),
+        dw AS (
+          SELECT doc_id, sum(s * n) AS lw
+          FROM per JOIN score USING (b) GROUP BY 1
+        )
+        SELECT d.doc_id, round(coalesce(dw.lw, 0.0), 6) AS dsir_logw
+        FROM documents d LEFT JOIN dw ON d.doc_id = dw.doc_id
+    """,
+}
