@@ -110,6 +110,10 @@ BENCH_QUERIES = [
     # histogram-quantile partials MV
     "ev_skip_pruned",
     "quantile_partials_replay",
+    # r10: context-window chunking, CMS frequency grid, DSIR selection
+    "doc_chunks",
+    "corpus_cms_freq",
+    "corpus_dsir_weights",
 ]
 
 

@@ -329,6 +329,27 @@ def maybe_rebuild_bloom_index(
     return build_bloom_index(spark, path, key_col)
 
 
+def prune_file_list(
+    spark: SparkSession, path: str, key_col: str, values: list, files: list[dict]
+) -> list[dict]:
+    """Advisory prune of an ARBITRARY manifest file list: drop the files
+    the index provably rules out for every probe value; files outside the
+    indexed version's coverage are always kept (same exactness contract
+    as :func:`read_points`, factored out so other metadata-driven scans —
+    the CDC feed's eq-delete branch — can prune with the same sidecar).
+    With no index published, returns ``files`` unchanged."""
+    probed = _maybe_files(spark, path, key_col, values)
+    if probed is None:
+        return files
+    maybe, meta = probed
+    covered = {f["path"] for f in S.manifest(path, meta["version"])["files"]}
+    return [
+        f
+        for f in files
+        if f["path"] not in covered or f["path"] in maybe
+    ]
+
+
 def read_points(
     spark: SparkSession, path: str, key_col: str, values: list
 ) -> DataFrame:
@@ -348,19 +369,9 @@ def read_points(
     if head is None:
         raise FileNotFoundError(f"no snapshots at {path}")
     m = S.manifest(path, head)
-    probed = _maybe_files(spark, path, key_col, values)
-    if probed is None:
-        files = m["files"]
-    else:
-        maybe, meta = probed
-        covered = {f["path"] for f in S.manifest(path, meta["version"])["files"]}
-        files = [
-            f
-            for f in m["files"]
-            # not in the build's manifest (post-build append, rollback
-            # re-exposure): the index knows nothing about it -> read
-            if f["path"] not in covered or f["path"] in maybe
-        ]
+    # files not in the indexed version's manifest (post-build append,
+    # rollback re-exposure) are kept: the index knows nothing about them
+    files = prune_file_list(spark, path, key_col, values, m["files"])
     wanted = [str(v) for v in values]
     if not files:
         return (

@@ -672,11 +672,13 @@ def _current_files(path: str) -> list[dict]:
 
 def last_txn(path: str, app: str) -> int | None:
     """The idempotent-writer watermark for ``app`` — highest batch id ever
-    committed under it (read from the head manifest, O(1))."""
+    committed under it. Raw head body only: ``txns`` is always inline, so
+    an MV's steady-state poll costs zero shard splices (the r9 verdict's
+    per-MV-per-tick note)."""
     head = latest_version(path)
     if head is None:
         return None
-    return manifest(path, head).get("txns", {}).get(app)
+    return _version_body(path, head).get("txns", {}).get(app)
 
 
 def append(
@@ -800,6 +802,30 @@ _CDC_DELETING = ("delete", "eq_delete", "retention", "merge")
 _CDC_COVERED = ("append",) + _CDC_DELETING + _CDC_NO_CHANGE
 
 
+# cap on driver-side key materialization for the CDC bloom prune: an
+# eq-delete's keys are small by delete_by_keys's contract (O(keys) is the
+# op's point); a pathological multi-million-key delete just skips pruning
+_CDC_BLOOM_MAX_KEYS = 4096
+
+
+def _bloom_prune_files(
+    spark: SparkSession, path: str, key_col: str, kdf: DataFrame, files: list[dict]
+) -> list[dict]:
+    """Prune a pre-delete scan's file list through the advisory per-file
+    Bloom sidecar, when one exists for ``key_col``. Deferred import:
+    bloomidx imports this module at its top level."""
+    from . import bloomidx
+
+    if not bloomidx._pointer(path, key_col).exists():
+        return files
+    rows = kdf.select(key_col).limit(_CDC_BLOOM_MAX_KEYS + 1).collect()
+    if len(rows) > _CDC_BLOOM_MAX_KEYS:
+        return files
+    return bloomidx.prune_file_list(
+        spark, path, key_col, [r[0] for r in rows], files
+    )
+
+
 def read_changes_cdc(
     spark: SparkSession,
     path: str,
@@ -824,8 +850,12 @@ def read_changes_cdc(
     files; eq_delete is the exception — emitting the deleted ROWS needs a
     key semi-join against snapshot(v-1), one broadcast-key scan of the
     pre-delete snapshot (the keys alone don't carry the group columns a
-    consumer folds by). Consumers that only ever see appends should stay
-    on :func:`read_changes` (zero manifest loads beyond the two ends)."""
+    consumer folds by). When a per-file Bloom sidecar exists on the
+    delete's key column (plans/bloomidx), that scan is PRUNED to the
+    files that may contain a key — the erasure-on-an-indexed-key case
+    drops from O(base) to O(files holding victims). Consumers that only
+    ever see appends should stay on :func:`read_changes` (zero manifest
+    loads beyond the two ends)."""
     head = latest_version(path)
     if head is None:
         raise FileNotFoundError(f"no snapshots at {path}")
@@ -900,7 +930,7 @@ def read_changes_cdc(
                 if e["path"] not in prev
             ]
             if new_eq:
-                base = read_snapshot(spark, path, version=v - 1)
+                m_prev = manifest(path, v - 1)
                 # one semi-join per key-column set; a commit's entries share
                 # cols (one delete_by_keys call), so this is one join in
                 # practice — union the key files first to keep it that way
@@ -911,6 +941,25 @@ def read_changes_cdc(
                     kdf = spark.read.parquet(
                         *[str(Path(path) / p) for p in kpaths]
                     )
+                    # the pre-delete scan is this feed's one documented
+                    # O(base) leg; a per-file Bloom sidecar on the key
+                    # column (plans/bloomidx) prunes it to the files
+                    # that MAY contain a key — advisory, never changes
+                    # the result (false positives read a useless file,
+                    # false negatives are impossible by construction)
+                    files = m_prev["files"]
+                    if len(cols) == 1:
+                        files = _bloom_prune_files(
+                            spark, path, cols[0], kdf, files
+                        )
+                    if not files:
+                        continue  # every file provably lacks every key
+                    base = _apply_dvs(
+                        spark,
+                        _read_files(spark, path, files, merge_schema=True),
+                        m_prev,
+                        path,
+                    ).drop(TXN_COL)
                     _tag(
                         base.join(F.broadcast(kdf), list(cols), "left_semi"),
                         "delete",

@@ -110,6 +110,47 @@ def test_cdc_eq_delete_emits_matching_rows_and_respects_sequencing(
     assert sorted(_net(cdc)) == _ids(S.read_snapshot(spark, path))
 
 
+def test_cdc_eq_delete_scan_is_bloom_pruned_when_index_exists(
+    spark, tmp_path, monkeypatch
+):
+    """The eq-delete branch is the feed's one O(base) leg; with a Bloom
+    sidecar on the key column it must scan ONLY the files that may hold a
+    victim — and the emitted rows stay exact."""
+    from crypto_clickhouse_poc_spark.plans import bloomidx as B
+
+    path = str(tmp_path / "t")
+    S.append(_batch(spark, range(10), month=1), path)
+    S.append(_batch(spark, range(10, 20), month=2), path)
+    S.append(_batch(spark, range(20, 30), month=3), path)
+    B.build_bloom_index(spark, path, "trade_id")
+    v0 = S.latest_version(path)
+    S.delete_by_keys(
+        spark, path, spark.createDataFrame([(14,)], "trade_id long")
+    )
+    scanned: list[list[str]] = []
+    real = S._read_files
+    monkeypatch.setattr(
+        S,
+        "_read_files",
+        lambda sp, p, files, **kw: scanned.append([f["path"] for f in files])
+        or real(sp, p, files, **kw),
+    )
+    cdc = S.read_changes_cdc(spark, path, v0)
+    dels = cdc.where(F.col(S.CDC_TYPE) == "delete").collect()
+    monkeypatch.undo()
+    assert [r["trade_id"] for r in dels] == [14]
+    # one pre-delete scan, pruned to the single month-2 file
+    eq_scans = [s for s in scanned if s]
+    assert len(eq_scans) == 1 and len(eq_scans[0]) == 1
+    assert "p_month=202402" in eq_scans[0][0]
+    # and a key NO file can contain prunes the scan away entirely
+    S.delete_by_keys(
+        spark, path, spark.createDataFrame([(999_999,)], "trade_id long")
+    )
+    cdc2 = S.read_changes_cdc(spark, path, v0 + 1)
+    assert cdc2.count() == 0
+
+
 def test_cdc_retention_emits_dropped_months_rows(spark, tmp_path):
     path = str(tmp_path / "t")
     S.append(_batch(spark, range(6), month=1), path)  # v0 Jan

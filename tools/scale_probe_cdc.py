@@ -80,8 +80,10 @@ def main():
         .config("spark.sql.shuffle.partitions", "8")
         .getOrCreate()
     )
-    small = run(spark, 200_000)
-    big = run(spark, 2_000_000)
+    # 1M/10M (not the other probes' 200k/2M): at 2M rows the fixed Spark
+    # overhead still dominates a full rebuild, hiding its O(base) slope
+    small = run(spark, 1_000_000)
+    big = run(spark, 10_000_000)
     print(
         json.dumps(
             {
