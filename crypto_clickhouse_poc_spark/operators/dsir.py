@@ -43,6 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import bounded_cache
 from ..tables import load
 
 DSIR_BUCKETS = 64
@@ -81,6 +82,12 @@ def dsir_weights_frame(
         "_tgt",
         F.when(F.col("t").isNotNull(), _bucket(F.col("t"))).alias("b"),
     ).agg(F.count("t").alias("n"))  # count(t) skips the NULL-token rows
+    # three consumers reference this subplan (bucket stats, totals, the
+    # per-doc weights) — uncached, Catalyst re-derives it per branch and
+    # the corpus is SCANNED THREE TIMES (observed in the generated plan).
+    # bounded_cache is the repo's LSH-established answer: at most one
+    # live cache per call site, ≤ DSIR_BUCKETS rows per doc cached.
+    per = bounded_cache("dsir_per", per)
     stats = (
         per.where(F.col("b").isNotNull())
         .groupBy("b")

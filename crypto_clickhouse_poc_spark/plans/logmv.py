@@ -241,6 +241,14 @@ def refresh_rollup(
     if ops <= {"append"}:
         delta = S.read_changes(spark, base_path, since, head)
         parts = partial_fn(delta)
+    elif consumed is None:
+        # an UNINITIALIZED MV over a base with history: replaying every
+        # insert-and-retraction ever through CDC computes the same state
+        # as one snapshot read — rebuild IS the cheap path here, not the
+        # degradation (it reads current visibility once)
+        return rebuild_rollup(
+            spark, base_path, mv_path, partial_fn, app, ts_col=ts_col
+        )
     elif not ops <= set(S._CDC_COVERED) or (deleting and negate_fn is None):
         # visibility rewrite in range, or retractions the algebra can't
         # absorb -> one full recompute, watermark moved in the same commit

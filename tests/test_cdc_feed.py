@@ -269,6 +269,30 @@ def test_sums_mv_group_fully_deleted_disappears(spark, tmp_path):
     assert _sums_mv(spark, mv) == got
 
 
+def test_uninitialized_mv_over_deleted_history_rebuilds_not_replays(
+    spark, tmp_path
+):
+    """First materialization of an MV over a base that already has delete
+    history: one snapshot read (rebuild) equals — and is strictly cheaper
+    than — replaying every insert and retraction ever through CDC."""
+    base, mv = str(tmp_path / "base"), str(tmp_path / "mv")
+    S.append(_batch(spark, range(30)), base)
+    S.delete_where(spark, base, "trade_id < 3")
+    S.append(_batch(spark, range(30, 40)), base)
+    v = M.refresh_rollup(
+        spark, base, mv, partial_fn=M.partial_sums, negate_fn=M.negate_sums
+    )
+    assert S._version_body(mv, v)["op"] == "rebuild"
+    assert _sums_mv(spark, mv) == _sums_expect(spark, base)
+    # and the next delete IS consumed incrementally (watermark in place)
+    S.delete_where(spark, base, "trade_id = 35")
+    M.refresh_rollup(
+        spark, base, mv, partial_fn=M.partial_sums, negate_fn=M.negate_sums
+    )
+    assert S._version_body(mv, S.latest_version(mv))["op"] == "append"
+    assert _sums_mv(spark, mv) == _sums_expect(spark, base)
+
+
 def test_non_invertible_mv_survives_compact_without_rebuild(spark, tmp_path):
     base, mv = str(tmp_path / "base"), str(tmp_path / "mv")
     S.append(_batch(spark, range(40)), base)

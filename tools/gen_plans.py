@@ -95,6 +95,17 @@ SECTIONS = [
         "broadcast vocabulary join + hash agg; segmentation cost lives on "
         "the DISTINCT-word table, not the corpus.",
     ),
+    (
+        "doc_chunks",
+        "r10-declared context-window chunking: ONE scan + posexplode with "
+        "the token array riding along — zero exchanges end to end.",
+    ),
+    (
+        "corpus_dsir_weights",
+        "r10 DSIR importance weights: one explode + (doc,bucket)-keyed "
+        "map-side-combined agg; the bucket stats/totals/scores are "
+        "<=64-row broadcasts, so the only data-sized stage is the scan.",
+    ),
 ]
 
 
