@@ -126,7 +126,29 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_weights_frame(load(spark, sf_dir, "documents"))
 
 
-QUERIES = {"corpus_dsir_weights": corpus_dsir_weights}
+DSIR_SELECT_N = 100
+
+
+def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The selection step: the ``DSIR_SELECT_N`` most target-like docs by
+    importance weight (deterministic tie-break on doc_id — the paper
+    resamples with Gumbel noise; the top-k variant is the same ordering
+    and is SQL-replayable). One broadcast-sized TakeOrdered over the
+    weights frame joined back to the doc metadata; the heavy lifting is
+    all in :func:`dsir_weights_frame`."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    w = dsir_weights_frame(load(spark, sf_dir, "documents"))
+    return (
+        w.join(docs, "doc_id")
+        .orderBy(F.col("dsir_logw").desc(), "doc_id")
+        .limit(DSIR_SELECT_N)
+    )
+
+
+QUERIES = {
+    "corpus_dsir_weights": corpus_dsir_weights,
+    "corpus_dsir_select": corpus_dsir_select,
+}
 
 ORACLES = {
     "corpus_dsir_weights": f"""
@@ -166,3 +188,12 @@ ORACLES = {
         FROM documents d LEFT JOIN dw ON d.doc_id = dw.doc_id
     """,
 }
+
+# the selection query's oracle reuses the weights oracle as a CTE
+ORACLES["corpus_dsir_select"] = f"""
+    WITH weights AS ( {ORACLES["corpus_dsir_weights"]} )
+    SELECT w.doc_id, w.dsir_logw, d.lang, d.n_chars
+    FROM weights w JOIN documents d ON w.doc_id = d.doc_id
+    ORDER BY w.dsir_logw DESC, w.doc_id
+    LIMIT {DSIR_SELECT_N}
+"""

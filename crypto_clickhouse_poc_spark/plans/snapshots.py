@@ -847,7 +847,9 @@ def read_changes_cdc(
     Costs, per covered commit — never O(table) except the documented one:
     appends read only the added files; position deletes read only the
     files the new DVs name; retention/merge read only the removed/added
-    files; eq_delete is the exception — emitting the deleted ROWS needs a
+    files (a range reaching behind the vacuum retention window may
+    reference swept files and fails loudly — the same contract time
+    travel has); eq_delete is the exception — emitting the deleted ROWS needs a
     key semi-join against snapshot(v-1), one broadcast-key scan of the
     pre-delete snapshot (the keys alone don't carry the group columns a
     consumer folds by). When a per-file Bloom sidecar exists on the
@@ -886,7 +888,9 @@ def read_changes_cdc(
                 _tag(_read_files(spark, path, added, merge_schema=True), "insert", v)
         if op in ("merge", "retention"):
             m_v = manifest(path, v)
-            m_prev = manifest(path, v - 1)
+            # v0 can be a non-append (drop_months initializes a path):
+            # nothing exists before it, so nothing was removed by it
+            m_prev = {"files": []} if v == 0 else manifest(path, v - 1)
             now = {f["path"] for f in m_v["files"]}
             removed = [f for f in m_prev["files"] if f["path"] not in now]
             if removed:
@@ -901,7 +905,11 @@ def read_changes_cdc(
                 )
                 _tag(gone, "delete", v)
         elif op == "delete":
-            prev = {e["path"] for e in _version_body(path, v - 1).get("dvs", [])}
+            prev = (
+                set()
+                if v == 0
+                else {e["path"] for e in _version_body(path, v - 1).get("dvs", [])}
+            )
             new_dvs = [
                 e for e in _version_body(path, v)["dvs"] if e["path"] not in prev
             ]
@@ -923,13 +931,17 @@ def read_changes_cdc(
                 ).drop(_DV_FILE, _DV_POS)
                 _tag(hit, "delete", v)
         elif op == "eq_delete":
-            prev = {e["path"] for e in _version_body(path, v - 1).get("eq_dvs", [])}
+            prev = (
+                set()
+                if v == 0
+                else {e["path"] for e in _version_body(path, v - 1).get("eq_dvs", [])}
+            )
             new_eq = [
                 e
                 for e in _version_body(path, v)["eq_dvs"]
                 if e["path"] not in prev
             ]
-            if new_eq:
+            if new_eq and v > 0:  # nothing is visible before v0
                 m_prev = manifest(path, v - 1)
                 # one semi-join per key-column set; a commit's entries share
                 # cols (one delete_by_keys call), so this is one join in
