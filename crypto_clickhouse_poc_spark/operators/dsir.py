@@ -145,9 +145,51 @@ def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DSIR_KEEP_FRAC = 0.2  # keep the top-20% most target-like docs per stratum
+
+
+def corpus_dsir_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted mixing: within each language stratum, keep the
+    docs whose DSIR weight clears the stratum's 1-``DSIR_KEEP_FRAC``
+    percentile — ``corpus_mix``'s stratified downsampling with the
+    random hash order replaced by the importance ranking (the paper's
+    selection step applied per stratum). Output is the per-stratum
+    accounting: available, kept, the threshold, and the kept mean weight.
+
+    Threshold via EXACT ``F.percentile`` for oracle parity (the repo's
+    ev_price_quantiles precedent); at 100 TB swap to
+    ``approx_percentile`` or the two-pass exact selection
+    (ev_price_quantiles_twopass) — the rest of the plan is map-side
+    aggregates and one ≤|strata|-row broadcast."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = dsir_weights_frame(load(spark, sf_dir, "documents")).join(docs, "doc_id")
+    thr = w.groupBy("lang").agg(
+        F.percentile("dsir_logw", 1.0 - DSIR_KEEP_FRAC).alias("thr"),
+        F.count("*").alias("n_avail"),
+    )
+    kept = w.join(F.broadcast(thr), "lang").where(
+        F.col("dsir_logw") >= F.col("thr")
+    )
+    return (
+        kept.groupBy("lang", "n_avail", "thr")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.round(F.avg("dsir_logw"), 6).alias("kept_avg_logw"),
+        )
+        .select(
+            "lang",
+            "n_avail",
+            "n_kept",
+            F.round("thr", 6).alias("thr"),
+            "kept_avg_logw",
+        )
+    )
+
+
 QUERIES = {
     "corpus_dsir_weights": corpus_dsir_weights,
     "corpus_dsir_select": corpus_dsir_select,
+    "corpus_dsir_mix": corpus_dsir_mix,
 }
 
 ORACLES = {
@@ -196,4 +238,25 @@ ORACLES["corpus_dsir_select"] = f"""
     FROM weights w JOIN documents d ON w.doc_id = d.doc_id
     ORDER BY w.dsir_logw DESC, w.doc_id
     LIMIT {DSIR_SELECT_N}
+"""
+
+# DuckDB quantile_cont == Spark's exact interpolating F.percentile (the
+# ev_price_quantiles parity precedent)
+ORACLES["corpus_dsir_mix"] = f"""
+    WITH weights AS ( {ORACLES["corpus_dsir_weights"]} ),
+    w AS (
+      SELECT weights.doc_id, weights.dsir_logw, d.lang
+      FROM weights JOIN documents d ON weights.doc_id = d.doc_id
+    ),
+    thr AS (
+      SELECT lang, quantile_cont(dsir_logw, {1.0 - DSIR_KEEP_FRAC}) AS thr,
+             count(*) AS n_avail
+      FROM w GROUP BY lang
+    )
+    SELECT w.lang, thr.n_avail, count(*) AS n_kept,
+           round(thr.thr, 6) AS thr,
+           round(avg(w.dsir_logw), 6) AS kept_avg_logw
+    FROM w JOIN thr ON w.lang = thr.lang
+    WHERE w.dsir_logw >= thr.thr
+    GROUP BY w.lang, thr.n_avail, thr.thr
 """

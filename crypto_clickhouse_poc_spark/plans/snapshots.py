@@ -1370,6 +1370,7 @@ def register_snapshot(
     months: tuple[str, str] | None = None,
     ts_range: tuple | None = None,
     ts_col: str = "ts",
+    col_ranges: dict | None = None,
 ) -> DataFrame:
     """SQL front door for a snapshot table (survey S8: the reference's
     only query interface is SQL strings): register the — optionally
@@ -1380,7 +1381,13 @@ def register_snapshot(
     the manifest's file list at registration, so later commits don't
     move it (re-register to follow the head)."""
     df = read_snapshot(
-        spark, path, version=version, months=months, ts_range=ts_range, ts_col=ts_col
+        spark,
+        path,
+        version=version,
+        months=months,
+        ts_range=ts_range,
+        ts_col=ts_col,
+        col_ranges=col_ranges,
     )
     df.createOrReplaceTempView(name)
     return df
@@ -1429,6 +1436,7 @@ def read_snapshot(
     ts_col: str = "ts",
     keep_txn: bool = False,
     merge_schema: bool | None = None,
+    col_ranges: dict | None = None,
 ) -> DataFrame:
     """Read a snapshot (default: latest). ``months=(lo, hi)`` prunes whole
     partitions and ``ts_range=(lo, hi)`` prunes by the per-file footer
@@ -1443,7 +1451,16 @@ def read_snapshot(
     files (Spark's mergeSchema) — the schema-EVOLUTION read: commits are
     free to add columns (each txn dir is self-describing), and rows from
     pre-evolution files surface the new columns as NULL, exactly the
-    Delta ADD COLUMN semantics without a table-level schema registry."""
+    Delta ADD COLUMN semantics without a table-level schema registry.
+
+    ``col_ranges={col: (lo, hi), ...}`` (r10) generalizes the ts pruning
+    to ANY numeric column the commit recorded footer stats for (the
+    ``cols`` map ``merge_into`` already prunes its key scan with — the
+    Delta data-skipping contract): files whose recorded [min, max] miss
+    the requested range are dropped at the MANIFEST level, the predicate
+    is re-applied to the survivors, and files without stats for the
+    column are read, never pruned. Temporal columns go through
+    ``ts_range`` (ISO-normalized); ``col_ranges`` is for raw numerics."""
     head = latest_version(path)
     if head is None:
         raise FileNotFoundError(f"no snapshots at {path}")
@@ -1468,6 +1485,14 @@ def read_snapshot(
             for f in files
             if "ts_min" not in f or (f["ts_min"] <= hi and f["ts_max"] >= lo)
         ]
+    if col_ranges:
+        for c, (c_lo, c_hi) in col_ranges.items():
+            files = [
+                f
+                for f in files
+                if c not in f.get("cols", {})
+                or (f["cols"][c][0] <= c_hi and f["cols"][c][1] >= c_lo)
+            ]
     if not files:
         # legitimately-empty result (everything pruned, or an empty head
         # after retention) — full-read-then-filter would be empty too
@@ -1490,6 +1515,11 @@ def read_snapshot(
             df = df.where(
                 (F.col(ts_col) >= F.lit(b_lo)) & (F.col(ts_col) <= F.lit(b_hi))
             )
+    if col_ranges:
+        # pruning is an optimization, never a semantics change: the range
+        # predicate is re-applied to the surviving rows
+        for c, (c_lo, c_hi) in col_ranges.items():
+            df = df.where((F.col(c) >= F.lit(c_lo)) & (F.col(c) <= F.lit(c_hi)))
     return df if keep_txn else df.drop(TXN_COL)
 
 

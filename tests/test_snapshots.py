@@ -199,6 +199,48 @@ def test_read_changes_returns_only_the_delta(spark, table):
     assert _ids(S.read_changes(spark, table, since_version=-1)) == list(range(16))
 
 
+def test_col_ranges_prune_files_and_preserve_semantics(spark, tmp_path):
+    """Generalized data skipping (r10): ``col_ranges`` prunes at the
+    MANIFEST level on ANY numeric column the commit recorded stats for
+    and re-applies the predicate — equal to the full-scan filter,
+    strictly fewer files opened, stat-less files conservatively read."""
+    path = str(tmp_path / "t")
+    # three appends with DISJOINT price ranges -> disjoint footer stats
+    for k in range(3):
+        rows = [
+            (datetime(2024, 1, 1 + i % 5), "BTC", k * 100 + i, float(k * 100 + i), 0)
+            for i in range(40)
+        ]
+        S.append(
+            spark.createDataFrame(
+                rows,
+                "ts timestamp, symbol string, trade_id long, price double,"
+                " ingested_at long",
+            ),
+            path,
+        )
+    full = S.read_snapshot(spark, path)
+    want = sorted(
+        r.trade_id for r in full.where("price >= 110 and price <= 130").collect()
+    )
+    pruned = S.read_snapshot(spark, path, col_ranges={"price": (110.0, 130.0)})
+    assert sorted(r.trade_id for r in pruned.collect()) == want
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    # a range no file's stats admit -> empty, schema intact
+    none = S.read_snapshot(spark, path, col_ranges={"price": (9_000.0, 9_100.0)})
+    assert none.count() == 0 and "price" in none.columns
+    # a legacy entry without stats is read, not pruned
+    m = S.manifest(path, S.latest_version(path))
+    import json as _json
+
+    legacy = [{k: v for k, v in f.items() if k != "cols"} for f in m["files"]]
+    S._commit(path, lambda _hf: legacy, "append")
+    conservative = S.read_snapshot(
+        spark, path, col_ranges={"price": (110.0, 130.0)}
+    )
+    assert sorted(r.trade_id for r in conservative.collect()) == want
+
+
 def test_read_changes_op_scan_never_materializes_manifests(
     spark, table, monkeypatch
 ):
