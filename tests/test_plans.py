@@ -482,3 +482,19 @@ def test_hash_embed_is_scan_fused_map(spark):
     assert "Join" not in plan
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_dsir_weights_scan_the_corpus_once(spark):
+    """corpus_dsir_weights: three branches (bucket stats, totals, per-doc
+    weights) share the (doc,bucket) partials; uncached, Catalyst
+    re-derives the subplan per branch and the corpus is scanned three
+    times (observed before the bounded_cache). Lock: every branch reads
+    the shared cache — the plan string prints each consumer's
+    InMemoryRelation (whose DEFINITION contains the scan, executed
+    once), so the invariant is scans == relations: no parquet scan
+    exists OUTSIDE a cached relation. Score/totals join broadcast."""
+    plan = _plan(spark, "corpus_dsir_weights")
+    assert plan.count("Scan parquet") == plan.count("InMemoryRelation")
+    assert plan.count("InMemoryTableScan") >= 3  # all three consumers
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan
