@@ -1113,7 +1113,15 @@ def _write_dv_entries(
     return entries
 
 
-def delete_where(spark: SparkSession, path: str, predicate: str) -> int:
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    months: tuple[str, str] | None = None,
+    ts_range: tuple | None = None,
+    ts_col: str = "ts",
+    col_ranges: dict | None = None,
+) -> int:
     """Merge-on-read DELETE: record the (file, row-position) of every
     matching row as a deletion vector and commit a manifest that carries
     it — ZERO data files are rewritten (deleting 3 rows from a 1 GB file
@@ -1131,17 +1139,45 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> int:
     stay honest. Matching zero rows commits nothing and returns the head.
 
     At a 100 TB scale point: the predicate scan is one column-pruned,
-    filter-pushed pass (row-group stats prune at the parquet level, the
-    manifest's month/ts stats could pre-prune the file list); the DV
-    write is O(matched rows). A predicate that matches most of a file is
-    better served by copy-on-write (``merge_into`` with tombstones or a
-    compact) — the same trade Delta documents for its DVs."""
+    filter-pushed pass (row-group stats prune at the parquet level); the
+    DV write is O(matched rows). A predicate that matches most of a file
+    is better served by copy-on-write (``merge_into`` with tombstones or
+    a compact) — the same trade Delta documents for its DVs.
+
+    SCOPED deletes (r10, the Delta partition-scoped-delete pattern):
+    ``months`` / ``ts_range`` / ``col_ranges`` narrow the delete to
+    rows INSIDE the scope — the scope is part of the delete's MEANING
+    (predicate AND scope; out-of-scope matches survive), which is what
+    makes the manifest-level file pruning it buys a pure optimization:
+    "erase user X's 2023 rows" scans 2023's files, not the table."""
     read_v = latest_version(path)
     if read_v is None:
         raise FileNotFoundError(f"no snapshots at {path}")
-    m = manifest(path, read_v)
-    if not m["files"]:
-        return read_v
+    m = manifest(path, read_v, months=months)
+    files = m["files"]
+    if months is not None:
+        lo, hi = months
+        files = [f for f in files if lo <= f["p_month"] <= hi]
+    if ts_range is not None:
+        # same UTC normalization as read_snapshot: pruning and the row
+        # filter below must share one pair of bounds
+        b_lo, b_hi = (_utc_naive(b) for b in ts_range)
+        lo, hi = _iso(b_lo), _iso(b_hi)
+        files = [
+            f
+            for f in files
+            if "ts_min" not in f or (f["ts_min"] <= hi and f["ts_max"] >= lo)
+        ]
+    if col_ranges:
+        for c, (c_lo, c_hi) in col_ranges.items():
+            files = [
+                f
+                for f in files
+                if c not in f.get("cols", {})
+                or (f["cols"][c][0] <= c_hi and f["cols"][c][1] >= c_lo)
+            ]
+    if not files:
+        return read_v  # scope provably matches nothing — no-op
     # (file, pos) must be materialized on the RAW scan: _apply_dvs's
     # equality-delete path projects through joins, after which the
     # `_metadata` pseudo-column is no longer resolvable (latent until a
@@ -1149,12 +1185,32 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> int:
     # check). Private aliases so they can't collide with _apply_dvs's own
     # working columns.
     scan = (
-        _read_files(spark, path, m["files"], merge_schema=True)
+        _read_files(spark, path, files, merge_schema=True)
         .withColumn("_hit_file", _dv_file_expr())
         .withColumn("_hit_pos", F.col("_metadata.row_index"))
     )
     df = _apply_dvs(spark, scan, m, path)
-    hits = df.where(predicate).select(
+    hits = df.where(predicate)
+    # the scope is applied EXACTLY to the rows too — a stats-less file
+    # read conservatively must not delete out-of-scope matches
+    if ts_range is not None:
+        if df.schema[ts_col].dataType.typeName() == "timestamp":
+            hits = hits.where(
+                (F.unix_micros(F.col(ts_col)) >= _epoch_micros(b_lo))
+                & (F.unix_micros(F.col(ts_col)) <= _epoch_micros(b_hi))
+            )
+        else:
+            hits = hits.where(
+                (F.col(ts_col) >= F.lit(b_lo)) & (F.col(ts_col) <= F.lit(b_hi))
+            )
+    if col_ranges:
+        for c, (c_lo, c_hi) in col_ranges.items():
+            hits = hits.where(
+                (F.col(c) >= F.lit(c_lo)) & (F.col(c) <= F.lit(c_hi))
+            )
+    if months is not None:
+        hits = hits.where(F.col(PARTITION_COL).between(*months))
+    hits = hits.select(
         F.col("_hit_file").alias(_DV_FILE),
         F.col("_hit_pos").alias(_DV_POS),
     )

@@ -159,3 +159,61 @@ def test_maybe_compact_triggers_on_dv_debt(spark, table):
     ]
     # under both thresholds: no-op
     assert S.maybe_compact_snapshot(spark, table, max_live_files=1000) is None
+
+
+def test_scoped_delete_prunes_scan_and_out_of_scope_matches_survive(
+    spark, tmp_path, monkeypatch
+):
+    """r10 scoped deletes: months/ts_range/col_ranges are part of the
+    delete's MEANING (predicate AND scope), which makes the manifest-level
+    pruning they buy a pure optimization — 'erase trade 5's Jan rows'
+    scans January's files only, and trade 5's February twin survives."""
+    from datetime import datetime
+
+    path = str(tmp_path / "scoped")
+    for month in (1, 2, 3):
+        rows = [
+            (datetime(2024, month, 2), "BTC", i, float(i), 0) for i in range(10)
+        ]
+        S.append(
+            spark.createDataFrame(
+                rows,
+                "ts timestamp, symbol string, trade_id long, price double,"
+                " ingested_at long",
+            ),
+            path,
+        )
+    scanned = []
+    real = S._read_files
+    monkeypatch.setattr(
+        S,
+        "_read_files",
+        lambda sp, p, files, **kw: scanned.append([f["path"] for f in files])
+        or real(sp, p, files, **kw),
+    )
+    v = S.delete_where(
+        spark, path, "trade_id = 5", months=("202401", "202401")
+    )
+    monkeypatch.undo()
+    assert v == S.latest_version(path)
+    assert len(scanned) == 1 and all("p_month=202401" in p for p in scanned[0])
+    left = S.read_snapshot(spark, path).where("trade_id = 5").collect()
+    # January's row 5 is gone; February's and March's survive
+    assert sorted(r.ts.month for r in left) == [2, 3]
+    # ts_range scoping composes with the predicate the same way
+    S.delete_where(
+        spark,
+        path,
+        "trade_id = 7",
+        ts_range=(datetime(2024, 2, 1), datetime(2024, 2, 28)),
+    )
+    left7 = S.read_snapshot(spark, path).where("trade_id = 7").collect()
+    assert sorted(r.ts.month for r in left7) == [1, 3]
+    # a scope that provably matches nothing is a metadata no-op
+    head = S.latest_version(path)
+    assert (
+        S.delete_where(
+            spark, path, "trade_id = 1", months=("209901", "209912")
+        )
+        == head
+    )
