@@ -1,0 +1,119 @@
+"""One maintenance tick for a snapshot table and everything hanging off it.
+
+Production lakehouse tables accumulate three kinds of debt on different
+clocks — small files (every micro-batch), merge-on-read deletion vectors
+(every erasure), stale index coverage (every commit) — and their MVs lag
+the head until someone refreshes them. Delta/Iceberg deployments run a
+scheduled OPTIMIZE job per concern; this module is the single composed
+tick (the reference's background-merge cron, generalized): call
+:func:`maintenance_tick` from any scheduler and every concern is serviced
+with its own threshold policy, each O(its own debt), never O(table)
+unless a policy explicitly escalates.
+
+Order of operations (dependencies, not aesthetics):
+
+1. MV refreshes FIRST — while the range is still appends-plus-layout-ops
+   the refresh is the cheap CDC path; deferring it until after an
+   interleaved erasure would force the retraction (or rebuild) leg.
+2. ``optimize_small_files`` — bin-pack micro-batch debt, O(small files).
+3. ``maybe_compact_snapshot`` — the escalation: full dedup rewrite only
+   when file count or DV-row debt crosses its thresholds.
+4. ``maybe_rebuild_bloom_index`` per indexed key — prefers the O(new
+   files) extension (r10), full rebuild only on saturation.
+5. optional ``vacuum`` — ONLY when the caller asserts no concurrent
+   writers (the one op here that is not race-safe by protocol).
+
+Every rewrite here rebases over pure-append interleaves
+(``on_conflict="rebase_appends"``), so running this tick next to a live
+5 s-cadence streaming sink starves nothing and loses nothing.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming.bars import partial_bars
+from . import bloomidx as B
+from . import logmv as M
+from . import snapshots as S
+
+
+@dataclass(frozen=True)
+class MVSpec:
+    """One rollup MV maintained from the base table's log."""
+
+    mv_path: str
+    partial_fn: Callable[[DataFrame], DataFrame] = partial_bars
+    negate_fn: Callable[[DataFrame], DataFrame] | None = None
+    app: str = "logmv"
+    ts_col: str = "minute"
+    # compact the MV's partials once they exceed this many live files
+    max_live_files: int = 64
+    merge_fn: Callable[[DataFrame], DataFrame] = field(
+        default=M._merge_partials
+    )
+
+
+def maintenance_tick(
+    spark: SparkSession,
+    path: str,
+    mvs: Sequence[MVSpec] = (),
+    bloom_keys: Sequence[str] = (),
+    min_rows: int = 50_000,
+    ts_col: str = "ts",
+    compact_kw: dict | None = None,
+    vacuum_retain: int | None = None,
+) -> dict:
+    """Service every maintenance concern of ``path`` once; returns an
+    action report ``{concern: result}`` for observability (the driver of
+    a scheduled job logs it verbatim). Safe to call at any cadence —
+    every sub-policy is a cheap metadata check when under threshold, and
+    a :class:`snapshots.CommitConflict` from a racing writer defers that
+    concern to the next tick instead of failing the whole sweep."""
+    report: dict = {}
+    for spec in mvs:
+        try:
+            v = M.refresh_rollup(
+                spark,
+                path,
+                spec.mv_path,
+                partial_fn=spec.partial_fn,
+                app=spec.app,
+                negate_fn=spec.negate_fn,
+                ts_col=spec.ts_col,
+            )
+            report[f"mv:{spec.mv_path}"] = v
+        except S.CommitConflict:
+            report[f"mv:{spec.mv_path}"] = "conflict-deferred"
+        head = S.latest_version(spec.mv_path)
+        if (
+            head is not None
+            and len(S.manifest(spec.mv_path, head)["files"])
+            > spec.max_live_files
+        ):
+            try:
+                report[f"mv-compact:{spec.mv_path}"] = M.compact_rollup(
+                    spark, spec.mv_path, merge_fn=spec.merge_fn,
+                    ts_col=spec.ts_col,
+                )
+            except S.CommitConflict:
+                report[f"mv-compact:{spec.mv_path}"] = "conflict-deferred"
+    try:
+        v = S.optimize_small_files(spark, path, min_rows=min_rows, ts_col=ts_col)
+        report["optimize"] = v
+    except S.CommitConflict:
+        report["optimize"] = "conflict-deferred"
+    try:
+        report["compact"] = S.maybe_compact_snapshot(
+            spark, path, ts_col=ts_col, **(compact_kw or {})
+        )
+    except S.CommitConflict:
+        report["compact"] = "conflict-deferred"
+    for key in bloom_keys:
+        report[f"bloom:{key}"] = B.maybe_rebuild_bloom_index(spark, path, key)
+    if vacuum_retain is not None:
+        report["vacuum"] = S.vacuum(path, retain_versions=vacuum_retain)
+    return report

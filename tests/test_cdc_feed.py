@@ -196,6 +196,22 @@ def test_cdc_merge_net_effect_equals_snapshot_diff(spark, tmp_path):
     assert {r["price"] for r in upd.collect()} == {999.0}
 
 
+def test_cdc_behind_vacuum_retention_fails_loudly(spark, tmp_path):
+    """A CDC range referencing files vacuum swept must raise at read —
+    never silently emit a partial delta (the time-travel contract)."""
+    path = str(tmp_path / "t")
+    S.append(_batch(spark, range(10)), path)  # v0
+    S.append(_batch(spark, range(10, 20)), path)  # v1
+    S.compact_snapshot(spark, path)  # v2: v0/v1 files now unreferenced
+    S.vacuum(path, retain_versions=1)
+    with pytest.raises(Exception):
+        # the range's appended files were swept; the read must blow up
+        S.read_changes_cdc(spark, path, -1, 1).collect()
+    # ranges inside the retained window still work (nothing to emit
+    # for the compact, and the head is intact)
+    assert S.read_changes_cdc(spark, path, 1).count() == 0
+
+
 def test_cdc_refuses_rollback(spark, tmp_path):
     path = str(tmp_path / "t")
     S.append(_batch(spark, range(5)), path)
