@@ -89,10 +89,11 @@ def maintenance_tick(
         except S.CommitConflict:
             report[f"mv:{spec.mv_path}"] = "conflict-deferred"
         head = S.latest_version(spec.mv_path)
+        # _n_files: zero-splice count (raw body / files_ref n-sums) — the
+        # per-tick threshold check must not materialize sharded manifests
         if (
             head is not None
-            and len(S.manifest(spec.mv_path, head)["files"])
-            > spec.max_live_files
+            and S._n_files(spec.mv_path, head) > spec.max_live_files
         ):
             try:
                 report[f"mv-compact:{spec.mv_path}"] = M.compact_rollup(
