@@ -28,12 +28,21 @@ def bounded_cache(key: str, df: DataFrame) -> DataFrame:
     """Cache ``df`` under a call-site key, unpersisting the key's previous
     cache (non-blocking) so a session never holds more than one live cache
     per site. Thread-safe: concurrent callers with the same key must not
-    race the pop/assign, or the loser's cache leaks untracked."""
+    race the pop/assign, or the loser's cache leaks untracked.
+
+    When the new frame is semantically IDENTICAL to the previous one (the
+    repeated-invocation case: bench warm runs, serving the same query),
+    Spark's CacheManager dedupes ``cache()`` to the SAME entry — so
+    unpersisting the old handle would kill the entry the new handle just
+    adopted, and every repeat invocation would run UNCACHED (self-evicted;
+    found by the r10 DSIR plan lock failing only after a prior identical
+    run). ``sameSemantics`` keeps the shared entry alive; the per-key
+    bound is intact either way — identical plans ARE one cache."""
     cached = df.cache()
     with _LOCK:
         prev = _LIVE.get(key)
         _LIVE[key] = cached
-    if prev is not None and prev is not cached:
+    if prev is not None and prev is not cached and not prev.sameSemantics(cached):
         prev.unpersist()
     return cached
 

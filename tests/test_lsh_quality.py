@@ -222,6 +222,30 @@ def test_repeated_invocations_keep_storage_bounded(spark):
     assert caching.live_cache_count() - live_baseline <= 3
 
 
+def test_repeated_identical_invocations_keep_the_cache_alive(spark):
+    """The r10 self-eviction find: an IDENTICAL re-invocation's cache()
+    dedupes to the same CacheManager entry, so unpersisting the 'previous'
+    handle killed the entry the new handle adopted — every warm repeat of
+    a bounded_cache query (bench's median-of-3, serving) ran uncached.
+    bounded_cache now keeps semantically-equal entries; gate: the frame is
+    still cached after a repeat call."""
+    from crypto_clickhouse_poc_spark import caching
+    from tests.conftest import SF_SMOKE as _SF
+
+    d = spark.read.parquet(f"{_SF}/region.parquet")
+    first = caching.bounded_cache("test_same_key", d.select("r_name"))
+    first.count()  # materialize the entry
+    second = caching.bounded_cache("test_same_key", d.select("r_name"))
+    assert second.storageLevel.useMemory  # entry survived the repeat
+    assert first.storageLevel.useMemory  # shared entry, not re-created
+    # a DIFFERENT plan under the same key still evicts the old one
+    third = caching.bounded_cache("test_same_key", d.select("r_regionkey"))
+    third.count()
+    assert not first.storageLevel.useMemory
+    third.unpersist()
+    caching._LIVE.pop("test_same_key", None)
+
+
 def test_pq_training_reduces_quantization_error(spark):
     """Lloyd rounds on the sub-codebooks must reduce mean L2 quantization
     error of the residuals vs the raw seed codebooks (rounds=0)."""

@@ -488,11 +488,17 @@ def test_dsir_weights_scan_the_corpus_once(spark):
     """corpus_dsir_weights: three branches (bucket stats, totals, per-doc
     weights) share the (doc,bucket) partials; uncached, Catalyst
     re-derives the subplan per branch and the corpus is scanned three
-    times (observed before the bounded_cache). Lock: every branch reads
-    the shared cache — the plan string prints each consumer's
-    InMemoryRelation (whose DEFINITION contains the scan, executed
-    once), so the invariant is scans == relations: no parquet scan
-    exists OUTSIDE a cached relation. Score/totals join broadcast."""
+    times (observed before the bounded_cache). Lock on the DETERMINISTIC
+    fresh-cache state (an already-populated cache prints relations in a
+    format-dependent way — the r10 bounded_cache self-eviction find):
+    every branch reads the shared InMemoryRelation (whose DEFINITION
+    contains the scan, executed once), so scans == relations — no parquet
+    scan exists OUTSIDE a cached relation. Score/totals join broadcast."""
+    from crypto_clickhouse_poc_spark import caching
+
+    prev = caching._LIVE.pop("dsir_per", None)
+    if prev is not None:
+        prev.unpersist()
     plan = _plan(spark, "corpus_dsir_weights")
     assert plan.count("Scan parquet") == plan.count("InMemoryRelation")
     assert plan.count("InMemoryTableScan") >= 3  # all three consumers
