@@ -351,7 +351,7 @@ def test_non_invertible_mv_still_rebuilds_on_deletes(spark, tmp_path):
     ) == sorted(tuple(r) for r in bars_batch(S.read_snapshot(spark, base)).collect())
 
 
-@pytest.mark.parametrize("seed", [11, 23])
+@pytest.mark.parametrize("seed", [11, 23, 47])
 def test_random_op_interleaving_matches_recompute(spark, tmp_path, seed):
     """Model check: any interleaving of appends / position deletes /
     eq-deletes / layout ops, refreshed after every step, keeps the sums
