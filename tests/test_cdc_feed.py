@@ -351,6 +351,59 @@ def test_non_invertible_mv_still_rebuilds_on_deletes(spark, tmp_path):
     ) == sorted(tuple(r) for r in bars_batch(S.read_snapshot(spark, base)).collect())
 
 
+def test_cms_cell_mv_consumes_deletes_as_negative_cells(spark, tmp_path):
+    """The second invertible algebra the CDC contract names: Count-Min
+    cells are plain sums, so a CMS maintained as a log-driven MV absorbs
+    erasures as NEGATIVE cell partials through the SAME refresh machinery
+    (no CMS-specific code — partial_fn/negate_fn are parameters). After
+    deletes, the merged grid equals a one-shot sketch of the live
+    snapshot EXACTLY (not just within the CMS error bound)."""
+    from crypto_clickhouse_poc_spark.operators import cms as C
+
+    def partial_cms(batch):
+        pair = F.explode(C._fanout(F.col("symbol")))
+        return (
+            batch.select(
+                F.date_trunc("minute", F.col("ts")).alias("minute"),
+                pair.alias("p"),
+            )
+            .select("minute", "p.d", "p.bucket")
+            .groupBy("minute", "d", "bucket")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    def negate_cms(partials):
+        return partials.withColumn("cnt", -F.col("cnt"))
+
+    def grid(df):  # read-time merge to the whole-table D x W grid
+        return sorted(
+            tuple(r)
+            for r in df.groupBy("d", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+            .where(F.col("cnt") != 0)
+            .collect()
+        )
+
+    base, mv = str(tmp_path / "base"), str(tmp_path / "mv")
+    S.append(_batch(spark, range(60)), base)
+    M.refresh_rollup(
+        spark, base, mv, partial_fn=partial_cms, negate_fn=negate_cms
+    )
+    S.delete_where(spark, base, "trade_id in (1, 3, 5, 7)")  # ETH rows
+    S.delete_by_keys(
+        spark, base, spark.createDataFrame([(2,), (4,)], "trade_id long")
+    )
+    v = M.refresh_rollup(
+        spark, base, mv, partial_fn=partial_cms, negate_fn=negate_cms
+    )
+    assert S._version_body(mv, v)["op"] == "append"  # no rebuild
+    want = grid(
+        partial_cms(S.read_snapshot(spark, base))
+    )  # one-shot sketch of live rows
+    got = grid(S.read_snapshot(spark, mv))
+    assert got == want
+
+
 @pytest.mark.parametrize("seed", [11, 23, 47])
 def test_random_op_interleaving_matches_recompute(spark, tmp_path, seed):
     """Model check: any interleaving of appends / position deletes /
