@@ -27,17 +27,20 @@ is CLOSED under merge, so compaction is semantics-free and the MV's
 read cost stays bounded by |groups|, not refresh count.
 
 When the base range contains a NON-append op, the refresh dispatches on
-what the ops MEAN (r10, the Delta-CDF-consumer contract): layout ops
-(compact/optimize) change no logical rows, so the CDC feed
+what the ops MEAN (r10, the Delta-CDF-consumer contract):
+writer-flagged layout-only commits (``data_change=False`` — bin-packing
+optimize, an MV's algebra-preserving partial compaction) change no
+logical rows, so the CDC feed
 (:func:`plans.snapshots.read_changes_cdc`) carries just the appended
 data and ANY algebra advances the watermark; deleting ops (position-DV
 delete, equality delete, retention, merge) emit retraction rows that an
 INVERTIBLE algebra (:func:`partial_sums` — sum/count form a group under
 addition; CMS cells share the property) absorbs as negative partials in
-the same watermarked commit. Only non-invertible algebras facing
-deletes, and genuine visibility rewrites (rollback/rebuild), fall back
-to :func:`rebuild_rollup`: one full recompute committed atomically with
-the new watermark.
+the same watermarked commit. Non-invertible algebras facing deletes,
+and genuine visibility rewrites — the DEDUPING ``compact_snapshot``
+(its dedup_view can drop stale duplicate-key rows from the raw row
+set), rollback, rebuild — fall back to :func:`rebuild_rollup`: one full
+recompute committed atomically with the new watermark.
 
 Scale notes (100 TB): steady-state refresh cost is O(delta), the rollup
 table is |minutes x symbols| (bounded, tiny next to the fact table), and
@@ -215,10 +218,11 @@ def refresh_rollup(
 
     - all appends → the O(delta) fast path (:func:`snapshots.read_changes`,
       zero manifest splices beyond the range ends);
-    - layout ops only on top (compact/optimize — logical content
-      unchanged) → the CDC feed, whose insert rows are exactly the
-      appended data: ANY algebra consumes it, the watermark advances,
-      NO rebuild (previously every compact on the base forced one);
+    - writer-flagged layout-only commits on top (``data_change=False``:
+      optimize, MV partial compaction) → the CDC feed, whose insert rows
+      are exactly the appended data: ANY algebra consumes it, the
+      watermark advances, NO rebuild (previously every layout op on the
+      base forced one);
     - deleting ops in range (delete / eq_delete / retention / merge)
       AND ``negate_fn`` given → CDC with RETRACTIONS: the MV appends
       ``partial_fn(inserts) ∪ negate_fn(partial_fn(deletes))`` in one
@@ -236,9 +240,14 @@ def refresh_rollup(
     since = -1 if consumed is None else consumed
     if head <= since:
         return None
-    ops = set(S.changed_ops(base_path, since, head))
+    meta = S.changed_meta(base_path, since, head)
+    # data_change=False commits (optimize, MV partial compaction) are
+    # writer-declared layout-only — invisible to every dispatch decision
+    ops = {op for op, dc in meta if dc}
     deleting = ops & set(S._CDC_DELETING)
-    if ops <= {"append"}:
+    if all(op == "append" for op, _ in meta):
+        # pure-append range (no layout commits at all): the cheapest path
+        # — zero per-version manifest loads beyond the two range ends
         delta = S.read_changes(spark, base_path, since, head)
         parts = partial_fn(delta)
     elif consumed is None:
@@ -362,4 +371,9 @@ def compact_rollup(
         # same as refreshing after the compact; without this a frequent
         # refresher starves compaction forever (r10 rebase rule)
         on_conflict="rebase_appends",
+        # algebra-preserving BY THE MV CONTRACT: every reader of an MV
+        # table merges partials (read_rollup / a cascade's hour_partials),
+        # and merge_fn is closed under that merge — so unlike the deduping
+        # compact_snapshot, this rewrite is layout-only to its consumers
+        data_change=False,
     )

@@ -171,6 +171,20 @@ def changed_ops(path: str, since_version: int, to_version: int) -> list[str]:
     ]
 
 
+def changed_meta(
+    path: str, since_version: int, to_version: int
+) -> list[tuple[str, bool]]:
+    """``(op, data_change)`` per commit in the range — the classification
+    change consumers dispatch on. Commits predating the flag read as
+    ``data_change=True`` (the conservative direction: a consumer that
+    cannot prove a commit was layout-only must treat it as a rewrite)."""
+    out = []
+    for v in range(since_version + 1, to_version + 1):
+        b = _version_body(path, v)
+        out.append((b["op"], bool(b.get("data_change", True))))
+    return out
+
+
 def _write_shards(path: str, files: list[dict]) -> list[dict]:
     """Write the file list as per-month, CONTENT-ADDRESSED shard files
     and return the reference list. A month whose file set is unchanged
@@ -329,6 +343,7 @@ def _commit(
     dvs_fn=None,
     eq_dvs_fn=None,
     on_conflict: str = "raise",
+    data_change: bool = True,
 ) -> int:
     """Optimistic commit: claim the next version number with an atomic
     ``os.link``; EEXIST = lost the race, so re-read the head and retry.
@@ -369,7 +384,17 @@ def _commit(
     can't be referenced by any existing DV nor subject to any existing
     equality delete — its ``added_v`` postdates every ``eq.v``).
     Without this, a 5 s-cadence streaming sink starves every
-    OPTIMIZE/compact forever. Any non-append interleave still raises."""
+    OPTIMIZE/compact forever. Any non-append interleave still raises.
+
+    ``data_change=False`` (the Delta ``dataChange`` flag, r10): the
+    WRITER declares that this commit rewrote LAYOUT, not logical row
+    content — bin-packing optimize, an MV's algebra-preserving partial
+    compaction. Change consumers (CDC, MV refresh, the stream source)
+    skip flagged commits instead of refusing them. The deduping
+    ``compact_snapshot`` must NOT set it: dropping stale duplicate-key
+    versions changes the raw row set, and a consumer folding raw rows
+    would silently diverge (the flag exists precisely because 'op ==
+    compact' cannot tell these apart)."""
     log = _log(path)
     log.mkdir(parents=True, exist_ok=True)
     tmp = log / f".tmp-{uuid.uuid4().hex}.json"
@@ -457,6 +482,7 @@ def _commit(
             "version": version,
             "parent": head,
             "op": op,
+            "data_change": bool(data_change),
             "txns": txns,
             "dvs": sorted(
                 dvs_fn(head_dvs) if dvs_fn is not None else head_dvs,
@@ -794,12 +820,17 @@ CDC_VERSION = "_commit_version"
 #                rewritten file appear as a paired delete+insert — exact
 #                after any sum-class (invertible) aggregation, NOT a
 #                row-precise audit feed (diff_versions is that).
-#   compact / optimize -> logical content unchanged: nothing emitted
-#   rollback / rebuild / unknown -> refuse: arbitrary visibility rewrites
-#                the feed cannot represent (Delta CDF refuses RESTORE too)
-_CDC_NO_CHANGE = ("compact", "optimize")
+#   data_change=False commits (bin-packing optimize, an MV's
+#                algebra-preserving partial compaction) -> nothing emitted:
+#                the WRITER declared layout-only (Delta's dataChange flag).
+#                NOT op-name-based: compact_snapshot also rewrites layout
+#                but its dedup_view may DROP stale duplicate-key rows —
+#                a raw-row change the feed cannot see from the op alone.
+#   everything else (deduping compact, rollback, rebuild, unknown) ->
+#                refuse: visibility rewrites the feed cannot represent
+#                (Delta CDF refuses RESTORE the same way)
 _CDC_DELETING = ("delete", "eq_delete", "retention", "merge")
-_CDC_COVERED = ("append",) + _CDC_DELETING + _CDC_NO_CHANGE
+_CDC_COVERED = ("append",) + _CDC_DELETING
 
 
 # cap on driver-side key materialization for the CDC bloom prune: an
@@ -837,12 +868,15 @@ def read_changes_cdc(
 
     Where :func:`read_changes` refuses any non-append range, this feed also
     represents the DELETING ops (position-DV deletes, equality deletes,
-    retention, merge) as retraction rows and the layout ops (compact,
-    optimize) as no-change — so an incremental consumer with an INVERTIBLE
-    algebra (sum/count partials, CMS cells) survives the most common
-    production event, an erasure on a base with MVs, without an O(base)
-    rebuild (``plans/logmv.refresh_rollup``). Only genuine visibility
-    rewrites (rollback, rebuild) still raise ``ValueError``.
+    retention, merge) as retraction rows and WRITER-FLAGGED layout-only
+    commits (``data_change=False``: bin-packing optimize, MV partial
+    compaction) as no-change — so an incremental consumer with an
+    INVERTIBLE algebra (sum/count partials, CMS cells) survives the most
+    common production event, an erasure on a base with MVs, without an
+    O(base) rebuild (``plans/logmv.refresh_rollup``). Genuine visibility
+    rewrites — the DEDUPING ``compact_snapshot`` (its dedup_view may drop
+    stale duplicate-key rows from the raw row set), rollback, rebuild —
+    still raise ``ValueError``.
 
     Costs, per covered commit — never O(table) except the documented one:
     appends read only the added files; position deletes read only the
@@ -862,8 +896,10 @@ def read_changes_cdc(
     if head is None:
         raise FileNotFoundError(f"no snapshots at {path}")
     to = head if to_version is None else to_version
-    ops = changed_ops(path, since_version, to)
-    bad = sorted({o for o in ops if o not in _CDC_COVERED})
+    meta = changed_meta(path, since_version, to)
+    bad = sorted(
+        {op for op, dc in meta if dc and op not in _CDC_COVERED}
+    )
     if bad:
         raise ValueError(
             f"ops {bad} in ({since_version}, {to}] rewrite visibility — "
@@ -878,9 +914,9 @@ def read_changes_cdc(
             .withColumn(CDC_VERSION, F.lit(v))
         )
 
-    for v, op in zip(range(since_version + 1, to + 1), ops):
-        if op in _CDC_NO_CHANGE:
-            continue
+    for v, (op, dc) in zip(range(since_version + 1, to + 1), meta):
+        if not dc:
+            continue  # writer-declared layout-only commit
         if op in ("append", "merge"):
             m_v = manifest(path, v)
             added = [f for f in m_v["files"] if f.get("added_v") == v]
@@ -1415,6 +1451,9 @@ def optimize_small_files(
         # the maintenance tick: pure-append interleaves rebase (their
         # small files simply become the NEXT optimize's debt)
         on_conflict="rebase_appends",
+        # pure re-layout: no dedup, no row-set change (DV materialization
+        # re-expresses deletes ALREADY visible) — change consumers skip it
+        data_change=False,
     )
 
 

@@ -27,12 +27,17 @@ Semantics and scale shape:
   DV-carrying head boots too (r9): the deletion vectors' positions are
   grouped per file driver-side and dropped in each partition's Arrow
   reader — the bootstrap equals ``read_snapshot``'s merge-on-read view.
-- AFTER bootstrap, the append-only contract of ``read_changes`` applies:
-  a compaction/retention/rollback inside a consumed offset range
-  rewrites VISIBILITY, not content, so the source fails the batch rather
-  than replay rewritten files as if they were new rows (Delta's
-  streaming source has the same ignoreChanges refusal). Restart above
-  the rewrite (``startingVersion``) to resume.
+- AFTER bootstrap, the stream dispatches on what each commit MEANS
+  (r10): WRITER-FLAGGED layout-only commits (``data_change=False`` —
+  bin-packing optimize, MV partial compaction) are SKIPPED, exactly
+  Delta's native skip of dataChange=false files, so background
+  maintenance never kills a live stream. Deleting commits (position/
+  equality deletes, retention) fail the batch by default — an
+  append-only stream cannot retract rows it already emitted — unless
+  ``ignoreDeletes=true`` (Delta's option of the same name: the TABLE
+  reflects the delete; the stream is the history of appends). Genuine
+  rewrites (the deduping compact, merge, rollback) still fail the
+  batch; restart above the rewrite (``startingVersion``) to resume.
 
 The schema is the UNION of the live files' parquet footers (arrow
 types → Spark DDL; evolved columns null-filled for files that predate
@@ -52,6 +57,7 @@ from pyspark.sql.datasource import (
 )
 
 from ..plans.snapshots import PARTITION_COL, TXN_COL
+from ..plans.snapshots import changed_meta as _changed_meta
 from ..plans.snapshots import latest_version as _head
 from ..plans.snapshots import manifest as _manifest
 
@@ -140,7 +146,9 @@ class SnapshotCommitsDataSource(DataSource):
     """``format("snapshot_commits")``: stream a snapshot table's commits.
 
     Options: ``path`` (required), ``startingVersion`` (default: -1 =
-    from the beginning; pass the current head to tail only new commits).
+    from the beginning; pass the current head to tail only new commits),
+    ``ignoreDeletes`` (default false: a delete commit fails the batch;
+    true skips it — the stream remains the history of appends).
     """
 
     @classmethod
@@ -155,6 +163,10 @@ class SnapshotCommitsDataSource(DataSource):
             self.options["path"],
             int(self.options.get("startingVersion", "-1")),
             [(f.name, f.dataType.simpleString()) for f in schema.fields],
+            ignore_deletes=str(
+                self.options.get("ignoreDeletes", "false")
+            ).lower()
+            == "true",
         )
 
 
@@ -180,11 +192,16 @@ def _arrow_type(ddl: str):
 
 class SnapshotStreamReader(DataSourceStreamReader):
     def __init__(
-        self, path: str, starting_version: int, columns: list[tuple[str, str]]
+        self,
+        path: str,
+        starting_version: int,
+        columns: list[tuple[str, str]],
+        ignore_deletes: bool = False,
     ):
         self.path = path
         self.start_version = starting_version
         self.columns = columns
+        self.ignore_deletes = ignore_deletes
 
     def initialOffset(self) -> dict:
         return {"version": self.start_version}
@@ -227,19 +244,37 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 for f in m0["files"]
             ]
         else:
-            ops = [_manifest(self.path, v)["op"] for v in range(since + 1, to + 1)]
-            bad = [o for o in ops if o != "append"]
+            meta = _changed_meta(self.path, since, to)
+            skippable = (
+                {"delete", "eq_delete", "retention"}
+                if self.ignore_deletes
+                else set()
+            )
+            bad = sorted(
+                {
+                    op
+                    for op, dc in meta
+                    if dc and op != "append" and op not in skippable
+                }
+            )
             if bad:
                 raise ValueError(
                     f"non-append ops {bad} in ({since}, {to}] — a rewrite "
                     "inside the offset range; restart the stream with "
                     f"startingVersion > {to} (rewritten files are visibility "
-                    "changes, not new rows)"
+                    "changes, not new rows; delete commits can be skipped "
+                    "with ignoreDeletes=true)"
                 )
-            before = {f["path"] for f in _manifest(self.path, since)["files"]}
-            added = [
-                f for f in _manifest(self.path, to)["files"] if f["path"] not in before
-            ]
+            # per-append added files (added_v == v): a path diff across the
+            # whole range would mis-emit a skipped layout op's rewrites
+            added = []
+            for v, (op, dc) in zip(range(since + 1, to + 1), meta):
+                if op != "append":
+                    continue  # flagged layout op, or a skipped delete
+                mv = _manifest(self.path, v)
+                added.extend(
+                    f for f in mv["files"] if f.get("added_v") == v
+                )
         return [
             InputPartition((str(Path(self.path) / f["path"]), f["path"], []))
             for f in added

@@ -162,20 +162,61 @@ def test_cdc_retention_emits_dropped_months_rows(spark, tmp_path):
     assert cdc.where(F.col(S.CDC_TYPE) == "insert").count() == 0
 
 
-def test_cdc_layout_ops_emit_nothing(spark, tmp_path):
+def test_cdc_flagged_layout_ops_emit_nothing_deduping_compact_refuses(
+    spark, tmp_path
+):
+    """Only WRITER-FLAGGED (data_change=False) commits are CDC no-changes.
+    optimize is one; the deduping compact_snapshot is NOT — its dedup_view
+    can drop stale duplicate-key rows from the raw row set, which the op
+    name alone cannot reveal (the r10 second-self-review catch)."""
     path = str(tmp_path / "t")
     S.append(_batch(spark, range(10)), path)
     S.append(_batch(spark, range(10, 20)), path)
     S.delete_where(spark, path, "trade_id = 5")
     v_before = S.latest_version(path)
     S.optimize_small_files(spark, path, min_rows=10_000)
-    S.compact_snapshot(spark, path)
     cdc = S.read_changes_cdc(spark, path, v_before)
     assert cdc.count() == 0
-    # and the whole-history net still matches the live table (the compact
-    # MATERIALIZED the delete; CDC must not double-emit it)
+    # whole-history net through the optimize still matches the live table
     whole = S.read_changes_cdc(spark, path, -1)
     assert sorted(_net(whole)) == _ids(S.read_snapshot(spark, path))
+    # a deduping compact is a visibility rewrite: refuse, don't guess
+    S.compact_snapshot(spark, path)
+    with pytest.raises(ValueError, match="compact"):
+        S.read_changes_cdc(spark, path, v_before)
+
+
+def test_duplicate_key_base_deduping_compact_forces_mv_rebuild(
+    spark, tmp_path
+):
+    """The scenario the data_change flag exists for: a base ingested
+    at-least-once (duplicate keys), whose MV folded the raw duplicates.
+    A deduping compact DROPS the stale copies — treating it as a layout
+    no-op would leave the MV silently over-counting forever. The refresh
+    must rebuild, after which MV == batch recompute over the deduped
+    snapshot; a FLAGGED layout op on the same table still appends."""
+    base, mv = str(tmp_path / "base"), str(tmp_path / "mv")
+    S.append(_batch(spark, range(20)), base)
+    S.append(_batch(spark, range(10, 20)), base)  # ids 10-19 DUPLICATED
+    M.refresh_rollup(
+        spark, base, mv, partial_fn=M.partial_sums, negate_fn=M.negate_sums
+    )
+    # MV correctly counts the raw duplicates pre-compact
+    assert _sums_mv(spark, mv) == _sums_expect(spark, base)
+    S.compact_snapshot(spark, base)  # dedups: ids 10-19 lose a copy
+    M.refresh_rollup(
+        spark, base, mv, partial_fn=M.partial_sums, negate_fn=M.negate_sums
+    )
+    assert S._version_body(mv, S.latest_version(mv))["op"] == "rebuild"
+    assert _sums_mv(spark, mv) == _sums_expect(spark, base)
+    # flagged layout op afterwards: incremental again, no rebuild
+    S.append(_batch(spark, range(100, 110)), base)
+    S.optimize_small_files(spark, base, min_rows=10_000)
+    M.refresh_rollup(
+        spark, base, mv, partial_fn=M.partial_sums, negate_fn=M.negate_sums
+    )
+    assert S._version_body(mv, S.latest_version(mv))["op"] == "append"
+    assert _sums_mv(spark, mv) == _sums_expect(spark, base)
 
 
 def test_cdc_merge_net_effect_equals_snapshot_diff(spark, tmp_path):
@@ -202,13 +243,14 @@ def test_cdc_behind_vacuum_retention_fails_loudly(spark, tmp_path):
     path = str(tmp_path / "t")
     S.append(_batch(spark, range(10)), path)  # v0
     S.append(_batch(spark, range(10, 20)), path)  # v1
-    S.compact_snapshot(spark, path)  # v2: v0/v1 files now unreferenced
+    # v2: bin-pack (flagged layout-only) — v0/v1 files now unreferenced
+    S.optimize_small_files(spark, path, min_rows=10_000)
     S.vacuum(path, retain_versions=1)
     with pytest.raises(Exception):
         # the range's appended files were swept; the read must blow up
         S.read_changes_cdc(spark, path, -1, 1).collect()
     # ranges inside the retained window still work (nothing to emit
-    # for the compact, and the head is intact)
+    # for the flagged optimize, and the head is intact)
     assert S.read_changes_cdc(spark, path, 1).count() == 0
 
 
@@ -309,7 +351,9 @@ def test_uninitialized_mv_over_deleted_history_rebuilds_not_replays(
     assert _sums_mv(spark, mv) == _sums_expect(spark, base)
 
 
-def test_non_invertible_mv_survives_compact_without_rebuild(spark, tmp_path):
+def test_non_invertible_mv_survives_flagged_layout_op_without_rebuild(
+    spark, tmp_path
+):
     base, mv = str(tmp_path / "base"), str(tmp_path / "mv")
     S.append(_batch(spark, range(40)), base)
     M.refresh_rollup(spark, base, mv)  # default partial_bars (non-invertible)

@@ -202,11 +202,13 @@ def test_bootstrap_over_compacted_history_serves_a_snapshot(spark, table, tmp_pa
         q.stop()
 
 
-def test_bootstrap_over_optimized_head_and_midstream_refusal(spark, table, tmp_path):
-    """optimize_small_files is a visibility rewrite like compact: a fresh
-    bootstrap serves the bin-packed head's snapshot, while an optimize
-    landing INSIDE a consumed range is a refused rewrite (same
-    ignoreChanges contract)."""
+def test_stream_rides_through_midstream_optimize(spark, table, tmp_path):
+    """r10 contract change (was: refusal): optimize commits are
+    writer-flagged data_change=False — Delta's native skip of
+    dataChange=false files — so background bin-packing never kills a
+    live stream. A fresh bootstrap still serves the packed head's
+    snapshot; appends around the optimize arrive exactly once (the
+    packed REWRITES of already-streamed rows are never re-emitted)."""
     S.append(_batch(spark, 3, range(100, 103)), table)
     v = S.optimize_small_files(spark, table, min_rows=10_000_000)
     assert S.manifest(table, v)["op"] == "optimize"
@@ -219,10 +221,49 @@ def test_bootstrap_over_optimized_head_and_midstream_refusal(spark, table, tmp_p
         assert 200 in _ids(spark, "ss_opt")  # tails appends after the boot
         S.append(_batch(spark, 3, [201]), table)
         S.optimize_small_files(spark, table, min_rows=10_000_000)
-        with pytest.raises(Exception, match="non-append"):
-            q.processAllAvailable()
+        S.append(_batch(spark, 3, [202]), table)
+        q.processAllAvailable()
+        got = _ids(spark, "ss_opt")
+        assert {201, 202} <= set(got)
+        assert len(got) == len(set(got))  # no re-emission of packed files
     finally:
         q.stop()
+
+
+def test_ignore_deletes_skips_delete_commits(spark, table, tmp_path):
+    """Delta's ignoreDeletes: an append-only stream cannot retract rows it
+    already emitted, so a delete commit fails the batch by DEFAULT and is
+    skipped under the option — the stream stays the history of appends
+    while the table reflects the delete."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    q = _start(spark, table, str(tmp_path / "ck_d1"), "ss_del1")
+    try:
+        q.processAllAvailable()
+        S.delete_where(spark, table, "trade_id = 1")
+        S.append(_batch(spark, 3, [300]), table)
+        with pytest.raises(StreamingQueryException, match="ignoreDeletes"):
+            q.processAllAvailable()
+            q.awaitTermination(30)
+    finally:
+        q.stop()
+    q2 = _start(
+        spark, table, str(tmp_path / "ck_d2"), "ss_del2", ignoreDeletes="true"
+    )
+    try:
+        q2.processAllAvailable()
+        # bootstrap reflects the delete (1 gone); the tailed append arrives
+        assert 1 not in _ids(spark, "ss_del2")
+        assert 300 in _ids(spark, "ss_del2")
+        S.delete_by_keys(
+            spark, table, spark.createDataFrame([(2,)], "trade_id long")
+        )
+        S.append(_batch(spark, 3, [301]), table)
+        q2.processAllAvailable()  # delete skipped, append emitted
+        got = _ids(spark, "ss_del2")
+        assert 301 in got and 2 in got  # 2 was emitted BEFORE its deletion
+    finally:
+        q2.stop()
 
 
 def test_bootstrap_applies_deletion_vectors(spark, table, tmp_path):
