@@ -234,6 +234,24 @@ _MODULES = (
 #                                           under the driver hash,
 #                                           oracle-exact via md5 grid
 #                                           arithmetic mirrored in SQL)
+#
+# Round-11 rotation (round-10 verdict item #1): the round-10 DSIR family
+# (dsir.py — Xie et al. 2023 importance resampling, the only
+# distribution-level data-selection operator that is DuckDB-oracle-EXACT)
+# was pytest-only; one strict-twin entry rotates out so it gets a driver
+# hash verdict:
+#   tpch_q22 -> corpus_dsir_weights        (q22's anti-join + scalar-
+#                                           subquery shape decomposes into
+#                                           declared tpch_q21 (semi+anti
+#                                           join) and tpch_q17 (correlated
+#                                           scalar subquery); q22 + its
+#                                           oracle stay pytest-parity-
+#                                           gated. dsir_weights brings the
+#                                           hashed-ngram importance-weight
+#                                           family — one explode + ONE
+#                                           bounded-key map-side-combined
+#                                           shuffle, ≤64-row broadcast
+#                                           stats — under the driver hash)
 _DECLARED = (
     # reference §2.10 public query surface (api/server.py:57-200)
     "ev_count",
@@ -303,8 +321,10 @@ _DECLARED = (
     "cust_scd2_merge",
     "tpch_q17",
     "tpch_q21",
-    "tpch_q22",
     "region_nation_rollup",
+    # distribution-level data selection (DSIR importance weights — r11
+    # rotation; select/mix variants stay pytest-gated library)
+    "corpus_dsir_weights",
 )
 
 assert len(_DECLARED) == 50, len(_DECLARED)
