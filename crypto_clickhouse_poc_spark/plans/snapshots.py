@@ -185,6 +185,53 @@ def changed_meta(
     return out
 
 
+def _manifest_delta(path: str, v: int) -> tuple[list[dict], list[dict]]:
+    """``(added, removed)`` file entries of commit ``v`` — added = entries
+    stamped ``added_v == v``, removed = entries in ``v-1``'s manifest but
+    not ``v``'s — loading ONLY the month shards whose content hash changed
+    between the two versions. On a sharded log a change is confined to
+    the months it touched (adding/removing a file re-hashes its month's
+    shard, content-addressing leaves the rest byte-identical), so a
+    per-commit delta costs O(changed shards), never O(table months) —
+    the metadata asymptote fix the r10 ADVICE asked for on both the CDC
+    feed and the stream source's catch-up path. Inline (unsharded)
+    manifests are already O(1) reads; a commit CROSSING the shard
+    boundary (one side inline, one sharded) degrades to two full
+    materializations, which is exactly what the splice costs anyway."""
+    cur = _version_body(path, v)
+    prev = _version_body(path, v - 1) if v > 0 else None
+    if "files_ref" in cur and (prev is None or "files_ref" in prev):
+        rc = {r["p_month"]: r["path"] for r in cur["files_ref"]}
+        rp = (
+            {}
+            if prev is None
+            else {r["p_month"]: r["path"] for r in prev["files_ref"]}
+        )
+        changed = {m for m in set(rc) | set(rp) if rc.get(m) != rp.get(m)}
+
+        def _load(refs: dict[str, str]) -> list[dict]:
+            return [
+                f
+                for m in sorted(changed)
+                if m in refs
+                for f in json.loads((_log(path) / refs[m]).read_text())
+            ]
+
+        cur_files, prev_files = _load(rc), _load(rp)
+    else:
+        cur_files = cur["files"] if "files" in cur else manifest(path, v)["files"]
+        if prev is None:
+            prev_files = []
+        elif "files" in prev:
+            prev_files = prev["files"]
+        else:
+            prev_files = manifest(path, v - 1)["files"]
+    now = {f["path"] for f in cur_files}
+    added = [f for f in cur_files if f.get("added_v") == v]
+    removed = [f for f in prev_files if f["path"] not in now]
+    return added, removed
+
+
 def _write_shards(path: str, files: list[dict]) -> list[dict]:
     """Write the file list as per-month, CONTENT-ADDRESSED shard files
     and return the reference list. A month whose file set is unchanged
@@ -862,6 +909,7 @@ def read_changes_cdc(
     path: str,
     since_version: int,
     to_version: int | None = None,
+    precise_merge: bool = False,
 ) -> DataFrame:
     """Change-data-feed read of ``(since_version, to_version]``: the table's
     rows tagged ``_change_type`` ('insert' | 'delete') + ``_commit_version``.
@@ -886,12 +934,28 @@ def read_changes_cdc(
     travel has); eq_delete is the exception — emitting the deleted ROWS needs a
     key semi-join against snapshot(v-1), one broadcast-key scan of the
     pre-delete snapshot (the keys alone don't carry the group columns a
-    consumer folds by). When a per-file Bloom sidecar exists on the
-    delete's key column (plans/bloomidx), that scan is PRUNED to the
-    files that may contain a key — the erasure-on-an-indexed-key case
-    drops from O(base) to O(files holding victims). Consumers that only
-    ever see appends should stay on :func:`read_changes` (zero manifest
-    loads beyond the two ends)."""
+    consumer folds by). When a per-file Bloom sidecar exists on a
+    delete key column (plans/bloomidx), that scan is PRUNED to the
+    files that may contain a key — for a COMPOSITE key every indexed
+    component column prunes in turn (intersecting per-column maybe-sets
+    is sound: both are false-positive-only, r11) — so the
+    erasure-on-an-indexed-key case drops from O(base) to O(files
+    holding victims). Metadata cost per covered commit is O(changed
+    month shards) via :func:`_manifest_delta`, never a full per-commit
+    manifest splice (r10 ADVICE). Consumers that only ever see appends
+    should stay on :func:`read_changes` (zero manifest loads beyond the
+    two ends).
+
+    ``precise_merge=True`` (r11) upgrades the MERGE leg from the coarse
+    file-level diff to a ROW-PRECISE multiset diff: the removed files'
+    visible rows and the added files' rows are counted per full-row
+    value (txn lineage excluded) and only the NET difference is emitted
+    — an unchanged row carried through a rewrite emits nothing, so a
+    non-invertible consumer sees exactly the rows a ``merge_into``
+    logically changed. Costs one extra shuffle over the rewritten
+    files' rows (O(files the merge touched), never O(table)); the
+    coarse diff stays the default because an invertible consumer nets
+    the paired delete+insert to zero anyway."""
     head = latest_version(path)
     if head is None:
         raise FileNotFoundError(f"no snapshots at {path}")
@@ -914,33 +978,87 @@ def read_changes_cdc(
             .withColumn(CDC_VERSION, F.lit(v))
         )
 
+    def _prev_like(v: int, frame_files: list[dict]) -> dict:
+        """A manifest-shaped dict for ``_apply_dvs`` over a frame that
+        contains ONLY ``frame_files``'s rows: the dvs/eq_dvs lists are
+        inline in the raw v-1 body (zero shard splices), and the eq
+        sequencing map only needs entries for files actually in the
+        frame — handing it the spliced full manifest would cost
+        O(month-shards) per commit for nothing (r10 ADVICE)."""
+        pb = {} if v == 0 else _version_body(path, v - 1)
+        return {
+            "dvs": pb.get("dvs", []),
+            "eq_dvs": pb.get("eq_dvs", []),
+            "files": frame_files,
+        }
+
     for v, (op, dc) in zip(range(since_version + 1, to + 1), meta):
         if not dc:
             continue  # writer-declared layout-only commit
-        if op in ("append", "merge"):
-            m_v = manifest(path, v)
-            added = [f for f in m_v["files"] if f.get("added_v") == v]
-            if added:
-                _tag(_read_files(spark, path, added, merge_schema=True), "insert", v)
-        if op in ("merge", "retention"):
-            m_v = manifest(path, v)
+        added: list[dict] = []
+        removed: list[dict] = []
+        if op in ("append", "merge", "retention"):
+            # O(changed month shards), never a per-commit full splice;
             # v0 can be a non-append (drop_months initializes a path):
             # nothing exists before it, so nothing was removed by it
-            m_prev = {"files": []} if v == 0 else manifest(path, v - 1)
-            now = {f["path"] for f in m_v["files"]}
-            removed = [f for f in m_prev["files"] if f["path"] not in now]
-            if removed:
+            added, removed = _manifest_delta(path, v)
+        if op == "merge" and precise_merge and (added or removed):
+            # row-precise multiset diff: count each full-row value on
+            # both sides (txn lineage excluded — a rewrite moves rows to
+            # a new txn dir without changing them) and emit only the net
+            new_rows = (
+                _read_files(spark, path, added, merge_schema=True)
+                if added
+                else None
+            )
+            old_rows = (
+                _apply_dvs(
+                    spark,
+                    _read_files(spark, path, removed, merge_schema=True),
+                    _prev_like(v, removed),
+                    path,
+                )
+                if removed
+                else None
+            )
+            sides = []
+            if new_rows is not None:
+                sides.append(new_rows.drop(TXN_COL).withColumn("_n", F.lit(1)))
+            if old_rows is not None:
+                sides.append(old_rows.drop(TXN_COL).withColumn("_n", F.lit(-1)))
+            both = sides[0]
+            for s in sides[1:]:
+                # schema evolution at the merge boundary: pre-evolution
+                # removed files surface the new columns as NULL, which
+                # correctly reads as "changed" against the rewrite
+                both = both.unionByName(s, allowMissingColumns=True)
+            cols = [c for c in both.columns if c != "_n"]
+            net = both.groupBy(*cols).agg(F.sum("_n").alias("_net"))
+            reps = F.explode(
+                F.sequence(F.lit(1).cast("long"), F.abs(F.col("_net")).cast("long"))
+            ).alias("_rep")
+            dels = net.where(F.col("_net") < 0).select(*cols, reps).drop("_rep")
+            ins = net.where(F.col("_net") > 0).select(*cols, reps).drop("_rep")
+            _tag(dels, "delete", v)
+            _tag(ins, "insert", v)
+        else:
+            if op in ("append", "merge") and added:
+                _tag(
+                    _read_files(spark, path, added, merge_schema=True),
+                    "insert",
+                    v,
+                )
+            if op in ("merge", "retention") and removed:
                 # visible-at-(v-1) rows of the dropped/rewritten files:
-                # _apply_dvs touches only rows present in the frame, so
-                # handing it the full v-1 manifest restricts correctly
+                # _apply_dvs touches only rows present in the frame
                 gone = _apply_dvs(
                     spark,
                     _read_files(spark, path, removed, merge_schema=True),
-                    m_prev,
+                    _prev_like(v, removed),
                     path,
                 )
                 _tag(gone, "delete", v)
-        elif op == "delete":
+        if op == "delete":
             prev = (
                 set()
                 if v == 0
@@ -990,16 +1108,20 @@ def read_changes_cdc(
                         *[str(Path(path) / p) for p in kpaths]
                     )
                     # the pre-delete scan is this feed's one documented
-                    # O(base) leg; a per-file Bloom sidecar on the key
+                    # O(base) leg; a per-file Bloom sidecar on any key
                     # column (plans/bloomidx) prunes it to the files
                     # that MAY contain a key — advisory, never changes
                     # the result (false positives read a useless file,
-                    # false negatives are impossible by construction)
+                    # false negatives are impossible by construction).
+                    # A COMPOSITE key chains every indexed column's
+                    # prune: a file provably lacking ANY component value
+                    # provably lacks the composite row, so intersecting
+                    # the per-column maybe-sets is sound (r11)
                     files = m_prev["files"]
-                    if len(cols) == 1:
-                        files = _bloom_prune_files(
-                            spark, path, cols[0], kdf, files
-                        )
+                    for c in cols:
+                        if not files:
+                            break
+                        files = _bloom_prune_files(spark, path, c, kdf, files)
                     if not files:
                         continue  # every file provably lacks every key
                     base = _apply_dvs(

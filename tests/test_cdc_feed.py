@@ -491,3 +491,142 @@ def test_random_op_interleaving_matches_recompute(spark, tmp_path, seed):
         elif op == "compact":
             S.compact_snapshot(spark, base)
         refresh()
+
+
+def test_cdc_metadata_is_o_changed_shards_not_full_splices(
+    spark, tmp_path, monkeypatch
+):
+    """r10 ADVICE: on a sharded log, the feed's append/retention/delete
+    legs must never materialize a FULL manifest per covered commit —
+    _manifest_delta loads only the month shards whose content hash
+    changed. The one allowed splice is the eq-delete leg's pre-delete
+    scan list (that leg is the feed's documented O(base) exception)."""
+    monkeypatch.setattr(S, "SHARD_FILES", 0)  # every version sharded
+    path = str(tmp_path / "t")
+    S.append(_batch(spark, range(8), month=1), path)  # v0 Jan
+    S.append(_batch(spark, range(8, 16), month=2), path)  # v1 Feb
+    S.append(_batch(spark, range(16, 24), month=3), path)  # v2 Mar
+    S.delete_where(spark, path, "trade_id = 20")  # v3 position delete
+    S.drop_months(path, "202402")  # v4 retention: Jan dropped
+    real = S.manifest
+    splices = []
+    monkeypatch.setattr(
+        S,
+        "manifest",
+        lambda p, v, months=None: splices.append((v, months)) or real(p, v, months),
+    )
+    cdc = S.read_changes_cdc(spark, path, -1)
+    got_ins = _ids(cdc.where(F.col(S.CDC_TYPE) == "insert"))
+    got_del = _ids(cdc.where(F.col(S.CDC_TYPE) == "delete"))
+    monkeypatch.undo()
+    assert got_ins == list(range(24))
+    assert got_del == sorted([20] + list(range(8)))
+    assert splices == [], f"full manifest splices during CDC: {splices}"
+    # and the eq-delete leg still works (its one splice is the scan list)
+    S.delete_by_keys(
+        spark, path, spark.createDataFrame([(17,)], "trade_id long")
+    )
+    assert _ids(
+        S.read_changes_cdc(spark, path, 4).where(F.col(S.CDC_TYPE) == "delete")
+    ) == [17]
+
+
+def test_cdc_composite_eq_delete_prunes_through_both_sidecars(
+    spark, tmp_path, monkeypatch
+):
+    """r10 verdict item #5: a composite-key erasure intersects the
+    per-column Bloom maybe-sets — col A's value lives in files 1+2, col
+    B's in files 2+3, so the pre-delete scan must touch ONLY file 2 (and
+    the emitted rows stay exact)."""
+    from crypto_clickhouse_poc_spark.plans import bloomidx as B
+
+    path = str(tmp_path / "t")
+    rows1 = [(datetime(2024, 1, 1, 9, 0, i), "AAA", i, 1.0, 1.0, 0) for i in range(5)]
+    rows2 = [(datetime(2024, 2, 1, 9, 0, i), "AAA", 100 + i, 1.0, 1.0, 0) for i in range(5)]
+    rows3 = [(datetime(2024, 3, 1, 9, 0, i), "BBB", 100 + i, 1.0, 1.0, 0) for i in range(5)]
+    for rows in (rows1, rows2, rows3):
+        S.append(spark.createDataFrame(rows, SCHEMA), path)
+    B.build_bloom_index(spark, path, "symbol")
+    B.build_bloom_index(spark, path, "trade_id")
+    v0 = S.latest_version(path)
+    # composite victim ("AAA", 102): symbol AAA ∈ {Jan, Feb}, id 102 ∈ {Feb, Mar}
+    S.delete_by_keys(
+        spark,
+        path,
+        spark.createDataFrame([("AAA", 102)], "symbol string, trade_id long"),
+        cols=["symbol", "trade_id"],
+    )
+    scanned: list[list[str]] = []
+    real = S._read_files
+    monkeypatch.setattr(
+        S,
+        "_read_files",
+        lambda sp, p, files, **kw: scanned.append([f["path"] for f in files])
+        or real(sp, p, files, **kw),
+    )
+    cdc = S.read_changes_cdc(spark, path, v0)
+    dels = cdc.where(F.col(S.CDC_TYPE) == "delete").collect()
+    monkeypatch.undo()
+    assert [(r["symbol"], r["trade_id"]) for r in dels] == [("AAA", 102)]
+    eq_scans = [s for s in scanned if s]
+    assert len(eq_scans) == 1 and len(eq_scans[0]) == 1, eq_scans
+    assert "p_month=202402" in eq_scans[0][0]
+    # and the table reads correctly post-delete: only the composite
+    # victim is gone — ("BBB", 102) survives
+    left = {
+        (r["symbol"], r["trade_id"])
+        for r in S.read_snapshot(spark, path).collect()
+    }
+    assert ("AAA", 102) not in left and ("BBB", 102) in left
+
+
+def test_cdc_precise_merge_emits_only_net_row_changes(spark, tmp_path):
+    """r10 verdict item #3: with precise_merge=True the merge leg is a
+    row-precise multiset diff — unchanged rows carried through the
+    rewrite emit NOTHING, updates emit one delete (old values) + one
+    insert (new values), and the classification agrees with
+    diff_versions over the same range."""
+    path = str(tmp_path / "t")
+    S.append(_batch(spark, range(12)), path)  # v0
+    v0 = S.latest_version(path)
+    src = _batch(spark, [3, 4, 50]).withColumn("price", F.lit(999.0))
+    S.merge_into(spark, path, src, keys=["trade_id"])  # update 3,4; insert 50
+    v1 = S.latest_version(path)
+    cdc = S.read_changes_cdc(spark, path, v0, precise_merge=True)
+    dels = cdc.where(F.col(S.CDC_TYPE) == "delete")
+    ins = cdc.where(F.col(S.CDC_TYPE) == "insert")
+    # exactly the changed rows — no paired delete+insert for the other 10
+    assert _ids(dels) == [3, 4]
+    assert _ids(ins) == [3, 4, 50]
+    assert {r["price"] for r in dels.collect()} != {999.0}
+    assert {r["price"] for r in ins.collect()} == {999.0}
+    # parity with the row diff the versioned table already answers
+    diff = {
+        r["trade_id"]: r["change_type"]
+        for r in S.diff_versions(spark, path, v0, v1).collect()
+    }
+    assert diff == {3: "changed", 4: "changed", 50: "added"}
+    # net effect identical to the coarse feed
+    coarse = S.read_changes_cdc(spark, path, v0)
+    assert _net(cdc) == _net(coarse)
+
+
+def test_cdc_precise_merge_layout_only_rewrite_emits_nothing(spark, tmp_path):
+    """A merge-shaped rewrite that changes no row values (every target
+    row carried verbatim) must emit zero CDC rows under precise_merge —
+    the property that lets a non-invertible MV ride through it."""
+    path = str(tmp_path / "t")
+    S.append(_batch(spark, range(10)), path)
+    v0 = S.latest_version(path)
+    # merge whose source rows EQUAL the current rows: merge_into rewrites
+    # the matched files but every row value is unchanged
+    src = S.read_snapshot(spark, path).where("trade_id in (2, 5)")
+    S.merge_into(spark, path, src, keys=["trade_id"])
+    if S.latest_version(path) == v0:
+        pytest.skip("merge_into detected the no-op and committed nothing")
+    cdc = S.read_changes_cdc(spark, path, v0, precise_merge=True)
+    assert cdc.count() == 0
+    # the coarse feed sees the rewrite as paired delete+insert (net zero)
+    coarse = S.read_changes_cdc(spark, path, v0)
+    assert _net(coarse) == {}
+    assert coarse.count() > 0

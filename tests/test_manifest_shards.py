@@ -115,3 +115,42 @@ def test_maintenance_ops_over_a_sharded_log(spark, sharded):
     removed = S.vacuum(sharded)
     assert _ids(S.read_snapshot(spark, sharded)) == list(range(12))
     assert all(r.endswith(".parquet") for r in removed)  # never log shards
+
+
+def test_manifest_delta_parses_only_changed_shards(spark, sharded, monkeypatch):
+    """_manifest_delta (r11) must answer "what did commit v add/remove"
+    from the commit's CHANGED month shards alone — the other months'
+    shard files are never even opened (the CDC feed and the stream
+    source's catch-up path both ride on this)."""
+    S.append(_batch(spark, 2, range(12, 14), version=1), sharded)  # touch Feb
+    v = S.latest_version(sharded)
+    untouched = [
+        r["path"]
+        for r in _raw(sharded, v)["files_ref"]
+        if r["p_month"] != "202402"
+    ]
+    real_read_text = Path.read_text
+
+    def spy(self, *a, **kw):
+        assert self.name not in {Path(p).name for p in untouched}, (
+            f"_manifest_delta parsed unchanged shard {self.name}"
+        )
+        return real_read_text(self, *a, **kw)
+
+    monkeypatch.setattr(Path, "read_text", spy)
+    added, removed = S._manifest_delta(sharded, v)
+    monkeypatch.setattr(Path, "read_text", real_read_text)
+    assert removed == []
+    assert [f["p_month"] for f in added] == ["202402"]
+    assert all(f["added_v"] == v for f in added)
+
+
+def test_manifest_delta_sees_removals_and_inline_boundary(spark, sharded):
+    """Retention removals surface in the delta; a commit CROSSING the
+    shard boundary (sharded -> inline) still answers correctly via the
+    documented full-materialization fallback."""
+    S.drop_months(sharded, "202402")  # Jan dropped; 2 files -> inline again
+    v = S.latest_version(sharded)
+    added, removed = S._manifest_delta(sharded, v)
+    assert added == []
+    assert [f["p_month"] for f in removed] == ["202401"]
