@@ -51,13 +51,20 @@ fires exactly when an O(base) rewrite already happened to the base.
 
 from __future__ import annotations
 
-from typing import Callable
+import datetime as _dt
+from typing import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..streaming.bars import partial_bars, reaggregate_bars
 from . import snapshots as S
+
+# fall back to rebuild when a delete touches more groups than this: the
+# affected-key set is broadcast + driver-collected (for the scope bounds
+# and the eq-delete key file), and past this size a pruned re-aggregation
+# stops being meaningfully cheaper than one full recompute anyway
+MAX_SCOPED_GROUPS = 65_536
 
 # Struct merge keys (open_key/close_key) carried by the partials: the
 # deterministic (ts, trade_id) total order that makes open/close exact
