@@ -60,8 +60,46 @@ from . import snapshots as S
 IDX_DIR = "_idx"
 
 
+class PointerRace(RuntimeError):
+    """Another publisher claimed the next pointer generation between this
+    operation's pointer read and its publish. Re-read the pointer and
+    recompute (an extension's content depends on the coverage it read)."""
+
+
 def _pointer(path: str, key_col: str) -> Path:
+    """LEGACY (pre-r12) mutable pointer location — still read as
+    generation 0 when no generation files exist, so indexes built by
+    older code keep working; never written anymore."""
     return Path(path) / IDX_DIR / f"bloom-{key_col}.json"
+
+
+def _gen_of(p: Path) -> int:
+    # bloom-<key>.g<N>.json — key cols can't contain "/" so rsplit is safe
+    return int(p.name.rsplit(".g", 1)[1][: -len(".json")])
+
+
+def _read_pointer(path: str, key_col: str) -> tuple[dict, int] | None:
+    """(meta, generation) of the CURRENT pointer — the highest-numbered
+    ``bloom-<key>.g<N>.json`` (each one immutable, claimed by an atomic
+    ``os.link`` exactly like the log's own v{N}.json protocol, r12), or
+    the legacy mutable file as generation 0. None = no index."""
+    idx_root = Path(path) / IDX_DIR
+    gens = sorted(
+        idx_root.glob(f"bloom-{key_col}.g*.json"), key=_gen_of
+    )
+    for p in reversed(gens):
+        try:
+            return json.loads(p.read_text()), _gen_of(p)
+        except OSError:
+            continue  # swept between glob and read — try the next newest
+    legacy = _pointer(path, key_col)
+    if legacy.exists():
+        return json.loads(legacy.read_text()), 0
+    return None
+
+
+def index_exists(path: str, key_col: str) -> bool:
+    return _read_pointer(path, key_col) is not None
 
 
 BITS_PER_KEY = 10  # ~1% false-positive rate at k=4
@@ -112,8 +150,18 @@ def build_bloom_index(spark: SparkSession, path: str, key_col: str) -> dict | No
         "n_files": len(m["files"]),
         "bits": bits,
     }
-    _publish_pointer(path, key_col, meta, supersede=True)
-    return meta
+    # a rebuild's CONTENT is pointer-independent (it re-scanned the head),
+    # so a lost publish race only needs fresh prev/generation bookkeeping
+    for _ in range(16):
+        prior = _read_pointer(path, key_col)
+        gen = prior[1] if prior is not None else 0
+        try:
+            # meta["prev"] is (re)stamped inside per attempt
+            _publish_pointer(path, key_col, meta, supersede=True, expect_gen=gen)
+            return meta
+        except PointerRace:
+            continue
+    raise RuntimeError(f"bloom pointer contention on {key_col} at {path}")
 
 
 def _bloom_words(df: DataFrame, key_col: str, bits: int) -> DataFrame:
@@ -152,18 +200,27 @@ def _dirs_of(meta: dict) -> list[str]:
 
 
 def _publish_pointer(
-    path: str, key_col: str, meta: dict, supersede: bool
+    path: str, key_col: str, meta: dict, supersede: bool, expect_gen: int
 ) -> None:
-    """Atomic pointer swap with a one-generation grace window: a REBUILD
-    (``supersede=True``) records the old build's dirs as ``prev`` — a
-    reader holding the old pointer may still be scanning them — and
-    deletes only the GRANDPARENT generation (the same retention idea
-    vacuum applies to data files, at depth 1). An EXTENSION does not
-    supersede anything: the old dirs stay part of the live index and
-    ``prev`` carries over unchanged."""
+    """Publish the pointer by CLAIMING generation ``expect_gen + 1`` with
+    an atomic ``os.link`` — the same optimistic compare-and-set the log's
+    ``_commit`` uses for version files (r12; the previous mutable
+    read-modify-write let two concurrent extends silently drop each
+    other's coverage). ``expect_gen`` is the generation the caller READ
+    its inputs from; a lost race raises :class:`PointerRace` and the
+    caller must re-read and recompute, because its dirs/coverage math was
+    against a pointer that no longer governs.
+
+    Grace semantics unchanged: a REBUILD (``supersede=True``) records the
+    superseded build's dirs as ``prev`` — a reader holding the old
+    pointer may still be scanning them — and deletes only the GRANDPARENT
+    generation's dirs. An EXTENSION keeps the old dirs live and carries
+    ``prev`` forward. Older generation FILES are unlinked after a
+    successful claim (readers re-glob per probe; their dirs survive via
+    the prev window)."""
     idx_root = Path(path) / IDX_DIR
-    old = _pointer(path, key_col)
-    old_meta = json.loads(old.read_text()) if old.exists() else {}
+    prior = _read_pointer(path, key_col)
+    old_meta, _gen = prior if prior is not None else ({}, 0)
     old_prev = old_meta.get("prev")
     old_prev = (
         [old_prev] if isinstance(old_prev, str) else list(old_prev or [])
@@ -176,7 +233,22 @@ def _publish_pointer(
         doomed = []
     ptr_tmp = idx_root / f".ptr-{uuid.uuid4().hex}"
     ptr_tmp.write_text(json.dumps(meta))
-    os.replace(ptr_tmp, old)
+    dest = idx_root / f"bloom-{key_col}.g{expect_gen + 1}.json"
+    try:
+        os.link(ptr_tmp, dest)
+    except FileExistsError:
+        raise PointerRace(
+            f"bloom pointer generation {expect_gen + 1} for {key_col} was "
+            "claimed by a concurrent publisher — re-read and recompute"
+        )
+    finally:
+        ptr_tmp.unlink(missing_ok=True)
+    # winners clean up: stale generation files (incl. the legacy mutable
+    # pointer) and the grandparent generation's now-unreferenced dirs
+    _pointer(path, key_col).unlink(missing_ok=True)
+    for p in idx_root.glob(f"bloom-{key_col}.g*.json"):
+        if _gen_of(p) <= expect_gen:
+            p.unlink(missing_ok=True)
     live = set(meta["dirs"]) | set(meta["prev"])
     for g in doomed:
         if g not in live:
@@ -198,45 +270,63 @@ def extend_bloom_index(spark: SparkSession, path: str, key_col: str) -> dict | N
     prunable iff it is in the pointer ``version``'s manifest (now the
     current head), and files absent from the index dirs within that
     coverage are null-only files, prunable by construction. Probes union
-    all dirs in one word-pushed scan."""
+    all dirs in one word-pushed scan.
+
+    Race-safe (r12): the extension's content — which files are new, which
+    dirs it merges with — depends on the pointer it read, so the publish
+    is a generation CAS; a lost race discards this attempt's dir and
+    recomputes against the winner's pointer (whose extension may already
+    cover everything, making the retry a no-op)."""
     head = S.latest_version(path)
     if head is None:
         raise FileNotFoundError(f"no snapshots at {path}")
-    ptr = _pointer(path, key_col)
-    if not ptr.exists():
-        return build_bloom_index(spark, path, key_col)
-    meta = json.loads(ptr.read_text())
-    m = S.manifest(path, head)
-    if not m["files"]:
-        return None  # empty head — existing pointer left in place
-    covered = {f["path"] for f in S.manifest(path, meta["version"])["files"]}
-    new_files = [f for f in m["files"] if f["path"] not in covered]
-    if not new_files:
-        return None  # head ⊆ coverage (or equal) — nothing to do
-    bits = meta.get("bits", _MIN_BITS)
-    max_rows = max((f.get("rows", 0) for f in new_files), default=0)
-    if BITS_PER_KEY * max(1, max_rows) > bits and bits < _MAX_BITS:
-        # a new file would saturate the existing filter size: re-size by
-        # full rebuild (reserved for exactly this and key changes)
-        return build_bloom_index(spark, path, key_col)
-    df = S._read_files(spark, path, new_files, merge_schema=True)
-    kind = df.schema[key_col].dataType.typeName()
-    if kind not in ("integer", "long", "short", "byte", "string", "date"):
-        raise TypeError(
-            f"bloom index key {key_col} has type {kind}: float/decimal/"
-            "timestamp keys render differently in Python str() and Spark "
-            "CAST AS STRING, so the probe could false-negative — index an "
-            "integral/string key instead"
+    for _ in range(16):
+        prior = _read_pointer(path, key_col)
+        if prior is None:
+            return build_bloom_index(spark, path, key_col)
+        meta, gen = prior
+        m = S.manifest(path, head)
+        if not m["files"]:
+            return None  # empty head — existing pointer left in place
+        covered = {f["path"] for f in S.manifest(path, meta["version"])["files"]}
+        new_files = [f for f in m["files"] if f["path"] not in covered]
+        if not new_files:
+            return None  # head ⊆ coverage (or equal) — nothing to do
+        bits = meta.get("bits", _MIN_BITS)
+        max_rows = max((f.get("rows", 0) for f in new_files), default=0)
+        if BITS_PER_KEY * max(1, max_rows) > bits and bits < _MAX_BITS:
+            # a new file would saturate the existing filter size: re-size
+            # by full rebuild (reserved for exactly this and key changes)
+            return build_bloom_index(spark, path, key_col)
+        df = S._read_files(spark, path, new_files, merge_schema=True)
+        kind = df.schema[key_col].dataType.typeName()
+        if kind not in ("integer", "long", "short", "byte", "string", "date"):
+            raise TypeError(
+                f"bloom index key {key_col} has type {kind}: float/decimal/"
+                "timestamp keys render differently in Python str() and Spark "
+                "CAST AS STRING, so the probe could false-negative — index an "
+                "integral/string key instead"
+            )
+        dest = _write_idx_dir(
+            path, key_col, head, _bloom_words(df, key_col, bits)
         )
-    dest = _write_idx_dir(path, key_col, head, _bloom_words(df, key_col, bits))
-    new_meta = {
-        "dirs": _dirs_of(meta) + [dest.name],
-        "version": head,
-        "n_files": len(m["files"]),
-        "bits": bits,
-    }
-    _publish_pointer(path, key_col, new_meta, supersede=False)
-    return new_meta
+        new_meta = {
+            "dirs": _dirs_of(meta) + [dest.name],
+            "version": head,
+            "n_files": len(m["files"]),
+            "bits": bits,
+        }
+        try:
+            _publish_pointer(
+                path, key_col, new_meta, supersede=False, expect_gen=gen
+            )
+            return new_meta
+        except PointerRace:
+            # the dirs/coverage math above was against a superseded
+            # pointer: drop this attempt's dir and recompute
+            shutil.rmtree(dest, ignore_errors=True)
+            continue
+    raise RuntimeError(f"bloom pointer contention on {key_col} at {path}")
 
 
 def _need_words(value, bits: int) -> dict[int, int]:
@@ -266,11 +356,11 @@ def _maybe_files(
     would otherwise prune files the probe never saw). ONE word-pushed
     scan of the sidecar covers every probe value: the scan reads only
     the union of the k words each value hashes to."""
-    ptr = _pointer(path, key_col)
-    if not ptr.exists():
+    prior = _read_pointer(path, key_col)
+    if prior is None:
         return None
-    meta = json.loads(ptr.read_text())
-    bits = meta.get("bits", 1 << 14)
+    meta, _gen = prior
+    bits = meta.get("bits", _MIN_BITS)
     needs = {str(v): _need_words(v, bits) for v in values}
     all_words = {w for need in needs.values() for w in need}
     if not all_words:
@@ -316,9 +406,9 @@ def maybe_rebuild_bloom_index(
     head = S.latest_version(path)
     if head is None:
         raise FileNotFoundError(f"no snapshots at {path}")
-    ptr = _pointer(path, key_col)
-    if ptr.exists():
-        meta = json.loads(ptr.read_text())
+    prior = _read_pointer(path, key_col)
+    if prior is not None:
+        meta, _gen = prior
         covered = {f["path"] for f in S.manifest(path, meta["version"])["files"]}
         stale = sum(
             1 for f in S.manifest(path, head)["files"] if f["path"] not in covered
@@ -327,6 +417,93 @@ def maybe_rebuild_bloom_index(
             return None
         return extend_bloom_index(spark, path, key_col)
     return build_bloom_index(spark, path, key_col)
+
+
+def compact_bloom_index(
+    spark: SparkSession, path: str, key_col: str, max_dirs: int = 8
+) -> dict | None:
+    """Fold the sidecar's accumulated extension dirs back into ONE parquet
+    dir once the pointer lists more than ``max_dirs`` (r11 verdict #3: at
+    streaming-sink cadence extensions accrue one small dir each, and every
+    probe pays a per-dir file-open, so the union's cost drifts from data
+    volume to dir count). The fold re-reads the SIDECAR rows — O(index),
+    never O(data) — re-aggregates per (file, word) (extensions cover
+    disjoint file sets, so this is a concatenation; the bit_or makes it
+    idempotent regardless), and publishes through the same grace-window
+    CAS a rebuild uses: old dirs become ``prev`` for in-flight readers,
+    the grandparent generation's dirs are swept. Probes are bit-identical
+    before and after (gated in tests). Returns the new pointer meta or
+    None when under threshold / no index."""
+    for _ in range(16):
+        prior = _read_pointer(path, key_col)
+        if prior is None:
+            return None
+        meta, gen = prior
+        dirs = _dirs_of(meta)
+        if len(dirs) <= max_dirs:
+            return None
+        idx = spark.read.parquet(
+            *[str(Path(path) / IDX_DIR / d) for d in dirs]
+        )
+        folded = idx.groupBy("file", "word").agg(
+            F.bit_or("bits").alias("bits")
+        )
+        dest = _write_idx_dir(path, key_col, meta["version"], folded)
+        new_meta = {
+            "dirs": [dest.name],
+            "version": meta["version"],
+            "n_files": meta.get("n_files"),
+            "bits": meta.get("bits", _MIN_BITS),
+        }
+        try:
+            _publish_pointer(
+                path, key_col, new_meta, supersede=True, expect_gen=gen
+            )
+            return new_meta
+        except PointerRace:
+            # an extend/rebuild won: the fold's input set is stale
+            shutil.rmtree(dest, ignore_errors=True)
+            continue
+    raise RuntimeError(f"bloom pointer contention on {key_col} at {path}")
+
+
+def sweep_bloom_orphans(
+    path: str, min_age_sec: float = 3600.0
+) -> list[str]:
+    """Remove sidecar dirs no pointer references — debris from crashed
+    builders and publish-race losers that died before their own cleanup.
+    A dir younger than ``min_age_sec`` is NEVER swept: an in-flight
+    extension writes its dir BEFORE claiming the pointer, and sweeping
+    that window would leave the winner's pointer referencing a deleted
+    dir. Returns the removed dir names (for the maintenance report)."""
+    import time
+
+    idx_root = Path(path) / IDX_DIR
+    if not idx_root.exists():
+        return []
+    live: set[str] = set()
+    keys = {
+        p.name[len("bloom-"):].split(".g")[0].removesuffix(".json")
+        for p in idx_root.glob("bloom-*.json")
+    }
+    for key in keys:
+        prior = _read_pointer(path, key)
+        if prior is not None:
+            meta, _gen = prior
+            live |= set(_dirs_of(meta)) | set(meta.get("prev") or [])
+    removed = []
+    now = time.time()
+    for d in idx_root.iterdir():
+        if not d.is_dir() or d.name in live:
+            continue
+        try:
+            if now - d.stat().st_mtime < min_age_sec:
+                continue
+        except OSError:
+            continue  # vanished concurrently
+        shutil.rmtree(d, ignore_errors=True)
+        removed.append(d.name)
+    return removed
 
 
 def prune_file_list(

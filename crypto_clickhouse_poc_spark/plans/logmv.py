@@ -61,10 +61,18 @@ from ..streaming.bars import partial_bars, reaggregate_bars
 from . import snapshots as S
 
 # fall back to rebuild when a delete touches more groups than this: the
-# affected-key set is broadcast + driver-collected (for the scope bounds
-# and the eq-delete key file), and past this size a pruned re-aggregation
-# stops being meaningfully cheaper than one full recompute anyway
+# affected-key set is driver-collected (for the scope bounds and the
+# eq-delete key file) and broadcast into the scoped semi-joins, and past
+# this size a pruned re-aggregation stops being meaningfully cheaper than
+# one full recompute anyway
 MAX_SCOPED_GROUPS = 65_536
+
+# how much base-row time one group time value spans (a "minute" group
+# folds rows with ts in [minute, minute + 1min)): the scoped recompute
+# prunes the base scan to [min group, max group + bucket), then the
+# group semi-join makes the row set exact — the bucket only has to be an
+# UPPER bound on the span for pruning to stay a pure optimization
+_MINUTE = _dt.timedelta(minutes=1)
 
 # Struct merge keys (open_key/close_key) carried by the partials: the
 # deterministic (ts, trade_id) total order that makes open/close exact
@@ -146,7 +154,12 @@ def refresh_cascade(
     rollup — O(new 1m partials), never a re-read of the 1m MV (let alone
     the trades base). Exactly-once end to end: the 1h watermark is the 1m
     MV VERSION consumed, committed atomically with the hour partials,
-    same as every other rollup."""
+    same as every other rollup. A scoped refresh on the 1m MV (an
+    erasure swapping minute partials via ``upsert``) CASCADES scoped:
+    the 1m log's upsert is a CDC-covered deleting op, so this refresh
+    recomputes only the affected HOUR groups from the 1m head — the
+    scope knobs below are the hour algebra's (base rows are minute
+    partials, one hour group spans an hour of them)."""
     return refresh_rollup(
         spark,
         mv_1m_path,
@@ -154,6 +167,9 @@ def refresh_cascade(
         partial_fn=hour_partials,
         app=app,
         ts_col="hour",
+        group_cols=("hour", "symbol"),
+        scope_ts_col="minute",
+        scope_bucket=_dt.timedelta(hours=1),
     )
 
 
@@ -209,6 +225,10 @@ def refresh_rollup(
     app: str = "logmv",
     negate_fn: Callable[[DataFrame], DataFrame] | None = None,
     ts_col: str = "minute",
+    group_cols: Sequence[str] | None = None,
+    scope_ts_col: str = "ts",
+    scope_bucket: _dt.timedelta = _MINUTE,
+    max_scoped_groups: int = MAX_SCOPED_GROUPS,
 ) -> int | None:
     """Fold the base table's new commits into the rollup MV.
 
@@ -221,8 +241,12 @@ def refresh_rollup(
     :class:`plans.snapshots.CommitConflict` (its orphan txn dir is
     vacuum's to sweep) instead of double-counting the delta.
 
-    Range dispatch (r10 — Delta-CDF-consumer semantics):
+    Range dispatch (r10/r12 — Delta-CDF-consumer semantics):
 
+    - uninitialized MV → :func:`rebuild_rollup` immediately (one snapshot
+      read of current visibility; replaying full history through CDC
+      computes the same state for strictly more work — and the dispatch
+      itself must not pay an O(history) metadata scan first, r11 ADVICE);
     - all appends → the O(delta) fast path (:func:`snapshots.read_changes`,
       zero manifest splices beyond the range ends);
     - writer-flagged layout-only commits on top (``data_change=False``:
@@ -230,16 +254,34 @@ def refresh_rollup(
       are exactly the appended data: ANY algebra consumes it, the
       watermark advances, NO rebuild (previously every layout op on the
       base forced one);
-    - deleting ops in range (delete / eq_delete / retention / merge)
-      AND ``negate_fn`` given → CDC with RETRACTIONS: the MV appends
-      ``partial_fn(inserts) ∪ negate_fn(partial_fn(deletes))`` in one
-      watermarked commit. Requires an INVERTIBLE partial algebra
+    - deleting ops in range (delete / eq_delete / retention / merge /
+      upsert) AND ``negate_fn`` given → CDC with RETRACTIONS: the MV
+      appends ``partial_fn(inserts) ∪ negate_fn(partial_fn(deletes))``
+      in one watermarked commit. Requires an INVERTIBLE partial algebra
       (sum/count/CMS-cell — :func:`partial_sums`/:func:`negate_sums`);
-      min/max/open/close partials cannot retract, leave ``negate_fn``
-      unset for those;
-    - deleting ops without ``negate_fn``, or visibility rewrites
-      (rollback/rebuild) → one atomic :func:`rebuild_rollup`.
-    """
+    - deleting ops WITHOUT ``negate_fn`` (min/max/open/close partials
+      cannot retract) → the GROUP-SCOPED path (r12): the CDC delete rows
+      name exactly which ``group_cols`` groups changed, so re-aggregate
+      ONLY those groups from the pinned base head (scan pruned to the
+      groups' time span via footer stats, then an exact group semi-join)
+      and swap their stale partials in ONE atomic
+      :func:`snapshots.upsert_by_keys` commit — erasure on a bars MV
+      costs O(deleted groups' rows), not O(base). Falls back to
+      :func:`rebuild_rollup` past ``max_scoped_groups`` (the key set is
+      driver-collected and broadcast; beyond that a pruned re-aggregation
+      stops beating one recompute). The merge leg rides the row-precise
+      CDC diff (``precise_merge=True``), so a ``merge_into`` that
+      logically changed k rows scopes to those rows' groups — a
+      layout-only rewrite scopes to zero and degenerates to an append;
+    - genuine visibility rewrites (deduping compact / rollback /
+      rebuild) → one atomic :func:`rebuild_rollup`.
+
+    Scoped-path knobs (ignored elsewhere): ``group_cols`` is the partial
+    algebra's grouping key (default ``(ts_col, "symbol")`` — the bars
+    family); ``scope_ts_col`` is the BASE rows' time column;
+    ``scope_bucket`` an upper bound on one group time value's span in
+    base time (1 minute for minute bars; pass 1 hour when cascading from
+    a minute-grained MV)."""
     head = S.latest_version(base_path)
     if head is None:
         raise FileNotFoundError(f"no snapshots at {base_path}")
@@ -247,6 +289,14 @@ def refresh_rollup(
     since = -1 if consumed is None else consumed
     if head <= since:
         return None
+    if consumed is None:
+        # an UNINITIALIZED MV over a base with history: one snapshot read
+        # of current visibility IS the cheap path — hoisted ABOVE the
+        # changed_meta scan so first materialization pays zero per-version
+        # metadata reads over a long history (r11 ADVICE)
+        return rebuild_rollup(
+            spark, base_path, mv_path, partial_fn, app, ts_col=ts_col
+        )
     meta = S.changed_meta(base_path, since, head)
     # data_change=False commits (optimize, MV partial compaction) are
     # writer-declared layout-only — invisible to every dispatch decision
@@ -257,19 +307,26 @@ def refresh_rollup(
         # — zero per-version manifest loads beyond the two range ends
         delta = S.read_changes(spark, base_path, since, head)
         parts = partial_fn(delta)
-    elif consumed is None:
-        # an UNINITIALIZED MV over a base with history: replaying every
-        # insert-and-retraction ever through CDC computes the same state
-        # as one snapshot read — rebuild IS the cheap path here, not the
-        # degradation (it reads current visibility once)
+    elif not ops <= set(S._CDC_COVERED):
+        # visibility rewrite in range -> one full recompute, watermark
+        # moved in the same commit
         return rebuild_rollup(
             spark, base_path, mv_path, partial_fn, app, ts_col=ts_col
         )
-    elif not ops <= set(S._CDC_COVERED) or (deleting and negate_fn is None):
-        # visibility rewrite in range, or retractions the algebra can't
-        # absorb -> one full recompute, watermark moved in the same commit
-        return rebuild_rollup(
-            spark, base_path, mv_path, partial_fn, app, ts_col=ts_col
+    elif deleting and negate_fn is None:
+        return _refresh_scoped(
+            spark,
+            base_path,
+            mv_path,
+            partial_fn,
+            app,
+            ts_col,
+            head,
+            consumed,
+            group_cols=tuple(group_cols or (ts_col, "symbol")),
+            scope_ts_col=scope_ts_col,
+            scope_bucket=scope_bucket,
+            max_scoped_groups=max_scoped_groups,
         )
     else:
         cdc = S.read_changes_cdc(spark, base_path, since, head)
@@ -290,6 +347,113 @@ def refresh_rollup(
     return S.append(
         parts,
         mv_path,
+        ts_col=ts_col,
+        txn_app=app,
+        txn_id=head,
+        txn_expect=consumed,
+    )
+
+
+def _collect_utc(v):
+    """A ``collect()``-ed TimestampType value (OS-local naive) as the
+    UTC-naive instant ``read_snapshot``'s ts_range bounds expect — the
+    exact inverse of PySpark's ``fromtimestamp`` conversion. Identity on
+    a UTC driver; non-timestamp group time values pass through."""
+    if isinstance(v, _dt.datetime) and v.tzinfo is None:
+        return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return v
+
+
+def _refresh_scoped(
+    spark: SparkSession,
+    base_path: str,
+    mv_path: str,
+    partial_fn: Callable[[DataFrame], DataFrame],
+    app: str,
+    ts_col: str,
+    head: int,
+    consumed: int,
+    group_cols: tuple,
+    scope_ts_col: str,
+    scope_bucket: _dt.timedelta,
+    max_scoped_groups: int,
+) -> int:
+    """The non-invertible delete leg: recompute ONLY the groups the CDC
+    delete rows name, swap their partials atomically (see
+    :func:`refresh_rollup`'s dispatch docs). The merge leg is read
+    row-precise so an unchanged row carried through a rewrite scopes
+    nothing."""
+    cdc = S.read_changes_cdc(
+        spark, base_path, consumed, head, precise_merge=True
+    )
+    ins = cdc.where(F.col(S.CDC_TYPE) == "insert").drop(
+        S.CDC_TYPE, S.CDC_VERSION
+    )
+    dels = cdc.where(F.col(S.CDC_TYPE) == "delete").drop(
+        S.CDC_TYPE, S.CDC_VERSION
+    )
+    # the affected-group set: partial_fn is the one thing that knows how
+    # base rows map to group keys, so aggregate the delete rows and keep
+    # the keys. Driver-collected (bounded by max_scoped_groups) so the
+    # CDC pipeline runs ONCE and the semi-joins below get a local frame.
+    gdf = partial_fn(dels).select(*group_cols).distinct()
+    rows = gdf.limit(max_scoped_groups + 1).collect()
+    if len(rows) > max_scoped_groups:
+        # too many groups for a scoped swap to beat one recompute
+        return rebuild_rollup(
+            spark, base_path, mv_path, partial_fn, app, ts_col=ts_col
+        )
+    if not rows:
+        # every delete netted out (a row-precise merge that only moved
+        # rows between files): the range degenerates to its inserts
+        return S.append(
+            partial_fn(ins),
+            mv_path,
+            ts_col=ts_col,
+            txn_app=app,
+            txn_id=head,
+            txn_expect=consumed,
+        )
+    groups = spark.createDataFrame(rows, schema=gdf.schema)
+    # pinned-head base scan pruned to the groups' time span (footer-stat
+    # pruning; the semi-join makes the row set exact — pruning is an
+    # optimization, never a semantics change), re-aggregated and narrowed
+    # to exactly the affected groups. collect() renders TimestampType as
+    # OS-local naive datetimes while read_snapshot's ts_range treats
+    # naive bounds as UTC — normalize through the local offset so the
+    # prune can't shift on a non-UTC driver (the r8 ADVICE error class)
+    t_lo = _collect_utc(min(r[0] for r in rows))
+    t_hi = (
+        _collect_utc(max(r[0] for r in rows))
+        + scope_bucket
+        - _dt.timedelta(microseconds=1)
+    )
+    base = S.read_snapshot(
+        spark,
+        base_path,
+        version=head,
+        ts_range=(t_lo, t_hi),
+        ts_col=scope_ts_col,
+    )
+    scoped = partial_fn(base).join(
+        F.broadcast(groups), list(group_cols), "left_semi"
+    )
+    # inserts landing OUTSIDE the affected groups are plain new partials
+    # (inserts INSIDE them are already part of the head scan above)
+    fresh = partial_fn(ins).join(
+        F.broadcast(groups), list(group_cols), "left_anti"
+    )
+    # one atomic commit: append the replacement + fresh partials and
+    # equality-delete every PRIOR partial row of the affected groups
+    # (keys=groups, a superset of the replacement rows' keys: a fully
+    # erased group has no replacement but its stale partials still die);
+    # sequencing exempts the rows appended here. Exact watermark CAS as
+    # everywhere else.
+    return S.upsert_by_keys(
+        scoped.unionByName(fresh),
+        mv_path,
+        cols=group_cols,
+        keys=groups,
         ts_col=ts_col,
         txn_app=app,
         txn_id=head,

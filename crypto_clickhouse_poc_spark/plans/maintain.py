@@ -30,6 +30,7 @@ Every rewrite here rebases over pure-append interleaves
 
 from __future__ import annotations
 
+import datetime as _dt
 from dataclasses import dataclass, field
 from typing import Callable, Sequence
 
@@ -55,6 +56,12 @@ class MVSpec:
     merge_fn: Callable[[DataFrame], DataFrame] = field(
         default=M._merge_partials
     )
+    # group-scoped refresh knobs for NON-invertible algebras (r12) — see
+    # logmv.refresh_rollup: the grouping key, the BASE rows' time column,
+    # and an upper bound on one group time value's span in base time
+    group_cols: Sequence[str] | None = None
+    scope_ts_col: str = "ts"
+    scope_bucket: _dt.timedelta = M._MINUTE
 
 
 def maintenance_tick(
@@ -66,6 +73,7 @@ def maintenance_tick(
     ts_col: str = "ts",
     compact_kw: dict | None = None,
     vacuum_retain: int | None = None,
+    max_bloom_dirs: int = 8,
 ) -> dict:
     """Service every maintenance concern of ``path`` once; returns an
     action report ``{concern: result}`` for observability (the driver of
@@ -84,6 +92,9 @@ def maintenance_tick(
                 app=spec.app,
                 negate_fn=spec.negate_fn,
                 ts_col=spec.ts_col,
+                group_cols=spec.group_cols,
+                scope_ts_col=spec.scope_ts_col,
+                scope_bucket=spec.scope_bucket,
             )
             report[f"mv:{spec.mv_path}"] = v
         except S.CommitConflict:
@@ -115,6 +126,17 @@ def maintenance_tick(
         report["compact"] = "conflict-deferred"
     for key in bloom_keys:
         report[f"bloom:{key}"] = B.maybe_rebuild_bloom_index(spark, path, key)
+        # fold accumulated extension dirs once past the threshold (r12):
+        # at sink cadence the dirs list otherwise grows one small parquet
+        # dir per extension and every probe pays a per-dir open
+        report[f"bloom-compact:{key}"] = B.compact_bloom_index(
+            spark, path, key, max_dirs=max_bloom_dirs
+        )
+    if bloom_keys:
+        # debris from crashed builders / publish-race losers; the age
+        # guard protects in-flight extensions that wrote but have not
+        # yet claimed the pointer
+        report["bloom-sweep"] = B.sweep_bloom_orphans(path)
     if vacuum_retain is not None:
         report["vacuum"] = S.vacuum(path, retain_versions=vacuum_retain)
     return report

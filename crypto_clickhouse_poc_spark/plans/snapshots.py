@@ -185,7 +185,7 @@ def changed_meta(
     return out
 
 
-def _manifest_delta(path: str, v: int) -> tuple[list[dict], list[dict]]:
+def manifest_delta(path: str, v: int) -> tuple[list[dict], list[dict]]:
     """``(added, removed)`` file entries of commit ``v`` — added = entries
     stamped ``added_v == v``, removed = entries in ``v-1``'s manifest but
     not ``v``'s — loading ONLY the month shards whose content hash changed
@@ -197,7 +197,11 @@ def _manifest_delta(path: str, v: int) -> tuple[list[dict], list[dict]]:
     feed and the stream source's catch-up path. Inline (unsharded)
     manifests are already O(1) reads; a commit CROSSING the shard
     boundary (one side inline, one sharded) degrades to two full
-    materializations, which is exactly what the splice costs anyway."""
+    materializations, which is exactly what the splice costs anyway.
+
+    Public API (r12, per ADVICE): the CDC feed, the stream source's
+    catch-up path, and external incremental consumers all dispatch on
+    this — it is the log's "what did commit v change" primitive."""
     cur = _version_body(path, v)
     prev = _version_body(path, v - 1) if v > 0 else None
     if "files_ref" in cur and (prev is None or "files_ref" in prev):
@@ -867,6 +871,11 @@ CDC_VERSION = "_commit_version"
 #                rewritten file appear as a paired delete+insert — exact
 #                after any sum-class (invertible) aggregation, NOT a
 #                row-precise audit feed (diff_versions is that).
+#   upsert    -> inserts: the added files' rows (added_v == v); deletes:
+#                snapshot(v-1) semi-joined to the commit's eq-delete keys
+#                (the upsert_by_keys composite: its key rows sequence at
+#                v, so they hit exactly the pre-upsert rows) — the Delta
+#                CDF shape of a MERGE whose matches are full replacements
 #   data_change=False commits (bin-packing optimize, an MV's
 #                algebra-preserving partial compaction) -> nothing emitted:
 #                the WRITER declared layout-only (Delta's dataChange flag).
@@ -876,7 +885,7 @@ CDC_VERSION = "_commit_version"
 #   everything else (deduping compact, rollback, rebuild, unknown) ->
 #                refuse: visibility rewrites the feed cannot represent
 #                (Delta CDF refuses RESTORE the same way)
-_CDC_DELETING = ("delete", "eq_delete", "retention", "merge")
+_CDC_DELETING = ("delete", "eq_delete", "retention", "merge", "upsert")
 _CDC_COVERED = ("append",) + _CDC_DELETING
 
 
@@ -894,7 +903,7 @@ def _bloom_prune_files(
     bloomidx imports this module at its top level."""
     from . import bloomidx
 
-    if not bloomidx._pointer(path, key_col).exists():
+    if not bloomidx.index_exists(path, key_col):
         return files
     rows = kdf.select(key_col).limit(_CDC_BLOOM_MAX_KEYS + 1).collect()
     if len(rows) > _CDC_BLOOM_MAX_KEYS:
@@ -941,7 +950,7 @@ def read_changes_cdc(
     is sound: both are false-positive-only, r11) — so the
     erasure-on-an-indexed-key case drops from O(base) to O(files
     holding victims). Metadata cost per covered commit is O(changed
-    month shards) via :func:`_manifest_delta`, never a full per-commit
+    month shards) via :func:`manifest_delta`, never a full per-commit
     manifest splice (r10 ADVICE). Consumers that only ever see appends
     should stay on :func:`read_changes` (zero manifest loads beyond the
     two ends).
@@ -997,11 +1006,11 @@ def read_changes_cdc(
             continue  # writer-declared layout-only commit
         added: list[dict] = []
         removed: list[dict] = []
-        if op in ("append", "merge", "retention"):
+        if op in ("append", "merge", "retention", "upsert"):
             # O(changed month shards), never a per-commit full splice;
             # v0 can be a non-append (drop_months initializes a path):
             # nothing exists before it, so nothing was removed by it
-            added, removed = _manifest_delta(path, v)
+            added, removed = manifest_delta(path, v)
         if op == "merge" and precise_merge and (added or removed):
             # row-precise multiset diff: count each full-row value on
             # both sides (txn lineage excluded — a rewrite moves rows to
@@ -1042,7 +1051,7 @@ def read_changes_cdc(
             _tag(dels, "delete", v)
             _tag(ins, "insert", v)
         else:
-            if op in ("append", "merge") and added:
+            if op in ("append", "merge", "upsert") and added:
                 _tag(
                     _read_files(spark, path, added, merge_schema=True),
                     "insert",
@@ -1084,7 +1093,7 @@ def read_changes_cdc(
                     F.broadcast(dv), [_DV_FILE, _DV_POS], "left_semi"
                 ).drop(_DV_FILE, _DV_POS)
                 _tag(hit, "delete", v)
-        elif op == "eq_delete":
+        elif op in ("eq_delete", "upsert"):
             prev = (
                 set()
                 if v == 0
@@ -1441,6 +1450,84 @@ def delete_by_keys(
         path,
         lambda hf: hf,
         "eq_delete",
+        eq_dvs_fn=lambda head_eq, version: head_eq
+        + [{**e, "v": version} for e in entries],
+    )
+
+
+def upsert_by_keys(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    keys: DataFrame | None = None,
+    ts_col: str = "ts",
+    txn_app: str | None = None,
+    txn_id: int | None = None,
+    txn_expect: int | None | str = "monotone",
+) -> int:
+    """Atomic key-replacement commit: append ``df``'s rows AND
+    equality-delete every PRIOR row whose ``cols`` match ``keys`` (default:
+    ``df``'s own key values) — ONE commit, so a reader sees old-or-new
+    state, never the gap between a delete and its replacement. This is
+    the Delta MERGE "whenMatched replace / whenNotMatched insert" special
+    case expressed as Iceberg primitives (one data append + one
+    equality-delete file sequenced at the same snapshot), and the commit
+    the log-driven MV maintenance uses to swap a group's stale partials
+    for recomputed ones (``plans/logmv.refresh_rollup``'s scoped path).
+
+    Sequencing makes the atomicity free: the eq-delete entry is stamped
+    with THIS commit's version and applies only to files with
+    ``added_v <`` it (:func:`_apply_dvs`), while the appended files are
+    stamped ``added_v ==`` it — so the delete kills every prior version
+    of a key and provably cannot touch its replacement.
+
+    Pass ``keys`` explicitly when the delete set must be a SUPERSET of
+    ``df``'s keys (a fully-erased MV group has no replacement row but its
+    stale partials still need killing). Total cost is O(df) + O(keys):
+    the table is never read. Supports the same idempotent-writer
+    watermark as :func:`append` (``txn_app``/``txn_id``/``txn_expect``).
+
+    Downstream: :func:`read_changes` refuses ranges containing an upsert
+    (it is not an append); :func:`read_changes_cdc` represents it exactly
+    (inserts = the added files' rows, deletes = snapshot(v-1) semi-joined
+    to the keys); the stream source refuses it even under
+    ``ignoreDeletes`` because skipping it would drop its INSERTED rows
+    (Delta's ignoreDeletes/ignoreChanges distinction)."""
+    head = latest_version(path)
+    if head is None:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    if (txn_app is None) != (txn_id is None):
+        raise ValueError("txn_app and txn_id must be provided together")
+    if txn_app is not None:
+        seen = last_txn(path, txn_app)
+        if seen is not None and txn_id <= seen:
+            return head  # replayed micro-batch — no-op
+    cols = list(cols)
+    try:
+        table_cols = set(_empty_like(df.sparkSession, path).columns)
+    except ValueError:
+        # no data files in any version: the append IS the first data, so
+        # the key cols need only exist in what is being written
+        table_cols = set(df.columns)
+    missing = [c for c in cols if c not in table_cols]
+    if missing:
+        # validated BEFORE committing: one bad eq entry bricks every read
+        raise ValueError(
+            f"upsert key cols {missing} not in table schema "
+            f"{sorted(table_cols)}"
+        )
+    key_rows = (keys if keys is not None else df).select(*cols).distinct()
+    # ONE part file per entry, like delete_by_keys: each entry costs every
+    # future read a broadcast anti-join until compaction materializes it
+    entries = _write_dv_entries(key_rows.coalesce(1), path, "eqdv", {"cols": cols})
+    new = _write_txn(df, path, ts_col=ts_col)
+    txn = (txn_app, int(txn_id)) if txn_app is not None else None
+    return _commit(
+        path,
+        lambda hf: hf + new,
+        "upsert",
+        txn=txn,
+        txn_expect=txn_expect,
         eq_dvs_fn=lambda head_eq, version: head_eq
         + [{**e, "v": version} for e in entries],
     )

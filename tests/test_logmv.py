@@ -77,15 +77,19 @@ def test_refresh_is_exactly_once_under_replay(spark, paths):
     assert M.refresh_rollup(spark, base, mv) is None
 
 
-def test_non_append_base_op_degrades_to_atomic_rebuild(spark, paths):
+def test_delete_on_bars_mv_takes_group_scoped_swap_not_rebuild(spark, paths):
+    """r12: a delete on a NON-invertible (bars) MV's base no longer costs
+    an O(base) rebuild — the refresh recomputes ONLY the groups the CDC
+    delete rows name and swaps their partials in one atomic upsert
+    commit, and the MV equals the batch recompute."""
     base, mv = paths
     S.append(_batch(spark, range(60)), base)
     M.refresh_rollup(spark, base, mv)
     S.delete_where(spark, base, "trade_id = 7")
     S.append(_batch(spark, range(60, 90)), base)
-    v = M.refresh_rollup(spark, base, mv)  # range has a delete -> rebuild
+    v = M.refresh_rollup(spark, base, mv)  # delete in range -> scoped swap
     m = S.manifest(mv, v)
-    assert m["op"] == "rebuild"
+    assert m["op"] == "upsert"
     assert m["txns"]["logmv"] == S.latest_version(base)
     expect = _rows(bars_batch(S.read_snapshot(spark, base)))
     assert _rows(M.read_rollup(spark, mv)) == expect
@@ -93,6 +97,65 @@ def test_non_append_base_op_degrades_to_atomic_rebuild(spark, paths):
     S.append(_batch(spark, range(90, 110)), base)
     v2 = M.refresh_rollup(spark, base, mv)
     assert S.manifest(mv, v2)["op"] == "append"
+    assert _rows(M.read_rollup(spark, mv)) == _rows(
+        bars_batch(S.read_snapshot(spark, base))
+    )
+
+
+def test_scoped_refresh_over_group_cap_falls_back_to_rebuild(spark, paths):
+    """Past ``max_scoped_groups`` the affected-key set stops being cheap
+    to collect/broadcast and a pruned re-aggregation stops beating one
+    recompute — the dispatch falls back to the atomic rebuild."""
+    base, mv = paths
+    S.append(_batch(spark, range(60)), base)
+    M.refresh_rollup(spark, base, mv)
+    S.delete_where(spark, base, "trade_id in (1, 2, 3, 4)")
+    v = M.refresh_rollup(spark, base, mv, max_scoped_groups=1)
+    m = S.manifest(mv, v)
+    assert m["op"] == "rebuild"
+    assert m["txns"]["logmv"] == S.latest_version(base)
+    assert _rows(M.read_rollup(spark, mv)) == _rows(
+        bars_batch(S.read_snapshot(spark, base))
+    )
+
+
+def test_full_group_erasure_leaves_no_ghost_bar(spark, paths):
+    """Erasing EVERY row of a (minute, symbol) group: the scoped swap has
+    no replacement partials for it, so the group key rides only the
+    eq-delete side — the bar must vanish from reads, exactly like the
+    batch recompute (the absent-group ≡ no-rows contract)."""
+    base, mv = paths
+    S.append(_batch(spark, range(40)), base)
+    M.refresh_rollup(spark, base, mv)
+    groups_before = {(r[0], r[1]) for r in _rows(M.read_rollup(spark, mv))}
+    # every ETH row shares symbol "ETH" (even ids) — erase them all
+    S.delete_by_keys(
+        spark,
+        base,
+        spark.createDataFrame([(i,) for i in range(0, 40, 2)], "trade_id long"),
+    )
+    v = M.refresh_rollup(spark, base, mv)
+    assert S.manifest(mv, v)["op"] == "upsert"
+    got = _rows(M.read_rollup(spark, mv))
+    assert got == _rows(bars_batch(S.read_snapshot(spark, base)))
+    assert all(sym != "ETH" for _, sym, *_ in got)
+    assert {(r[0], r[1]) for r in got} < groups_before
+
+
+def test_bars_mv_survives_merge_into_without_rebuild(spark, paths):
+    """r11 carried item: a ``merge_into`` on the base rides the
+    row-precise CDC diff — the bars MV swaps only the groups whose rows
+    the merge logically changed (op upsert), never rebuilds, and equals
+    the batch recompute."""
+    from pyspark.sql import functions as F
+
+    base, mv = paths
+    S.append(_batch(spark, range(50)), base)
+    M.refresh_rollup(spark, base, mv)
+    src = _batch(spark, [3, 9, 200]).withColumn("price", F.lit(999.0))
+    S.merge_into(spark, base, src, keys=["trade_id"])  # update 3,9; insert 200
+    v = M.refresh_rollup(spark, base, mv)
+    assert S.manifest(mv, v)["op"] == "upsert"
     assert _rows(M.read_rollup(spark, mv)) == _rows(
         bars_batch(S.read_snapshot(spark, base))
     )
@@ -125,7 +188,9 @@ def test_concurrent_refreshers_cannot_double_count(spark, paths, monkeypatch):
     the loser must die at the commit's watermark re-validation, not land
     a second copy of the partials (which would double every volume)."""
     base, mv = paths
-    S.append(_batch(spark, range(40)), base)
+    S.append(_batch(spark, range(20)), base)
+    M.refresh_rollup(spark, base, mv)  # initialized: the race is on a DELTA
+    S.append(_batch(spark, range(20, 40)), base)
     orig = S._write_txn
 
     def interleave(df, path, ts_col, **kw):
@@ -383,7 +448,10 @@ def test_cascade_1m_to_1h_is_incremental_end_to_end(spark, tmp_path):
         M.refresh_rollup(spark, base, mv1m)
         v = M.refresh_cascade(spark, mv1m, mv1h)
         assert v is not None
-        assert S._version_body(mv1h, S.latest_version(mv1h))["op"] == "append"
+        # first materialization is the one-snapshot-read rebuild (r12:
+        # hoisted above the meta scan); every later tick appends O(delta)
+        want_op = "rebuild" if k == 0 else "append"
+        assert S._version_body(mv1h, S.latest_version(mv1h))["op"] == want_op
         got = _hour_rows(M.read_rollup(spark, mv1h, final_fn=M.reaggregate_hours))
         assert got == _hour_batch_expect(spark, base)
     # steady state at BOTH levels
@@ -417,19 +485,51 @@ def test_cascade_rides_through_1m_compaction_without_rebuild(spark, tmp_path):
     )
 
 
-def test_cascade_1m_rebuild_degrades_cascade_to_rebuild_then_recovers(
-    spark, tmp_path
-):
+def test_erasure_cascades_scoped_end_to_end(spark, tmp_path):
+    """r12: a delete on the TRADES base scopes the 1m refresh to the
+    affected minute groups (op upsert); the cascade sees that upsert as a
+    CDC-covered deleting op on ITS base and scopes to the affected HOUR
+    groups — erasure propagates through both levels without either
+    paying an O(base) rebuild, and the 1h read equals the batch
+    hour-OHLCV over the raw trades."""
     base = str(tmp_path / "base")
     mv1m = str(tmp_path / "mv1m")
     mv1h = str(tmp_path / "mv1h")
     S.append(_batch(spark, range(40), minute_of=lambda i: (i % 4) * 20), base)
     M.refresh_rollup(spark, base, mv1m)
     M.refresh_cascade(spark, mv1m, mv1h)
-    # a delete on the TRADES base forces the 1m MV to rebuild (bars are
-    # non-invertible); the cascade then sees a rebuild op and rebuilds too
     S.delete_where(spark, base, "trade_id = 3")
     M.refresh_rollup(spark, base, mv1m)
+    assert S._version_body(mv1m, S.latest_version(mv1m))["op"] == "upsert"
+    M.refresh_cascade(spark, mv1m, mv1h)
+    assert S._version_body(mv1h, S.latest_version(mv1h))["op"] == "upsert"
+    assert _hour_rows(
+        M.read_rollup(spark, mv1h, final_fn=M.reaggregate_hours)
+    ) == _hour_batch_expect(spark, base)
+    # and the NEXT tick is a plain incremental append at both levels
+    S.append(_batch(spark, range(100, 120), minute_of=lambda i: (i % 4) * 20), base)
+    M.refresh_rollup(spark, base, mv1m)
+    M.refresh_cascade(spark, mv1m, mv1h)
+    assert S._version_body(mv1h, S.latest_version(mv1h))["op"] == "append"
+    assert _hour_rows(
+        M.read_rollup(spark, mv1h, final_fn=M.reaggregate_hours)
+    ) == _hour_batch_expect(spark, base)
+
+
+def test_cascade_1m_rebuild_degrades_cascade_to_rebuild_then_recovers(
+    spark, tmp_path
+):
+    """A genuine visibility rewrite on the 1m MV (a FORCED rebuild — the
+    repair API) is not CDC-representable, so the cascade degrades to one
+    atomic rebuild of its own, then recovers to incremental appends."""
+    base = str(tmp_path / "base")
+    mv1m = str(tmp_path / "mv1m")
+    mv1h = str(tmp_path / "mv1h")
+    S.append(_batch(spark, range(40), minute_of=lambda i: (i % 4) * 20), base)
+    M.refresh_rollup(spark, base, mv1m)
+    M.refresh_cascade(spark, mv1m, mv1h)
+    S.append(_batch(spark, range(40, 60), minute_of=lambda i: (i % 4) * 20), base)
+    M.rebuild_rollup(spark, base, mv1m)  # forced repair of the 1m level
     assert S._version_body(mv1m, S.latest_version(mv1m))["op"] == "rebuild"
     M.refresh_cascade(spark, mv1m, mv1h)
     assert S._version_body(mv1h, S.latest_version(mv1h))["op"] == "rebuild"

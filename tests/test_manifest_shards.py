@@ -118,7 +118,7 @@ def test_maintenance_ops_over_a_sharded_log(spark, sharded):
 
 
 def test_manifest_delta_parses_only_changed_shards(spark, sharded, monkeypatch):
-    """_manifest_delta (r11) must answer "what did commit v add/remove"
+    """manifest_delta (r11) must answer "what did commit v add/remove"
     from the commit's CHANGED month shards alone — the other months'
     shard files are never even opened (the CDC feed and the stream
     source's catch-up path both ride on this)."""
@@ -133,12 +133,12 @@ def test_manifest_delta_parses_only_changed_shards(spark, sharded, monkeypatch):
 
     def spy(self, *a, **kw):
         assert self.name not in {Path(p).name for p in untouched}, (
-            f"_manifest_delta parsed unchanged shard {self.name}"
+            f"manifest_delta parsed unchanged shard {self.name}"
         )
         return real_read_text(self, *a, **kw)
 
     monkeypatch.setattr(Path, "read_text", spy)
-    added, removed = S._manifest_delta(sharded, v)
+    added, removed = S.manifest_delta(sharded, v)
     monkeypatch.setattr(Path, "read_text", real_read_text)
     assert removed == []
     assert [f["p_month"] for f in added] == ["202402"]
@@ -151,6 +151,6 @@ def test_manifest_delta_sees_removals_and_inline_boundary(spark, sharded):
     documented full-materialization fallback."""
     S.drop_months(sharded, "202402")  # Jan dropped; 2 files -> inline again
     v = S.latest_version(sharded)
-    added, removed = S._manifest_delta(sharded, v)
+    added, removed = S.manifest_delta(sharded, v)
     assert added == []
     assert [f["p_month"] for f in removed] == ["202401"]
