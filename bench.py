@@ -114,6 +114,10 @@ BENCH_QUERIES = [
     "doc_chunks",
     "corpus_cms_freq",
     "corpus_dsir_weights",
+    # r12: the lakehouse erasure path end to end (log ingest -> bars MV ->
+    # eq-delete -> group-scoped refresh -> merge-on-read read); each run
+    # rebuilds its own snapshot table, so the timing covers the whole tier
+    "mv_scoped_erasure_replay",
 ]
 
 
@@ -234,13 +238,29 @@ def main() -> None:
     spark.stop()
 
     total = round(sum(timings.values()), 3)
+    # host-speed normalization (r11 verdict #5): divide each timing by
+    # the cpu_probe blend relative to the r11 artifact's host, so
+    # round-over-round comparisons stop needing hand-normalization —
+    # normalized seconds read as "what this would take on the r11 box".
+    speed = (
+        cpu_probe["py_loop_s"] / _REF_PROBE["py_loop_s"]
+        + cpu_probe["jvm_range_s"] / _REF_PROBE["jvm_range_s"]
+    ) / 2
+    normalized = {q: round(t / speed, 3) for q, t in timings.items()}
+    # key order is deliberate: the artifact's tail-capture keeps the END
+    # of the line, so the sacrificial per-query dicts go first and the
+    # headline scalars / probe / streaming rates go last (r11's artifact
+    # was cut mid-line and lost the totals)
     print(
         json.dumps(
             {
+                "queries": timings,
+                "queries_normalized": normalized,
                 "metric": "headline_queries_total",
                 "value": total,
+                "value_normalized": round(total / speed, 3),
+                "host_speed_vs_r11": round(speed, 3),
                 "unit": "sec",
-                "queries": timings,
                 "ingest_rows_per_sec": round(ingest_rps),
                 "bars_rows_per_sec": round(bars_rps),
                 "anomaly_rows_per_sec": round(anomaly_rps),
@@ -258,6 +278,12 @@ def main() -> None:
         ),
         flush=True,
     )
+
+
+# the r11 official artifact's cpu fingerprint — the denominator of the
+# queries_normalized blend. Fixed on purpose: normalized numbers from any
+# future round are directly comparable to r11's raw ones.
+_REF_PROBE = {"py_loop_s": 0.522, "jvm_range_s": 0.777}
 
 
 def _cpu_fingerprint(spark) -> dict:

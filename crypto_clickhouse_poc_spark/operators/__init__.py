@@ -28,6 +28,7 @@ from . import (
     dsir,
     embed,
     freq,
+    lakehouse_q,
     multimodal,
     opq,
     quality,
@@ -61,6 +62,7 @@ _MODULES = (
     multimodal,
     temporal,
     streaming_q,
+    lakehouse_q,
     sqlapi,
     quality,
     sampling,
@@ -252,6 +254,25 @@ _MODULES = (
 #                                           bounded-key map-side-combined
 #                                           shuffle, ≤64-row broadcast
 #                                           stats — under the driver hash)
+#
+# Round-12 rotation: the round's work — the scoped refresh that closes the
+# last O(base) cliff (erasure on a non-invertible MV) plus the atomic
+# upsert commit it rides on — was previously representable only as
+# pass(tests); one near-twin rotates out so the whole lakehouse erasure
+# path gets a driver hash verdict:
+#   doc_dup_spans -> mv_scoped_erasure_replay
+#                                          (dup_spans' rolling-hash shingle
+#                                           core is the same expansion the
+#                                           declared doc_winnow runs —
+#                                           winnow strictly extends it with
+#                                           the min-over-window selection —
+#                                           and its cross-doc span join is
+#                                           pytest-parity-gated in the
+#                                           library + bench. The replay
+#                                           drives log ingest, eq-delete
+#                                           erasure, CDC, the r12 scoped
+#                                           refresh and merge-on-read reads
+#                                           against a batch-OHLCV oracle)
 _DECLARED = (
     # reference §2.10 public query surface (api/server.py:57-200)
     "ev_count",
@@ -307,7 +328,6 @@ _DECLARED = (
     "doc_hash_embed",
     "doc_chunks",
     "corpus_cms_freq",
-    "doc_dup_spans",
     "doc_winnow",
     "corpus_assemble",
     "corpus_split_leakage_safe",
@@ -325,6 +345,10 @@ _DECLARED = (
     # distribution-level data selection (DSIR importance weights — r11
     # rotation; select/mix variants stay pytest-gated library)
     "corpus_dsir_weights",
+    # lakehouse tier under the hash (r12 rotation — see note above
+    # _DECLARED): log ingest -> MV -> eq-delete erasure -> group-scoped
+    # refresh -> merge-on-read read, oracle = batch OHLCV over survivors
+    "mv_scoped_erasure_replay",
 )
 
 assert len(_DECLARED) == 50, len(_DECLARED)

@@ -1,0 +1,122 @@
+"""The lakehouse tier surfaced in the correctness gate.
+
+``mv_scoped_erasure_replay`` drives the snapshot log's full MV-erasure
+story END TO END under the driver's hash gate: ingest the ``events``
+fixture into a snapshot table as three commits, materialize the bars MV
+from the table's transaction log (``plans/logmv.refresh_rollup`` — the
+reference's incremental MV, ``sql/V2__create_trades_1m_view.sql:16-29``,
+re-expressed over the repo's own log), EQUALITY-DELETE a deterministic
+victim set (the GDPR-erasure path, ``plans/snapshots.delete_by_keys``),
+refresh again — the non-invertible bars algebra takes the r12
+GROUP-SCOPED path: affected (minute, symbol) groups derived from the CDC
+delete rows, re-aggregated from the pinned head, swapped atomically via
+``snapshots.upsert_by_keys`` — and return the MV read.
+
+Because the scoped swap is exact (the recompute reads current visibility
+for exactly the affected groups; untouched groups keep their partials),
+the result equals the one-shot batch OHLCV over the surviving rows —
+which is precisely what the DuckDB oracle computes. Previously this
+whole tier was pytest-gated only (pass(tests)); this puts the log, the
+eq-delete, the CDC feed, the scoped refresh and the merge-on-read MV
+read under the same hash verdict every ``ev_*`` query gets.
+
+Scale shape (the part the fixture can't show): the erasure refresh costs
+O(affected groups' rows) — manifest-level ts pruning to the victim
+groups' span, one broadcast group semi-join, one bounded upsert commit —
+never O(base); `tools/scale_probe_scoped.py` pins the flat-at-10× curve
+and `tests/test_cdc_feed.py` the Jan-erasure-reads-zero-Feb-files gate.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans import logmv as M
+from ..plans import snapshots as S
+from .trades import _events
+
+_VICTIM_MOD = 97  # deterministic erasure set: event_id % 97 == 0
+
+
+def mv_scoped_erasure_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-driven bars MV through an equality-delete erasure (scoped
+    refresh); returns the merged 1-minute bars over the survivors."""
+    t = _events(spark, sf_dir).select(
+        "ts",
+        F.col("event_type").alias("symbol"),
+        F.col("event_id").alias("trade_id"),
+        "price",
+        "qty",
+    )
+    root = Path(tempfile.mkdtemp(prefix="mv_scoped_erasure_"))
+    base, mv = str(root / "base"), str(root / "mv")
+    try:
+        # three commits so the delete's range sits behind real log history
+        for i in range(3):
+            S.append(t.where(F.col("trade_id") % 3 == i), base)
+        M.refresh_rollup(spark, base, mv)  # first materialization
+        victims = t.where(F.col("trade_id") % _VICTIM_MOD == 0).select(
+            "trade_id"
+        )
+        S.delete_by_keys(spark, base, victims)
+        M.refresh_rollup(spark, base, mv)  # bars = non-invertible -> scoped
+        return (
+            M.read_rollup(spark, mv)
+            .select(
+                "minute",
+                "symbol",
+                "open",
+                "high",
+                "low",
+                "close",
+                "volume",
+                "trades",
+            )
+            .orderBy("minute", "symbol")
+            # the table dirs die with this call's temp root: materialize
+            # the (small, |minutes x symbols|-bounded) result before the
+            # caller's collect so the frame never dangles — localCheckpoint
+            # keeps it a DataFrame, as the query contract requires
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+QUERIES = {
+    "mv_scoped_erasure_replay": mv_scoped_erasure_replay,
+}
+
+ORACLES = {
+    # the batch OHLCV over the SURVIVING rows — equality with the scoped
+    # swap IS the erasure contract (same min_by/max_by determinism rule
+    # as the stream_ohlcv_replay oracle: (ts, trade_id) total order)
+    "mv_scoped_erasure_replay": f"""
+        WITH t AS (
+          SELECT event_type AS symbol, event_id AS trade_id, value AS price,
+                 CAST(json_extract_string(props, '$.k') AS DOUBLE) AS qty, ts
+          FROM events WHERE event_id % {_VICTIM_MOD} <> 0
+        ),
+        base AS (
+          SELECT date_trunc('minute', ts) AS minute, symbol, price, qty,
+                 row_number() OVER (PARTITION BY date_trunc('minute', ts), symbol
+                                    ORDER BY ts, trade_id) AS rn_a,
+                 row_number() OVER (PARTITION BY date_trunc('minute', ts), symbol
+                                    ORDER BY ts DESC, trade_id DESC) AS rn_d
+          FROM t
+        )
+        SELECT minute, symbol,
+               max(CASE WHEN rn_a = 1 THEN price END) AS open,
+               max(price) AS high,
+               min(price) AS low,
+               max(CASE WHEN rn_d = 1 THEN price END) AS close,
+               sum(qty) AS volume,
+               count(*) AS trades
+        FROM base GROUP BY minute, symbol ORDER BY minute, symbol
+    """,
+}

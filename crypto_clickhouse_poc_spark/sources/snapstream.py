@@ -35,9 +35,16 @@ Semantics and scale shape:
   equality deletes, retention) fail the batch by default — an
   append-only stream cannot retract rows it already emitted — unless
   ``ignoreDeletes=true`` (Delta's option of the same name: the TABLE
-  reflects the delete; the stream is the history of appends). Genuine
-  rewrites (the deduping compact, merge, rollback) still fail the
-  batch; restart above the rewrite (``startingVersion``) to resume.
+  reflects the delete; the stream is the history of appends).
+  ``ignoreChanges=true`` (r12, Delta's stronger option, implies
+  ignoreDeletes) additionally CONSUMES merge/upsert commits by emitting
+  their ADDED files' rows — with Delta's documented caveat verbatim:
+  rows a rewrite carried unchanged are re-emitted, so downstream must
+  tolerate duplicates (idempotent sink or dedup key). Narrower than
+  Delta in one honest way: genuine visibility rewrites (the deduping
+  compact, rollback, rebuild) still fail the batch rather than
+  re-emitting the whole table; restart above the rewrite
+  (``startingVersion``) to resume.
 
 The schema is the UNION of the live files' parquet footers (arrow
 types → Spark DDL; evolved columns null-filled for files that predate
@@ -149,7 +156,10 @@ class SnapshotCommitsDataSource(DataSource):
     Options: ``path`` (required), ``startingVersion`` (default: -1 =
     from the beginning; pass the current head to tail only new commits),
     ``ignoreDeletes`` (default false: a delete commit fails the batch;
-    true skips it — the stream remains the history of appends).
+    true skips it — the stream remains the history of appends),
+    ``ignoreChanges`` (default false; true implies ignoreDeletes and
+    additionally emits merge/upsert commits' ADDED files — duplicates
+    possible, the Delta contract).
     """
 
     @classmethod
@@ -160,14 +170,15 @@ class SnapshotCommitsDataSource(DataSource):
         return _file_schema_ddl(self.options["path"])
 
     def streamReader(self, schema) -> "SnapshotStreamReader":
+        def _flag(name: str) -> bool:
+            return str(self.options.get(name, "false")).lower() == "true"
+
         return SnapshotStreamReader(
             self.options["path"],
             int(self.options.get("startingVersion", "-1")),
             [(f.name, f.dataType.simpleString()) for f in schema.fields],
-            ignore_deletes=str(
-                self.options.get("ignoreDeletes", "false")
-            ).lower()
-            == "true",
+            ignore_deletes=_flag("ignoreDeletes"),
+            ignore_changes=_flag("ignoreChanges"),
         )
 
 
@@ -198,11 +209,13 @@ class SnapshotStreamReader(DataSourceStreamReader):
         starting_version: int,
         columns: list[tuple[str, str]],
         ignore_deletes: bool = False,
+        ignore_changes: bool = False,
     ):
         self.path = path
         self.start_version = starting_version
         self.columns = columns
-        self.ignore_deletes = ignore_deletes
+        self.ignore_deletes = ignore_deletes or ignore_changes
+        self.ignore_changes = ignore_changes
 
     def initialOffset(self) -> dict:
         return {"version": self.start_version}
@@ -251,11 +264,17 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 if self.ignore_deletes
                 else set()
             )
+            # ignoreChanges (Delta semantics, r12): merge/upsert commits
+            # are consumed by emitting their ADDED files — duplicates
+            # possible when a rewrite carried rows unchanged
+            emit = {"append"} | (
+                {"merge", "upsert"} if self.ignore_changes else set()
+            )
             bad = sorted(
                 {
                     op
                     for op, dc in meta
-                    if dc and op != "append" and op not in skippable
+                    if dc and op not in emit and op not in skippable
                 }
             )
             if bad:
@@ -264,16 +283,17 @@ class SnapshotStreamReader(DataSourceStreamReader):
                     "inside the offset range; restart the stream with "
                     f"startingVersion > {to} (rewritten files are visibility "
                     "changes, not new rows; delete commits can be skipped "
-                    "with ignoreDeletes=true)"
+                    "with ignoreDeletes=true, merge/upsert consumed with "
+                    "ignoreChanges=true)"
                 )
-            # per-append added files (added_v == v): a path diff across the
+            # per-commit added files (added_v == v): a path diff across the
             # whole range would mis-emit a skipped layout op's rewrites.
             # manifest_delta loads only each commit's CHANGED month
             # shards, so a long catch-up read costs O(appends), never
             # O(range x month-shards) (r10 ADVICE on this exact path)
             added = []
             for v, (op, dc) in zip(range(since + 1, to + 1), meta):
-                if op != "append":
+                if not dc or op not in emit:
                     continue  # flagged layout op, or a skipped delete
                 added.extend(manifest_delta(self.path, v)[0])
         return [

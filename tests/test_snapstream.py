@@ -315,3 +315,66 @@ def test_streams_schema_evolved_table_with_null_fill(spark, tmp_path):
     finally:
         q.stop()
     assert got == {0: None, 1: None, 2: None, 3: "X", 4: "X"}
+
+
+def test_ignore_changes_consumes_merge_and_upsert(spark, table, tmp_path):
+    """Delta's ignoreChanges (r12): merge/upsert commits fail the batch by
+    default; under the option their ADDED files are emitted — duplicates
+    possible for rows a rewrite carried unchanged (the documented Delta
+    caveat) — and deletes are skipped (ignoreChanges implies
+    ignoreDeletes). Genuine rewrites still fail the batch."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from pyspark.sql import functions as F
+
+    q = _start(spark, table, str(tmp_path / "ck_c1"), "ss_ch1")
+    try:
+        q.processAllAvailable()
+        S.upsert_by_keys(
+            _batch(spark, 3, [5]).withColumn("price", F.lit(9.0)),
+            table,
+            cols=["trade_id"],
+        )
+        with pytest.raises(StreamingQueryException, match="ignoreChanges"):
+            q.processAllAvailable()
+            q.awaitTermination(30)
+    finally:
+        q.stop()
+    # the upsert's eq-delete entry must be materialized before a NEW
+    # stream can bootstrap (the documented bootstrap constraint — the
+    # arrow reader drops positions, not key matches)
+    S.compact_snapshot(spark, table)
+    q2 = _start(
+        spark, table, str(tmp_path / "ck_c2"), "ss_ch2", ignoreChanges="true"
+    )
+    try:
+        q2.processAllAvailable()
+        # bootstrap is the post-upsert snapshot: exactly one row for key 5
+        assert _ids(spark, "ss_ch2").count(5) == 1
+        # tailed upsert: the added file's row is emitted (duplicate of the
+        # bootstrapped key — the documented at-least-once shape)
+        S.upsert_by_keys(
+            _batch(spark, 3, [6]).withColumn("price", F.lit(7.0)),
+            table,
+            cols=["trade_id"],
+        )
+        q2.processAllAvailable()
+        assert _ids(spark, "ss_ch2").count(6) == 2
+        # a merge too; and a delete commit is skipped (implied option)
+        S.merge_into(
+            spark,
+            table,
+            _batch(spark, 3, [100]),
+            keys=["trade_id"],
+        )
+        S.delete_where(spark, table, "trade_id = 0")
+        q2.processAllAvailable()
+        got = _ids(spark, "ss_ch2")
+        assert 100 in got and 0 in got  # 0 emitted BEFORE its deletion
+        # a genuine visibility rewrite still fails the batch
+        S.compact_snapshot(spark, table)
+        S.append(_batch(spark, 3, [400]), table)
+        with pytest.raises(StreamingQueryException, match="non-append"):
+            q2.processAllAvailable()
+            q2.awaitTermination(30)
+    finally:
+        q2.stop()
