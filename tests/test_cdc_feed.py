@@ -470,7 +470,9 @@ def test_random_op_interleaving_matches_recompute(spark, tmp_path, seed):
 
     refresh()
     for _ in range(8):
-        op = rng.choice(["append", "delete", "eq_delete", "optimize", "compact"])
+        op = rng.choice(
+            ["append", "delete", "eq_delete", "upsert", "optimize", "compact"]
+        )
         if op == "append":
             S.append(_batch(spark, range(next_id, next_id + 10)), base)
             live += list(range(next_id, next_id + 10))
@@ -489,6 +491,20 @@ def test_random_op_interleaving_matches_recompute(spark, tmp_path, seed):
                 spark.createDataFrame([(v,) for v in victims], "trade_id long"),
             )
             live = [i for i in live if i not in victims]
+        elif op == "upsert" and live:
+            # replace two live keys' rows (with a CHANGED qty, so the
+            # retraction must actually move the sums) AND insert a fresh
+            # one — the r12 atomic key-replacement commit as a base op
+            touched = rng.sample(live, min(2, len(live)))
+            S.upsert_by_keys(
+                _batch(spark, touched + [next_id]).withColumn(
+                    "qty", F.col("qty") + 1.0
+                ),
+                base,
+                cols=["trade_id"],
+            )
+            live.append(next_id)
+            next_id += 1
         elif op == "optimize":
             S.optimize_small_files(spark, base, min_rows=10_000)
         elif op == "compact":
@@ -529,7 +545,8 @@ def test_random_op_interleaving_matches_recompute_bars(spark, tmp_path, seed):
     refresh()
     for _ in range(8):
         op = rng.choice(
-            ["append", "delete", "eq_delete", "merge", "optimize", "compact"]
+            ["append", "delete", "eq_delete", "merge", "upsert",
+             "optimize", "compact"]
         )
         if op == "append":
             S.append(_batch(spark, range(next_id, next_id + 10)), base)
@@ -555,6 +572,17 @@ def test_random_op_interleaving_matches_recompute_bars(spark, tmp_path, seed):
                 "price", F.lit(float(500 + next_id))
             )
             S.merge_into(spark, base, src, keys=["trade_id"])
+            live.append(next_id)
+            next_id += 1
+        elif op == "upsert" and live:
+            touched = rng.sample(live, min(2, len(live)))
+            S.upsert_by_keys(
+                _batch(spark, touched + [next_id]).withColumn(
+                    "price", F.lit(float(700 + next_id))
+                ),
+                base,
+                cols=["trade_id"],
+            )
             live.append(next_id)
             next_id += 1
         elif op == "optimize":
