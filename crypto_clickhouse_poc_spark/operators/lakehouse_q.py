@@ -36,6 +36,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import bounded_cache
 from ..plans import logmv as M
 from ..plans import snapshots as S
 from .trades import _events
@@ -50,8 +51,6 @@ def mv_scoped_erasure_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # victim-key selection (4 consumers otherwise re-read + re-extract
     # the JSON qty each); bounded_cache keeps at most one live cache for
     # this call site across repeated invocations (bench warm runs)
-    from ..caching import bounded_cache
-
     t = bounded_cache(
         f"mv_scoped_erasure_replay:{sf_dir}",
         _events(spark, sf_dir).select(
@@ -97,8 +96,93 @@ def mv_scoped_erasure_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def mv_enriched_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENRICHED (fact ⋈ dim) rollup MV (``plans/joinmv.py``) driven
+    end to end: events ingested as a two-commit fact snapshot, a
+    symbol→sector dimension snapshot (deterministic HEAD/TAIL split),
+    the MV materialized, then the two hard change sources in sequence —
+    a ONE-ROW DIM UPDATE ('click' reorganized into sector MOVED; the
+    refresh swaps exactly that key's partials) and a FACT ERASURE
+    (event_id % 113; key-scoped swap) — and the merged (minute, sector)
+    bars returned. The oracle is the one-shot batch aggregation of the
+    surviving rows joined to the POST-UPDATE mapping: equality is the
+    incremental-view-maintenance contract under both change sources.
+
+    Partials live at (minute, symbol) + sector, so each change owned
+    exactly its keys' rows; reads merge up to (minute, sector) with the
+    closed bars algebra (min_by/max_by on the carried (ts, trade_id)
+    keys keeps open/close exact across symbols)."""
+    from ..plans import joinmv as J
+
+    t = bounded_cache(
+        f"mv_enriched_replay:{sf_dir}",
+        _events(spark, sf_dir).select(
+            "ts",
+            F.col("event_type").alias("symbol"),
+            F.col("event_id").alias("trade_id"),
+            "price",
+            "qty",
+        ),
+    )
+    root = Path(tempfile.mkdtemp(prefix="mv_enriched_"))
+    fact, dim, mv = str(root / "fact"), str(root / "dim"), str(root / "mv")
+    try:
+        for i in range(2):
+            S.append(t.where(F.col("trade_id") % 2 == i), fact)
+        dim0 = (
+            t.select("symbol")
+            .distinct()
+            .select(
+                "symbol",
+                F.when(F.col("symbol") < "m", "HEAD")
+                .otherwise("TAIL")
+                .alias("sector"),
+                F.to_timestamp(F.lit("2024-01-01")).alias("ts"),
+            )
+        )
+        S.append(dim0, dim)
+        J.refresh_enriched_rollup(spark, fact, dim, mv)
+        S.upsert_by_keys(
+            dim0.where(F.col("symbol") == "click").withColumn(
+                "sector", F.lit("MOVED")
+            ),
+            dim,
+            cols=["symbol"],
+        )
+        J.refresh_enriched_rollup(spark, fact, dim, mv)  # dim-scoped swap
+        S.delete_by_keys(
+            spark,
+            fact,
+            t.where(F.col("trade_id") % 113 == 0).select("trade_id"),
+        )
+        J.refresh_enriched_rollup(spark, fact, dim, mv)  # fact-scoped swap
+        merged = (
+            S.read_snapshot(spark, mv)
+            .groupBy("minute", "sector")
+            .agg(
+                F.min_by("open", F.col("open_key")).alias("open"),
+                F.max("high").alias("high"),
+                F.min("low").alias("low"),
+                F.max_by("close", F.col("close_key")).alias("close"),
+                F.sum("volume").alias("volume"),
+                F.sum("trades").alias("trades"),
+            )
+        )
+        return (
+            merged.select(
+                "minute", "sector", "open", "high", "low", "close",
+                "volume", "trades",
+            )
+            .orderBy("minute", "sector")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 QUERIES = {
     "mv_scoped_erasure_replay": mv_scoped_erasure_replay,
+    "mv_enriched_replay": mv_enriched_replay,
 }
 
 ORACLES = {
@@ -127,5 +211,39 @@ ORACLES = {
                sum(qty) AS volume,
                count(*) AS trades
         FROM base GROUP BY minute, symbol ORDER BY minute, symbol
+    """,
+    # the incremental-view-maintenance contract under BOTH change
+    # sources: the MV equals the one-shot aggregation of the surviving
+    # fact rows joined to the POST-UPDATE dim mapping
+    "mv_enriched_replay": """
+        WITH t AS (
+          SELECT event_type AS symbol, event_id AS trade_id, value AS price,
+                 CAST(json_extract_string(props, '$.k') AS DOUBLE) AS qty, ts
+          FROM events WHERE event_id % 113 <> 0
+        ),
+        d AS (
+          SELECT symbol,
+                 CASE WHEN symbol = 'click' THEN 'MOVED'
+                      WHEN symbol < 'm' THEN 'HEAD'
+                      ELSE 'TAIL' END AS sector
+          FROM (SELECT DISTINCT event_type AS symbol FROM events)
+        ),
+        j AS (SELECT t.*, d.sector FROM t JOIN d USING (symbol)),
+        base AS (
+          SELECT date_trunc('minute', ts) AS minute, sector, price, qty,
+                 row_number() OVER (PARTITION BY date_trunc('minute', ts), sector
+                                    ORDER BY ts, trade_id) AS rn_a,
+                 row_number() OVER (PARTITION BY date_trunc('minute', ts), sector
+                                    ORDER BY ts DESC, trade_id DESC) AS rn_d
+          FROM j
+        )
+        SELECT minute, sector,
+               max(CASE WHEN rn_a = 1 THEN price END) AS open,
+               max(price) AS high,
+               min(price) AS low,
+               max(CASE WHEN rn_d = 1 THEN price END) AS close,
+               sum(qty) AS volume,
+               count(*) AS trades
+        FROM base GROUP BY minute, sector ORDER BY minute, sector
     """,
 }

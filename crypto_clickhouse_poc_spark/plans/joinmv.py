@@ -1,0 +1,358 @@
+"""Incrementally-maintained ENRICHED rollups: fact ⋈ dimension MVs.
+
+``plans/logmv.py`` maintains single-table rollups from the base's
+transaction log. Production rollups are usually ENRICHED — the fact
+stream joined to a dimension before aggregating ("bars per SECTOR",
+where symbol → sector lives in a dim table that itself changes over
+time). Maintaining that incrementally is the classic hard case
+(Materialize / DBSP / Delta Live Tables territory): a one-row dim
+update silently invalidates every aggregate row any of that key's fact
+rows ever contributed to, and the naive answer is a full rebuild per
+dim change.
+
+The design here makes BOTH change sources key-local by choosing the
+partial granularity, not by inventing new machinery:
+
+- **Partials live at the finest key** — (time bucket, join_key) plus the
+  dim attribute columns captured at refresh time. Reads merge partials
+  UP to the serving grain (minute × sector) with the same closed merge
+  algebra every rollup here uses; maintenance swaps partials AT the
+  join-key grain. A dim update therefore owns exactly one key's partial
+  rows — never a sector's, never the table's.
+- **One scope rule for every non-append change**: collect the AFFECTED
+  JOIN KEYS — from the fact CDC's delete rows (an erasure names the
+  keys it touched) and from the dim CDC's rows (an update emits
+  delete+insert for the changed key; an insert/delete names the key
+  whose enrichment appeared/vanished) — then recompute ONLY those keys'
+  partials from the pinned fact head joined to the pinned dim head, and
+  swap them in ONE atomic :func:`plans.snapshots.upsert_by_keys` commit
+  (append + equality-delete on the join key, sequenced so the delete
+  can't touch its own replacements). Inner-join semantics fall out for
+  free: a key deleted from the dim recomputes to zero partials and the
+  eq-delete erases its history; a key newly inserted into the dim
+  recomputes its full fact history into partials that were never there.
+- **Exactly-once across TWO logs** with the existing single-app
+  watermark: the MV's txn id is the COMPOSITE ``fact_head << 32 |
+  dim_head`` (both logs' versions in one monotone-comparable id), so the
+  same exact compare-and-set that serializes single-table refreshers
+  serializes these — a dim-only tick changes the composite even when the
+  fact head didn't move, and a replayed scheduler is a detected no-op.
+
+Scale notes (100 TB): the steady state (fact appends, dim idle) is the
+same O(delta) append path logmv has — the enrichment join runs on the
+DELTA'S PARTIALS (bounded by groups touched, not rows) against a
+broadcast dim. A dim change costs O(affected keys' fact rows): the
+recompute scan filters on the join key (predicate pushdown; a per-file
+Bloom sidecar on the key — ``plans/bloomidx`` — additionally prunes at
+the FILE level when present, the same advisory contract the CDC
+eq-delete leg uses). The cap (``max_scoped_keys``) bounds the
+driver-collected key set and falls back to one rebuild, which is also
+the answer for genuine visibility rewrites on either log.
+
+Contract: the dim must be UNIQUE per join key at every version a
+refresh reads (the usual dimension contract; an SCD2 dim feeds its
+CURRENT view here). Duplicate dim keys would fan out fact partials and
+double-count — ``rebuild_enriched`` fails loudly on that rather than
+guessing.
+
+Reference anchor: the reference's only MV is the single-table 1-minute
+bars (``sql/V2__create_trades_1m_view.sql``); this module is the
+extension a user hits the day they ask for "the same bars, per sector".
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming.bars import partial_bars
+from . import bloomidx as B
+from . import snapshots as S
+
+# both log versions packed into one monotone watermark id; 2^32 commits
+# per log is far beyond any real table's life under checkpointed heads
+_WM_SHIFT = 32
+_WM_MASK = (1 << _WM_SHIFT) - 1
+
+
+def _wm(fact_v: int, dim_v: int) -> int:
+    if fact_v >= (1 << (63 - _WM_SHIFT)) or dim_v > _WM_MASK:
+        raise ValueError(f"log version out of watermark range: {fact_v}, {dim_v}")
+    return (fact_v << _WM_SHIFT) | dim_v
+
+
+def _unwm(wm: int) -> tuple[int, int]:
+    return wm >> _WM_SHIFT, wm & _WM_MASK
+
+
+def enriched_status(mv_path: str, app: str = "joinmv") -> dict | None:
+    """{'fact_version': v, 'dim_version': v} the MV has folded in, or
+    None for an uninitialized MV — one head-body read, zero splices."""
+    wm = S.last_txn(mv_path, app)
+    if wm is None:
+        return None
+    f, d = _unwm(wm)
+    return {"fact_version": f, "dim_version": d}
+
+
+def _read_fact_keys(
+    spark: SparkSession,
+    fact_path: str,
+    version: int,
+    key_col: str,
+    keys: list,
+) -> DataFrame:
+    """The pinned-version fact rows whose ``key_col`` is in ``keys`` —
+    manifest-level Bloom pruning when a sidecar covers the key (advisory:
+    files the index can't rule out are read and the predicate re-applied,
+    the repo-wide pruning contract), merge-on-read deletes applied."""
+    m = S.manifest(fact_path, version)
+    files = B.prune_file_list(spark, fact_path, key_col, keys, m["files"])
+    if not files:
+        return (
+            S._empty_like(spark, fact_path)
+            .drop(S.TXN_COL)
+            .where(F.col(key_col).isin(*keys))
+        )
+    df = S._apply_dvs(
+        spark, S._read_files(spark, fact_path, files, merge_schema=True), m, fact_path
+    ).drop(S.TXN_COL)
+    # native-typed IN: pushes to the parquet scan (a cast-to-string
+    # comparison would not), re-applying the predicate the Bloom prune
+    # only approximated
+    return df.where(F.col(key_col).isin(*keys))
+
+
+def _enrich(
+    partials: DataFrame, dim: DataFrame, join_key: str, dim_cols: Sequence[str]
+) -> DataFrame:
+    """Partial rows ⋈ broadcast dim (inner): the join runs on the
+    PARTIALS — bounded by |groups touched|, never fact rows — because a
+    dim attribute is constant within a join key."""
+    return partials.join(
+        F.broadcast(dim.select(join_key, *dim_cols)), join_key, "inner"
+    )
+
+
+def refresh_enriched_rollup(
+    spark: SparkSession,
+    fact_path: str,
+    dim_path: str,
+    mv_path: str,
+    join_key: str = "symbol",
+    dim_cols: Sequence[str] = ("sector",),
+    partial_fn: Callable[[DataFrame], DataFrame] = partial_bars,
+    app: str = "joinmv",
+    ts_col: str = "minute",
+    max_scoped_keys: int = 65_536,
+) -> int | None:
+    """Fold both logs' new commits into the enriched rollup.
+
+    Dispatch (the logmv ladder, generalized to two logs):
+
+    - uninitialized MV → :func:`rebuild_enriched` (one fact-head scan ⋈
+      one dim-head read; zero per-version history metadata);
+    - at both heads → ``None`` (steady-state poll);
+    - visibility rewrite on EITHER log (deduping compact / rollback /
+      rebuild) → rebuild;
+    - fact range all-appends AND dim unchanged-or-layout-only → the
+      O(delta) fast path: enrich the delta's partials with the pinned
+      dim head and append;
+    - anything else CDC can represent → the KEY-SCOPED swap: affected
+      join keys from the fact CDC's deletes ∪ the dim CDC's rows, those
+      keys recomputed from fact head ⋈ dim head, out-of-scope fact
+      inserts appended as fresh enriched partials, all in one
+      :func:`snapshots.upsert_by_keys` commit keyed on ``join_key``;
+      past ``max_scoped_keys`` → rebuild.
+
+    Returns the MV version committed, or None when already current.
+    Concurrent refreshers: the composite watermark CAS makes the loser
+    raise :class:`snapshots.CommitConflict` instead of double-folding.
+    """
+    fact_head = S.latest_version(fact_path)
+    dim_head = S.latest_version(dim_path)
+    if fact_head is None or dim_head is None:
+        raise FileNotFoundError(f"no snapshots at {fact_path} / {dim_path}")
+    consumed = S.last_txn(mv_path, app)
+    if consumed is None:
+        return rebuild_enriched(
+            spark, fact_path, dim_path, mv_path,
+            join_key=join_key, dim_cols=dim_cols,
+            partial_fn=partial_fn, app=app, ts_col=ts_col,
+        )
+    fact_w, dim_w = _unwm(consumed)
+    if fact_head <= fact_w and dim_head <= dim_w:
+        return None
+    fact_meta = S.changed_meta(fact_path, fact_w, fact_head)
+    dim_meta = S.changed_meta(dim_path, dim_w, dim_head)
+    fact_ops = {op for op, dc in fact_meta if dc}
+    dim_ops = {op for op, dc in dim_meta if dc}
+    covered = set(S._CDC_COVERED)
+    if not (fact_ops <= covered and dim_ops <= covered):
+        return rebuild_enriched(
+            spark, fact_path, dim_path, mv_path,
+            join_key=join_key, dim_cols=dim_cols,
+            partial_fn=partial_fn, app=app, ts_col=ts_col,
+        )
+    dim = S.read_snapshot(spark, dim_path, version=dim_head)
+    fact_deleting = fact_ops & set(S._CDC_DELETING)
+    if not fact_deleting and not dim_ops:
+        # steady state: fact appends (possibly under layout-only commits),
+        # dim idle — O(delta), the enrichment join on the delta's partials
+        if all(op == "append" for op, _ in fact_meta):
+            delta = S.read_changes(spark, fact_path, fact_w, fact_head)
+        else:
+            cdc = S.read_changes_cdc(spark, fact_path, fact_w, fact_head)
+            delta = cdc.where(F.col(S.CDC_TYPE) == "insert").drop(
+                S.CDC_TYPE, S.CDC_VERSION
+            )
+        parts = _enrich(partial_fn(delta), dim, join_key, dim_cols)
+        return S.append(
+            parts, mv_path, ts_col=ts_col,
+            txn_app=app, txn_id=_wm(fact_head, dim_head), txn_expect=consumed,
+        )
+    # --- key-scoped swap ---
+    fact_cdc = S.read_changes_cdc(
+        spark, fact_path, fact_w, fact_head, precise_merge=True
+    )
+    ins = fact_cdc.where(F.col(S.CDC_TYPE) == "insert").drop(
+        S.CDC_TYPE, S.CDC_VERSION
+    )
+    # affected keys in the fact column's NATIVE type (the upsert's
+    # eq-delete rows must compare equal to the MV's stored key column):
+    # fact deletes name the keys an erasure touched; dim CDC rows name
+    # the keys whose enrichment appeared/changed/vanished — including a
+    # key deleted from BOTH sides, whose stale partials must still die
+    affected = fact_cdc.where(F.col(S.CDC_TYPE) == "delete").select(join_key)
+    if dim_ops:
+        dim_cdc = S.read_changes_cdc(
+            spark, dim_path, dim_w, dim_head, precise_merge=True
+        )
+        affected = affected.unionByName(dim_cdc.select(join_key))
+    gdf = affected.distinct()
+    rows = gdf.limit(max_scoped_keys + 1).collect()
+    if len(rows) > max_scoped_keys:
+        return rebuild_enriched(
+            spark, fact_path, dim_path, mv_path,
+            join_key=join_key, dim_cols=dim_cols,
+            partial_fn=partial_fn, app=app, ts_col=ts_col,
+        )
+    keys = [r[0] for r in rows]
+    if not keys:
+        # e.g. a precise-merge range that only moved rows between files
+        parts = _enrich(partial_fn(ins), dim, join_key, dim_cols)
+        return S.append(
+            parts, mv_path, ts_col=ts_col,
+            txn_app=app, txn_id=_wm(fact_head, dim_head), txn_expect=consumed,
+        )
+    key_rows = spark.createDataFrame(rows, schema=gdf.schema)
+    # a duplicate dim key fans out partials and double-counts silently; a
+    # dup can only ARISE through a dim change, and every dim change routes
+    # its keys through here — so checking the AFFECTED keys (bounded set)
+    # plus rebuild's full check covers every path a dup can enter by
+    dup = (
+        dim.join(F.broadcast(key_rows), join_key, "left_semi")
+        .groupBy(join_key)
+        .count()
+        .where(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"dim {dim_path} has duplicate join key {dup[0][0]!r} at "
+            f"v{dim_head} — an enriched rollup over it would double-count; "
+            "dedup the dim (SCD2 current view) first"
+        )
+    scoped_fact = _read_fact_keys(spark, fact_path, fact_head, join_key, keys)
+    scoped = _enrich(partial_fn(scoped_fact), dim, join_key, dim_cols)
+    # inserts OUTSIDE the affected keys are plain new enriched partials
+    # (inserts inside them are already in the pinned-head scan above)
+    fresh = _enrich(
+        partial_fn(ins).join(F.broadcast(key_rows), join_key, "left_anti"),
+        dim,
+        join_key,
+        dim_cols,
+    )
+    return S.upsert_by_keys(
+        scoped.unionByName(fresh),
+        mv_path,
+        cols=(join_key,),
+        keys=key_rows,
+        ts_col=ts_col,
+        txn_app=app,
+        txn_id=_wm(fact_head, dim_head),
+        txn_expect=consumed,
+    )
+
+
+def merge_enriched_fn(
+    join_key: str = "symbol", dim_cols: Sequence[str] = ("sector",)
+) -> Callable[[DataFrame], DataFrame]:
+    """The closed partial×partial merge for ``logmv.compact_rollup`` of
+    an enriched MV: same bars algebra, grouped at the MV's FULL stored
+    key (time, join key, dim attrs). All live partials of a key share
+    their dim attrs by construction — a dim change eq-deleted the old
+    generation — so the dim columns ride the group-by unchanged."""
+
+    def merge(partials: DataFrame) -> DataFrame:
+        return partials.groupBy("minute", join_key, *dim_cols).agg(
+            F.min_by("open", F.col("open_key")).alias("open"),
+            F.min_by(F.col("open_key"), F.col("open_key")).alias("open_key"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", F.col("close_key")).alias("close"),
+            F.max_by(F.col("close_key"), F.col("close_key")).alias("close_key"),
+            F.sum("volume").alias("volume"),
+            F.sum("trades").alias("trades"),
+        )
+
+    return merge
+
+
+def rebuild_enriched(
+    spark: SparkSession,
+    fact_path: str,
+    dim_path: str,
+    mv_path: str,
+    join_key: str = "symbol",
+    dim_cols: Sequence[str] = ("sector",),
+    partial_fn: Callable[[DataFrame], DataFrame] = partial_bars,
+    app: str = "joinmv",
+    ts_col: str = "minute",
+) -> int:
+    """Full recompute from both pinned heads in ONE manifest swap (the
+    logmv rebuild contract, two logs). Fails loudly on a duplicate-key
+    dim — fanning out partials would silently double-count forever."""
+    fact_head = S.latest_version(fact_path)
+    dim_head = S.latest_version(dim_path)
+    if fact_head is None or dim_head is None:
+        raise FileNotFoundError(f"no snapshots at {fact_path} / {dim_path}")
+    dim = S.read_snapshot(spark, dim_path, version=dim_head)
+    dup = (
+        dim.groupBy(join_key).count().where(F.col("count") > 1).limit(1).collect()
+    )
+    if dup:
+        raise ValueError(
+            f"dim {dim_path} has duplicate join key {dup[0][0]!r} at "
+            f"v{dim_head} — an enriched rollup over it would double-count; "
+            "dedup the dim (SCD2 current view) first"
+        )
+    partials = _enrich(
+        partial_fn(S.read_snapshot(spark, fact_path, version=fact_head)),
+        dim,
+        join_key,
+        dim_cols,
+    )
+    entries = S._write_txn(partials, mv_path, ts_col=ts_col)
+    return S._commit(
+        mv_path,
+        lambda _hf: entries,
+        "rebuild",
+        txn=(app, _wm(fact_head, dim_head)),
+        txn_expect="force",
+        dvs_fn=lambda _d: [],
+        eq_dvs_fn=lambda _e, _v: [],
+    )

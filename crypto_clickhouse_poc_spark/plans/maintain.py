@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..streaming.bars import partial_bars
 from . import bloomidx as B
+from . import joinmv as J
 from . import logmv as M
 from . import snapshots as S
 
@@ -64,10 +65,30 @@ class MVSpec:
     scope_bucket: _dt.timedelta = M._MINUTE
 
 
+@dataclass(frozen=True)
+class EnrichedMVSpec:
+    """One fact ⋈ dim rollup maintained from BOTH tables' logs (r12 —
+    plans/joinmv). ``dim_path`` is the dimension snapshot table; the tick
+    folds fact appends O(delta) and swaps dim-changed keys' partials."""
+
+    mv_path: str
+    dim_path: str
+    join_key: str = "symbol"
+    dim_cols: Sequence[str] = ("sector",)
+    partial_fn: Callable[[DataFrame], DataFrame] = partial_bars
+    app: str = "joinmv"
+    ts_col: str = "minute"
+    max_live_files: int = 64
+    # compaction merge at the MV's FULL stored key (time, join key, dim
+    # attrs) — None derives it from join_key/dim_cols via joinmv
+    merge_fn: Callable[[DataFrame], DataFrame] | None = None
+
+
 def maintenance_tick(
     spark: SparkSession,
     path: str,
     mvs: Sequence[MVSpec] = (),
+    enriched_mvs: Sequence[EnrichedMVSpec] = (),
     bloom_keys: Sequence[str] = (),
     min_rows: int = 50_000,
     ts_col: str = "ts",
@@ -113,6 +134,37 @@ def maintenance_tick(
                 )
             except S.CommitConflict:
                 report[f"mv-compact:{spec.mv_path}"] = "conflict-deferred"
+    for espec in enriched_mvs:
+        try:
+            v = J.refresh_enriched_rollup(
+                spark,
+                path,
+                espec.dim_path,
+                espec.mv_path,
+                join_key=espec.join_key,
+                dim_cols=espec.dim_cols,
+                partial_fn=espec.partial_fn,
+                app=espec.app,
+                ts_col=espec.ts_col,
+            )
+            report[f"joinmv:{espec.mv_path}"] = v
+        except S.CommitConflict:
+            report[f"joinmv:{espec.mv_path}"] = "conflict-deferred"
+        head = S.latest_version(espec.mv_path)
+        if (
+            head is not None
+            and S._n_files(espec.mv_path, head) > espec.max_live_files
+        ):
+            try:
+                report[f"joinmv-compact:{espec.mv_path}"] = M.compact_rollup(
+                    spark,
+                    espec.mv_path,
+                    merge_fn=espec.merge_fn
+                    or J.merge_enriched_fn(espec.join_key, espec.dim_cols),
+                    ts_col=espec.ts_col,
+                )
+            except S.CommitConflict:
+                report[f"joinmv-compact:{espec.mv_path}"] = "conflict-deferred"
     try:
         v = S.optimize_small_files(spark, path, min_rows=min_rows, ts_col=ts_col)
         report["optimize"] = v

@@ -122,3 +122,39 @@ def test_tick_services_everything_and_reads_stay_exact(spark, tmp_path):
     assert r4["compact"] is None and r4["bloom:trade_id"] is None
     assert S.latest_version(base) == head_base
     assert S.latest_version(mv) == head_mv
+
+
+def test_tick_services_enriched_mv(spark, tmp_path):
+    """One maintenance_tick call keeps a fact ⋈ dim rollup current
+    through a fact append AND a dim update (r12), and compacts its
+    partials past the live-file threshold — every leg through the same
+    rebase-safe policies the single-table MVs get."""
+    from datetime import datetime
+
+    from crypto_clickhouse_poc_spark.plans import joinmv as J
+    from crypto_clickhouse_poc_spark.plans.maintain import (
+        EnrichedMVSpec,
+        maintenance_tick,
+    )
+    from tests.test_joinmv import DIM0, _batch, _dim, _expect, _mv_rows
+
+    fact = str(tmp_path / "fact")
+    dim = str(tmp_path / "dim")
+    mv = str(tmp_path / "emv")
+    S.append(_batch(spark, range(40)), fact)
+    S.append(_dim(spark, DIM0), dim)
+    spec = EnrichedMVSpec(mv_path=mv, dim_path=dim, max_live_files=1)
+    r1 = maintenance_tick(spark, fact, enriched_mvs=[spec], min_rows=1)
+    assert r1[f"joinmv:{mv}"] is not None
+    assert _mv_rows(spark, mv) == _expect(spark, fact, dim)
+    # fact append + dim update, both folded by the next tick
+    S.append(_batch(spark, range(40, 80)), fact)
+    S.upsert_by_keys(
+        _dim(spark, {"S1": "MOVED"}), dim, cols=["symbol"], ts_col="ts"
+    )
+    r2 = maintenance_tick(spark, fact, enriched_mvs=[spec], min_rows=1)
+    assert r2[f"joinmv:{mv}"] is not None
+    assert _mv_rows(spark, mv) == _expect(spark, fact, dim)
+    # partial-file debt crossed max_live_files -> the tick compacted
+    assert f"joinmv-compact:{mv}" in r2
+    assert _mv_rows(spark, mv) == _expect(spark, fact, dim)
