@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     # eq-delete -> group-scoped refresh -> merge-on-read read); each run
     # rebuilds its own snapshot table, so the timing covers the whole tier
     "mv_scoped_erasure_replay",
+    # r12: the fact-join-dim rollup MV through a dim update + fact erasure
+    "mv_enriched_replay",
 ]
 
 

@@ -275,3 +275,29 @@ def test_compact_enriched_is_read_invisible_and_watermark_survives(
     v2 = J.refresh_enriched_rollup(spark, fact, dim, mv)
     assert S._version_body(mv, v2)["op"] == "append"
     assert _mv_rows(spark, mv) == _expect(spark, fact, dim)
+
+
+def test_concurrent_enriched_refreshers_cannot_double_count(
+    spark, paths, monkeypatch
+):
+    """Two refreshers racing on one fact delta: the composite-watermark
+    CAS must kill the loser at commit (never a double-fold), same as the
+    single-table MV contract."""
+    fact, dim, mv = paths
+    J.refresh_enriched_rollup(spark, fact, dim, mv)  # initialized
+    S.append(_batch(spark, range(40, 80)), fact)
+    orig = S._write_txn
+
+    def interleave(df, path, ts_col, **kw):
+        out = orig(df, path, ts_col, **kw)
+        if not getattr(interleave, "fired", False) and path == mv:
+            interleave.fired = True
+            J.refresh_enriched_rollup(df.sparkSession, fact, dim, mv)  # B wins
+        return out
+
+    monkeypatch.setattr(S, "_write_txn", interleave)
+    with pytest.raises(S.CommitConflict):
+        J.refresh_enriched_rollup(spark, fact, dim, mv)  # A must lose
+    monkeypatch.setattr(S, "_write_txn", orig)
+    assert _mv_rows(spark, mv) == _expect(spark, fact, dim)
+    assert J.refresh_enriched_rollup(spark, fact, dim, mv) is None
