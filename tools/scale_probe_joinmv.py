@@ -16,6 +16,7 @@ Run:  python tools/scale_probe_joinmv.py
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import shutil
@@ -50,7 +51,7 @@ def _dim(spark, moved: bool = False):
         (
             f"S{i}",
             "MOVED" if (moved and i == 7) else ("EVEN" if i % 2 == 0 else "ODD"),
-            __import__("datetime").datetime(2024, 1, 1),
+            datetime.datetime(2024, 1, 1),
         )
         for i in range(N_SYMBOLS)
     ]
