@@ -129,9 +129,7 @@ def test_tick_services_enriched_mv(spark, tmp_path):
     through a fact append AND a dim update (r12), and compacts its
     partials past the live-file threshold — every leg through the same
     rebase-safe policies the single-table MVs get."""
-    from datetime import datetime
 
-    from crypto_clickhouse_poc_spark.plans import joinmv as J
     from crypto_clickhouse_poc_spark.plans.maintain import (
         EnrichedMVSpec,
         maintenance_tick,
