@@ -301,3 +301,78 @@ def test_concurrent_enriched_refreshers_cannot_double_count(
     monkeypatch.setattr(S, "_write_txn", orig)
     assert _mv_rows(spark, mv) == _expect(spark, fact, dim)
     assert J.refresh_enriched_rollup(spark, fact, dim, mv) is None
+
+
+@pytest.mark.parametrize("seed", [13, 29])
+def test_random_two_log_interleaving_matches_recompute(spark, tmp_path, seed):
+    """Model check over BOTH logs: any interleaving of fact appends /
+    erasures / upserts and dim updates / inserts / deletes, refreshed
+    after every step through whatever path the dispatch picks (append,
+    key-scoped upsert, rebuild), keeps the enriched MV equal to the
+    batch recompute of fact ⋈ dim."""
+    import random
+
+    rng = random.Random(seed)
+    fact = str(tmp_path / "fact")
+    dim = str(tmp_path / "dim")
+    mv = str(tmp_path / "mv")
+    S.append(_batch(spark, range(30)), fact)
+    S.append(_dim(spark, DIM0), dim)
+    next_id = 30
+    live = list(range(30))
+    dim_live = dict(DIM0)
+    next_sym = 5
+
+    def refresh():
+        J.refresh_enriched_rollup(spark, fact, dim, mv)
+        assert _mv_rows(spark, mv) == _expect(spark, fact, dim)
+
+    refresh()
+    for step in range(8):
+        op = rng.choice(
+            ["fact_append", "fact_delete", "fact_upsert",
+             "dim_update", "dim_insert", "dim_delete"]
+        )
+        if op == "fact_append":
+            S.append(_batch(spark, range(next_id, next_id + 10)), fact)
+            live += list(range(next_id, next_id + 10))
+            next_id += 10
+        elif op == "fact_delete" and live:
+            victims = rng.sample(live, min(3, len(live)))
+            S.delete_where(
+                spark, fact, f"trade_id in ({','.join(map(str, victims))})"
+            )
+            live = [i for i in live if i not in victims]
+        elif op == "fact_upsert" and live:
+            touched = rng.sample(live, min(2, len(live)))
+            S.upsert_by_keys(
+                _batch(spark, touched + [next_id]).withColumn(
+                    "qty", F.col("qty") + 1.0
+                ),
+                fact,
+                cols=["trade_id"],
+            )
+            live.append(next_id)
+            next_id += 1
+        elif op == "dim_update" and dim_live:
+            sym = rng.choice(sorted(dim_live))
+            dim_live[sym] = f"SEC{step}"
+            S.upsert_by_keys(
+                _dim(spark, {sym: dim_live[sym]}), dim,
+                cols=["symbol"], ts_col="ts",
+            )
+        elif op == "dim_insert":
+            # a symbol the fact may or may not have rows for yet
+            sym = f"S{next_sym % 7}"
+            if sym not in dim_live:
+                dim_live[sym] = "NEW"
+                S.append(_dim(spark, {sym: "NEW"}), dim)
+            next_sym += 1
+        elif op == "dim_delete" and len(dim_live) > 1:
+            sym = rng.choice(sorted(dim_live))
+            del dim_live[sym]
+            S.delete_by_keys(
+                spark, dim,
+                spark.createDataFrame([(sym,)], "symbol string"),
+            )
+        refresh()
