@@ -27,6 +27,11 @@ Semantics and scale shape:
   DV-carrying head boots too (r9): the deletion vectors' positions are
   grouped per file driver-side and dropped in each partition's Arrow
   reader — the bootstrap equals ``read_snapshot``'s merge-on-read view.
+  Single-column EQUALITY deletes boot as well (r12 — upserts make them
+  routine): the O(keys) key sets are read driver-side and each partition
+  anti-filters its key column with a vectorized ``is_in``, sequenced by
+  the same added_v-vs-entry-version rule ``_apply_dvs`` uses; composite
+  keys still refuse (compaction materializes them).
 - AFTER bootstrap, the stream dispatches on what each commit MEANS
   (r10): WRITER-FLAGGED layout-only commits (``data_change=False`` —
   bin-packing optimize, MV partial compaction) are SKIPPED, exactly
@@ -129,6 +134,31 @@ def _file_schema_ddl(path: str) -> str:
             cols.append(f"{PARTITION_COL} string")
             return ", ".join(cols)
     raise ValueError(f"{path} has no data files in any version — schema unknown")
+
+
+def _eq_filters(path: str, eq_dvs: list[dict]) -> list[tuple[str, list, int]]:
+    """[(key column, key values, sequencing version)] from the manifest's
+    equality-delete entries — one driver-side pyarrow read of the O(keys)
+    key set per entry, at bootstrap only. Single-column keys only (the
+    GDPR-erasure / upsert-by-one-key shape): a composite key would need a
+    multi-column anti-join per Arrow batch — refused with the remediation
+    (compaction materializes eq-deletes into plain files)."""
+    import pyarrow.parquet as pq
+
+    multi = [e for e in eq_dvs if len(e["cols"]) > 1]
+    if multi:
+        raise ValueError(
+            "start head carries COMPOSITE-key equality deletes "
+            f"({multi[0]['cols']}); the bootstrap reader applies only "
+            "single-column key filters — compact_snapshot (materialize "
+            "them) first"
+        )
+    out = []
+    for e in eq_dvs:
+        col = e["cols"][0]
+        t = pq.read_table(str(Path(path) / e["path"]), columns=[col])
+        out.append((col, t.column(col).to_pylist(), e["v"]))
+    return out
 
 
 def _dv_positions(path: str, dvs: list[dict]) -> dict[str, list[int]]:
@@ -240,12 +270,14 @@ class SnapshotStreamReader(DataSourceStreamReader):
             # and each partition's reader drops its own positions, the
             # same anti-join semantics as _apply_dvs without a join.
             m0 = _manifest(self.path, to)
-            if m0.get("eq_dvs"):
-                raise ValueError(
-                    "start head carries equality deletes; the bootstrap "
-                    "reader drops positions, not key matches — "
-                    "compact_snapshot (materialize them) first"
-                )
+            # equality deletes (r12 — upserts make them routine): SINGLE-
+            # column entries are applied in each partition's Arrow reader
+            # (one driver-side read of the O(keys) key file here, a
+            # vectorized is_in anti-filter there, sequenced by the same
+            # added_v-vs-entry-version rule _apply_dvs uses). Composite
+            # keys would need a multi-column anti-join per batch — still
+            # refused; compaction materializes them.
+            eq_specs = _eq_filters(self.path, m0.get("eq_dvs", []))
             dv_pos = _dv_positions(self.path, m0.get("dvs", []))
             return [
                 InputPartition(
@@ -253,6 +285,11 @@ class SnapshotStreamReader(DataSourceStreamReader):
                         str(Path(self.path) / f["path"]),
                         f["path"],
                         sorted(dv_pos.get(f["path"], ())),
+                        [
+                            (col, keys)
+                            for col, keys, v in eq_specs
+                            if f.get("added_v", 0) < v
+                        ],
                     )
                 )
                 for f in m0["files"]
@@ -297,7 +334,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
                     continue  # flagged layout op, or a skipped delete
                 added.extend(manifest_delta(self.path, v)[0])
         return [
-            InputPartition((str(Path(self.path) / f["path"]), f["path"], []))
+            InputPartition((str(Path(self.path) / f["path"]), f["path"], [], []))
             for f in added
         ]
 
@@ -305,7 +342,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        abs_path, rel, dv_positions = partition.value
+        abs_path, rel, dv_positions, eq_filters = partition.value
         parts = dict(
             p.split("=", 1) for p in Path(rel).parent.parts if "=" in p
         )
@@ -319,6 +356,19 @@ class SnapshotStreamReader(DataSourceStreamReader):
             mask = np.ones(table.num_rows, dtype=bool)
             mask[np.asarray(dv_positions, dtype=np.int64)] = False
             table = table.filter(pa.array(mask))
+        for col, keys in eq_filters:
+            # merge-on-read for sequenced equality deletes: vectorized
+            # anti-IN over the key column (null keys can't match an
+            # equality delete, so is_in's false-for-null is correct)
+            import pyarrow.compute as pc
+
+            if col in table.column_names:
+                vals = pa.array(keys).cast(table.schema.field(col).type)
+                table = table.filter(
+                    pc.invert(
+                        pc.is_in(table.column(col), value_set=vals)
+                    ).fill_null(True)
+                )
         n = table.num_rows
         cols, names = [], []
         for name, ddl in self.columns:

@@ -339,10 +339,8 @@ def test_ignore_changes_consumes_merge_and_upsert(spark, table, tmp_path):
             q.awaitTermination(30)
     finally:
         q.stop()
-    # the upsert's eq-delete entry must be materialized before a NEW
-    # stream can bootstrap (the documented bootstrap constraint — the
-    # arrow reader drops positions, not key matches)
-    S.compact_snapshot(spark, table)
+    # the fresh stream bootstraps straight over the upsert's eq-delete
+    # entry (r12: single-column eq-deletes apply in the Arrow reader)
     q2 = _start(
         spark, table, str(tmp_path / "ck_c2"), "ss_ch2", ignoreChanges="true"
     )
@@ -374,6 +372,53 @@ def test_ignore_changes_consumes_merge_and_upsert(spark, table, tmp_path):
         S.compact_snapshot(spark, table)
         S.append(_batch(spark, 3, [400]), table)
         with pytest.raises(StreamingQueryException, match="non-append"):
+            q2.processAllAvailable()
+            q2.awaitTermination(30)
+    finally:
+        q2.stop()
+
+
+def test_bootstrap_applies_single_column_equality_deletes(spark, table, tmp_path):
+    """r12 (was: refused): a head carrying single-column eq-deletes —
+    routine once upserts exist — bootstraps with the deletes applied:
+    erased keys absent, an upsert's replacement visible exactly once
+    (the sequencing exemption: its file postdates the delete entry).
+    Composite-key eq-deletes still refuse with the remediation."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from pyspark.sql import functions as F
+
+    S.delete_by_keys(
+        spark, table, spark.createDataFrame([(3,)], "trade_id long")
+    )
+    S.upsert_by_keys(
+        _batch(spark, 3, [5]).withColumn("price", F.lit(42.0)),
+        table,
+        cols=["trade_id"],
+    )
+    q = _start(spark, table, str(tmp_path / "ck_eq"), "ss_eq")
+    try:
+        q.processAllAvailable()
+        got = _ids(spark, "ss_eq")
+        assert 3 not in got  # erased key absent from the bootstrap
+        assert got.count(5) == 1  # replaced exactly once
+        assert [
+            r.price
+            for r in spark.sql(
+                "select price from ss_eq where trade_id = 5"
+            ).collect()
+        ] == [42.0]
+    finally:
+        q.stop()
+    # composite keys: the bootstrap reader cannot apply them — refuse
+    S.delete_by_keys(
+        spark,
+        table,
+        spark.createDataFrame([("BTC", 7)], "symbol string, trade_id long"),
+        cols=["symbol", "trade_id"],
+    )
+    q2 = _start(spark, table, str(tmp_path / "ck_eq2"), "ss_eq2")
+    try:
+        with pytest.raises(StreamingQueryException, match="COMPOSITE"):
             q2.processAllAvailable()
             q2.awaitTermination(30)
     finally:
