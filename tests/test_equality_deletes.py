@@ -155,7 +155,11 @@ def test_read_changes_refuses_ranges_containing_eq_deletes(spark, table):
         S.read_changes(spark, table, since_version=0)
 
 
-def test_stream_bootstrap_refuses_eq_delete_head(spark, table, tmp_path):
+def test_stream_bootstrap_applies_eq_delete_head(spark, table, tmp_path):
+    """r12 contract change (was: refusal): a single-column eq-delete
+    head bootstraps with the delete APPLIED — the Arrow reader
+    anti-filters the key column, matching read_snapshot's merge-on-read
+    view. (Composite keys still refuse — gated in test_snapstream.)"""
     from crypto_clickhouse_poc_spark.sources.snapstream import (
         SnapshotCommitsDataSource,
     )
@@ -173,8 +177,11 @@ def test_stream_bootstrap_refuses_eq_delete_head(spark, table, tmp_path):
         .start()
     )
     try:
-        with pytest.raises(Exception, match="equality deletes"):
-            q.processAllAvailable()
+        q.processAllAvailable()
+        got = sorted(
+            r.trade_id for r in spark.sql("select trade_id from ss_eq").collect()
+        )
+        assert got == [i for i in range(10) if i != 4]
     finally:
         q.stop()
 
