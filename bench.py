@@ -159,11 +159,21 @@ def main() -> None:
     deadline = time.time() + (
         0 if os.environ.get("SPARK_GRAFT_BENCH_FORCE") else _IDLE_WAIT_SEC
     )
-    while os.getloadavg()[0] > _LOADAVG_GATE and time.time() < deadline:
+    # contention keys on max(1-min, 5-min) loadavg: the r12 artifact
+    # started at loadavg [1.94, 6.9, ...] — a box that was hammered
+    # minutes ago still has hot caches evicted and cgroup throttle debt,
+    # and its streaming rates read ~7% low — yet the 1-min-only rule
+    # stamped it "clean" (false comfort that would mislabel a real
+    # regression as noise, or noise as regression).
+    def _busy() -> bool:
+        la = os.getloadavg()
+        return max(la[0], la[1]) > _LOADAVG_GATE
+
+    while _busy() and time.time() < deadline:
         print(f"# waiting for idle; loadavg {os.getloadavg()}", flush=True)
         time.sleep(10)
     load_start = os.getloadavg()
-    contended = load_start[0] > _LOADAVG_GATE
+    contended = max(load_start[0], load_start[1]) > _LOADAVG_GATE
     mib = _pretouch(sf_dir)
     print(f"# pre-touched {mib:,.0f} MiB of input parquet; loadavg {load_start}", flush=True)
 

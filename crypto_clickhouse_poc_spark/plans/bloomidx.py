@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
 from pathlib import Path
@@ -73,9 +74,42 @@ def _pointer(path: str, key_col: str) -> Path:
     return Path(path) / IDX_DIR / f"bloom-{key_col}.json"
 
 
+# bloom-<key>.g<N>.json (generation pointer) or bloom-<key>.json (legacy
+# mutable pointer, read as generation 0). The suffix-anchored regex is
+# load-bearing: a key column whose NAME contains ".g" (e.g. "a.gx") must
+# not be truncated to "a" — naive split(".g") did exactly that (r12
+# sweep_bloom_orphans bug: the mis-keyed pointer was never read, its dirs
+# never marked live, and the sweep deleted a live index).
+_PTR_NAME = re.compile(r"^bloom-(.+?)(?:\.g(\d+))?\.json$")
+
+
+def _parse_ptr_name(name: str) -> tuple[str, int] | None:
+    """(key, generation) from a pointer file name; None if not a pointer.
+    A key that itself ends in ``.g<digits>`` is inherently ambiguous with
+    a generation suffix — the generation reading wins, matching what
+    every reader/writer of the generation protocol does."""
+    m = _PTR_NAME.match(name)
+    if m is None:
+        return None
+    return m.group(1), int(m.group(2) or 0)
+
+
 def _gen_of(p: Path) -> int:
-    # bloom-<key>.g<N>.json — key cols can't contain "/" so rsplit is safe
-    return int(p.name.rsplit(".g", 1)[1][: -len(".json")])
+    parsed = _parse_ptr_name(p.name)
+    return parsed[1] if parsed else 0
+
+
+def _gen_files(idx_root: Path, key_col: str) -> list[Path]:
+    """Generation pointer files belonging to EXACTLY ``key_col`` — the
+    naive glob ``bloom-{key}.g*.json`` also matches a different key named
+    ``{key}.gx``'s files, so matches are re-checked with the parser."""
+    return [
+        p
+        for p in idx_root.glob(f"bloom-{key_col}.g*.json")
+        if (parsed := _parse_ptr_name(p.name)) is not None
+        and parsed[0] == key_col
+        and parsed[1] > 0
+    ]
 
 
 def _read_pointer(path: str, key_col: str) -> tuple[dict, int] | None:
@@ -84,9 +118,7 @@ def _read_pointer(path: str, key_col: str) -> tuple[dict, int] | None:
     ``os.link`` exactly like the log's own v{N}.json protocol, r12), or
     the legacy mutable file as generation 0. None = no index."""
     idx_root = Path(path) / IDX_DIR
-    gens = sorted(
-        idx_root.glob(f"bloom-{key_col}.g*.json"), key=_gen_of
-    )
+    gens = sorted(_gen_files(idx_root, key_col), key=_gen_of)
     for p in reversed(gens):
         try:
             return json.loads(p.read_text()), _gen_of(p)
@@ -243,10 +275,26 @@ def _publish_pointer(
         )
     finally:
         ptr_tmp.unlink(missing_ok=True)
+    # Linearizability check: winners unlink generations <= their own
+    # expect_gen, which REOPENS those numbers — a delayed publisher whose
+    # target was claimed and then cleaned by two back-to-back winners can
+    # link a stale generation "successfully" even though a higher one
+    # already governs (readers pick max gen, so its pointer is dead on
+    # arrival and its supersede cleanup would run against stale meta).
+    # Re-glob after the claim: if any HIGHER generation exists, undo the
+    # link and report the race instead of a false success.
+    for p in _gen_files(idx_root, key_col):
+        if _gen_of(p) > expect_gen + 1:
+            dest.unlink(missing_ok=True)
+            raise PointerRace(
+                f"bloom pointer generation {expect_gen + 1} for {key_col} "
+                "was published behind a newer generation — re-read and "
+                "recompute"
+            )
     # winners clean up: stale generation files (incl. the legacy mutable
     # pointer) and the grandparent generation's now-unreferenced dirs
     _pointer(path, key_col).unlink(missing_ok=True)
-    for p in idx_root.glob(f"bloom-{key_col}.g*.json"):
+    for p in _gen_files(idx_root, key_col):
         if _gen_of(p) <= expect_gen:
             p.unlink(missing_ok=True)
     live = set(meta["dirs"]) | set(meta["prev"])
@@ -483,8 +531,9 @@ def sweep_bloom_orphans(
         return []
     live: set[str] = set()
     keys = {
-        p.name[len("bloom-"):].split(".g")[0].removesuffix(".json")
+        parsed[0]
         for p in idx_root.glob("bloom-*.json")
+        if (parsed := _parse_ptr_name(p.name)) is not None
     }
     for key in keys:
         prior = _read_pointer(path, key)

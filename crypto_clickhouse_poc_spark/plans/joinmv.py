@@ -97,32 +97,48 @@ def enriched_status(mv_path: str, app: str = "joinmv") -> dict | None:
     return {"fact_version": f, "dim_version": d}
 
 
+# Above this many affected keys the residual predicate switches from a
+# pushed IN-filter to a broadcast semi-join: a 65k-literal In expression
+# blows up Catalyst plan size / compile time long before the documented
+# max_scoped_keys rebuild fallback engages (r12 ADVICE). Below it, the
+# native-typed IN is strictly better — it reaches the parquet scan.
+_MAX_ISIN_KEYS = 1024
+
+
 def _read_fact_keys(
     spark: SparkSession,
     fact_path: str,
     version: int,
     key_col: str,
     keys: list,
+    key_rows: DataFrame | None = None,
 ) -> DataFrame:
     """The pinned-version fact rows whose ``key_col`` is in ``keys`` —
     manifest-level Bloom pruning when a sidecar covers the key (advisory:
     files the index can't rule out are read and the predicate re-applied,
-    the repo-wide pruning contract), merge-on-read deletes applied."""
+    the repo-wide pruning contract), merge-on-read deletes applied.
+    ``key_rows`` (single-column frame of the same keys) carries the
+    residual predicate as a broadcast left-semi join when the set is too
+    large for a literal IN."""
     m = S.manifest(fact_path, version)
     files = B.prune_file_list(spark, fact_path, key_col, keys, m["files"])
-    if not files:
-        return (
-            S._empty_like(spark, fact_path)
-            .drop(S.TXN_COL)
-            .where(F.col(key_col).isin(*keys))
+
+    def _residual(df: DataFrame) -> DataFrame:
+        if len(keys) <= _MAX_ISIN_KEYS or key_rows is None:
+            # native-typed IN: pushes to the parquet scan (a
+            # cast-to-string comparison would not), re-applying the
+            # predicate the Bloom prune only approximated
+            return df.where(F.col(key_col).isin(*keys))
+        return df.join(
+            F.broadcast(key_rows.select(key_col)), key_col, "left_semi"
         )
+
+    if not files:
+        return _residual(S._empty_like(spark, fact_path).drop(S.TXN_COL))
     df = S._apply_dvs(
         spark, S._read_files(spark, fact_path, files, merge_schema=True), m, fact_path
     ).drop(S.TXN_COL)
-    # native-typed IN: pushes to the parquet scan (a cast-to-string
-    # comparison would not), re-applying the predicate the Bloom prune
-    # only approximated
-    return df.where(F.col(key_col).isin(*keys))
+    return _residual(df)
 
 
 def _enrich(
@@ -266,7 +282,9 @@ def refresh_enriched_rollup(
             f"v{dim_head} — an enriched rollup over it would double-count; "
             "dedup the dim (SCD2 current view) first"
         )
-    scoped_fact = _read_fact_keys(spark, fact_path, fact_head, join_key, keys)
+    scoped_fact = _read_fact_keys(
+        spark, fact_path, fact_head, join_key, keys, key_rows=key_rows
+    )
     scoped = _enrich(partial_fn(scoped_fact), dim, join_key, dim_cols)
     # inserts OUTSIDE the affected keys are plain new enriched partials
     # (inserts inside them are already in the pinned-head scan above)

@@ -277,11 +277,13 @@ def refresh_rollup(
       rebuild) → one atomic :func:`rebuild_rollup`.
 
     Scoped-path knobs (ignored elsewhere): ``group_cols`` is the partial
-    algebra's grouping key (default ``(ts_col, "symbol")`` — the bars
-    family); ``scope_ts_col`` is the BASE rows' time column;
-    ``scope_bucket`` an upper bound on one group time value's span in
-    base time (1 minute for minute bars; pass 1 hour when cascading from
-    a minute-grained MV)."""
+    algebra's grouping key and its FIRST element must be the MV's
+    time-bucket column (timestamp/date dtype — enforced at refresh time):
+    the scoped path prunes the pinned-head scan on min/max of
+    ``group_cols[0]``. Default ``(ts_col, "symbol")`` — the bars family.
+    ``scope_ts_col`` is the BASE rows' time column; ``scope_bucket`` an
+    upper bound on one group time value's span in base time (1 minute for
+    minute bars; pass 1 hour when cascading from a minute-grained MV)."""
     head = S.latest_version(base_path)
     if head is None:
         raise FileNotFoundError(f"no snapshots at {base_path}")
@@ -413,6 +415,19 @@ def _refresh_scoped(
             txn_app=app,
             txn_id=head,
             txn_expect=consumed,
+        )
+    # group_cols[0] MUST be the MV's time-bucket column: the prune range
+    # below is min/max of rows[*][0]. A misordered tuple (e.g.
+    # ("symbol", "minute")) would feed a string into ts_range — worst
+    # case an ISO-shaped value silently mispruning. Fail loud instead:
+    # pruning must stay a pure optimization.
+    if not isinstance(rows[0][0], (_dt.datetime, _dt.date)):
+        raise TypeError(
+            f"group_cols[0] ({group_cols[0]!r}) must be the MV's "
+            "time-bucket column (timestamp/date) — the scoped refresh "
+            "prunes the pinned-head scan on min/max of that column; got "
+            f"a {type(rows[0][0]).__name__} value {rows[0][0]!r}. Put "
+            "the time bucket first in group_cols."
         )
     groups = spark.createDataFrame(rows, schema=gdf.schema)
     # pinned-head base scan pruned to the groups' time span (footer-stat

@@ -1490,9 +1490,12 @@ def upsert_by_keys(
     Downstream: :func:`read_changes` refuses ranges containing an upsert
     (it is not an append); :func:`read_changes_cdc` represents it exactly
     (inserts = the added files' rows, deletes = snapshot(v-1) semi-joined
-    to the keys); the stream source refuses it even under
-    ``ignoreDeletes`` because skipping it would drop its INSERTED rows
-    (Delta's ignoreDeletes/ignoreChanges distinction)."""
+    to the keys); the stream source refuses it under ``ignoreDeletes``
+    (skipping it would drop its INSERTED rows) but CONSUMES its
+    insert leg under ``ignoreChanges=true`` — Delta semantics: the
+    consumer sees the commit's appended rows and may therefore observe
+    duplicates for keys whose prior versions were eq-deleted
+    (``sources/snapstream.py``, test-gated)."""
     head = latest_version(path)
     if head is None:
         raise FileNotFoundError(f"no snapshots at {path}")

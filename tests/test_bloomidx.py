@@ -384,3 +384,59 @@ def test_sweep_bloom_orphans_age_guarded(spark, table, tmp_path):
     for d in meta["dirs"]:
         assert (idx_root / d).exists()
     assert B.read_point(spark, table, "trade_id", 57).count() == 1
+
+
+def test_pointer_parser_and_sweep_survive_dot_g_key_names(tmp_path):
+    """r13 (ADVICE): a key column whose NAME contains '.g' (e.g. 'a.gx')
+    was truncated to 'a' by the naive split — its live pointer was never
+    read, its dirs never marked live, and the sweep deleted a live
+    index. The anchored parser keeps the key intact."""
+    import json
+
+    assert B._parse_ptr_name("bloom-a.gx.g3.json") == ("a.gx", 3)
+    assert B._parse_ptr_name("bloom-a.gx.json") == ("a.gx", 0)
+    assert B._parse_ptr_name("bloom-symbol.g12.json") == ("symbol", 12)
+    assert B._parse_ptr_name("not-a-pointer.txt") is None
+
+    from pathlib import Path
+
+    table = tmp_path / "t"
+    idx_root = Path(table) / B.IDX_DIR
+    idx_root.mkdir(parents=True)
+    live = idx_root / "bloom-a.gx-v1-cafe01"
+    live.mkdir()
+    (idx_root / "bloom-a.gx.g1.json").write_text(
+        json.dumps({"dirs": [live.name], "version": 1})
+    )
+    assert B.sweep_bloom_orphans(str(table), min_age_sec=0.0) == []
+    assert live.exists()
+    # and the truncated key must NOT resolve to the other key's pointer
+    assert B._read_pointer(str(table), "a") is None
+    meta, gen = B._read_pointer(str(table), "a.gx")
+    assert gen == 1 and meta["dirs"] == [live.name]
+
+
+def test_publish_behind_newer_generation_raises_not_false_success(tmp_path):
+    """r13 (ADVICE): winners unlink generations <= their own, REOPENING
+    those numbers — a delayed publisher whose target was claimed and
+    cleaned by two back-to-back winners could os.link a stale generation
+    'successfully' even though a higher one governs (readers pick max
+    gen: the pointer is dead on arrival, and its supersede cleanup would
+    run against stale meta). The post-claim re-glob undoes the link and
+    reports the race."""
+    import json
+    from pathlib import Path
+
+    table = tmp_path / "t"
+    idx_root = Path(table) / B.IDX_DIR
+    idx_root.mkdir(parents=True)
+    d5 = idx_root / "dir-g5"
+    d5.mkdir()
+    (idx_root / "bloom-k.g5.json").write_text(json.dumps({"dirs": [d5.name]}))
+    with pytest.raises(B.PointerRace):
+        B._publish_pointer(
+            str(table), "k", {"dirs": ["dir-stale"]}, supersede=True, expect_gen=1
+        )
+    assert not (idx_root / "bloom-k.g2.json").exists()
+    meta, gen = B._read_pointer(str(table), "k")
+    assert gen == 5 and meta["dirs"] == [d5.name] and d5.exists()

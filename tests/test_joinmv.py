@@ -376,3 +376,32 @@ def test_random_two_log_interleaving_matches_recompute(spark, tmp_path, seed):
                 spark.createDataFrame([(sym,)], "symbol string"),
             )
         refresh()
+
+
+def test_large_key_set_takes_broadcast_semi_join_not_giant_isin(
+    spark, paths, monkeypatch
+):
+    """r13 (ADVICE): near the 65k key cap a literal IN blows up Catalyst
+    plan size/compile time before the rebuild fallback engages — above
+    ``_MAX_ISIN_KEYS`` the residual predicate rides a broadcast left-semi
+    join instead. Gate: force the threshold to 1, check the plan carries
+    no In/InSet on the key while results still equal the recompute."""
+    fact, dim, mv = paths
+    J.refresh_enriched_rollup(spark, fact, dim, mv)
+    monkeypatch.setattr(J, "_MAX_ISIN_KEYS", 1)
+    captured = {}
+    orig = J._read_fact_keys
+
+    def spy(spark_, fact_path, version, key_col, keys, key_rows=None):
+        df = orig(spark_, fact_path, version, key_col, keys, key_rows=key_rows)
+        captured["plan"] = df._jdf.queryExecution().toString()
+        captured["n_keys"] = len(keys)
+        return df
+
+    monkeypatch.setattr(J, "_read_fact_keys", spy)
+    S.delete_where(spark, fact, "trade_id in (3, 4, 8)")  # S3, S4 affected
+    v = J.refresh_enriched_rollup(spark, fact, dim, mv)
+    assert S._version_body(mv, v)["op"] == "upsert"
+    assert captured["n_keys"] > 1
+    assert " in (" not in captured["plan"].lower().replace("insert", "")
+    assert _mv_rows(spark, mv) == _expect(spark, fact, dim)

@@ -544,3 +544,17 @@ def test_cascade_1m_rebuild_degrades_cascade_to_rebuild_then_recovers(
     assert _hour_rows(
         M.read_rollup(spark, mv1h, final_fn=M.reaggregate_hours)
     ) == _hour_batch_expect(spark, base)
+
+
+def test_misordered_group_cols_fail_loud_not_misprune(spark, paths):
+    """r13 (ADVICE): group_cols[0] must be the MV's time-bucket column —
+    the scoped path prunes the pinned-head scan on min/max of it. A
+    misordered tuple used to feed a string into the ts-range parse
+    (obscure ValueError at best, silent misprune for ISO-shaped strings);
+    now it raises a targeted TypeError before any scan."""
+    base, mv = paths
+    S.append(_batch(spark, range(60)), base)
+    M.refresh_rollup(spark, base, mv, group_cols=("symbol", "minute"))
+    S.delete_where(spark, base, "trade_id = 7")
+    with pytest.raises(TypeError, match="time-bucket"):
+        M.refresh_rollup(spark, base, mv, group_cols=("symbol", "minute"))
