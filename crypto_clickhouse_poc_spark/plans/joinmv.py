@@ -121,7 +121,11 @@ def _read_fact_keys(
     residual predicate as a broadcast left-semi join when the set is too
     large for a literal IN."""
     m = S.manifest(fact_path, version)
-    files = B.prune_file_list(spark, fact_path, key_col, keys, m["files"])
+    # manifest-stats key prune first (pure metadata, bites on a
+    # cluster_cols layout where each file covers a contiguous key range),
+    # then the Bloom sidecar over the survivors
+    files = S.prune_files_by_values(m["files"], key_col, keys)
+    files = B.prune_file_list(spark, fact_path, key_col, keys, files)
 
     def _residual(df: DataFrame) -> DataFrame:
         if len(keys) <= _MAX_ISIN_KEYS or key_rows is None:

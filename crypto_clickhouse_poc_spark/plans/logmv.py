@@ -229,6 +229,7 @@ def refresh_rollup(
     scope_ts_col: str = "ts",
     scope_bucket: _dt.timedelta = _MINUTE,
     max_scoped_groups: int = MAX_SCOPED_GROUPS,
+    scope_key_col: str | None = None,
 ) -> int | None:
     """Fold the base table's new commits into the rollup MV.
 
@@ -283,7 +284,16 @@ def refresh_rollup(
     ``group_cols[0]``. Default ``(ts_col, "symbol")`` — the bars family.
     ``scope_ts_col`` is the BASE rows' time column; ``scope_bucket`` an
     upper bound on one group time value's span in base time (1 minute for
-    minute bars; pass 1 hour when cascading from a minute-grained MV)."""
+    minute bars; pass 1 hour when cascading from a minute-grained MV).
+    ``scope_key_col`` (r13, opt-in) names a group column that passes
+    through ``partial_fn`` UNCHANGED from the base column of the SAME
+    name (true for "symbol" in the bars family; NOT true for derived
+    keys like upper(symbol) — declaring one of those would misprune):
+    the pinned-head scan then also prunes at the FILE level on the
+    affected groups' key values via the manifest stats a
+    ``cluster_cols`` write records — on a key-clustered base, an
+    erasure touching one symbol reads that symbol's files only, not the
+    full width of the time slice."""
     head = S.latest_version(base_path)
     if head is None:
         raise FileNotFoundError(f"no snapshots at {base_path}")
@@ -329,6 +339,7 @@ def refresh_rollup(
             scope_ts_col=scope_ts_col,
             scope_bucket=scope_bucket,
             max_scoped_groups=max_scoped_groups,
+            scope_key_col=scope_key_col,
         )
     else:
         cdc = S.read_changes_cdc(spark, base_path, since, head)
@@ -379,6 +390,7 @@ def _refresh_scoped(
     scope_ts_col: str,
     scope_bucket: _dt.timedelta,
     max_scoped_groups: int,
+    scope_key_col: str | None = None,
 ) -> int:
     """The non-invertible delete leg: recompute ONLY the groups the CDC
     delete rows name, swap their partials atomically (see
@@ -443,12 +455,26 @@ def _refresh_scoped(
         + scope_bucket
         - _dt.timedelta(microseconds=1)
     )
+    # opt-in FILE-level key prune: when scope_key_col passes through
+    # partial_fn unchanged from the same-named base column, the pinned
+    # head only needs files whose key range can hold an affected group's
+    # key. Advisory — the group semi-join below keeps the row set exact —
+    # and it bites only on a cluster_cols-written base (unclustered files
+    # carry no string key stats and are never pruned).
+    extra_prune = None
+    if scope_key_col is not None and scope_key_col in group_cols:
+        ki = list(group_cols).index(scope_key_col)
+        key_vals = sorted({r[ki] for r in rows})
+        extra_prune = lambda fs: S.prune_files_by_values(  # noqa: E731
+            fs, scope_key_col, key_vals
+        )
     base = S.read_snapshot(
         spark,
         base_path,
         version=head,
         ts_range=(t_lo, t_hi),
         ts_col=scope_ts_col,
+        extra_prune=extra_prune,
     )
     scoped = partial_fn(base).join(
         F.broadcast(groups), list(group_cols), "left_semi"

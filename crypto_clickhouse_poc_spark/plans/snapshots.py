@@ -587,6 +587,7 @@ def _write_txn(
     ts_col: str,
     zorder_cols: Sequence[str] | None = None,
     n_files: int = 8,
+    cluster_cols: Sequence[str] | None = None,
 ) -> list[dict]:
     """Write a fresh immutable ``txn=`` dir (month-partitioned, sorted like
     layout.write_table) and return its manifest entries.
@@ -597,7 +598,23 @@ def _write_txn(
     ts stats the manifest records become tight per-file and ``ts_range``
     reads prune BELOW the partition level — the z-order + skip-index
     layout (plans/zorder.py, plans/skipping.py) expressed as a snapshot
-    compaction policy."""
+    compaction policy.
+
+    With ``cluster_cols`` (r13 — the ClickHouse ``ORDER BY (key, ts)``
+    layout lesson as a write option): the write range-partitions on
+    (p_month, *cluster_cols, ts) into ~``n_files`` files, so each file
+    covers a contiguous KEY range inside its month, and the manifest
+    records [min, max] footer stats FOR those key columns — including
+    strings, which the stats collector otherwise skips. Key-scoped reads
+    (``prune_files_by_values``, the Bloom sidecar, ``merge_into``'s key
+    ranges) then prune at the FILE level instead of scanning the full
+    width of a time slice. Mutually exclusive with ``zorder_cols`` (one
+    physical order per rewrite)."""
+    if zorder_cols is not None and cluster_cols is not None:
+        raise ValueError(
+            "zorder_cols and cluster_cols are mutually exclusive — a "
+            "rewrite has one physical order"
+        )
     # the 't' prefix is load-bearing: a RAW 12-hex id occasionally matches
     # ^\d+e\d+$ (e.g. "9536e1363716", ~1 in 250 draws), and Spark's
     # partition-value type inference parses that as scientific-notation
@@ -615,7 +632,15 @@ def _write_txn(
     saved = conf.get(key, None)
     conf.set(key, "TIMESTAMP_MICROS")
     try:
-        if zorder_cols is None:
+        if cluster_cols is not None:
+            keyed = with_partition_col(df, ts_col)
+            out = keyed.repartitionByRange(
+                n_files,
+                F.col(PARTITION_COL),
+                *[F.col(c) for c in cluster_cols],
+                F.col(ts_col),
+            ).sortWithinPartitions(PARTITION_COL, *cluster_cols, ts_col)
+        elif zorder_cols is None:
             out = (
                 with_partition_col(df, ts_col)
                 .repartition(F.col(PARTITION_COL))
@@ -651,12 +676,17 @@ def _write_txn(
             if part.startswith(f"{PARTITION_COL}=")
         )
         entry = {"path": str(rel), "p_month": month}
-        entry.update(_footer_stats(f, ts_col))
+        entry.update(_footer_stats(f, ts_col, stat_cols=cluster_cols))
         out.append(entry)
     return out
 
 
-def _footer_stats(f: Path, ts_col: str, collect_cols: bool = True) -> dict:
+def _footer_stats(
+    f: Path,
+    ts_col: str,
+    collect_cols: bool = True,
+    stat_cols: Sequence[str] | None = None,
+) -> dict:
     """Per-file stats from the parquet FOOTER — the Iceberg manifest-stats
     pattern: one metadata read at commit time buys metadata-level range
     pruning for every future query. Records (rows, ts_min, ts_max) for
@@ -665,8 +695,12 @@ def _footer_stats(f: Path, ts_col: str, collect_cols: bool = True) -> dict:
     (ints/floats raw, timestamps in the canonical ISO form) — the ranges
     ``merge_into`` prunes its key scan with. Strings are skipped (their
     truncated footer stats would bloat the manifest for little pruning
-    power) and missing/statless columns degrade to no stats (the file is
-    then never pruned)."""
+    power) UNLESS named in ``stat_cols`` — a clustered write declares its
+    key columns there, and a string key's [min, max] is safe to prune
+    with because the parquet spec only permits OUTWARD truncation
+    (min_value <= every value <= max_value), so the recorded range always
+    CONTAINS the true one. Missing/statless columns degrade to no stats
+    (the file is then never pruned)."""
     import datetime as _dt
 
     import pyarrow.parquet as pq
@@ -675,6 +709,7 @@ def _footer_stats(f: Path, ts_col: str, collect_cols: bool = True) -> dict:
         md = pq.ParquetFile(str(f)).metadata
     except Exception:
         return {}
+    declared = set(stat_cols or ())
     out: dict = {"rows": md.num_rows}
     mins: dict = {}
     maxs: dict = {}
@@ -686,9 +721,16 @@ def _footer_stats(f: Path, ts_col: str, collect_cols: bool = True) -> dict:
             if st is None or not st.has_min_max:
                 continue
             name = col.path_in_schema
-            if not isinstance(
-                st.min, (int, float, _dt.datetime, _dt.date)
-            ) or isinstance(st.min, bool):
+            ok_str = (
+                name in declared
+                and isinstance(st.min, str)
+                and len(st.min) <= 256
+                and len(st.max) <= 256
+            )
+            if not ok_str and (
+                not isinstance(st.min, (int, float, _dt.datetime, _dt.date))
+                or isinstance(st.min, bool)
+            ):
                 continue
             mins[name] = st.min if name not in mins else min(mins[name], st.min)
             maxs[name] = st.max if name not in maxs else max(maxs[name], st.max)
@@ -742,6 +784,44 @@ def _epoch_micros(b: _dt.datetime) -> int:
     return (b - _dt.datetime(1970, 1, 1)) // _dt.timedelta(microseconds=1)
 
 
+def prune_files_by_values(
+    files: list[dict], key_col: str, values: Sequence
+) -> list[dict]:
+    """Advisory manifest-stats prune for a SET of probe values: drop the
+    files whose recorded ``cols[key_col]`` [min, max] provably contains
+    NONE of ``values``; files without stats for the column are kept (the
+    repo-wide contract — pruning is an optimization, never a semantics
+    change). Exact even for string keys: footer bounds may only be
+    truncated OUTWARD per the parquet spec, so the recorded range always
+    contains the true one. The caller re-applies its own exact predicate
+    (IN-filter / semi-join) to the surviving rows.
+
+    Bites only on a key-clustered layout (``cluster_cols`` writes, where
+    each file covers a contiguous key range); on an unclustered table
+    every file's range spans the key domain and nothing is dropped —
+    harmless, O(files · log values) driver-side metadata work."""
+    import bisect
+
+    vals = sorted(set(values))
+    if not vals:
+        return files
+    out = []
+    for f in files:
+        rng = f.get("cols", {}).get(key_col)
+        if rng is None:
+            out.append(f)
+            continue
+        mn, mx = rng
+        try:
+            i = bisect.bisect_left(vals, mn)
+            hit = i < len(vals) and vals[i] <= mx
+        except TypeError:
+            hit = True  # incomparable types (schema drift) — never prune
+        if hit:
+            out.append(f)
+    return out
+
+
 def _current_files(path: str) -> list[dict]:
     head = latest_version(path)
     return [] if head is None else manifest(path, head)["files"]
@@ -765,6 +845,8 @@ def append(
     txn_app: str | None = None,
     txn_id: int | None = None,
     txn_expect: int | None | str = "monotone",
+    cluster_cols: Sequence[str] | None = None,
+    n_files: int = 8,
 ) -> int:
     """Commit an append: parent's files + the new txn dir's files.
 
@@ -785,14 +867,21 @@ def append(
     overlap. Different apps commit concurrently through the
     optimistic-link protocol — a lost race re-composes this append onto
     the winner's file list, so concurrent appends merge instead of
-    clobbering."""
+    clobbering.
+
+    ``cluster_cols`` opts this commit's files into the key-clustered
+    layout (see :func:`_write_txn`): each file covers a contiguous key
+    range within its month and the manifest records the key's [min, max]
+    — key-scoped readers (:func:`prune_files_by_values`, the Bloom
+    sidecar) then prune at the FILE level. Per-commit, so an ingest path
+    can cluster while ad-hoc appends stay cheap."""
     if (txn_app is None) != (txn_id is None):
         raise ValueError("txn_app and txn_id must be provided together")
     if txn_app is not None:
         seen = last_txn(path, txn_app)
         if seen is not None and txn_id <= seen:
             return latest_version(path)  # replayed micro-batch — no-op
-    new = _write_txn(df, path, ts_col)
+    new = _write_txn(df, path, ts_col, cluster_cols=cluster_cols, n_files=n_files)
     txn = (txn_app, int(txn_id)) if txn_app is not None else None
     return _commit(
         path,
@@ -1559,6 +1648,7 @@ def compact_snapshot(
     ts_col: str = "ts",
     zorder_cols: Sequence[str] | None = None,
     n_files: int = 8,
+    cluster_cols: Sequence[str] | None = None,
 ) -> int:
     """The background-merge analog WITHOUT layout.compact's rename window:
     rewrite the deduped survivors into a fresh txn dir and commit a
@@ -1579,7 +1669,10 @@ def compact_snapshot(
         keys,
         version_col,
     ).drop(PARTITION_COL)
-    new = _write_txn(df, path, ts_col, zorder_cols=zorder_cols, n_files=n_files)
+    new = _write_txn(
+        df, path, ts_col, zorder_cols=zorder_cols, n_files=n_files,
+        cluster_cols=cluster_cols,
+    )
     # the read above applied the snapshot's deletion vectors, so the
     # rewrite MATERIALIZES the deletes — the new manifest starts DV-free
     # the read above applied position AND equality deletes, so the
@@ -1601,6 +1694,7 @@ def optimize_small_files(
     ts_col: str = "ts",
     zorder_cols: Sequence[str] | None = None,
     n_files: int = 1,
+    cluster_cols: Sequence[str] | None = None,
 ) -> int:
     """Incremental bin-packing compaction (the Delta OPTIMIZE semantics):
     coalesce only the files SMALLER than ``min_rows`` into well-laid-out
@@ -1642,7 +1736,8 @@ def optimize_small_files(
         spark, _read_files(spark, path, small, merge_schema=True), m, path
     ).drop(TXN_COL, PARTITION_COL)
     new_entries = _write_txn(
-        df, path, ts_col, zorder_cols=zorder_cols, n_files=n_files
+        df, path, ts_col, zorder_cols=zorder_cols, n_files=n_files,
+        cluster_cols=cluster_cols,
     )
     # consolidate surviving DV rows (those targeting carried files);
     # positions inside rewritten files died with the rewrite
@@ -1744,6 +1839,7 @@ def read_snapshot(
     keep_txn: bool = False,
     merge_schema: bool | None = None,
     col_ranges: dict | None = None,
+    extra_prune=None,
 ) -> DataFrame:
     """Read a snapshot (default: latest). ``months=(lo, hi)`` prunes whole
     partitions and ``ts_range=(lo, hi)`` prunes by the per-file footer
@@ -1767,7 +1863,16 @@ def read_snapshot(
     the requested range are dropped at the MANIFEST level, the predicate
     is re-applied to the survivors, and files without stats for the
     column are read, never pruned. Temporal columns go through
-    ``ts_range`` (ISO-normalized); ``col_ranges`` is for raw numerics."""
+    ``ts_range`` (ISO-normalized); ``col_ranges`` is for raw numerics.
+
+    ``extra_prune`` (r13) is an ADVISORY manifest-files hook
+    ``list[dict] -> list[dict]`` applied after the built-in prunes —
+    e.g. ``lambda fs: prune_files_by_values(fs, "symbol", keys)`` on a
+    key-clustered table. Unlike ``ts_range``/``col_ranges`` its
+    predicate is NOT re-applied to the surviving rows: the caller must
+    guarantee its own downstream predicate (semi-join / IN-filter) makes
+    the row set exact, i.e. the hook may only drop files that provably
+    contain no row the caller keeps."""
     head = latest_version(path)
     if head is None:
         raise FileNotFoundError(f"no snapshots at {path}")
@@ -1800,6 +1905,8 @@ def read_snapshot(
                 if c not in f.get("cols", {})
                 or (f["cols"][c][0] <= c_hi and f["cols"][c][1] >= c_lo)
             ]
+    if extra_prune is not None:
+        files = extra_prune(files)
     if not files:
         # legitimately-empty result (everything pruned, or an empty head
         # after retention) — full-read-then-filter would be empty too
@@ -1892,6 +1999,7 @@ def maybe_compact_snapshot(
     zorder_cols: Sequence[str] | None = None,
     n_files: int = 8,
     max_dv_rows: int = 100_000,
+    cluster_cols: Sequence[str] | None = None,
 ) -> int | None:
     """Compaction POLICY for snapshot tables (the twin of
     ``streaming.compaction.maybe_compact`` for sketch-MV dirs): a
@@ -1927,6 +2035,7 @@ def maybe_compact_snapshot(
         return compact_snapshot(
             spark, path, keys, version_col, ts_col,
             zorder_cols=zorder_cols, n_files=n_files,
+            cluster_cols=cluster_cols,
         )
     except CommitConflict:
         return None
