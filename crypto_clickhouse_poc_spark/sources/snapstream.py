@@ -27,11 +27,12 @@ Semantics and scale shape:
   DV-carrying head boots too (r9): the deletion vectors' positions are
   grouped per file driver-side and dropped in each partition's Arrow
   reader — the bootstrap equals ``read_snapshot``'s merge-on-read view.
-  Single-column EQUALITY deletes boot as well (r12 — upserts make them
-  routine): the O(keys) key sets are read driver-side and each partition
-  anti-filters its key column with a vectorized ``is_in``, sequenced by
-  the same added_v-vs-entry-version rule ``_apply_dvs`` uses; composite
-  keys still refuse (compaction materializes them).
+  EQUALITY deletes boot as well (r12 single-column, r13 composite —
+  upserts make them routine): the O(keys) key sets are read driver-side
+  and each partition anti-filters its key column(s) with a vectorized
+  ``is_in`` (one column) or a pandas MultiIndex anti-``isin`` (composite
+  keys), sequenced by the same added_v-vs-entry-version rule
+  ``_apply_dvs`` uses.
 - AFTER bootstrap, the stream dispatches on what each commit MEANS
   (r10): WRITER-FLAGGED layout-only commits (``data_change=False`` —
   bin-packing optimize, MV partial compaction) are SKIPPED, exactly
@@ -136,28 +137,27 @@ def _file_schema_ddl(path: str) -> str:
     raise ValueError(f"{path} has no data files in any version — schema unknown")
 
 
-def _eq_filters(path: str, eq_dvs: list[dict]) -> list[tuple[str, list, int]]:
-    """[(key column, key values, sequencing version)] from the manifest's
-    equality-delete entries — one driver-side pyarrow read of the O(keys)
-    key set per entry, at bootstrap only. Single-column keys only (the
-    GDPR-erasure / upsert-by-one-key shape): a composite key would need a
-    multi-column anti-join per Arrow batch — refused with the remediation
-    (compaction materializes eq-deletes into plain files)."""
+def _eq_filters(
+    path: str, eq_dvs: list[dict]
+) -> list[tuple[tuple[str, ...], list, int]]:
+    """[(key columns, key values, sequencing version)] from the
+    manifest's equality-delete entries — one driver-side pyarrow read of
+    the O(keys) key set per entry, at bootstrap only. Single-column
+    entries carry a plain value list (vectorized ``is_in`` anti-filter
+    per partition); composite entries (r13) carry a list of key TUPLES,
+    applied per partition through a pandas MultiIndex ``isin`` — still
+    one vectorized pass per Arrow batch, never a per-row Python loop."""
     import pyarrow.parquet as pq
 
-    multi = [e for e in eq_dvs if len(e["cols"]) > 1]
-    if multi:
-        raise ValueError(
-            "start head carries COMPOSITE-key equality deletes "
-            f"({multi[0]['cols']}); the bootstrap reader applies only "
-            "single-column key filters — compact_snapshot (materialize "
-            "them) first"
-        )
     out = []
     for e in eq_dvs:
-        col = e["cols"][0]
-        t = pq.read_table(str(Path(path) / e["path"]), columns=[col])
-        out.append((col, t.column(col).to_pylist(), e["v"]))
+        cols = tuple(e["cols"])
+        t = pq.read_table(str(Path(path) / e["path"]), columns=list(cols))
+        if len(cols) == 1:
+            keys: list = t.column(cols[0]).to_pylist()
+        else:
+            keys = list(zip(*(t.column(c).to_pylist() for c in cols)))
+        out.append((cols, keys, e["v"]))
     return out
 
 
@@ -270,13 +270,12 @@ class SnapshotStreamReader(DataSourceStreamReader):
             # and each partition's reader drops its own positions, the
             # same anti-join semantics as _apply_dvs without a join.
             m0 = _manifest(self.path, to)
-            # equality deletes (r12 — upserts make them routine): SINGLE-
-            # column entries are applied in each partition's Arrow reader
-            # (one driver-side read of the O(keys) key file here, a
-            # vectorized is_in anti-filter there, sequenced by the same
-            # added_v-vs-entry-version rule _apply_dvs uses). Composite
-            # keys would need a multi-column anti-join per batch — still
-            # refused; compaction materializes them.
+            # equality deletes (r12/r13 — upserts make them routine):
+            # entries are applied in each partition's Arrow reader (one
+            # driver-side read of the O(keys) key file here; a vectorized
+            # is_in anti-filter for single-column keys, a MultiIndex
+            # anti-isin for composite keys there, sequenced by the same
+            # added_v-vs-entry-version rule _apply_dvs uses).
             eq_specs = _eq_filters(self.path, m0.get("eq_dvs", []))
             dv_pos = _dv_positions(self.path, m0.get("dvs", []))
             return [
@@ -286,8 +285,8 @@ class SnapshotStreamReader(DataSourceStreamReader):
                         f["path"],
                         sorted(dv_pos.get(f["path"], ())),
                         [
-                            (col, keys)
-                            for col, keys, v in eq_specs
+                            (cols, keys)
+                            for cols, keys, v in eq_specs
                             if f.get("added_v", 0) < v
                         ],
                     )
@@ -356,19 +355,41 @@ class SnapshotStreamReader(DataSourceStreamReader):
             mask = np.ones(table.num_rows, dtype=bool)
             mask[np.asarray(dv_positions, dtype=np.int64)] = False
             table = table.filter(pa.array(mask))
-        for col, keys in eq_filters:
+        for cols, keys in eq_filters:
             # merge-on-read for sequenced equality deletes: vectorized
-            # anti-IN over the key column (null keys can't match an
-            # equality delete, so is_in's false-for-null is correct)
+            # anti-IN over the key column(s). Null keys can't match an
+            # equality delete (SQL equality), so null rows are always
+            # kept and null-carrying delete tuples match nothing.
             import pyarrow.compute as pc
 
-            if col in table.column_names:
-                vals = pa.array(keys).cast(table.schema.field(col).type)
+            if any(c not in table.column_names for c in cols):
+                # a pre-evolution file lacking a key column: every row's
+                # key is null there — nothing can match
+                continue
+            if len(cols) == 1:
+                vals = pa.array(keys).cast(table.schema.field(cols[0]).type)
                 table = table.filter(
                     pc.invert(
-                        pc.is_in(table.column(col), value_set=vals)
+                        pc.is_in(table.column(cols[0]), value_set=vals)
                     ).fill_null(True)
                 )
+            else:
+                # composite key (r13): one vectorized MultiIndex anti-isin
+                # per batch — pandas' hash join, never a per-row loop
+                import numpy as np
+                import pandas as pd
+
+                kdf = table.select(list(cols)).to_pandas()
+                victims = [
+                    k for k in keys if all(x is not None for x in k)
+                ]
+                if not victims:
+                    continue
+                hit = pd.MultiIndex.from_frame(kdf).isin(
+                    pd.MultiIndex.from_tuples(victims, names=list(cols))
+                )
+                null_any = kdf.isnull().any(axis=1).to_numpy()
+                table = table.filter(pa.array(np.asarray(~hit) | null_any))
         n = table.num_rows
         cols, names = [], []
         for name, ddl in self.columns:

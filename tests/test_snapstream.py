@@ -383,8 +383,8 @@ def test_bootstrap_applies_single_column_equality_deletes(spark, table, tmp_path
     routine once upserts exist — bootstraps with the deletes applied:
     erased keys absent, an upsert's replacement visible exactly once
     (the sequencing exemption: its file postdates the delete entry).
-    Composite-key eq-deletes still refuse with the remediation."""
-    from pyspark.errors.exceptions.captured import StreamingQueryException
+    r13: COMPOSITE-key eq-deletes bootstrap too (MultiIndex anti-isin
+    per partition, same sequencing)."""
     from pyspark.sql import functions as F
 
     S.delete_by_keys(
@@ -409,17 +409,33 @@ def test_bootstrap_applies_single_column_equality_deletes(spark, table, tmp_path
         ] == [42.0]
     finally:
         q.stop()
-    # composite keys: the bootstrap reader cannot apply them — refuse
+    # composite keys (r13, was: refused): the (symbol, trade_id) delete
+    # kills exactly its tuple — trade_id 7 under a DIFFERENT symbol
+    # survives, and the single-key victims above stay dead
+    S.append(
+        _batch(spark, 3, [7]).withColumn("symbol", F.lit("ETH")), table
+    )
     S.delete_by_keys(
         spark,
         table,
         spark.createDataFrame([("BTC", 7)], "symbol string, trade_id long"),
         cols=["symbol", "trade_id"],
     )
+    victim_gone = (
+        S.read_snapshot(spark, table)
+        .where("symbol = 'BTC' and trade_id = 7")
+        .count()
+        == 0
+    )
     q2 = _start(spark, table, str(tmp_path / "ck_eq2"), "ss_eq2")
     try:
-        with pytest.raises(StreamingQueryException, match="COMPOSITE"):
-            q2.processAllAvailable()
-            q2.awaitTermination(30)
+        q2.processAllAvailable()
+        got = _ids(spark, "ss_eq2")
+        batch = sorted(
+            r.trade_id for r in S.read_snapshot(spark, table).collect()
+        )
+        assert got == batch  # stream bootstrap == batch merge-on-read
+        assert victim_gone and 3 not in got
+        assert got.count(7) == 1  # the ETH twin survives the BTC tuple
     finally:
         q2.stop()
