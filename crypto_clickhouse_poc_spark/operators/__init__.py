@@ -273,6 +273,28 @@ _MODULES = (
 #                                           erasure, CDC, the r12 scoped
 #                                           refresh and merge-on-read reads
 #                                           against a batch-OHLCV oracle)
+#
+# Round-13 rotation (round-12 verdict item #2): the enriched fact⋈dim
+# rollup MV (plans/joinmv.py — r12's second feature, library-only until
+# now) goes under the driver hash:
+#   quantile_partials_replay -> mv_enriched_replay
+#                                          (quantile_partials' algebra —
+#                                           mergeable partials written as
+#                                           commits, compacted, then merged
+#                                           at read — is exercised under
+#                                           the hash by the declared
+#                                           mv_scoped_erasure_replay, whose
+#                                           bars partials ride the same
+#                                           write→compact→merge-on-read
+#                                           path; the KLL-sketch-specific
+#                                           merge stays pytest-parity-gated
+#                                           in the library + bench. The
+#                                           enriched replay adds what NO
+#                                           declared entry covered: two-log
+#                                           watermarks, dim-update
+#                                           key-scoped swaps, and the
+#                                           broadcast-dim enrichment join,
+#                                           against a join+OHLCV oracle)
 _DECLARED = (
     # reference §2.10 public query surface (api/server.py:57-200)
     "ev_count",
@@ -319,7 +341,6 @@ _DECLARED = (
     "ev_sessionize",
     "ev_price_quantiles",
     "ev_type_user_cube",
-    "quantile_partials_replay",
     "ev_ohlcv_gapfill",
     "ev_funnel",
     # text / LLM-pipeline + dataset assembly + ranked retrieval
@@ -345,10 +366,13 @@ _DECLARED = (
     # distribution-level data selection (DSIR importance weights — r11
     # rotation; select/mix variants stay pytest-gated library)
     "corpus_dsir_weights",
-    # lakehouse tier under the hash (r12 rotation — see note above
+    # lakehouse tier under the hash (r12/r13 rotations — see notes above
     # _DECLARED): log ingest -> MV -> eq-delete erasure -> group-scoped
-    # refresh -> merge-on-read read, oracle = batch OHLCV over survivors
+    # refresh -> merge-on-read read, oracle = batch OHLCV over survivors;
+    # and the enriched fact⋈dim rollup MV driven through a dim update and
+    # a fact erasure, oracle = batch join+OHLCV over survivors
     "mv_scoped_erasure_replay",
+    "mv_enriched_replay",
 )
 
 assert len(_DECLARED) == 50, len(_DECLARED)
