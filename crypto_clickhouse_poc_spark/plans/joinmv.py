@@ -167,8 +167,20 @@ def refresh_enriched_rollup(
     app: str = "joinmv",
     ts_col: str = "minute",
     max_scoped_keys: int = 65_536,
+    max_scoped_frac: float = 0.5,
+    dim_view: Callable[[DataFrame], DataFrame] | None = None,
 ) -> int | None:
     """Fold both logs' new commits into the enriched rollup.
+
+    ``dim_view`` (r13) adapts a dim log whose ROWS are not the unique-key
+    dim the contract demands — the SCD2 pipeline's history table is the
+    production case: pass
+    ``lambda d: d.where(d.is_current == 1).select(...)`` and the view is
+    applied to every dim read AND to the dim CDC rows before affected-key
+    extraction. The view must keep every changed key visible in at least
+    one CDC row per change — true for an SCD2 current view, where every
+    update/insert opens a new ``is_current = 1`` row (and the replaced
+    current row arrives as a CDC delete, also passing the filter).
 
     Dispatch (the logmv ladder, generalized to two logs):
 
@@ -201,6 +213,7 @@ def refresh_enriched_rollup(
             spark, fact_path, dim_path, mv_path,
             join_key=join_key, dim_cols=dim_cols,
             partial_fn=partial_fn, app=app, ts_col=ts_col,
+            dim_view=dim_view,
         )
     fact_w, dim_w = _unwm(consumed)
     if fact_head <= fact_w and dim_head <= dim_w:
@@ -215,8 +228,11 @@ def refresh_enriched_rollup(
             spark, fact_path, dim_path, mv_path,
             join_key=join_key, dim_cols=dim_cols,
             partial_fn=partial_fn, app=app, ts_col=ts_col,
+            dim_view=dim_view,
         )
     dim = S.read_snapshot(spark, dim_path, version=dim_head)
+    if dim_view is not None:
+        dim = dim_view(dim)
     fact_deleting = fact_ops & set(S._CDC_DELETING)
     if not fact_deleting and not dim_ops:
         # steady state: fact appends (possibly under layout-only commits),
@@ -234,30 +250,79 @@ def refresh_enriched_rollup(
             txn_app=app, txn_id=_wm(fact_head, dim_head), txn_expect=consumed,
         )
     # --- key-scoped swap ---
-    fact_cdc = S.read_changes_cdc(
-        spark, fact_path, fact_w, fact_head, precise_merge=True
-    )
-    ins = fact_cdc.where(F.col(S.CDC_TYPE) == "insert").drop(
-        S.CDC_TYPE, S.CDC_VERSION
-    )
+    # the dim is broadcast-sized by contract but its merge-on-read plan
+    # (upserts leave equality-delete anti-joins on the read) is NOT free
+    # — and the scoped path consumes it three times (dup check, scoped
+    # enrich, fresh enrich). Materialize it once (r13: the dup check
+    # alone was re-running the whole DV plan, ~40% of a dim-tick refresh)
+    dim = dim.localCheckpoint()
+    if fact_head > fact_w:
+        fact_cdc = S.read_changes_cdc(
+            spark, fact_path, fact_w, fact_head, precise_merge=True
+        )
+        ins = fact_cdc.where(F.col(S.CDC_TYPE) == "insert").drop(
+            S.CDC_TYPE, S.CDC_VERSION
+        )
+        fact_dels = fact_cdc.where(F.col(S.CDC_TYPE) == "delete")
+    else:
+        # a dim-only tick: the fact range is empty — skip the CDC scan
+        # entirely instead of computing an empty row-precise diff
+        empty = S._empty_like(spark, fact_path).drop(S.TXN_COL)
+        ins, fact_dels = empty, empty
     # affected keys in the fact column's NATIVE type (the upsert's
     # eq-delete rows must compare equal to the MV's stored key column):
     # fact deletes name the keys an erasure touched; dim CDC rows name
     # the keys whose enrichment appeared/changed/vanished — including a
     # key deleted from BOTH sides, whose stale partials must still die
-    affected = fact_cdc.where(F.col(S.CDC_TYPE) == "delete").select(join_key)
+    affected = fact_dels.select(join_key)
     if dim_ops:
         dim_cdc = S.read_changes_cdc(
             spark, dim_path, dim_w, dim_head, precise_merge=True
         )
+        if dim_view is not None:
+            dim_cdc = dim_view(dim_cdc)
         affected = affected.unionByName(dim_cdc.select(join_key))
     gdf = affected.distinct()
-    rows = gdf.limit(max_scoped_keys + 1).collect()
+    # ONE action collects the affected keys AND each key's dim
+    # multiplicity (the dup check): a duplicate dim key fans out partials
+    # and double-counts silently; a dup can only ARISE through a dim
+    # change, and every dim change routes its keys through here — so
+    # checking the AFFECTED keys (bounded set) plus rebuild's full check
+    # covers every path a dup can enter by
+    counts = dim.groupBy(join_key).agg(F.count(F.lit(1)).alias("_dim_n"))
+    rows = (
+        gdf.join(counts, join_key, "left")
+        .limit(max_scoped_keys + 1)
+        .collect()
+    )
     if len(rows) > max_scoped_keys:
         return rebuild_enriched(
             spark, fact_path, dim_path, mv_path,
             join_key=join_key, dim_cols=dim_cols,
             partial_fn=partial_fn, app=app, ts_col=ts_col,
+            dim_view=dim_view,
+        )
+    dup = next((r for r in rows if (r["_dim_n"] or 0) > 1), None)
+    if dup is not None:
+        raise ValueError(
+            f"dim {dim_path} has duplicate join key {dup[0]!r} at "
+            f"v{dim_head} — an enriched rollup over it would double-count; "
+            "dedup the dim (SCD2 current view) first"
+        )
+    # fraction fallback (r13): a change touching MOST join keys (a broad
+    # fact erasure, a dim reorg) makes the "scoped" swap degenerate — it
+    # re-aggregates nearly the whole fact AND leaves an eq-delete entry
+    # taxing every later MV read until compaction, while a rebuild is one
+    # clean scan-and-swap with zero merge-on-read debt. Key count over
+    # the (checkpointed, broadcast-sized) dim approximates the affected
+    # row fraction under roughly uniform keys; a skewed key that slips
+    # through still lands inside the probe-verified scoped costs.
+    if rows and len(rows) > max_scoped_frac * max(dim.count(), 1):
+        return rebuild_enriched(
+            spark, fact_path, dim_path, mv_path,
+            join_key=join_key, dim_cols=dim_cols,
+            partial_fn=partial_fn, app=app, ts_col=ts_col,
+            dim_view=dim_view,
         )
     keys = [r[0] for r in rows]
     if not keys:
@@ -267,25 +332,9 @@ def refresh_enriched_rollup(
             parts, mv_path, ts_col=ts_col,
             txn_app=app, txn_id=_wm(fact_head, dim_head), txn_expect=consumed,
         )
-    key_rows = spark.createDataFrame(rows, schema=gdf.schema)
-    # a duplicate dim key fans out partials and double-counts silently; a
-    # dup can only ARISE through a dim change, and every dim change routes
-    # its keys through here — so checking the AFFECTED keys (bounded set)
-    # plus rebuild's full check covers every path a dup can enter by
-    dup = (
-        dim.join(F.broadcast(key_rows), join_key, "left_semi")
-        .groupBy(join_key)
-        .count()
-        .where(F.col("count") > 1)
-        .limit(1)
-        .collect()
+    key_rows = spark.createDataFrame(
+        [(k,) for k in keys], schema=gdf.schema
     )
-    if dup:
-        raise ValueError(
-            f"dim {dim_path} has duplicate join key {dup[0][0]!r} at "
-            f"v{dim_head} — an enriched rollup over it would double-count; "
-            "dedup the dim (SCD2 current view) first"
-        )
     scoped_fact = _read_fact_keys(
         spark, fact_path, fact_head, join_key, keys, key_rows=key_rows
     )
@@ -344,6 +393,7 @@ def rebuild_enriched(
     partial_fn: Callable[[DataFrame], DataFrame] = partial_bars,
     app: str = "joinmv",
     ts_col: str = "minute",
+    dim_view: Callable[[DataFrame], DataFrame] | None = None,
 ) -> int:
     """Full recompute from both pinned heads in ONE manifest swap (the
     logmv rebuild contract, two logs). Fails loudly on a duplicate-key
@@ -353,6 +403,8 @@ def rebuild_enriched(
     if fact_head is None or dim_head is None:
         raise FileNotFoundError(f"no snapshots at {fact_path} / {dim_path}")
     dim = S.read_snapshot(spark, dim_path, version=dim_head)
+    if dim_view is not None:
+        dim = dim_view(dim)
     dup = (
         dim.groupBy(join_key).count().where(F.col("count") > 1).limit(1).collect()
     )

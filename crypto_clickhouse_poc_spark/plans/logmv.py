@@ -230,6 +230,7 @@ def refresh_rollup(
     scope_bucket: _dt.timedelta = _MINUTE,
     max_scoped_groups: int = MAX_SCOPED_GROUPS,
     scope_key_col: str | None = None,
+    max_scoped_frac: float = 0.5,
 ) -> int | None:
     """Fold the base table's new commits into the rollup MV.
 
@@ -340,6 +341,7 @@ def refresh_rollup(
             scope_bucket=scope_bucket,
             max_scoped_groups=max_scoped_groups,
             scope_key_col=scope_key_col,
+            max_scoped_frac=max_scoped_frac,
         )
     else:
         cdc = S.read_changes_cdc(spark, base_path, since, head)
@@ -391,6 +393,7 @@ def _refresh_scoped(
     scope_bucket: _dt.timedelta,
     max_scoped_groups: int,
     scope_key_col: str | None = None,
+    max_scoped_frac: float = 0.5,
 ) -> int:
     """The non-invertible delete leg: recompute ONLY the groups the CDC
     delete rows name, swap their partials atomically (see
@@ -414,6 +417,24 @@ def _refresh_scoped(
     rows = gdf.limit(max_scoped_groups + 1).collect()
     if len(rows) > max_scoped_groups:
         # too many groups for a scoped swap to beat one recompute
+        return rebuild_rollup(
+            spark, base_path, mv_path, partial_fn, app, ts_col=ts_col
+        )
+    # fraction fallback (r13): when the erasure touches most of the MV's
+    # groups, the "scoped" swap degenerates — it re-aggregates nearly the
+    # whole base AND leaves a composite-key eq-delete entry taxing every
+    # subsequent read until compaction, while a rebuild is ONE clean
+    # scan-and-swap with zero merge-on-read debt (the Delta/Iceberg
+    # rewrite-vs-DV cost call). MV manifest row count is a free driver-
+    # side upper proxy for the group count (partials ≥ groups: duplicate
+    # partials only loosen the threshold, never force a rebuild early).
+    mv_head = S.latest_version(mv_path)
+    mv_rows = (
+        sum(f.get("rows", 0) for f in S.manifest(mv_path, mv_head)["files"])
+        if mv_head is not None
+        else 0
+    )
+    if mv_rows and len(rows) > max_scoped_frac * mv_rows:
         return rebuild_rollup(
             spark, base_path, mv_path, partial_fn, app, ts_col=ts_col
         )

@@ -388,7 +388,9 @@ def test_non_invertible_mv_consumes_deletes_group_scoped(spark, tmp_path):
     base, mv = str(tmp_path / "base"), str(tmp_path / "mv")
     S.append(_batch(spark, range(40)), base)
     M.refresh_rollup(spark, base, mv)
-    S.delete_where(spark, base, "trade_id < 5")
+    # a NARROW erasure (2 of 6 groups — past max_scoped_frac the r13
+    # dispatch correctly prefers a rebuild, gated elsewhere)
+    S.delete_where(spark, base, "trade_id < 2")
     M.refresh_rollup(spark, base, mv)  # no negate_fn -> scoped swap
     assert S._version_body(mv, S.latest_version(mv))["op"] == "upsert"
     from crypto_clickhouse_poc_spark.streaming.bars import bars_batch

@@ -405,3 +405,111 @@ def test_large_key_set_takes_broadcast_semi_join_not_giant_isin(
     assert captured["n_keys"] > 1
     assert " in (" not in captured["plan"].lower().replace("insert", "")
     assert _mv_rows(spark, mv) == _expect(spark, fact, dim)
+
+
+def test_broad_change_falls_back_to_rebuild_by_key_fraction(spark, paths):
+    """r13: a change touching most join keys (here: an erasure spread
+    over every symbol) re-aggregates nearly the whole fact through the
+    'scoped' path and leaves eq-delete read debt — past
+    ``max_scoped_frac`` of the dim's keys the dispatch rebuilds. A
+    one-key dim update still swaps scoped."""
+    fact, dim, mv = paths
+    J.refresh_enriched_rollup(spark, fact, dim, mv)
+    S.delete_where(spark, fact, "trade_id % 2 = 0")  # all 5 symbols hit
+    v = J.refresh_enriched_rollup(spark, fact, dim, mv)
+    m = S._version_body(mv, v)
+    assert m["op"] == "rebuild"
+    assert _mv_rows(spark, mv) == _expect(spark, fact, dim)
+    S.upsert_by_keys(
+        _dim(spark, {"S2": "REORG"}), dim, cols=["symbol"], ts_col="ts"
+    )
+    v2 = J.refresh_enriched_rollup(spark, fact, dim, mv)
+    assert S._version_body(mv, v2)["op"] == "upsert"
+    assert _mv_rows(spark, mv) == _expect(spark, fact, dim)
+
+
+def test_scd2_dim_streams_into_enriched_mv_end_to_end(spark, tmp_path):
+    """r12 verdict #8 (production shape): the dim is an SCD2 HISTORY
+    table maintained by the streaming CDC seat
+    (``streaming/cdc.start_scd2_apply_snapshot``); its CURRENT view —
+    passed as ``dim_view`` — is the unique-key dim the enriched-MV
+    contract demands (the remediation the duplicate-key error message
+    promises). A streamed dim change propagates SCD2 merge → key-scoped
+    enriched refresh → read, equal to the batch recompute."""
+    from crypto_clickhouse_poc_spark.operators.warehouse import SCD2_OPEN
+    from crypto_clickhouse_poc_spark.streaming import cdc
+
+    fact = str(tmp_path / "fact")
+    dim = str(tmp_path / "dim")
+    mv = str(tmp_path / "mv")
+    S.append(_batch(spark, range(60)), fact)
+    dim0 = spark.createDataFrame(
+        [
+            (f"S{i}", "EVEN" if i % 2 == 0 else "ODD", 0.0)
+            for i in range(5)
+        ],
+        "key string, name string, acctbal double",
+    ).select(
+        "key", "name", "acctbal",
+        F.to_timestamp(F.lit("2024-01-01")).alias("effective_from"),
+        F.to_timestamp(F.lit(SCD2_OPEN)).alias("effective_to"),
+        F.lit(1).alias("is_current"),
+    )
+    S.append(dim0, dim, ts_col="effective_from")
+
+    def view(d):
+        return d.where(F.col("is_current") == 1).select(
+            F.col("key").alias("symbol"), F.col("name").alias("sector")
+        )
+
+    def expect():
+        j = S.read_snapshot(spark, fact).join(
+            view(S.read_snapshot(spark, dim)), "symbol", "inner"
+        )
+        return sorted(
+            tuple(r)
+            for r in j.groupBy(
+                F.date_trunc("minute", F.col("ts")).alias("minute"), "sector"
+            )
+            .agg(
+                F.min_by("price", F.struct("ts", "trade_id")).alias("open"),
+                F.max("price").alias("high"),
+                F.min("price").alias("low"),
+                F.max_by("price", F.struct("ts", "trade_id")).alias("close"),
+                F.sum("qty").alias("volume"),
+                F.count("*").alias("trades"),
+            )
+            .collect()
+        )
+
+    J.refresh_enriched_rollup(spark, fact, dim, mv, dim_view=view)
+    assert _mv_rows(spark, mv) == expect()
+    # the streamed dim change: S1 reorganizes, arriving through the CDC
+    # stream into the SCD2 snapshot log (op "merge")
+    upd_dir = tmp_path / "upd"
+    spark.createDataFrame(
+        [("S1", "REORG", 0.0)], "key string, name string, acctbal double"
+    ).write.parquet(str(upd_dir))
+    stream = (
+        spark.readStream.schema("key string, name string, acctbal double")
+        .parquet(str(upd_dir))
+    )
+    q = cdc.start_scd2_apply_snapshot(stream, dim, str(tmp_path / "ck"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # SCD2 invariants: history kept, current view unique
+    hist = S.read_snapshot(spark, dim)
+    assert hist.where("key = 'S1'").count() == 2
+    assert view(hist).groupBy("symbol").count().where("count > 1").count() == 0
+    v = J.refresh_enriched_rollup(spark, fact, dim, mv, dim_view=view)
+    assert S._version_body(mv, v)["op"] == "upsert"  # key-scoped, no rebuild
+    got = _mv_rows(spark, mv)
+    assert got == expect()
+    assert any(r[1] == "REORG" for r in got)
+    # and the next fact append stays O(delta)
+    S.append(_batch(spark, range(200, 220)), fact)
+    v2 = J.refresh_enriched_rollup(spark, fact, dim, mv, dim_view=view)
+    assert S._version_body(mv, v2)["op"] == "append"
+    assert _mv_rows(spark, mv) == expect()

@@ -558,3 +558,29 @@ def test_misordered_group_cols_fail_loud_not_misprune(spark, paths):
     S.delete_where(spark, base, "trade_id = 7")
     with pytest.raises(TypeError, match="time-bucket"):
         M.refresh_rollup(spark, base, mv, group_cols=("symbol", "minute"))
+
+
+def test_scoped_refresh_over_group_fraction_falls_back_to_rebuild(spark, paths):
+    """r13: an erasure touching MOST of the MV's groups makes the scoped
+    swap degenerate (near-full re-aggregation PLUS a composite eq-delete
+    entry taxing every later read); past ``max_scoped_frac`` of the MV's
+    manifest row count the dispatch rebuilds instead — one clean swap,
+    zero merge-on-read debt."""
+    base, mv = paths
+    S.append(_batch(spark, range(60)), base)
+    M.refresh_rollup(spark, base, mv)
+    S.delete_where(spark, base, "trade_id >= 6")  # touches every group
+    v = M.refresh_rollup(spark, base, mv)
+    m = S.manifest(mv, v)
+    assert m["op"] == "rebuild"
+    assert not m.get("eq_dvs")  # no read debt left behind
+    assert _rows(M.read_rollup(spark, mv)) == _rows(
+        bars_batch(S.read_snapshot(spark, base))
+    )
+    # a narrow erasure still takes the scoped swap
+    S.delete_where(spark, base, "trade_id = 1")
+    v2 = M.refresh_rollup(spark, base, mv)
+    assert S.manifest(mv, v2)["op"] == "upsert"
+    assert _rows(M.read_rollup(spark, mv)) == _rows(
+        bars_batch(S.read_snapshot(spark, base))
+    )
