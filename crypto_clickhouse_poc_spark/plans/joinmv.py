@@ -351,7 +351,7 @@ def refresh_enriched_rollup(
         scoped.unionByName(fresh),
         mv_path,
         cols=(join_key,),
-        keys=key_rows,
+        keys=[(k,) for k in keys],
         ts_col=ts_col,
         txn_app=app,
         txn_id=_wm(fact_head, dim_head),

@@ -515,7 +515,7 @@ def _refresh_scoped(
         scoped.unionByName(fresh),
         mv_path,
         cols=group_cols,
-        keys=groups,
+        keys=[tuple(r) for r in rows],
         ts_col=ts_col,
         txn_app=app,
         txn_id=head,

@@ -1402,6 +1402,52 @@ def _inline_eq_filter(tagged: DataFrame, m: dict, path: str, eq: list[dict]):
     return tagged.where(keep)
 
 
+def _write_local_eq_keys(
+    df: DataFrame, path: str, cols: Sequence[str], tuples: Sequence[tuple]
+) -> list[dict]:
+    """Driver-side equality-delete key file (r13): the scoped-refresh
+    swaps COLLECT their key sets before committing, so shipping them back
+    through a distributed write job is ~0.5 s of scheduling for a KB
+    file. Deduped and written with pyarrow; column types come from the
+    commit frame's own schema so the file compares equal to the stored
+    key columns, and collected TimestampType values (OS-local naive, the
+    PySpark collect convention) are normalized to UTC instants and
+    written tz-adjusted — Spark reads them back as the same TimestampType
+    the distributed writer produced (the r8 timezone seam, handled once
+    here)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    uniq = list({tuple(t) for t in tuples})
+    if not uniq:
+        return []
+    arrays = {}
+    for i, c in enumerate(cols):
+        vals = [t[i] for t in uniq]
+        if df.schema[c].dataType.typeName() == "timestamp":
+            vals = [
+                v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                if isinstance(v, _dt.datetime)
+                else v
+                for v in vals
+            ]
+            arrays[c] = pa.array(vals, type=pa.timestamp("us", tz="UTC"))
+        else:
+            arrays[c] = pa.array(vals)
+    table = pa.table(arrays)
+    dest = Path(path) / DV_DIR / f"eqdv-{uuid.uuid4().hex[:12]}"
+    dest.mkdir(parents=True, exist_ok=True)
+    f = dest / "part-00000-local.parquet"
+    pq.write_table(table, str(f))
+    return [
+        {
+            "path": str(f.relative_to(Path(path))),
+            "rows": table.num_rows,
+            "cols": list(cols),
+        }
+    ]
+
+
 def _write_dv_entries(
     df: DataFrame, path: str, prefix: str, extra: dict | None = None
 ) -> list[dict]:
@@ -1410,23 +1456,9 @@ def _write_dv_entries(
     file); an all-empty write is removed and returns ``[]``. ONE
     definition for the three DV writers (delete_where, delete_by_keys,
     optimize_small_files' consolidation) so footer-stat and empty-dir
-    handling can never drift between them.
-
-    LOCAL frames (a ``createDataFrame`` of driver-collected keys — the
-    scoped-refresh swaps' shape) are written driver-side through pyarrow
-    instead of a distributed write: the rows are already in driver
-    memory, and each saved write job is ~0.5 s of pure scheduling
-    overhead on a KB-sized file (r13)."""
+    handling can never drift between them."""
     dest = Path(path) / DV_DIR / f"{prefix}-{uuid.uuid4().hex[:12]}"
-    if df.isLocal():
-        import pyarrow.parquet as pq
-
-        t = df.toArrow()
-        if t.num_rows:
-            dest.mkdir(parents=True, exist_ok=True)
-            pq.write_table(t, str(dest / "part-00000-local.parquet"))
-    else:
-        df.write.mode("error").parquet(str(dest))
+    df.write.mode("error").parquet(str(dest))
     entries = []
     for f in dest.rglob("*.parquet"):
         st = _footer_stats(f, "", collect_cols=False)  # rows only
@@ -1622,7 +1654,7 @@ def upsert_by_keys(
     df: DataFrame,
     path: str,
     cols: Sequence[str],
-    keys: DataFrame | None = None,
+    keys: DataFrame | Sequence[tuple] | None = None,
     ts_col: str = "ts",
     txn_app: str | None = None,
     txn_id: int | None = None,
@@ -1646,8 +1678,11 @@ def upsert_by_keys(
 
     Pass ``keys`` explicitly when the delete set must be a SUPERSET of
     ``df``'s keys (a fully-erased MV group has no replacement row but its
-    stale partials still need killing). Total cost is O(df) + O(keys):
-    the table is never read. Supports the same idempotent-writer
+    stale partials still need killing) — as a DataFrame, or as a sequence
+    of KEY TUPLES in ``cols`` order (r13: callers that already collected
+    the key set — the scoped refreshers — skip a distributed write job;
+    the key file is written driver-side with types taken from ``df``'s
+    schema). Total cost is O(df) + O(keys): the table is never read. Supports the same idempotent-writer
     watermark as :func:`append` (``txn_app``/``txn_id``/``txn_expect``).
 
     Downstream: :func:`read_changes` refuses ranges containing an upsert
@@ -1682,10 +1717,18 @@ def upsert_by_keys(
             f"upsert key cols {missing} not in table schema "
             f"{sorted(table_cols)}"
         )
-    key_rows = (keys if keys is not None else df).select(*cols).distinct()
-    # ONE part file per entry, like delete_by_keys: each entry costs every
-    # future read a broadcast anti-join until compaction materializes it
-    entries = _write_dv_entries(key_rows.coalesce(1), path, "eqdv", {"cols": cols})
+    if keys is not None and not isinstance(keys, DataFrame):
+        # driver-collected key tuples (Rows are tuples) — the scoped
+        # refreshers' shape: write the key file driver-side, no job
+        entries = _write_local_eq_keys(df, path, cols, keys)
+    else:
+        key_rows = (keys if keys is not None else df).select(*cols).distinct()
+        # ONE part file per entry, like delete_by_keys: each entry costs
+        # every future read a broadcast anti-join until compaction
+        # materializes it
+        entries = _write_dv_entries(
+            key_rows.coalesce(1), path, "eqdv", {"cols": cols}
+        )
     new = _write_txn(df, path, ts_col=ts_col)
     txn = (txn_app, int(txn_id)) if txn_app is not None else None
     return _commit(

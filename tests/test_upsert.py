@@ -183,3 +183,34 @@ def test_compaction_materializes_upsert_eq_entry(spark, tmp_path):
     m = S.manifest(path, v)
     assert m["eq_dvs"] == [] and m["dvs"] == []
     assert _prices(spark, path) == before
+
+
+def test_tuple_keys_equal_frame_keys_including_timestamp_key(spark, tmp_path):
+    """r13: ``keys`` as driver-collected TUPLES (the scoped refreshers'
+    shape — the key file is written driver-side, no Spark job) must leave
+    the table in exactly the state the DataFrame form does, including a
+    TIMESTAMP key column (collected values are OS-local naive; the write
+    normalizes through UTC — the r8 timezone seam)."""
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    for p in (pa, pb):
+        S.append(_batch(spark, range(10)), p)
+    repl = _batch(spark, [3, 4], price=555.0)
+    key_frame = _batch(spark, [3, 4, 7]).select("ts", "trade_id")
+    key_tuples = [
+        (r["ts"], r["trade_id"]) for r in key_frame.collect()
+    ]
+    va = S.upsert_by_keys(repl, pa, cols=["ts", "trade_id"], keys=key_frame)
+    vb = S.upsert_by_keys(repl, pb, cols=["ts", "trade_id"], keys=key_tuples)
+    rows_a = sorted(map(tuple, S.read_snapshot(spark, pa).collect()))
+    rows_b = sorted(map(tuple, S.read_snapshot(spark, pb).collect()))
+    assert rows_a == rows_b and va == vb == 1
+    # the erased-without-replacement key (7) is gone; replacements live
+    assert 7 not in _prices(spark, pb)
+    assert _prices(spark, pb)[3] == 555.0
+    # the entry is a real manifest eq_dv with the composite key recorded
+    eq = S.manifest(pb, vb)["eq_dvs"]
+    assert len(eq) == 1 and eq[0]["cols"] == ["ts", "trade_id"] and eq[0]["rows"] == 3
+    # and CDC represents the tuple-keyed upsert exactly like the frame one
+    cdc_a = sorted(map(tuple, S.read_changes_cdc(spark, pa, 0, 1).collect()))
+    cdc_b = sorted(map(tuple, S.read_changes_cdc(spark, pb, 0, 1).collect()))
+    assert cdc_a == cdc_b
