@@ -127,8 +127,16 @@ def mv_enriched_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = Path(tempfile.mkdtemp(prefix="mv_enriched_"))
     fact, dim, mv = str(root / "fact"), str(root / "dim"), str(root / "mv")
     try:
+        # symbol-clustered fact (r13 cluster_cols): each commit's files
+        # cover contiguous symbol ranges, so the dim-update refresh's
+        # key-scoped read opens a file SUBSET instead of the full width
         for i in range(2):
-            S.append(t.where(F.col("trade_id") % 2 == i), fact)
+            S.append(
+                t.where(F.col("trade_id") % 2 == i),
+                fact,
+                cluster_cols=("symbol",),
+                n_files=4,
+            )
         dim0 = (
             t.select("symbol")
             .distinct()
