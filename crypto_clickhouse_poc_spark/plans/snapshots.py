@@ -1331,19 +1331,98 @@ def _apply_dvs(spark: SparkSession, df: DataFrame, m: dict, path: str) -> DataFr
         if inline is not None:
             tagged = inline
         else:
-            added = spark.createDataFrame(
-                [(f["path"], f.get("added_v", 0)) for f in m["files"]],
-                f"{_DV_FILE} string, _added_v long",
-            )
-            tagged = tagged.join(F.broadcast(added), _DV_FILE, "left")
-            for e in eq:
-                kdf = spark.read.parquet(str(Path(path) / e["path"]))
-                cond = F.coalesce(tagged["_added_v"], F.lit(0)) < F.lit(e["v"])
-                for c in e["cols"]:
-                    cond = cond & (tagged[c] == kdf[c])
-                tagged = tagged.join(F.broadcast(kdf), cond, "left_anti")
-            tagged = tagged.drop("_added_v")
+            tagged = _join_eq_filter(spark, tagged, m, path, eq)
     return tagged.drop(_DV_FILE)
+
+
+# driver-side key-read bound for the LOCAL join plan: the scoped-swap
+# entries (composite (minute, symbol) group keys) are bounded by the MV
+# modules' max_scoped_* caps at exactly this value, so the routine case
+# always qualifies; a genuinely huge key set keeps the distributed scans
+_EQ_LOCAL_MAX_KEYS = 65_536
+
+
+def _join_eq_filter(
+    spark: SparkSession, tagged: DataFrame, m: dict, path: str, eq: list[dict]
+) -> DataFrame:
+    """The equality-delete merge-on-read JOIN plan, for entries the pure
+    row filter (:func:`_inline_eq_filter`) declines — composite keys (a
+    scoped MV swap's (minute, symbol) groups) and large key sets.
+
+    Cheap case (r13 — every read of a scoped-swapped MV was paying ~1.4 s
+    of fixed plan overhead): when the total recorded key count is bounded
+    (``_EQ_LOCAL_MAX_KEYS``), the key sets are read DRIVER-side (pyarrow,
+    O(keys)) and grouped by key-column tuple into ONE local broadcast
+    frame per col-set carrying its entry version as ``_eq_v`` — one
+    broadcast anti-join total per col-set (usually one), no per-entry
+    parquet scan jobs. The ``added_v < entry.v`` sequencing rides the
+    join condition row-wise, so merging entries of the same col-set is
+    exactly the OR of their per-entry conditions. ``added_v`` comes from
+    a literal file→version map when the manifest is small (zero extra
+    joins), else from one broadcast files-frame join.
+
+    Timestamps read tz-aware UTC (our writers produce TIMESTAMP_MICROS /
+    tz-stamped key files) convert through pandas into exact Spark
+    instants — no session-timezone re-entry (the r8 seam).
+
+    Fallback: past the key bound, the original distributed plan — one
+    parquet scan + broadcast anti-join per entry."""
+    files_small = len(m["files"]) <= _EQ_INLINE_MAX_FILES
+    if files_small:
+        pairs: list = []
+        for f in m["files"]:
+            pairs += [F.lit(f["path"]), F.lit(int(f.get("added_v", 0)))]
+        added_v = F.coalesce(
+            F.element_at(F.create_map(*pairs), tagged[_DV_FILE]), F.lit(0)
+        )
+    else:
+        added = spark.createDataFrame(
+            [(f["path"], f.get("added_v", 0)) for f in m["files"]],
+            f"{_DV_FILE} string, _added_v long",
+        )
+        tagged = tagged.join(F.broadcast(added), _DV_FILE, "left")
+        added_v = F.coalesce(tagged["_added_v"], F.lit(0))
+    total_keys = sum(e.get("rows", 1 << 62) for e in eq)
+    if total_keys <= _EQ_LOCAL_MAX_KEYS:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        by_cols: dict[tuple, list] = {}
+        for e in eq:
+            cols = tuple(e["cols"])
+            t = pq.read_table(str(Path(path) / e["path"]), columns=list(cols))
+            for i, f in enumerate(t.schema):
+                # all our writers produce UTC-epoch timestamps (TIMESTAMP_
+                # MICROS isAdjustedToUTC, or the driver-side tz="UTC"
+                # files); a naive field here is still physically UTC epoch
+                # micros/nanos, so attaching tz=UTC is a metadata-only
+                # reinterpretation — and unifying on [us, UTC] lets
+                # entries from different writers concat. Pandas then hands
+                # createDataFrame tz-aware values: exact instants, no
+                # session-timezone re-entry (the r8 seam).
+                if pa.types.is_timestamp(f.type):
+                    t = t.set_column(
+                        i, f.name,
+                        t.column(i).cast(pa.timestamp("us", tz="UTC")),
+                    )
+            t = t.append_column(
+                "_eq_v", pa.array([int(e["v"])] * t.num_rows, pa.int64())
+            )
+            by_cols.setdefault(cols, []).append(t)
+        for cols, tables in by_cols.items():
+            kdf = spark.createDataFrame(pa.concat_tables(tables).to_pandas())
+            cond = added_v < kdf["_eq_v"]
+            for c in cols:
+                cond = cond & (tagged[c] == kdf[c])
+            tagged = tagged.join(F.broadcast(kdf), cond, "left_anti")
+    else:
+        for e in eq:
+            kdf = spark.read.parquet(str(Path(path) / e["path"]))
+            cond = added_v < F.lit(e["v"])
+            for c in e["cols"]:
+                cond = cond & (tagged[c] == kdf[c])
+            tagged = tagged.join(F.broadcast(kdf), cond, "left_anti")
+    return tagged.drop("_added_v") if not files_small else tagged
 
 
 # _inline_eq_filter bounds: past these the literal plan (an In over the
@@ -1366,10 +1445,13 @@ def _inline_eq_filter(tagged: DataFrame, m: dict, path: str, eq: list[dict]):
     and express the whole merge as ONE row filter: a typed literal IN per
     entry, sequenced by a file→added_v literal map. Same semantics as
     the join path (null keys never match; ``added_v < entry.v``), zero
-    extra jobs. Returns None when the case is not small — temporal keys
-    are also declined (a datetime literal would re-enter through the
-    session timezone; the join path compares stored values only, the r8
-    ADVICE error class)."""
+    extra jobs. TEMPORAL keys (r13) ride the same path as epoch INTEGERS:
+    the filter compares ``unix_micros(col)`` / ``unix_date(col)`` against
+    int literals cast straight from the arrow epoch values — both sides
+    timezone-free, so the r8 session-timezone seam (a datetime literal
+    re-entering through the session zone) never opens. Returns None when
+    the case is not small or the stored column's type doesn't match the
+    key file's temporal kind (the join path compares stored values)."""
     if len(m["files"]) > _EQ_INLINE_MAX_FILES:
         return None
     if not all(
@@ -1377,16 +1459,39 @@ def _inline_eq_filter(tagged: DataFrame, m: dict, path: str, eq: list[dict]):
         for e in eq
     ):
         return None
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
+    dtypes = dict(tagged.dtypes)
     key_sets = []
     for e in eq:
         col = e["cols"][0]
         t = pq.read_table(str(Path(path) / e["path"]), columns=[col])
-        if str(t.schema.field(col).type).startswith(("timestamp", "date")):
-            return None
-        vals = [v for v in t.column(col).to_pylist() if v is not None]
-        key_sets.append((col, vals, int(e["v"])))
+        ftype = t.schema.field(col).type
+        if pa.types.is_timestamp(ftype):
+            if dtypes.get(col) != "timestamp":
+                return None
+            vals = [
+                v
+                for v in t.column(col)
+                .cast(pa.timestamp("us", tz="UTC"))
+                .cast(pa.int64())
+                .to_pylist()
+                if v is not None
+            ]
+            key_sets.append((F.unix_micros(F.col(col)), vals, int(e["v"])))
+        elif pa.types.is_date(ftype):
+            if dtypes.get(col) != "date":
+                return None
+            vals = [
+                v
+                for v in t.column(col).cast(pa.int32()).to_pylist()
+                if v is not None
+            ]
+            key_sets.append((F.unix_date(F.col(col)), vals, int(e["v"])))
+        else:
+            vals = [v for v in t.column(col).to_pylist() if v is not None]
+            key_sets.append((F.col(col), vals, int(e["v"])))
     pairs: list = []
     for f in m["files"]:
         pairs += [F.lit(f["path"]), F.lit(int(f.get("added_v", 0)))]
@@ -1394,10 +1499,10 @@ def _inline_eq_filter(tagged: DataFrame, m: dict, path: str, eq: list[dict]):
         F.element_at(F.create_map(*pairs), tagged[_DV_FILE]), F.lit(0)
     )
     keep = F.lit(True)
-    for col, vals, v in key_sets:
+    for key_expr, vals, v in key_sets:
         if not vals:
             continue
-        drop = F.col(col).isin(vals) & (added_v < F.lit(v))
+        drop = key_expr.isin(vals) & (added_v < F.lit(v))
         keep = keep & ~F.coalesce(drop, F.lit(False))
     return tagged.where(keep)
 

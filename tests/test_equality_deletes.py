@@ -159,7 +159,7 @@ def test_stream_bootstrap_applies_eq_delete_head(spark, table, tmp_path):
     """r12 contract change (was: refusal): a single-column eq-delete
     head bootstraps with the delete APPLIED — the Arrow reader
     anti-filters the key column, matching read_snapshot's merge-on-read
-    view. (Composite keys still refuse — gated in test_snapstream.)"""
+    view. (Composite keys bootstrap too since r13 — test_snapstream.)"""
     from crypto_clickhouse_poc_spark.sources.snapstream import (
         SnapshotCommitsDataSource,
     )
@@ -223,3 +223,60 @@ def test_rollback_of_legacy_entries_keeps_equality_deletes(spark, tmp_path):
     assert sorted(
         r.trade_id for r in S.read_snapshot(spark, path).collect()
     ) == [i for i in range(10) if i != 3]
+
+
+def test_timestamp_key_delete_rides_the_inline_filter(spark, table):
+    """r13: temporal keys join the inline (zero-join) read plan as epoch
+    integers — unix_micros(col) vs int64 literals, both sides
+    timezone-free — and the result is exact even when the SESSION
+    timezone shifts between the delete and the read (the r8 seam the
+    old decline guarded against, now closed instead of avoided)."""
+    keys = spark.createDataFrame(
+        [(datetime(2024, 1, 3),)], "ts timestamp"
+    )
+    S.delete_by_keys(spark, table, keys, cols=["ts"])
+    saved = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        df = S.read_snapshot(spark, table)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "LeftAnti" not in plan and "unix_micros" in plan
+        # 2024-01-03 is trade_id 2 in month 1 (1 + i%27)
+        assert _ids(df) == [i for i in range(10) if i != 2]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", saved)
+
+
+def test_composite_entries_fold_into_one_local_anti_join(spark, table):
+    """r13: composite-key entries no longer pay one parquet-scan +
+    anti-join per entry plus a files-frame join — all same-cols entries
+    are read driver-side and folded into ONE local broadcast frame
+    (entry version riding as a column), so the read plan carries exactly
+    one anti-join and scans no _dv files."""
+    k1 = spark.createDataFrame([("BTC", 4)], "symbol string, trade_id long")
+    k2 = spark.createDataFrame([("BTC", 7)], "symbol string, trade_id long")
+    S.delete_by_keys(spark, table, k1)
+    S.delete_by_keys(spark, table, k2)
+    df = S.read_snapshot(spark, table)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LeftAnti") == 1
+    assert "eqdv" not in plan and "_added_v" not in plan
+    assert _ids(df) == [0, 1, 2, 3, 5, 6, 8, 9]
+
+
+def test_composite_timestamp_keys_survive_session_tz_shift(spark, table):
+    """The local-frame composite plan hands Spark tz-AWARE pandas values
+    (arrow epoch reinterpretation), so a (ts, trade_id) delete written
+    under one session timezone reads back exactly under another."""
+    keys = spark.createDataFrame(
+        [(datetime(2024, 1, 6), 5)], "ts timestamp, trade_id long"
+    )
+    S.delete_by_keys(spark, table, keys)
+    saved = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        assert _ids(S.read_snapshot(spark, table)) == [
+            i for i in range(10) if i != 5
+        ]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", saved)
