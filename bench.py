@@ -120,6 +120,8 @@ BENCH_QUERIES = [
     "mv_scoped_erasure_replay",
     # r12: the fact-join-dim rollup MV through a dim update + fact erasure
     "mv_enriched_replay",
+    # r13: atomic month overwrite (backfill) -> row-precise scoped refresh
+    "mv_backfill_replay",
 ]
 
 

@@ -188,9 +188,61 @@ def mv_enriched_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+_FIX_MOD = 101  # deterministic backfill victims: event_id % 101 == 0
+
+
+def mv_backfill_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BACKFILL story end to end (r13 ``snapshots.overwrite_months``
+    — the Delta replaceWhere / re-ingest-a-bad-slice pattern): events
+    ingested as two commits, the bars MV materialized, then the whole
+    month atomically OVERWRITTEN with a corrected frame (victims'
+    prices doubled — the "bad feed, re-publish" case) and the MV
+    refreshed. The refresh consumes the overwrite through the ROW-PRECISE
+    CDC diff (old-vs-new multiset), so only the victims' (minute, symbol)
+    groups re-aggregate — a k-row backfill costs the MV O(k rows'
+    groups), never a rebuild — and the result equals the one-shot batch
+    OHLCV over the corrected data, which is what the oracle computes."""
+    t = bounded_cache(
+        f"mv_backfill_replay:{sf_dir}",
+        _events(spark, sf_dir).select(
+            "ts",
+            F.col("event_type").alias("symbol"),
+            F.col("event_id").alias("trade_id"),
+            "price",
+            "qty",
+        ),
+    )
+    root = Path(tempfile.mkdtemp(prefix="mv_backfill_"))
+    base, mv = str(root / "base"), str(root / "mv")
+    try:
+        for i in range(2):
+            S.append(t.where(F.col("trade_id") % 2 == i), base)
+        M.refresh_rollup(spark, base, mv)
+        fixed = t.withColumn(
+            "price",
+            F.when(
+                F.col("trade_id") % _FIX_MOD == 0, F.col("price") * 2.0
+            ).otherwise(F.col("price")),
+        )
+        S.overwrite_months(fixed, base)  # dynamic: the frame's months
+        M.refresh_rollup(spark, base, mv)  # row-precise diff -> scoped
+        return (
+            M.read_rollup(spark, mv)
+            .select(
+                "minute", "symbol", "open", "high", "low", "close",
+                "volume", "trades",
+            )
+            .orderBy("minute", "symbol")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 QUERIES = {
     "mv_scoped_erasure_replay": mv_scoped_erasure_replay,
     "mv_enriched_replay": mv_enriched_replay,
+    "mv_backfill_replay": mv_backfill_replay,
 }
 
 ORACLES = {
@@ -253,5 +305,32 @@ ORACLES = {
                sum(qty) AS volume,
                count(*) AS trades
         FROM base GROUP BY minute, sector ORDER BY minute, sector
+    """,
+    # the incremental-through-a-backfill contract: the MV equals the
+    # one-shot OHLCV over the CORRECTED data (victims' prices doubled)
+    "mv_backfill_replay": f"""
+        WITH t AS (
+          SELECT event_type AS symbol, event_id AS trade_id,
+                 CASE WHEN event_id % {_FIX_MOD} = 0 THEN value * 2
+                      ELSE value END AS price,
+                 CAST(json_extract_string(props, '$.k') AS DOUBLE) AS qty, ts
+          FROM events
+        ),
+        base AS (
+          SELECT date_trunc('minute', ts) AS minute, symbol, price, qty,
+                 row_number() OVER (PARTITION BY date_trunc('minute', ts), symbol
+                                    ORDER BY ts, trade_id) AS rn_a,
+                 row_number() OVER (PARTITION BY date_trunc('minute', ts), symbol
+                                    ORDER BY ts DESC, trade_id DESC) AS rn_d
+          FROM t
+        )
+        SELECT minute, symbol,
+               max(CASE WHEN rn_a = 1 THEN price END) AS open,
+               max(price) AS high,
+               min(price) AS low,
+               max(CASE WHEN rn_d = 1 THEN price END) AS close,
+               sum(qty) AS volume,
+               count(*) AS trades
+        FROM base GROUP BY minute, symbol ORDER BY minute, symbol
     """,
 }

@@ -429,4 +429,6 @@ def rebuild_enriched(
         txn_expect="force",
         dvs_fn=lambda _d: [],
         eq_dvs_fn=lambda _e, _v: [],
+        write_schema=S._frame_schema(partials),
+        schema_mode="replace",
     )

@@ -554,6 +554,8 @@ def rebuild_rollup(
         txn_expect="force",
         dvs_fn=lambda _d: [],
         eq_dvs_fn=lambda _e, _v: [],
+        write_schema=S._frame_schema(partials),
+        schema_mode="replace",
     )
 
 
@@ -599,6 +601,8 @@ def compact_rollup(
         expected_parent=read_v,
         dvs_fn=lambda _d: [],
         eq_dvs_fn=lambda _e, _v: [],
+        write_schema=S._frame_schema(merged),
+        schema_mode="replace",
         # an interleaved REFRESH is a pure append of new partials — the
         # merge algebra is closed, so carrying those rows forward is the
         # same as refreshing after the compact; without this a frequent

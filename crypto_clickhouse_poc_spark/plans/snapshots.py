@@ -384,6 +384,47 @@ class CommitConflict(RuntimeError):
     (compact). Re-run the operation against the new head."""
 
 
+def _frame_schema(df: DataFrame) -> dict:
+    """The frame's schema as the manifest's ``schema`` value
+    (``StructType.jsonValue()``), with TOP-LEVEL nullability relaxed to
+    True: the stored schema describes the TABLE across its whole history
+    — any column can be absent from files that predate its addition and
+    must read back as null, so a frame's incidental non-null guarantee
+    on one commit must not be baked into the table contract."""
+    s = df.schema.jsonValue()
+    return {
+        "type": "struct",
+        "fields": [{**f, "nullable": True} for f in s["fields"]],
+    }
+
+
+def _merge_schemas(parent: dict | None, new: dict | None) -> dict | None:
+    """The ADD COLUMN evolution rule for the logged schema: parent
+    columns keep their positions, genuinely new columns append in frame
+    order, and a same-name column must carry the SAME type — a type
+    change is not an evolution the parquet read can honor (files of both
+    types would be live simultaneously), so it fails the COMMIT instead
+    of every future read."""
+    if new is None:
+        return parent
+    if parent is None:
+        return new
+    have = {f["name"]: f for f in parent["fields"]}
+    out = list(parent["fields"])
+    for f in new["fields"]:
+        old = have.get(f["name"])
+        if old is None:
+            out.append(f)
+        elif old["type"] != f["type"]:
+            raise ValueError(
+                f"schema evolution cannot change column {f['name']!r} "
+                f"from {old['type']!r} to {f['type']!r} — files of both "
+                "types would be live in the same table; write the new "
+                "shape to a new column (or rebuild the table)"
+            )
+    return {"type": "struct", "fields": out}
+
+
 def _commit(
     path: str,
     files_fn,
@@ -395,6 +436,8 @@ def _commit(
     eq_dvs_fn=None,
     on_conflict: str = "raise",
     data_change: bool = True,
+    write_schema: dict | None = None,
+    schema_mode: str = "inherit",
 ) -> int:
     """Optimistic commit: claim the next version number with an atomic
     ``os.link``; EEXIST = lost the race, so re-read the head and retry.
@@ -445,7 +488,19 @@ def _commit(
     ``compact_snapshot`` must NOT set it: dropping stale duplicate-key
     versions changes the raw row set, and a consumer folding raw rows
     would silently diverge (the flag exists precisely because 'op ==
-    compact' cannot tell these apart)."""
+    compact' cannot tell these apart).
+
+    ``write_schema`` / ``schema_mode`` (r13 — the Delta metaData-action
+    pattern: the TABLE SCHEMA lives in the log, so opening a table never
+    reads a single parquet footer, let alone all of them): a data-writing
+    commit passes its frame's ``schema.jsonValue()`` and a mode —
+    ``"merge"`` (append family: parent columns first, new columns
+    appended, same-name types must agree — the ADD COLUMN evolution
+    rule), ``"replace"`` (total rewrites: compact / rebuild / rollback,
+    whose output schema IS the table schema). The default ``"inherit"``
+    carries the parent's schema through schema-free commits (deletes,
+    retention). Readers with a stored schema skip footer inference
+    entirely; manifests written before this field fall back to it."""
     log = _log(path)
     log.mkdir(parents=True, exist_ok=True)
     tmp = log / f".tmp-{uuid.uuid4().hex}.json"
@@ -529,6 +584,38 @@ def _commit(
         for f in files:
             if "added_v" not in f and f["path"] not in head_paths:
                 f["added_v"] = version
+        if schema_mode == "replace":
+            if not rebased:
+                schema = write_schema
+            elif head_m.get("schema") is not None:
+                # a rebased total rewrite carries an interleaved append's
+                # files forward VERBATIM — columns that append evolved in
+                # live only in its files, and logging just the rewrite's
+                # own (pre-interleave) schema would silently hide them
+                # (and the next compact would drop them). The winner's
+                # chain already merged the append's columns: union them.
+                schema = _merge_schemas(write_schema, head_m.get("schema"))
+            else:
+                # legacy head: the interleaved append's columns are
+                # unknowable without footers — the chain cannot start on
+                # a rebase; the next conflict-free rewrite upgrades
+                schema = None
+        elif schema_mode == "merge":
+            # the schema chain may only START at v0 or at a total rewrite
+            # ("replace" ops, whose mergeSchema read carries the true
+            # union): merging onto a LEGACY head (pre-schema manifests)
+            # would record just this frame's columns and silently HIDE —
+            # and at the next compact, DROP — evolved columns that live
+            # only in older files. A legacy table stays legacy until its
+            # next compact/rebuild upgrades it.
+            if head is None or head_m.get("schema") is not None:
+                schema = _merge_schemas(head_m.get("schema"), write_schema)
+            else:
+                schema = None
+        elif schema_mode == "inherit":
+            schema = head_m.get("schema")
+        else:
+            raise ValueError(f"unknown schema_mode {schema_mode!r}")
         body = {
             "version": version,
             "parent": head,
@@ -544,6 +631,8 @@ def _commit(
                 key=lambda f: f["path"],
             ),
         }
+        if schema is not None:
+            body["schema"] = schema
         sorted_files = sorted(files, key=lambda f: f["path"])
         if len(sorted_files) > SHARD_FILES:
             # big table: per-month content-addressed shards; the version
@@ -889,6 +978,8 @@ def append(
         "append",
         txn=txn,
         txn_expect=txn_expect,
+        write_schema=_frame_schema(df),
+        schema_mode="merge",
     )
 
 
@@ -931,13 +1022,17 @@ def read_changes(
         # polling at the head with no new commits is the normal consumer
         # steady state — an empty delta, not an error
         return _empty_like(spark, path).drop(TXN_COL)
-    df = (
-        spark.read.option("basePath", str(_data(path)))
-        # change feeds must survive a schema-evolution boundary: with one
-        # arbitrary file's schema, an evolved column's values would be
-        # silently dropped from the delta
-        .option("mergeSchema", "true")
-        .parquet(*[str(Path(path) / f["path"]) for f in added])
+    # change feeds must survive a schema-evolution boundary: with one
+    # arbitrary file's schema, an evolved column's values would be
+    # silently dropped from the delta. The range end's LOGGED schema
+    # covers every file added in the range (schemas only grow along an
+    # append range); legacy tables fall back to the footer union.
+    df = _read_files(
+        spark,
+        path,
+        added,
+        merge_schema=True,
+        schema=_version_body(path, to).get("schema"),
     )
     return df.drop(TXN_COL)
 
@@ -974,7 +1069,9 @@ CDC_VERSION = "_commit_version"
 #   everything else (deduping compact, rollback, rebuild, unknown) ->
 #                refuse: visibility rewrites the feed cannot represent
 #                (Delta CDF refuses RESTORE the same way)
-_CDC_DELETING = ("delete", "eq_delete", "retention", "merge", "upsert")
+_CDC_DELETING = (
+    "delete", "eq_delete", "retention", "merge", "upsert", "overwrite",
+)
 _CDC_COVERED = ("append",) + _CDC_DELETING
 
 
@@ -1095,24 +1192,31 @@ def read_changes_cdc(
             continue  # writer-declared layout-only commit
         added: list[dict] = []
         removed: list[dict] = []
-        if op in ("append", "merge", "retention", "upsert"):
+        # the commit's LOGGED schema reads both its added and its removed
+        # files exactly (removed files predate v, so v's schema is a
+        # superset and null-fills — the same semantics mergeSchema gave,
+        # without the footer union job); None on legacy tables
+        vsch = _version_body(path, v).get("schema")
+        if op in ("append", "merge", "retention", "upsert", "overwrite"):
             # O(changed month shards), never a per-commit full splice;
             # v0 can be a non-append (drop_months initializes a path):
             # nothing exists before it, so nothing was removed by it
             added, removed = manifest_delta(path, v)
-        if op == "merge" and precise_merge and (added or removed):
+        if op in ("merge", "overwrite") and precise_merge and (added or removed):
             # row-precise multiset diff: count each full-row value on
             # both sides (txn lineage excluded — a rewrite moves rows to
             # a new txn dir without changing them) and emit only the net
             new_rows = (
-                _read_files(spark, path, added, merge_schema=True)
+                _read_files(spark, path, added, merge_schema=True, schema=vsch)
                 if added
                 else None
             )
             old_rows = (
                 _apply_dvs(
                     spark,
-                    _read_files(spark, path, removed, merge_schema=True),
+                    _read_files(
+                        spark, path, removed, merge_schema=True, schema=vsch
+                    ),
                     _prev_like(v, removed),
                     path,
                 )
@@ -1140,18 +1244,22 @@ def read_changes_cdc(
             _tag(dels, "delete", v)
             _tag(ins, "insert", v)
         else:
-            if op in ("append", "merge", "upsert") and added:
+            if op in ("append", "merge", "upsert", "overwrite") and added:
                 _tag(
-                    _read_files(spark, path, added, merge_schema=True),
+                    _read_files(
+                        spark, path, added, merge_schema=True, schema=vsch
+                    ),
                     "insert",
                     v,
                 )
-            if op in ("merge", "retention") and removed:
+            if op in ("merge", "retention", "overwrite") and removed:
                 # visible-at-(v-1) rows of the dropped/rewritten files:
                 # _apply_dvs touches only rows present in the frame
                 gone = _apply_dvs(
                     spark,
-                    _read_files(spark, path, removed, merge_schema=True),
+                    _read_files(
+                        spark, path, removed, merge_schema=True, schema=vsch
+                    ),
                     _prev_like(v, removed),
                     path,
                 )
@@ -1224,7 +1332,9 @@ def read_changes_cdc(
                         continue  # every file provably lacks every key
                     base = _apply_dvs(
                         spark,
-                        _read_files(spark, path, files, merge_schema=True),
+                        _read_files(
+                            spark, path, files, merge_schema=True, schema=vsch
+                        ),
                         m_prev,
                         path,
                     ).drop(TXN_COL)
@@ -1251,14 +1361,27 @@ def read_changes_cdc(
 
 def _empty_like(spark: SparkSession, path: str) -> DataFrame:
     """A zero-row frame with the table's exact read schema (incl. the txn
-    and partition columns): limit(0) over the newest version that has
-    files, with mergeSchema — on a schema-EVOLVED table a single
-    arbitrary file may predate the evolution and lack the new columns,
-    and a consumer selecting them from the empty frame would raise
-    (r8 ADVICE). Footer-only cost, no row reads. A table whose every
-    version is empty has no schema anywhere — that is unreadable by
-    construction and raises."""
+    and partition columns). With a LOGGED schema at the head (r13) this
+    is a pure local frame — zero file reads, zero jobs (the steady-state
+    empty read_changes poll costs one JSON stat); the partition columns
+    are appended with the types path inference gives a real read (txn
+    string, p_month int). Legacy fallback: limit(0) over the newest
+    version that has files, with mergeSchema — on a schema-EVOLVED table
+    a single arbitrary file may predate the evolution and lack the new
+    columns, and a consumer selecting them from the empty frame would
+    raise (r8 ADVICE). A table whose every version is empty has no
+    schema anywhere — that is unreadable by construction and raises."""
     head = latest_version(path)
+    sch = _version_body(path, head).get("schema") if head is not None else None
+    if sch is not None:
+        from pyspark.sql.types import IntegerType, StringType, StructType
+
+        st = (
+            StructType.fromJson(sch)
+            .add(TXN_COL, StringType())
+            .add(PARTITION_COL, IntegerType())
+        )
+        return spark.createDataFrame([], st)
     for v in range(head, -1, -1):
         files = manifest(path, v)["files"]
         if files:
@@ -1652,7 +1775,7 @@ def delete_where(
     # check). Private aliases so they can't collide with _apply_dvs's own
     # working columns.
     scan = (
-        _read_files(spark, path, files, merge_schema=True)
+        _read_files(spark, path, files, merge_schema=True, schema=m.get("schema"))
         .withColumn("_hit_file", _dv_file_expr())
         .withColumn("_hit_pos", F.col("_metadata.row_index"))
     )
@@ -1844,6 +1967,8 @@ def upsert_by_keys(
         txn_expect=txn_expect,
         eq_dvs_fn=lambda head_eq, version: head_eq
         + [{**e, "v": version} for e in entries],
+        write_schema=_frame_schema(df),
+        schema_mode="merge",
     )
 
 
@@ -1852,12 +1977,26 @@ def _read_files(
     path: str,
     files: list[dict],
     merge_schema: bool | None = None,
+    schema: dict | None = None,
 ) -> DataFrame:
     """Scan exactly ``files`` (manifest entries) under the table's
     basePath — the shared reader of snapshot/merge paths. ``merge_schema``
-    None defers to the session conf."""
+    None defers to the session conf.
+
+    ``schema`` (r13 — the manifest's logged table schema): when given,
+    the scan is handed the schema EXPLICITLY and no parquet footer is
+    ever read for inference — the Delta metaData contract, and the
+    reason opening a 100k-file table costs one JSON read, not 100k
+    footer fetches. Files that predate an added column null-fill it
+    (the mergeSchema evolution semantics without the footer union job);
+    the txn/p_month partition columns keep their path-inferred types,
+    matching the inference read bit-for-bit."""
     reader = spark.read.option("basePath", str(_data(path)))
-    if merge_schema is not None:
+    if schema is not None:
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(schema))
+    elif merge_schema is not None:
         reader = reader.option("mergeSchema", str(merge_schema).lower())
     return reader.parquet(*[str(Path(path) / f["path"]) for f in files])
 
@@ -1903,6 +2042,10 @@ def compact_snapshot(
         path, lambda _hf: new, "compact", expected_parent=read_v,
         dvs_fn=lambda _dvs: [],
         eq_dvs_fn=lambda _eq, _v: [],
+        # total rewrite: the written frame (the mergeSchema union of
+        # every live file, minus nothing) IS the table schema
+        write_schema=_frame_schema(df),
+        schema_mode="replace",
         # an append-only interleave carries forward; its rows were not
         # part of the deduped snapshot, same as an append landing after
         on_conflict="rebase_appends",
@@ -1955,7 +2098,10 @@ def optimize_small_files(
     if len(small) < 2:
         return read_v
     df = _apply_dvs(
-        spark, _read_files(spark, path, small, merge_schema=True), m, path
+        spark,
+        _read_files(spark, path, small, merge_schema=True, schema=m.get("schema")),
+        m,
+        path,
     ).drop(TXN_COL, PARTITION_COL)
     new_entries = _write_txn(
         df, path, ts_col, zorder_cols=zorder_cols, n_files=n_files,
@@ -2029,6 +2175,107 @@ def drop_months(path: str, cutoff_month: str) -> int:
     )
 
 
+def overwrite_months(
+    df: DataFrame,
+    path: str,
+    months: tuple[str, str] | None = None,
+    ts_col: str = "ts",
+    n_files: int = 8,
+    cluster_cols: Sequence[str] | None = None,
+    txn_app: str | None = None,
+    txn_id: int | None = None,
+    txn_expect: int | None | str = "monotone",
+) -> int:
+    """Atomic partition-level BACKFILL (the Delta dynamic-partition-
+    overwrite / ``replaceWhere`` pattern): replace whole months' content
+    with ``df`` in ONE commit — manifest surgery, so a 100 TB table's
+    other months are untouched bytes and prior versions still time-travel
+    to the old data until vacuum.
+
+    Scope: with ``months=None`` (dynamic), exactly the months PRESENT in
+    the frame are replaced — the re-ingest-a-bad-day case. With an
+    explicit ``months=(lo, hi)`` range, every in-range month is replaced
+    whether or not the frame covers it (a frame missing a month DELETES
+    that month; an empty frame empties the range) — the declared-scope
+    case, and the frame is validated to stay inside it (a stray
+    out-of-range row would otherwise silently APPEND to a month the
+    caller never named).
+
+    CDC-covered: consumers see the old visible rows as deletes and the
+    new rows as inserts (row-precise under ``precise_merge``, so a
+    backfill that truly changed k rows scopes an MV refresh to k rows'
+    groups — the same diff the merge leg rides). ``read_changes``
+    refuses the range; the stream source consumes it under
+    ``ignoreChanges=true`` by emitting the added files (Delta's
+    documented overwrite behavior) and fails the batch otherwise.
+
+    Concurrency: an interleaved commit that added files INSIDE the scope
+    raises :class:`CommitConflict` (two writers disagree about the
+    month's content — last-writer-wins would silently drop rows); scope-
+    disjoint appends compose and ride through. Row-level deletes (DV /
+    equality) that land mid-overwrite on the replaced months are
+    superseded by the new content — the overwrite IS the month's new
+    truth; their entries stay harmlessly (a DV targets dropped files and
+    matches nothing; an eq-delete's ``added_v < v`` rule exempts the
+    overwrite's younger files), and compaction clears the debt.
+
+    ``txn_app``/``txn_id`` ride the same idempotent-writer watermark as
+    ``append`` — a replayed backfill job is a detected no-op."""
+    if (txn_app is None) != (txn_id is None):
+        raise ValueError("txn_app and txn_id must be provided together")
+    head = latest_version(path)
+    if head is None:
+        raise FileNotFoundError(
+            f"no snapshots at {path} — overwrite replaces existing months; "
+            "use append to initialize a table"
+        )
+    if txn_app is not None and txn_id is not None:
+        seen = last_txn(path, txn_app)
+        if seen is not None and txn_id <= seen:
+            return head  # replayed backfill — no-op
+    new = _write_txn(df, path, ts_col, cluster_cols=cluster_cols, n_files=n_files)
+    new_months = {e["p_month"] for e in new}
+    if months is None:
+        if not new_months:
+            return head  # empty dynamic overwrite replaces nothing
+        in_scope = lambda m: m in new_months  # noqa: E731
+    else:
+        lo, hi = months
+        stray = sorted(m for m in new_months if not (lo <= m <= hi))
+        if stray:
+            raise ValueError(
+                f"overwrite frame contains months {stray} outside the "
+                f"declared scope [{lo}, {hi}] — widen the scope or filter "
+                "the frame (out-of-scope rows would silently append)"
+            )
+        in_scope = lambda m: lo <= m <= hi  # noqa: E731
+
+    def files_fn(head_files: list[dict]) -> list[dict]:
+        clash = [
+            f["path"]
+            for f in head_files
+            if in_scope(f["p_month"]) and f.get("added_v", 0) > head
+        ]
+        if clash:
+            raise CommitConflict(
+                f"overwrite read version {head} but a concurrent commit "
+                f"added files inside its scope ({clash[:3]}…) — re-run "
+                "against the new head"
+            )
+        return [f for f in head_files if not in_scope(f["p_month"])] + new
+
+    txn = (txn_app, int(txn_id)) if txn_app is not None else None
+    return _commit(
+        path,
+        files_fn,
+        "overwrite",
+        txn=txn,
+        txn_expect=txn_expect,
+        write_schema=_frame_schema(df),
+        schema_mode="merge",
+    )
+
+
 def rollback(path: str, to_version: int) -> int:
     """Commit a new head whose file list (and deletion-vector list) is
     ``to_version``'s (append-only history — the bad versions stay
@@ -2048,6 +2295,12 @@ def rollback(path: str, to_version: int) -> int:
         "rollback",
         dvs_fn=lambda _dvs: manifest(path, to_version).get("dvs", []),
         eq_dvs_fn=lambda _eq, _v: manifest(path, to_version).get("eq_dvs", []),
+        # restore-to-a-point includes the SCHEMA as of that point: a
+        # rollback across an evolving append must not keep advertising
+        # columns whose files it just un-published (None on a pre-schema
+        # target simply drops the field — readers fall back to footers)
+        write_schema=_version_body(path, to_version).get("schema"),
+        schema_mode="replace",
     )
 
 
@@ -2135,7 +2388,12 @@ def read_snapshot(
         df = _empty_like(spark, path)
     else:
         df = _apply_dvs(
-            spark, _read_files(spark, path, files, merge_schema), m, path
+            spark,
+            _read_files(
+                spark, path, files, merge_schema, schema=m.get("schema")
+            ),
+            m,
+            path,
         )
     if ts_range is not None:
         if df.schema[ts_col].dataType.typeName() == "timestamp":
@@ -2347,7 +2605,8 @@ def merge_into(
     read_v = latest_version(path)
     if read_v is None:
         raise FileNotFoundError(f"no snapshots at {path}")
-    files = manifest(path, read_v)["files"]
+    m = manifest(path, read_v)
+    files = m["files"]
 
     if delete_col is not None and delete_col not in source.columns:
         raise ValueError(f"delete_col {delete_col!r} not in source")
@@ -2434,9 +2693,10 @@ def merge_into(
     if candidates:
         src_keys = source.select(*keys).distinct()
         tagged = (
-            spark.read.option("basePath", str(_data(path)))
-            .option("mergeSchema", "true")
-            .parquet(*[str(Path(path) / f["path"]) for f in candidates])
+            _read_files(
+                spark, path, candidates, merge_schema=True,
+                schema=m.get("schema"),
+            )
             .select(*keys, F.col("_metadata.file_path").alias("_file"))
         )
         touched_rel = {
@@ -2459,8 +2719,10 @@ def merge_into(
     if touched:
         tgt = _apply_dvs(
             spark,
-            _read_files(spark, path, touched, merge_schema=True),
-            manifest(path, read_v),
+            _read_files(
+                spark, path, touched, merge_schema=True, schema=m.get("schema")
+            ),
+            m,
             path,
         ).drop(TXN_COL, PARTITION_COL)
     else:
@@ -2515,6 +2777,8 @@ def merge_into(
         lambda _hf: untouched + new,
         "merge",
         expected_parent=read_v,
+        write_schema=_frame_schema(rewritten),
+        schema_mode="merge",
     )
 
 

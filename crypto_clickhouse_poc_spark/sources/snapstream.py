@@ -71,6 +71,7 @@ from pyspark.sql.datasource import (
 
 from ..plans.snapshots import PARTITION_COL, TXN_COL
 from ..plans.snapshots import manifest_delta
+from ..plans.snapshots import _version_body
 from ..plans.snapshots import changed_meta as _changed_meta
 from ..plans.snapshots import latest_version as _head
 from ..plans.snapshots import manifest as _manifest
@@ -90,14 +91,48 @@ _ARROW_TO_DDL = {
 }
 
 
+def _stored_schema(path: str):
+    """The head manifest's LOGGED table schema (r13) as the stream's
+    StructType — plus the two path-derived string columns — or None on a
+    pre-schema table. One JSON stat; zero footer reads, so a stream
+    (re)start over a million-file table costs the same as over ten."""
+    head = _head(path)
+    if head is None:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    sch = _version_body(path, head).get("schema")
+    if sch is None:
+        return None
+    from pyspark.sql.types import StringType, StructType
+
+    st = StructType.fromJson(sch)
+    # same start-time type gate the legacy footer path enforces: a column
+    # the Arrow reader can't NULL-FILL (read() builds absent columns via
+    # _arrow_type) must fail the stream START with a clear error, not a
+    # KeyError inside a running micro-batch the day a pre-evolution file
+    # shows up (r13 review finding)
+    unmappable = [
+        (f.name, f.dataType.simpleString())
+        for f in st.fields
+        if f.dataType.simpleString() not in _ARROW_FILL_TYPES
+    ]
+    if unmappable:
+        raise TypeError(
+            f"unmapped column types for streaming: {unmappable} — the "
+            "stream's evolution null-fill supports primitive types only"
+        )
+    return st.add(TXN_COL, StringType()).add(PARTITION_COL, StringType())
+
+
 def _file_schema_ddl(path: str) -> str:
     """Spark DDL from the UNION of the live files' footers + the path
-    columns. One arbitrary file is not enough on a schema-EVOLVED table
-    (the log explicitly supports column adds): a pre-evolution file
-    would hide the new columns from the stream entirely (r8 ADVICE).
-    Columns appear in first-seen manifest order — pre-evolution columns
-    first, evolved columns appended — matching mergeSchema's layout.
-    Footer-only cost, O(files in the head manifest)."""
+    columns — the legacy fallback for tables whose manifests predate the
+    logged schema. One arbitrary file is not enough on a schema-EVOLVED
+    table (the log explicitly supports column adds): a pre-evolution
+    file would hide the new columns from the stream entirely (r8
+    ADVICE). Columns appear in first-seen manifest order —
+    pre-evolution columns first, evolved columns appended — matching
+    mergeSchema's layout. Footer-only cost, O(files in the head
+    manifest)."""
     import pyarrow.parquet as pq
 
     head = _head(path)
@@ -197,7 +232,8 @@ class SnapshotCommitsDataSource(DataSource):
         return "snapshot_commits"
 
     def schema(self):
-        return _file_schema_ddl(self.options["path"])
+        st = _stored_schema(self.options["path"])
+        return st if st is not None else _file_schema_ddl(self.options["path"])
 
     def streamReader(self, schema) -> "SnapshotStreamReader":
         def _flag(name: str) -> bool:
@@ -210,6 +246,16 @@ class SnapshotCommitsDataSource(DataSource):
             ignore_deletes=_flag("ignoreDeletes"),
             ignore_changes=_flag("ignoreChanges"),
         )
+
+
+# the DDL strings read()'s null-fill can materialize (keys of
+# _arrow_type's mapping) — _stored_schema gates stream start on these
+_ARROW_FILL_TYPES = frozenset(
+    (
+        "bigint", "int", "smallint", "tinyint", "double", "float",
+        "string", "boolean", "binary", "date", "timestamp",
+    )
+)
 
 
 # Spark DDL -> arrow type, for null-filling a declared column that a
@@ -300,11 +346,13 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 if self.ignore_deletes
                 else set()
             )
-            # ignoreChanges (Delta semantics, r12): merge/upsert commits
-            # are consumed by emitting their ADDED files — duplicates
-            # possible when a rewrite carried rows unchanged
+            # ignoreChanges (Delta semantics, r12): merge/upsert/overwrite
+            # commits are consumed by emitting their ADDED files —
+            # duplicates possible when a rewrite carried rows unchanged
+            # (for overwrite: the month's full new content re-emits,
+            # Delta's documented overwrite-under-ignoreChanges behavior)
             emit = {"append"} | (
-                {"merge", "upsert"} if self.ignore_changes else set()
+                {"merge", "upsert", "overwrite"} if self.ignore_changes else set()
             )
             bad = sorted(
                 {

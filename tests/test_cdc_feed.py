@@ -473,7 +473,8 @@ def test_random_op_interleaving_matches_recompute(spark, tmp_path, seed):
     refresh()
     for _ in range(8):
         op = rng.choice(
-            ["append", "delete", "eq_delete", "upsert", "optimize", "compact"]
+            ["append", "delete", "eq_delete", "upsert", "optimize", "compact",
+             "overwrite"]
         )
         if op == "append":
             S.append(_batch(spark, range(next_id, next_id + 10)), base)
@@ -507,6 +508,16 @@ def test_random_op_interleaving_matches_recompute(spark, tmp_path, seed):
             )
             live.append(next_id)
             next_id += 1
+        elif op == "overwrite" and live:
+            # r13 backfill: replace the (single) month with a subset of
+            # the live rows at changed qty — the CDC diff must retract
+            # the dropped rows and move the kept rows' sums
+            keep = sorted(rng.sample(live, max(1, len(live) // 2)))
+            S.overwrite_months(
+                _batch(spark, keep).withColumn("qty", F.col("qty") + 2.0),
+                base,
+            )
+            live = list(keep)
         elif op == "optimize":
             S.optimize_small_files(spark, base, min_rows=10_000)
         elif op == "compact":
@@ -548,7 +559,7 @@ def test_random_op_interleaving_matches_recompute_bars(spark, tmp_path, seed):
     for _ in range(8):
         op = rng.choice(
             ["append", "delete", "eq_delete", "merge", "upsert",
-             "optimize", "compact"]
+             "optimize", "compact", "overwrite"]
         )
         if op == "append":
             S.append(_batch(spark, range(next_id, next_id + 10)), base)
@@ -587,6 +598,18 @@ def test_random_op_interleaving_matches_recompute_bars(spark, tmp_path, seed):
             )
             live.append(next_id)
             next_id += 1
+        elif op == "overwrite" and live:
+            # r13 backfill through the NON-invertible dispatch: the
+            # scoped path (or fraction-dispatch rebuild) must absorb a
+            # whole-month replacement exactly
+            keep = sorted(rng.sample(live, max(1, len(live) // 2)))
+            S.overwrite_months(
+                _batch(spark, keep).withColumn(
+                    "price", F.col("price") + 11.0
+                ),
+                base,
+            )
+            live = list(keep)
         elif op == "optimize":
             S.optimize_small_files(spark, base, min_rows=10_000)
         elif op == "compact":
@@ -607,10 +630,10 @@ def test_scoped_refresh_never_reads_unaffected_months(spark, tmp_path):
     real = S._read_files
     base_reads: list[list[dict]] = []
 
-    def spy(spark_, path_, files, merge_schema=None):
+    def spy(spark_, path_, files, merge_schema=None, **kw):
         if path_ == base:
             base_reads.append(files)
-        return real(spark_, path_, files, merge_schema)
+        return real(spark_, path_, files, merge_schema, **kw)
 
     import pytest as _pytest
 
