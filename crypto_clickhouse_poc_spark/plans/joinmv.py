@@ -98,11 +98,14 @@ def enriched_status(mv_path: str, app: str = "joinmv") -> dict | None:
 
 
 # Above this many affected keys the residual predicate switches from a
-# pushed IN-filter to a broadcast semi-join: a 65k-literal In expression
-# blows up Catalyst plan size / compile time long before the documented
-# max_scoped_keys rebuild fallback engages (r12 ADVICE). Below it, the
-# native-typed IN is strictly better — it reaches the parquet scan.
-_MAX_ISIN_KEYS = 1024
+# pushed IN-filter to a broadcast semi-join (r12 ADVICE: a 65k-literal
+# In blows up Catalyst long before the max_scoped_keys fallback).
+# r13 re-measurement moved the bound way down: PySpark's isin costs one
+# py4j round trip PER literal (~0.5 ms each), so by ~1k keys the IN's
+# construction alone dwarfs the broadcast semi-join it was avoiding.
+# Below it, the native-typed IN is strictly better — it reaches the
+# parquet scan.
+_MAX_ISIN_KEYS = 128
 
 
 def _read_fact_keys(

@@ -1549,12 +1549,15 @@ def _join_eq_filter(
 
 
 # _inline_eq_filter bounds: past these the literal plan (an In over the
-# keys, a create_map over the files) stops beating the broadcast joins.
-# The In stays a POST-SCAN hash-set filter at this size (Spark only
-# pushes IN filters to parquet below pushdown.inFilterThreshold), so the
-# per-row cost is O(1); the bound is about Catalyst plan size, measured
-# fine at 8k (a 6.6k-key erasure read: 0.5 s saved per read vs the join)
-_EQ_INLINE_MAX_KEYS = 8192
+# keys, a create_map over the files) stops beating the LOCAL broadcast
+# anti-join (_join_eq_filter's cheap case). The bound is NOT plan size —
+# it's literal-construction cost: PySpark's Column.isin makes one py4j
+# round trip per value, measured ~0.55 s for a 1,031-key IN vs ~0.05 s
+# for the local-frame anti-join of the same keys (r13 re-measurement;
+# the old 8192 bound predated the local join path and was calibrated
+# against the far costlier per-entry-scan join plan). Small key sets
+# keep the pure filter: zero joins and the IN reaches the scan.
+_EQ_INLINE_MAX_KEYS = 128
 _EQ_INLINE_MAX_FILES = 512
 
 
