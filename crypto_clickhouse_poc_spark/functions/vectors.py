@@ -47,6 +47,25 @@ def cosine(a: Column, b: Column) -> Column:
 # per-row semantics (and the oracle) are unchanged.
 
 
+def dbl_array(vals) -> Column:
+    """A ``array<double>`` literal in ONE py4j call: PySpark's
+    ``F.lit``/``F.array`` build one JVM round trip PER ELEMENT (~1 ms
+    each — a 24×64 hyperplane matrix costs ~1.6 s of pure driver time
+    per plan build, measured r13), while one ``F.expr`` string parses
+    JVM-side in ~1 ms total. ``repr(float)`` is shortest-round-trip, so
+    the parsed double is bit-identical to the lit it replaces."""
+    return F.expr("array(" + ",".join(f"{float(x)!r}D" for x in vals) + ")")
+
+
+def dbl_array2(rows) -> Column:
+    """``array<array<double>>`` literal in one py4j call (the PQ
+    distance-LUT shape: per-subspace code tables)."""
+    inner = ",".join(
+        "array(" + ",".join(f"{float(x)!r}D" for x in r) + ")" for r in rows
+    )
+    return F.expr(f"array({inner})")
+
+
 def centroid_literal(rows: list[tuple]) -> Column:
     """Inline trained centroids ``[(cid, cv, cnrm), ...]`` as an
     ``array<struct<cid:bigint, cv:array<double>, cnrm:double>>`` literal."""
@@ -54,7 +73,7 @@ def centroid_literal(rows: list[tuple]) -> Column:
         *[
             F.struct(
                 F.lit(int(cid)).cast("long").alias("cid"),
-                F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
+                dbl_array(cv).alias("cv"),
                 F.lit(float(cnrm)).alias("cnrm"),
             )
             for cid, cv, cnrm in rows
@@ -117,7 +136,7 @@ def srp_band_keys(v: Column) -> list[Column]:
     Returns SRP_BANDS small-int columns aliased ``bk0..bk{n-1}``."""
     signs = srp_signs()
     bits = [
-        (dot(v, F.array(*[F.lit(s) for s in signs[b]])) > 0).cast("int")
+        (dot(v, dbl_array(signs[b])) > 0).cast("int")
         for b in range(SRP_BITS)
     ]
     step = SRP_BITS // SRP_BANDS

@@ -574,24 +574,20 @@ def _pq_query_side(
             else [sum(r * x for r, x in zip(rrow, qv)) for rrow in rotation]
         )
         lut_keys.append(F.lit(qid).cast("long"))
+        # one py4j call per query instead of PQ_M x |codebook| (the r13
+        # literal-tax rule: F.lit costs ~1 ms of driver round trip EACH)
         lut_vals.append(
-            F.array(
-                *[
-                    F.array(
-                        *[
-                            F.lit(
-                                float(
-                                    sum(
-                                        a * b
-                                        for a, b in zip(
-                                            lq[m * sub_d : (m + 1) * sub_d], entry
-                                        )
-                                    )
-                                )
+            V.dbl_array2(
+                [
+                    [
+                        sum(
+                            a * b
+                            for a, b in zip(
+                                lq[m * sub_d : (m + 1) * sub_d], entry
                             )
-                            for entry in books[m]
-                        ]
-                    )
+                        )
+                        for entry in books[m]
+                    ]
                     for m in range(PQ_M)
                 ]
             )
