@@ -416,11 +416,17 @@ def _maybe_files(
     idx = spark.read.parquet(
         *[str(Path(path) / IDX_DIR / d) for d in _dirs_of(meta)]
     )
-    rows = (
-        idx.where(F.col("word").isin(*[int(w) for w in all_words]))
-        .select("file", "word", "bits")
-        .collect()
-    )
+    words = [int(w) for w in all_words]
+    if len(words) <= 128:
+        hit = idx.where(F.col("word").isin(*words))
+    else:
+        # the r13 literal-tax rule: F.lit/isin cost one py4j round trip
+        # per value — a multi-thousand-key probe (CDC bloom prune, a
+        # scoped read's key set) builds its word filter as one local
+        # broadcast semi-join instead
+        wdf = spark.createDataFrame([(w,) for w in words], "word long")
+        hit = idx.join(F.broadcast(wdf), "word", "left_semi")
+    rows = hit.select("file", "word", "bits").collect()
     got: dict[str, dict[int, int]] = {}
     for r in rows:
         got.setdefault(r.file, {})[r.word] = r.bits
@@ -599,16 +605,25 @@ def read_points(
     # rollback re-exposure) are kept: the index knows nothing about them
     files = prune_file_list(spark, path, key_col, values, m["files"])
     wanted = [str(v) for v in values]
-    if not files:
-        return (
-            S._empty_like(spark, path)
-            .drop(S.TXN_COL)
-            .where(F.col(key_col).cast("string").isin(*wanted))
+
+    def _residual(df):
+        if len(wanted) <= 128:
+            return df.where(F.col(key_col).cast("string").isin(*wanted))
+        # r13 literal-tax rule: big probe sets filter through one local
+        # broadcast semi-join, not thousands of py4j literal round trips
+        kdf = spark.createDataFrame([(w,) for w in wanted], "_probe string")
+        return df.join(
+            F.broadcast(kdf),
+            df[key_col].cast("string") == kdf["_probe"],
+            "left_semi",
         )
+
+    if not files:
+        return _residual(S._empty_like(spark, path).drop(S.TXN_COL))
     df = S._apply_dvs(
         spark, S._read_files(spark, path, files, merge_schema=True), m, path
     ).drop(S.TXN_COL)
-    return df.where(F.col(key_col).cast("string").isin(*wanted))
+    return _residual(df)
 
 
 def read_point(spark: SparkSession, path: str, key_col: str, value) -> DataFrame:
