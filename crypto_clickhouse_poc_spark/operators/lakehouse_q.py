@@ -197,11 +197,16 @@ def mv_backfill_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingested as two commits, the bars MV materialized, then the whole
     month atomically OVERWRITTEN with a corrected frame (victims'
     prices doubled — the "bad feed, re-publish" case) and the MV
-    refreshed. The refresh consumes the overwrite through the ROW-PRECISE
-    CDC diff (old-vs-new multiset), so only the victims' (minute, symbol)
-    groups re-aggregate — a k-row backfill costs the MV O(k rows'
-    groups), never a rebuild — and the result equals the one-shot batch
-    OHLCV over the corrected data, which is what the oracle computes."""
+    refreshed. The refresh scopes to the overwritten MONTHS' groups via
+    the file-level CDC (one narrow map-side-combined pass — probe-driven
+    r13 rule: the row-precise wide diff over a wholly-rewritten month
+    costs more than it saves; ``tools/scale_probe_overwrite.py`` pins
+    refresh FLAT at 10x history vs rebuild 4x). On THIS fixture the
+    backfilled month is the whole table, so the fraction dispatch
+    correctly picks one clean rebuild — the same physical-choice rule
+    the erasure replay exercises — and the result equals the one-shot
+    batch OHLCV over the corrected data, which is what the oracle
+    computes."""
     t = bounded_cache(
         f"mv_backfill_replay:{sf_dir}",
         _events(spark, sf_dir).select(

@@ -260,8 +260,13 @@ def refresh_enriched_rollup(
     # alone was re-running the whole DV plan, ~40% of a dim-tick refresh)
     dim = dim.localCheckpoint()
     if fact_head > fact_w:
+        # overwrite ranges take the file-level CDC (see logmv: the
+        # row-precise diff is a wide full-row shuffle over the whole
+        # rewritten month; the imprecise delete rows are a narrow pass
+        # whose group superset only widens the exact recompute)
         fact_cdc = S.read_changes_cdc(
-            spark, fact_path, fact_w, fact_head, precise_merge=True
+            spark, fact_path, fact_w, fact_head,
+            precise_merge="overwrite" not in fact_ops,
         )
         ins = fact_cdc.where(F.col(S.CDC_TYPE) == "insert").drop(
             S.CDC_TYPE, S.CDC_VERSION

@@ -235,14 +235,23 @@ def test_overwrite_supersedes_interleaved_row_deletes(spark, table):
     assert sorted(rows) == [2, 3, 100, 101, 102, 103]
 
 
-def test_row_precise_backfill_takes_the_scoped_path(spark, table, tmp_path):
-    """A k-row backfill must cost the MV a SCOPED swap (op 'upsert'), not
-    a rebuild — the row-precise CDC diff nets the untouched rows out."""
+def test_backfill_takes_the_month_scoped_path_on_a_long_history(
+    spark, tmp_path
+):
+    """A one-month backfill on a MULTI-month table must cost the MV a
+    scoped swap (op 'upsert') bounded by the overwritten MONTH's groups
+    — the r13 file-level scope rule (the row-precise diff is explicitly
+    not used for overwrite ranges: it is a wide full-row shuffle over
+    the whole rewritten month, probe-measured worse than rebuild). On a
+    table where the backfilled month IS most of the data, the fraction
+    dispatch correctly rebuilds instead — also gated here."""
     from pyspark.sql import functions as F
 
     from crypto_clickhouse_poc_spark.plans import logmv as M
 
-    mv = str(tmp_path / "mv")
+    table, mv = str(tmp_path / "t"), str(tmp_path / "mv")
+    for month in (1, 2, 3):
+        S.append(_batch(spark, month, range(month * 10, month * 10 + 6)), table)
     M.refresh_rollup(spark, table, mv)
     jan = S.read_snapshot(spark, table, months=("202401", "202401")).drop(
         S.PARTITION_COL
@@ -250,16 +259,78 @@ def test_row_precise_backfill_takes_the_scoped_path(spark, table, tmp_path):
     S.overwrite_months(
         jan.withColumn(
             "price",
-            F.when(F.col("trade_id") == 1, 888.0).otherwise(F.col("price")),
+            F.when(F.col("trade_id") == 11, 888.0).otherwise(F.col("price")),
         ),
         table,
     )
     M.refresh_rollup(spark, table, mv)
     head = S.latest_version(mv)
-    assert S.manifest(mv, head)["op"] == "upsert"  # scoped, not rebuild
+    assert S.manifest(mv, head)["op"] == "upsert"  # month-scoped swap
     got = {
         (r.minute, r.symbol): r.high for r in M.read_rollup(spark, mv).collect()
     }
-    row = S.read_snapshot(spark, table).where("trade_id = 1").collect()[0]
+    row = S.read_snapshot(spark, table).where("trade_id = 11").collect()[0]
     key = (row.ts.replace(second=0, microsecond=0), row.symbol)
     assert got[key] == 888.0
+    # the degenerate end: a backfill of MOST of the table rebuilds
+    whole = S.read_snapshot(spark, table).drop(S.PARTITION_COL)
+    S.overwrite_months(
+        whole.withColumn("price", F.col("price") + 1.0),
+        table,
+        months=("202401", "202403"),
+    )
+    M.refresh_rollup(spark, table, mv)
+    assert S.manifest(mv, S.latest_version(mv))["op"] == "rebuild"
+
+
+def test_backfill_cascades_scoped_through_mv_levels(spark, table, tmp_path):
+    """Backfill -> 1m MV -> 1h cascade, every hop scoped: the overwrite
+    reaches the 1m rollup as a row-precise scoped upsert, whose own log
+    commit is CDC-covered, so the 1h cascade scopes to the affected HOUR
+    groups — and the top of the pyramid still equals the batch
+    recompute."""
+    from pyspark.sql import functions as F
+
+    from crypto_clickhouse_poc_spark.plans import logmv as M
+    from crypto_clickhouse_poc_spark.streaming.bars import bars_batch
+
+    table = str(tmp_path / "multi")  # 3 months so the backfill month is
+    for month in (1, 2, 3):         # a minority and the swap stays scoped
+        S.append(_batch(spark, month, range(month * 10, month * 10 + 6)), table)
+    mv1m, mv1h = str(tmp_path / "mv1m"), str(tmp_path / "mv1h")
+    M.refresh_rollup(spark, table, mv1m)
+    M.refresh_cascade(spark, mv1m, mv1h)
+    jan = S.read_snapshot(spark, table, months=("202401", "202401")).drop(
+        S.PARTITION_COL
+    )
+    S.overwrite_months(
+        jan.withColumn(
+            "price",
+            F.when(F.col("trade_id") == 13, 444.0).otherwise(F.col("price")),
+        ),
+        table,
+    )
+    M.refresh_rollup(spark, table, mv1m)
+    M.refresh_cascade(spark, mv1m, mv1h)
+    assert S.manifest(mv1m, S.latest_version(mv1m))["op"] == "upsert"
+    assert S.manifest(mv1h, S.latest_version(mv1h))["op"] == "upsert"
+    got = sorted(
+        tuple(r)
+        for r in M.read_rollup(spark, mv1h, final_fn=M.reaggregate_hours)
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in bars_batch(S.read_snapshot(spark, table))
+        .groupBy(F.date_trunc("hour", F.col("minute")).alias("hour"), "symbol")
+        .agg(
+            F.min_by("open", F.struct("minute")).alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", F.struct("minute")).alias("close"),
+            F.sum("volume").alias("volume"),
+            F.sum("trades").alias("trades"),
+        )
+        .collect()
+    )
+    assert got == want
