@@ -62,6 +62,7 @@ import datetime as _dt
 import json
 import os
 import shutil
+import time as _time
 import uuid
 from pathlib import Path
 from typing import Sequence
@@ -620,6 +621,12 @@ def _commit(
             "version": version,
             "parent": head,
             "op": op,
+            # wall-clock commit stamp (Delta commitInfo.timestamp):
+            # informational for table_history, and the resolution basis
+            # for timestamp time travel (version_as_of). Claimed-at
+            # time, so stamps are non-decreasing per the os.link order
+            # up to clock skew between writers — same caveat Delta has.
+            "committed_at": round(_time.time(), 3),
             "data_change": bool(data_change),
             "txns": txns,
             "dvs": sorted(
@@ -2276,6 +2283,62 @@ def overwrite_months(
         txn_expect=txn_expect,
         write_schema=_frame_schema(df),
         schema_mode="merge",
+    )
+
+
+def table_history(path: str, limit: int | None = None) -> list[dict]:
+    """``DESCRIBE HISTORY``: newest-first commit summaries — version,
+    op, wall-clock ``committed_at`` (None on pre-r13 commits),
+    ``data_change``, parent, live file count, deletion-vector /
+    equality-delete entry counts, and the idempotent-writer watermarks.
+    Raw version bodies + ``_n_files`` only — O(limit) tiny JSON reads,
+    never a shard splice, so inspecting a million-commit table's recent
+    history costs the same as a ten-commit one's."""
+    head = latest_version(path)
+    if head is None:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    lo = 0 if limit is None else max(0, head - limit + 1)
+    out = []
+    for v in range(head, lo - 1, -1):
+        b = _version_body(path, v)
+        out.append(
+            {
+                "version": v,
+                "op": b["op"],
+                "committed_at": b.get("committed_at"),
+                "data_change": b.get("data_change", True),
+                "parent": b.get("parent"),
+                "n_files": _n_files(path, v),
+                "n_dvs": len(b.get("dvs", [])),
+                "n_eq_dvs": len(b.get("eq_dvs", [])),
+                "txns": b.get("txns", {}),
+            }
+        )
+    return out
+
+
+def version_as_of(path: str, when) -> int:
+    """Timestamp time travel (Delta ``timestampAsOf``): the newest
+    version whose ``committed_at`` is at or before ``when`` (float epoch
+    seconds, or a datetime — naive means UTC, the repo-wide convention).
+    Commits that predate the stamp (pre-r13 manifests) are treated as
+    infinitely old — they satisfy any cutoff, the conservative
+    direction. Raises when even version 0 postdates the cutoff. Walks
+    raw version bodies newest-first: O(versions since the cutoff)."""
+    if isinstance(when, _dt.datetime):
+        if when.tzinfo is None:
+            when = when.replace(tzinfo=_dt.timezone.utc)
+        when = when.timestamp()
+    head = latest_version(path)
+    if head is None:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    for v in range(head, -1, -1):
+        at = _version_body(path, v).get("committed_at")
+        if at is None or at <= when:
+            return v
+    raise ValueError(
+        f"no version of {path} existed at {when} (version 0 was "
+        "committed later)"
     )
 
 

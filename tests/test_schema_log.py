@@ -245,3 +245,48 @@ def test_stream_start_rejects_unmappable_logged_types(spark, tmp_path):
     )
     with pytest.raises(TypeError, match="unmapped column types"):
         _stored_schema(path)
+
+
+def test_table_history_and_timestamp_time_travel(spark, tmp_path):
+    """DESCRIBE HISTORY + timestampAsOf (r13): commits carry a
+    wall-clock stamp, history lists newest-first O(limit) summaries, and
+    version_as_of resolves a cutoff between two commits to the earlier
+    one — with pre-stamp (legacy) commits treated as infinitely old."""
+    import json as _json
+    import time
+
+    path = str(tmp_path / "t")
+    S.append(_batch(spark, range(3)), path)  # v0
+    t_mid = time.time()
+    time.sleep(0.05)
+    S.append(_batch(spark, range(3, 5)), path)  # v1
+    S.delete_by_keys(
+        spark, path, spark.createDataFrame([(1,)], "trade_id long")
+    )  # v2
+    hist = S.table_history(path)
+    assert [h["version"] for h in hist] == [2, 1, 0]
+    assert [h["op"] for h in hist] == ["eq_delete", "append", "append"]
+    assert hist[0]["n_eq_dvs"] == 1 and hist[0]["n_files"] == hist[1]["n_files"]
+    assert all(h["committed_at"] is not None for h in hist)
+    assert [h["version"] for h in S.table_history(path, limit=2)] == [2, 1]
+    # the cutoff between v0 and v1 resolves to v0
+    assert S.version_as_of(path, t_mid) == 0
+    assert S.version_as_of(path, time.time()) == 2
+    got = sorted(
+        r.trade_id
+        for r in S.read_snapshot(
+            spark, path, version=S.version_as_of(path, t_mid)
+        ).collect()
+    )
+    assert got == [0, 1, 2]
+    # legacy commits (no stamp) satisfy any cutoff
+    p = S._log(path) / "v0.json"
+    body = _json.loads(p.read_text())
+    body.pop("committed_at")
+    p.write_text(_json.dumps(body))
+    assert S.version_as_of(path, 0.0) == 0  # pre-epoch cutoff still lands
+    # but a STAMPED v0 younger than the cutoff has no resolvable version
+    other = str(tmp_path / "t2")
+    S.append(_batch(spark, [9]), other)
+    with pytest.raises(ValueError, match="no version"):
+        S.version_as_of(other, 0.0)
