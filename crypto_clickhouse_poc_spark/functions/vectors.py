@@ -12,6 +12,8 @@ Pandas-UDF (numpy matmul) path wins on constant factors — see
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -47,21 +49,37 @@ def cosine(a: Column, b: Column) -> Column:
 # per-row semantics (and the oracle) are unchanged.
 
 
+def _dbl_sql(x) -> str:
+    """One double as a Spark-SQL literal. ``repr(float)`` is
+    shortest-round-trip so the parsed double is bit-identical to the
+    ``F.lit`` it replaces — but ``repr`` of non-finite values yields
+    ``nan``/``inf``, which the SQL parser rejects ('nanD' is not a
+    literal). Those spell as typed CAST strings instead, matching what
+    the F.lit path produced, so a NaN sneaking into trained centroids
+    or a PQ LUT degrades the distance (as before) rather than crashing
+    plan construction."""
+    v = float(x)
+    if math.isnan(v):
+        return "CAST('NaN' AS DOUBLE)"
+    if math.isinf(v):
+        return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
+    return f"{v!r}D"
+
+
 def dbl_array(vals) -> Column:
     """A ``array<double>`` literal in ONE py4j call: PySpark's
     ``F.lit``/``F.array`` build one JVM round trip PER ELEMENT (~1 ms
     each — a 24×64 hyperplane matrix costs ~1.6 s of pure driver time
     per plan build, measured r13), while one ``F.expr`` string parses
-    JVM-side in ~1 ms total. ``repr(float)`` is shortest-round-trip, so
-    the parsed double is bit-identical to the lit it replaces."""
-    return F.expr("array(" + ",".join(f"{float(x)!r}D" for x in vals) + ")")
+    JVM-side in ~1 ms total."""
+    return F.expr("array(" + ",".join(_dbl_sql(x) for x in vals) + ")")
 
 
 def dbl_array2(rows) -> Column:
     """``array<array<double>>`` literal in one py4j call (the PQ
     distance-LUT shape: per-subspace code tables)."""
     inner = ",".join(
-        "array(" + ",".join(f"{float(x)!r}D" for x in r) + ")" for r in rows
+        "array(" + ",".join(_dbl_sql(x) for x in r) + ")" for r in rows
     )
     return F.expr(f"array({inner})")
 

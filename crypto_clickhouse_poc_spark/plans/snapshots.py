@@ -385,14 +385,121 @@ class CommitConflict(RuntimeError):
     (compact). Re-run the operation against the new head."""
 
 
+def _normalize_type(t):
+    """Canonicalize a ``StructType.jsonValue()`` type node: strip field
+    ``metadata`` at every depth (not part of the table contract — a
+    parquet read-back can attach it where the writing frame had none)
+    and default the nullability flags explicitly, so logically-identical
+    frames produced by different routes compare equal."""
+    if isinstance(t, dict):
+        kind = t.get("type")
+        if kind == "struct":
+            return {
+                "type": "struct",
+                "fields": [
+                    {
+                        "name": f["name"],
+                        "type": _normalize_type(f["type"]),
+                        "nullable": bool(f.get("nullable", True)),
+                        "metadata": {},
+                    }
+                    for f in t["fields"]
+                ],
+            }
+        if kind == "array":
+            return {
+                "type": "array",
+                "elementType": _normalize_type(t["elementType"]),
+                "containsNull": bool(t.get("containsNull", True)),
+            }
+        if kind == "map":
+            return {
+                "type": "map",
+                "keyType": _normalize_type(t["keyType"]),
+                "valueType": _normalize_type(t["valueType"]),
+                "valueContainsNull": bool(t.get("valueContainsNull", True)),
+            }
+    return t
+
+
+def _merge_types(old, new, path: str):
+    """Recursive type merge for the logged schema — the StructType.merge
+    semantics Spark's own ``mergeSchema`` applies: nullability/
+    containsNull UNION at every depth (``F.array(lits)`` gives
+    containsNull=false where a parquet read-back gives true — both
+    describe the same data), nested struct fields union additively
+    (files that predate a nested ADD null-fill it via schema clipping,
+    same as a top-level ADD), and only a genuine primitive/shape
+    mismatch raises."""
+    if old == new:
+        return old
+    if (
+        isinstance(old, dict)
+        and isinstance(new, dict)
+        and old.get("type") == new.get("type")
+    ):
+        kind = old["type"]
+        if kind == "array":
+            return {
+                "type": "array",
+                "elementType": _merge_types(
+                    old["elementType"], new["elementType"], path + ".element"
+                ),
+                "containsNull": old["containsNull"] or new["containsNull"],
+            }
+        if kind == "map":
+            return {
+                "type": "map",
+                "keyType": _merge_types(
+                    old["keyType"], new["keyType"], path + ".key"
+                ),
+                "valueType": _merge_types(
+                    old["valueType"], new["valueType"], path + ".value"
+                ),
+                "valueContainsNull": old["valueContainsNull"]
+                or new["valueContainsNull"],
+            }
+        if kind == "struct":
+            have = {f["name"] for f in old["fields"]}
+            newby = {f["name"]: f for f in new["fields"]}
+            out = []
+            for f in old["fields"]:
+                nf = newby.get(f["name"])
+                if nf is None:
+                    out.append(f)
+                else:
+                    out.append(
+                        {
+                            "name": f["name"],
+                            "type": _merge_types(
+                                f["type"], nf["type"], f"{path}.{f['name']}"
+                            ),
+                            "nullable": f["nullable"] or nf["nullable"],
+                            "metadata": {},
+                        }
+                    )
+            for g in new["fields"]:
+                if g["name"] not in have:
+                    # nested ADD COLUMN: absent from older files → null
+                    out.append({**g, "nullable": True})
+            return {"type": "struct", "fields": out}
+    raise ValueError(
+        f"schema evolution cannot change column {path!r} "
+        f"from {old!r} to {new!r} — files of both "
+        "types would be live in the same table; write the new "
+        "shape to a new column (or rebuild the table)"
+    )
+
+
 def _frame_schema(df: DataFrame) -> dict:
     """The frame's schema as the manifest's ``schema`` value
-    (``StructType.jsonValue()``), with TOP-LEVEL nullability relaxed to
-    True: the stored schema describes the TABLE across its whole history
-    — any column can be absent from files that predate its addition and
-    must read back as null, so a frame's incidental non-null guarantee
-    on one commit must not be baked into the table contract."""
-    s = df.schema.jsonValue()
+    (``StructType.jsonValue()``, normalized — metadata stripped at every
+    depth), with TOP-LEVEL nullability relaxed to True: the stored
+    schema describes the TABLE across its whole history — any column can
+    be absent from files that predate its addition and must read back as
+    null, so a frame's incidental non-null guarantee on one commit must
+    not be baked into the table contract."""
+    s = _normalize_type(df.schema.jsonValue())
     return {
         "type": "struct",
         "fields": [{**f, "nullable": True} for f in s["fields"]],
@@ -402,27 +509,35 @@ def _frame_schema(df: DataFrame) -> dict:
 def _merge_schemas(parent: dict | None, new: dict | None) -> dict | None:
     """The ADD COLUMN evolution rule for the logged schema: parent
     columns keep their positions, genuinely new columns append in frame
-    order, and a same-name column must carry the SAME type — a type
-    change is not an evolution the parquet read can honor (files of both
-    types would be live simultaneously), so it fails the COMMIT instead
-    of every future read."""
+    order, and a same-name column must keep a merge-compatible type
+    (:func:`_merge_types` — nullability unions at every depth, nested
+    struct fields add; a primitive type change is not an evolution the
+    parquet read can honor, so it fails the COMMIT instead of every
+    future read)."""
     if new is None:
         return parent
     if parent is None:
         return new
+    parent = _normalize_type(parent)
+    new = _normalize_type(new)
     have = {f["name"]: f for f in parent["fields"]}
-    out = list(parent["fields"])
-    for f in new["fields"]:
-        old = have.get(f["name"])
-        if old is None:
+    out = []
+    for f in parent["fields"]:
+        nf = next((g for g in new["fields"] if g["name"] == f["name"]), None)
+        if nf is None:
             out.append(f)
-        elif old["type"] != f["type"]:
-            raise ValueError(
-                f"schema evolution cannot change column {f['name']!r} "
-                f"from {old['type']!r} to {f['type']!r} — files of both "
-                "types would be live in the same table; write the new "
-                "shape to a new column (or rebuild the table)"
+        else:
+            out.append(
+                {
+                    "name": f["name"],
+                    "type": _merge_types(f["type"], nf["type"], f["name"]),
+                    "nullable": f["nullable"] or nf["nullable"],
+                    "metadata": {},
+                }
             )
+    for f in new["fields"]:
+        if f["name"] not in have:
+            out.append(f)
     return {"type": "struct", "fields": out}
 
 
@@ -1472,6 +1587,25 @@ def _apply_dvs(spark: SparkSession, df: DataFrame, m: dict, path: str) -> DataFr
 _EQ_LOCAL_MAX_KEYS = 65_536
 
 
+def _sql_str(s: str) -> str:
+    """A Spark-SQL single-quoted string literal (backslash escapes are
+    on by default in the parser)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _added_v_map(files: list[dict]) -> Column:
+    """The manifest's file→added_v lookup as ONE parsed SQL ``map(...)``
+    expression: the ``F.create_map(*[F.lit(..), F.lit(..)])`` build it
+    replaces costs 2 py4j round trips per manifest file (~0.5 ms each,
+    measured r13) — ~0.5 s of pure driver time per read of a 500-file
+    eq-carrying table; one ``F.expr`` parse is ~1 ms regardless of file
+    count (the same one-parse rule as ``functions/vectors.py``)."""
+    entries = ",".join(
+        f"{_sql_str(f['path'])},{int(f.get('added_v', 0))}L" for f in files
+    )
+    return F.expr(f"map({entries})")
+
+
 def _join_eq_filter(
     spark: SparkSession, tagged: DataFrame, m: dict, path: str, eq: list[dict]
 ) -> DataFrame:
@@ -1499,11 +1633,8 @@ def _join_eq_filter(
     parquet scan + broadcast anti-join per entry."""
     files_small = len(m["files"]) <= _EQ_INLINE_MAX_FILES
     if files_small:
-        pairs: list = []
-        for f in m["files"]:
-            pairs += [F.lit(f["path"]), F.lit(int(f.get("added_v", 0)))]
         added_v = F.coalesce(
-            F.element_at(F.create_map(*pairs), tagged[_DV_FILE]), F.lit(0)
+            F.element_at(_added_v_map(m["files"]), tagged[_DV_FILE]), F.lit(0)
         )
     else:
         added = spark.createDataFrame(
@@ -1540,7 +1671,28 @@ def _join_eq_filter(
             )
             by_cols.setdefault(cols, []).append(t)
         for cols, tables in by_cols.items():
-            kdf = spark.createDataFrame(pa.concat_tables(tables).to_pandas())
+            try:
+                # the arrow table goes to Spark DIRECTLY (SPARK-44533) —
+                # never through pandas, whose int64-with-nulls → float64
+                # upcast would silently mis-compare key values above 2^53
+                # against the stored long column (r13 advice)
+                kdf = spark.createDataFrame(
+                    pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+                )
+            except Exception:
+                # same-col-set entries written with different physical
+                # widths (ArrowInvalid on concat) or an arrow type the
+                # session can't map — fall back to the per-entry
+                # distributed plan for THIS col-set only
+                for e in eq:
+                    if tuple(e["cols"]) != cols:
+                        continue
+                    kdf = spark.read.parquet(str(Path(path) / e["path"]))
+                    cond = added_v < F.lit(int(e["v"]))
+                    for c in cols:
+                        cond = cond & (tagged[c] == kdf[c])
+                    tagged = tagged.join(F.broadcast(kdf), cond, "left_anti")
+                continue
             cond = added_v < kdf["_eq_v"]
             for c in cols:
                 cond = cond & (tagged[c] == kdf[c])
@@ -1625,11 +1777,8 @@ def _inline_eq_filter(tagged: DataFrame, m: dict, path: str, eq: list[dict]):
         else:
             vals = [v for v in t.column(col).to_pylist() if v is not None]
             key_sets.append((F.col(col), vals, int(e["v"])))
-    pairs: list = []
-    for f in m["files"]:
-        pairs += [F.lit(f["path"]), F.lit(int(f.get("added_v", 0)))]
     added_v = F.coalesce(
-        F.element_at(F.create_map(*pairs), tagged[_DV_FILE]), F.lit(0)
+        F.element_at(_added_v_map(m["files"]), tagged[_DV_FILE]), F.lit(0)
     )
     keep = F.lit(True)
     for key_expr, vals, v in key_sets:

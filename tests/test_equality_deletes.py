@@ -280,3 +280,51 @@ def test_composite_timestamp_keys_survive_session_tz_shift(spark, table):
         ]
     finally:
         spark.conf.set("spark.sql.session.timeZone", saved)
+
+
+def test_local_join_int64_keys_exact_above_2_53_even_with_nulls(spark, tmp_path):
+    """The local broadcast key frame goes to Spark as the ARROW table
+    (never through pandas): a pandas round trip upcasts an
+    int64-with-null key column to float64, where 2^53 and 2^53+1
+    collide — the delete would silently also drop the neighboring row.
+    Composite cols force the local-join plan (inline handles only
+    single-col entries)."""
+    path = str(tmp_path / "bigkeys")
+    big, nbr = (1 << 53), (1 << 53) + 1
+    rows = [
+        (datetime(2024, 1, 2), "BTC", big, 1.0, 0),
+        (datetime(2024, 1, 2), "BTC", nbr, 2.0, 0),
+        (datetime(2024, 1, 3), "ETH", 7, 3.0, 0),
+    ]
+    S.append(spark.createDataFrame(rows, SCHEMA), path)
+    keys = spark.createDataFrame(
+        [("BTC", big), ("LTC", None)], "symbol string, trade_id long"
+    )
+    S.delete_by_keys(spark, path, keys)
+    # exact: 2^53+1 survives; the null key matches nothing
+    assert _ids(S.read_snapshot(spark, path)) == [7, nbr]
+
+
+def test_local_join_width_mismatch_falls_back_to_distributed(spark, tmp_path, monkeypatch):
+    """Same-col-set entries written with different physical widths make
+    pyarrow's concat raise; the read must fall back to the per-entry
+    distributed plan for that col-set, not crash."""
+    import pyarrow as pa
+
+    path = str(tmp_path / "widths")
+    S.append(_batch(spark, 1, range(6)), path)
+    S.delete_by_keys(spark, path, _keys(spark, [1]))
+    S.delete_by_keys(spark, path, _keys(spark, [4]))
+    # two single-col entries would ride the inline filter — push them to
+    # the local-join plan and sabotage concat to hit the fallback
+    monkeypatch.setattr(S, "_EQ_INLINE_MAX_KEYS", 0)
+    real_concat = pa.concat_tables
+
+    def boom(tables, *a, **k):
+        raise pa.lib.ArrowInvalid("simulated width mismatch")
+
+    monkeypatch.setattr(pa, "concat_tables", boom)
+    try:
+        assert _ids(S.read_snapshot(spark, path)) == [0, 2, 3, 5]
+    finally:
+        monkeypatch.setattr(pa, "concat_tables", real_concat)

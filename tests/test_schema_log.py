@@ -290,3 +290,63 @@ def test_table_history_and_timestamp_time_travel(spark, tmp_path):
     S.append(_batch(spark, [9]), other)
     with pytest.raises(ValueError, match="no version"):
         S.version_as_of(other, 0.0)
+
+
+def test_nested_nullability_metadata_differences_merge_not_raise(spark, tmp_path):
+    """``F.array(lits)`` gives containsNull=false where a parquet
+    read-back of the same data gives true; field metadata can likewise
+    differ between logically-identical frames. The merge unions
+    nullability at every depth (StructType.merge semantics) instead of
+    raw-dict-equality-raising on a legitimate append (r13 advice)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "nested")
+    base = spark.range(3).select(
+        F.timestamp_seconds(F.lit(1704067200)).alias("ts"),
+        "id",
+        F.array(F.lit(1.0), F.lit(2.0)).alias("vec"),
+    )
+    S.append(base, path)  # containsNull=false
+    assert not S.manifest(path, 0)["schema"]["fields"][2]["type"]["containsNull"]
+    back = S.read_snapshot(spark, path).select("ts", "id", "vec")
+    S.append(back, path)  # read-back: containsNull=true — must merge
+    sch = S.manifest(path, 1)["schema"]
+    assert sch["fields"][2]["type"]["containsNull"]  # unioned
+    got = S.read_snapshot(spark, path)
+    assert got.count() == 6 and got.schema["vec"].dataType.elementType.typeName() == "double"
+
+
+def test_nested_struct_field_add_merges_and_nullfills(spark, tmp_path):
+    """Adding a field INSIDE a struct column is an evolution the
+    explicit-schema read honors (schema clipping null-fills it for
+    older files) — so the merge accepts it like a top-level ADD."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "structadd")
+    ts = F.timestamp_seconds(F.lit(1704067200)).alias("ts")
+    S.append(
+        spark.range(2).select(ts, "id", F.struct(F.lit("a").alias("x")).alias("s")),
+        path,
+    )
+    S.append(
+        spark.range(2, 4).select(
+            ts, "id", F.struct(F.lit("b").alias("x"), F.lit(7).alias("y")).alias("s")
+        ),
+        path,
+    )
+    names = [f["name"] for f in S.manifest(path, 1)["schema"]["fields"][2]["type"]["fields"]]
+    assert names == ["x", "y"]
+    rows = {r.id: r.s.asDict() for r in S.read_snapshot(spark, path).collect()}
+    assert rows[0] == {"x": "a", "y": None} and rows[3] == {"x": "b", "y": 7}
+
+
+def test_primitive_type_change_still_fails_the_commit(spark, tmp_path):
+    """The recursive merge keeps the hard gate: a genuine primitive type
+    change (incl. one buried inside an array) fails the COMMIT."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "typechange")
+    ts = F.timestamp_seconds(F.lit(1704067200)).alias("ts")
+    S.append(spark.range(2).select(ts, "id", F.array(F.lit(1.0)).alias("v")), path)
+    with pytest.raises(ValueError, match="schema evolution"):
+        S.append(spark.range(2).select(ts, "id", F.array(F.lit("s")).alias("v")), path)
