@@ -295,6 +295,28 @@ _MODULES = (
 #                                           key-scoped swaps, and the
 #                                           broadcast-dim enrichment join,
 #                                           against a join+OHLCV oracle)
+#
+# Round-14 rotation (round-13 verdict item #1): the backfill tier —
+# atomic partition overwrite (snapshots.overwrite_months, the Delta
+# replaceWhere pattern) scoped into the MV refresh by file-level CDC —
+# goes under the driver hash:
+#   mv_scoped_erasure_replay -> mv_backfill_replay
+#                                          (the erasure replay's machinery
+#                                           — log ingest, eq-delete, CDC,
+#                                           group-scoped refresh, merge-on-
+#                                           read — is ALSO exercised under
+#                                           the hash by the declared
+#                                           mv_enriched_replay (fact-
+#                                           erasure leg) and stays pytest-
+#                                           parity-gated in the library +
+#                                           bench. The backfill replay adds
+#                                           what NO declared entry covered:
+#                                           the overwrite commit's paired-
+#                                           txn conflict rules, file-level
+#                                           CDC over a rewritten range, and
+#                                           the fraction dispatch choosing
+#                                           rebuild-vs-scoped, against a
+#                                           corrected-data OHLCV oracle)
 _DECLARED = (
     # reference §2.10 public query surface (api/server.py:57-200)
     "ev_count",
@@ -366,13 +388,14 @@ _DECLARED = (
     # distribution-level data selection (DSIR importance weights — r11
     # rotation; select/mix variants stay pytest-gated library)
     "corpus_dsir_weights",
-    # lakehouse tier under the hash (r12/r13 rotations — see notes above
-    # _DECLARED): log ingest -> MV -> eq-delete erasure -> group-scoped
-    # refresh -> merge-on-read read, oracle = batch OHLCV over survivors;
-    # and the enriched fact⋈dim rollup MV driven through a dim update and
-    # a fact erasure, oracle = batch join+OHLCV over survivors
-    "mv_scoped_erasure_replay",
+    # lakehouse tier under the hash (r13/r14 rotations — see notes above
+    # _DECLARED): the enriched fact⋈dim rollup MV driven through a dim
+    # update and a fact erasure (log ingest, eq-delete, CDC, key-scoped
+    # swaps, merge-on-read), oracle = batch join+OHLCV over survivors;
+    # and the backfill pipeline (atomic month overwrite -> file-level CDC
+    # -> refresh dispatch), oracle = batch OHLCV over the corrected data
     "mv_enriched_replay",
+    "mv_backfill_replay",
 )
 
 assert len(_DECLARED) == 50, len(_DECLARED)
