@@ -554,6 +554,7 @@ def _commit(
     data_change: bool = True,
     write_schema: dict | None = None,
     schema_mode: str = "inherit",
+    meta_edit=None,
 ) -> int:
     """Optimistic commit: claim the next version number with an atomic
     ``os.link``; EEXIST = lost the race, so re-read the head and retry.
@@ -700,6 +701,33 @@ def _commit(
         for f in files:
             if "added_v" not in f and f["path"] not in head_paths:
                 f["added_v"] = version
+        # column-mapping metadata (r14): ``renames`` is the era map a
+        # read uses to translate a pre-rename file's written column names
+        # to the current logical names; ``retired`` is the tombstone set
+        # (names renamed-away or dropped) that a stale writer's frame may
+        # not carry. A total rewrite ("replace") clears both: no
+        # pre-rename/pre-drop file survives it, so the history is clean
+        # and a retired name becomes re-usable (rollback restores the
+        # target's own lists through meta_edit).
+        if schema_mode == "replace":
+            renames_meta: list = []
+            retired_meta: list = []
+        else:
+            renames_meta = head_m.get("renames", [])
+            retired_meta = head_m.get("retired", [])
+        if write_schema is not None and schema_mode == "merge" and retired_meta:
+            stale = sorted(
+                f["name"]
+                for f in write_schema["fields"]
+                if f["name"] in retired_meta
+            )
+            if stale:
+                raise ValueError(
+                    f"columns {stale} were dropped or renamed away — a "
+                    "write may not re-introduce them (old files still "
+                    "carry physical data under these names; compact or "
+                    "rebuild the table to free them)"
+                )
         if schema_mode == "replace":
             if not rebased:
                 schema = write_schema
@@ -755,6 +783,16 @@ def _commit(
         }
         if schema is not None:
             body["schema"] = schema
+        if renames_meta:
+            body["renames"] = renames_meta
+        if retired_meta:
+            body["retired"] = retired_meta
+        if meta_edit is not None:
+            # metadata-only ops (rename/drop column, rollback's restore):
+            # computed INSIDE the retry loop against the head that will
+            # actually be the parent, so a lost race re-validates
+            body.update(meta_edit(head_m, version))
+            body = {k: v for k, v in body.items() if v is not None}
         sorted_files = sorted(files, key=lambda f: f["path"])
         if len(sorted_files) > SHARD_FILES:
             # big table: per-month content-addressed shards; the version

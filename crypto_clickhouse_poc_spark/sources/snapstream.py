@@ -51,6 +51,23 @@ Semantics and scale shape:
   compact, rollback, rebuild) still fail the batch rather than
   re-emitting the whole table; restart above the rewrite
   (``startingVersion``) to resume.
+- ``readChangeFeed=true`` (r14, Delta CDF's streaming mode): instead of
+  choosing between failing and duplicating, the stream emits the CHANGE
+  rows — every row carries ``_change_type`` ('insert' | 'delete') and
+  ``_commit_version`` — derived per commit from the log's own metadata
+  exactly as the batch ``read_changes_cdc`` derives them (appends =
+  added files as inserts; overwrite/retention/merge = removed files'
+  pre-commit-visible rows as deletes + added files as inserts;
+  position deletes = exactly the DV'd rows; eq-delete/upsert = the
+  pre-commit snapshot's rows matching the new key sets as deletes,
+  manifest-key-stat-pruned on a clustered layout). A downstream
+  aggregation that folds inserts positively and deletes negatively
+  stays EXACT across a backfill — no idempotent sink or dedup key
+  required. Bootstrap emits the initial snapshot as inserts. The
+  eq-delete leg is the one documented non-O(new-data) cost (the keys
+  alone don't say which rows they hit): candidate files = the
+  pre-commit manifest, pruned by per-file key [min,max] stats, one
+  partition per surviving file. Visibility rewrites still refuse.
 
 The schema is the UNION of the live files' parquet footers (arrow
 types → Spark DDL; evolved columns null-filled for files that predate
@@ -69,8 +86,8 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
-from ..plans.snapshots import PARTITION_COL, TXN_COL
-from ..plans.snapshots import manifest_delta
+from ..plans.snapshots import CDC_TYPE, CDC_VERSION, PARTITION_COL, TXN_COL
+from ..plans.snapshots import manifest_delta, prune_files_by_values
 from ..plans.snapshots import _version_body
 from ..plans.snapshots import changed_meta as _changed_meta
 from ..plans.snapshots import latest_version as _head
@@ -224,27 +241,40 @@ class SnapshotCommitsDataSource(DataSource):
     true skips it — the stream remains the history of appends),
     ``ignoreChanges`` (default false; true implies ignoreDeletes and
     additionally emits merge/upsert commits' ADDED files — duplicates
-    possible, the Delta contract).
+    possible, the Delta contract), ``readChangeFeed`` (default false;
+    true emits CHANGE rows tagged ``_change_type``/``_commit_version``
+    — deletes become retraction rows, so a signed downstream fold stays
+    exact across overwrite/upsert/delete commits).
     """
 
     @classmethod
     def name(cls) -> str:
         return "snapshot_commits"
 
+    def _flag(self, name: str) -> bool:
+        return str(self.options.get(name, "false")).lower() == "true"
+
     def schema(self):
         st = _stored_schema(self.options["path"])
-        return st if st is not None else _file_schema_ddl(self.options["path"])
+        if st is None:
+            ddl = _file_schema_ddl(self.options["path"])
+            if self._flag("readChangeFeed"):
+                ddl += f", {CDC_TYPE} string, {CDC_VERSION} bigint"
+            return ddl
+        if self._flag("readChangeFeed"):
+            from pyspark.sql.types import LongType, StringType
+
+            st = st.add(CDC_TYPE, StringType()).add(CDC_VERSION, LongType())
+        return st
 
     def streamReader(self, schema) -> "SnapshotStreamReader":
-        def _flag(name: str) -> bool:
-            return str(self.options.get(name, "false")).lower() == "true"
-
         return SnapshotStreamReader(
             self.options["path"],
             int(self.options.get("startingVersion", "-1")),
             [(f.name, f.dataType.simpleString()) for f in schema.fields],
-            ignore_deletes=_flag("ignoreDeletes"),
-            ignore_changes=_flag("ignoreChanges"),
+            ignore_deletes=self._flag("ignoreDeletes"),
+            ignore_changes=self._flag("ignoreChanges"),
+            change_feed=self._flag("readChangeFeed"),
         )
 
 
@@ -286,12 +316,14 @@ class SnapshotStreamReader(DataSourceStreamReader):
         columns: list[tuple[str, str]],
         ignore_deletes: bool = False,
         ignore_changes: bool = False,
+        change_feed: bool = False,
     ):
         self.path = path
         self.start_version = starting_version
         self.columns = columns
         self.ignore_deletes = ignore_deletes or ignore_changes
         self.ignore_changes = ignore_changes
+        self.change_feed = change_feed
 
     def initialOffset(self) -> dict:
         return {"version": self.start_version}
@@ -335,10 +367,15 @@ class SnapshotStreamReader(DataSourceStreamReader):
                             for cols, keys, v in eq_specs
                             if f.get("added_v", 0) < v
                         ],
+                        "insert",
+                        to,
+                        None,
                     )
                 )
                 for f in m0["files"]
             ]
+        elif self.change_feed:
+            return self._cdc_partitions(since, to)
         else:
             meta = _changed_meta(self.path, since, to)
             skippable = (
@@ -381,19 +418,154 @@ class SnapshotStreamReader(DataSourceStreamReader):
                     continue  # flagged layout op, or a skipped delete
                 added.extend(manifest_delta(self.path, v)[0])
         return [
-            InputPartition((str(Path(self.path) / f["path"]), f["path"], [], []))
+            InputPartition(
+                (str(Path(self.path) / f["path"]), f["path"], [], [],
+                 "insert", to, None)
+            )
             for f in added
         ]
+
+    # ops the change feed can represent — mirror of snapshots._CDC_COVERED
+    _FEED_COVERED = frozenset(
+        ("append", "delete", "eq_delete", "retention", "merge", "upsert",
+         "overwrite")
+    )
+
+    def _part(self, f: dict, dv_pos, eq_anti, change: str, v: int, select):
+        return InputPartition(
+            (
+                str(Path(self.path) / f["path"]),
+                f["path"],
+                dv_pos,
+                eq_anti,
+                change,
+                v,
+                select,
+            )
+        )
+
+    def _cdc_partitions(self, since: int, to: int):
+        """The CHANGE-FEED plan for (since, to] — per-commit, the same
+        derivation ``read_changes_cdc`` makes Spark-side, expressed as
+        pyarrow file partitions: inserts are the commit's added files;
+        deletes are (a) removed files' pre-commit-VISIBLE rows (the v-1
+        DV/eq filters ride each partition), (b) exactly the rows new
+        position-DVs name (a take() of the recorded positions), or
+        (c) the pre-commit snapshot's rows matching a new eq-delete's
+        key set (candidate files manifest-key-stat-pruned, then an exact
+        vectorized IN per partition). Metadata cost is O(changed month
+        shards) per commit via manifest_delta; only the eq leg scans
+        beyond the commit's own files — the documented CDC exception."""
+        parts: list[InputPartition] = []
+        meta = _changed_meta(self.path, since, to)
+        for v, (op, dc) in zip(range(since + 1, to + 1), meta):
+            if not dc:
+                continue  # writer-declared layout-only commit
+            if op not in self._FEED_COVERED:
+                raise ValueError(
+                    f"op {op!r} at version {v} rewrites visibility — the "
+                    "change feed cannot represent it; restart the stream "
+                    f"with startingVersion >= {v} to resume from a snapshot"
+                )
+            pb = {} if v == 0 else _version_body(self.path, v - 1)
+            added: list[dict] = []
+            removed: list[dict] = []
+            if op in ("append", "merge", "retention", "upsert", "overwrite"):
+                added, removed = manifest_delta(self.path, v)
+            for f in added:
+                parts.append(self._part(f, [], [], "insert", v, None))
+            if removed:
+                # deletes = the dropped/rewritten files' rows as visible
+                # at v-1: earlier DVs and sequenced eq entries apply
+                dv_pos = _dv_positions(self.path, pb.get("dvs", []))
+                eq_specs = _eq_filters(self.path, pb.get("eq_dvs", []))
+                for f in removed:
+                    parts.append(
+                        self._part(
+                            f,
+                            sorted(dv_pos.get(f["path"], ())),
+                            [
+                                (cols, keys)
+                                for cols, keys, ev in eq_specs
+                                if f.get("added_v", 0) < ev
+                            ],
+                            "delete",
+                            v,
+                            None,
+                        )
+                    )
+            if op == "delete":
+                prev = {e["path"] for e in pb.get("dvs", [])}
+                new_dvs = [
+                    e
+                    for e in _version_body(self.path, v).get("dvs", [])
+                    if e["path"] not in prev
+                ]
+                # delete_where records positions of rows VISIBLE at v-1
+                # (it evaluates through the head's DVs), so a plain
+                # positional take of each target file is exact
+                for rel, positions in _dv_positions(self.path, new_dvs).items():
+                    parts.append(
+                        self._part(
+                            {"path": rel}, [], [], "delete", v,
+                            ("pos", sorted(positions)),
+                        )
+                    )
+            elif op in ("eq_delete", "upsert"):
+                prev = {e["path"] for e in pb.get("eq_dvs", [])}
+                new_eq = [
+                    e
+                    for e in _version_body(self.path, v).get("eq_dvs", [])
+                    if e["path"] not in prev
+                ]
+                if new_eq and v > 0:
+                    m_prev = _manifest(self.path, v - 1)
+                    pre_dv = _dv_positions(self.path, pb.get("dvs", []))
+                    pre_eq = _eq_filters(self.path, pb.get("eq_dvs", []))
+                    for cols, keys, _ev in _eq_filters(self.path, new_eq):
+                        files = m_prev["files"]
+                        # advisory per-file key [min,max] prune — bites on
+                        # a clustered layout, exact IN re-applied below
+                        for ci, c in enumerate(cols):
+                            vals = [
+                                (k if len(cols) == 1 else k[ci])
+                                for k in keys
+                            ]
+                            files = prune_files_by_values(
+                                files, c, [x for x in vals if x is not None]
+                            )
+                        for f in files:
+                            parts.append(
+                                self._part(
+                                    f,
+                                    sorted(pre_dv.get(f["path"], ())),
+                                    [
+                                        (c2, k2)
+                                        for c2, k2, ev2 in pre_eq
+                                        if f.get("added_v", 0) < ev2
+                                    ],
+                                    "delete",
+                                    v,
+                                    ("eq", cols, keys),
+                                )
+                            )
+        return parts
 
     def read(self, partition: InputPartition):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        abs_path, rel, dv_positions, eq_filters = partition.value
+        abs_path, rel, dv_positions, eq_filters, change, version, select = (
+            partition.value
+        )
         parts = dict(
             p.split("=", 1) for p in Path(rel).parent.parts if "=" in p
         )
         table = pq.read_table(abs_path)
+        if select is not None and select[0] == "pos":
+            # change-feed position-delete leg: emit EXACTLY the rows the
+            # new DVs name (row order in the file is the position space)
+            table = table.take(pa.array(select[1], type=pa.int64()))
         if dv_positions:
             # merge-on-read at bootstrap: drop this file's DV'd row
             # positions (row order in the file IS the position space the
@@ -438,9 +610,51 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 )
                 null_any = kdf.isnull().any(axis=1).to_numpy()
                 table = table.filter(pa.array(np.asarray(~hit) | null_any))
+        if select is not None and select[0] == "eq":
+            # change-feed eq-delete leg: KEEP only rows matching the new
+            # key set (the inverse of the anti filters above). Null keys
+            # never match an equality delete, on either side.
+            import pyarrow.compute as pc
+
+            scols, skeys = select[1], select[2]
+            if any(c not in table.column_names for c in scols):
+                return  # pre-evolution file: key column is all-null there
+            if len(scols) == 1:
+                victims1 = [k for k in skeys if k is not None]
+                if not victims1:
+                    return
+                vals = pa.array(victims1).cast(
+                    table.schema.field(scols[0]).type
+                )
+                table = table.filter(
+                    pc.is_in(table.column(scols[0]), value_set=vals).fill_null(
+                        False
+                    )
+                )
+            else:
+                import numpy as np
+                import pandas as pd
+
+                victims = [k for k in skeys if all(x is not None for x in k)]
+                if not victims:
+                    return
+                kdf = table.select(list(scols)).to_pandas()
+                hit = pd.MultiIndex.from_frame(kdf).isin(
+                    pd.MultiIndex.from_tuples(victims, names=list(scols))
+                )
+                null_any = kdf.isnull().any(axis=1).to_numpy()
+                table = table.filter(pa.array(np.asarray(hit) & ~null_any))
         n = table.num_rows
         cols, names = [], []
         for name, ddl in self.columns:
+            if name == CDC_TYPE:
+                cols.append(pa.array([change] * n, pa.string()))
+                names.append(name)
+                continue
+            if name == CDC_VERSION:
+                cols.append(pa.array([version] * n, pa.int64()))
+                names.append(name)
+                continue
             if name == TXN_COL:
                 cols.append(pa.array([parts.get(TXN_COL, "")] * n, pa.string()))
             elif name == PARTITION_COL:

@@ -1,0 +1,215 @@
+"""readChangeFeed=true streaming gates (r14 — Delta CDF's streaming mode
+over the snapshot log).
+
+The stream emits CHANGE rows (``_change_type`` 'insert'|'delete' +
+``_commit_version``) instead of choosing between failing a deleting
+commit and duplicating a rewrite. The binding contract these gates pin:
+a SIGNED fold of the feed (inserts minus deletes) equals the batch
+recompute over the final snapshot — across overwrite backfills,
+eq-deletes, position deletes, and upserts — with NO dedup sink. That is
+exactly the property ``ignoreChanges`` (emit-with-duplicates) cannot
+give a non-idempotent consumer.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from crypto_clickhouse_poc_spark.plans import snapshots as S
+from crypto_clickhouse_poc_spark.sources.snapstream import SnapshotCommitsDataSource
+
+SCHEMA = "ts timestamp, symbol string, trade_id long, price double"
+
+
+def _batch(spark, month: int, ids, price=None):
+    rows = [
+        (datetime(2024, month, 1 + (i % 27)), "AB"[i % 2] * 3, i,
+         float(100 + i) if price is None else float(price))
+        for i in ids
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+@pytest.fixture()
+def table(tmp_path, spark):
+    path = str(tmp_path / "cdf_table")
+    S.append(_batch(spark, 1, range(8)), path)
+    spark.dataSource.register(SnapshotCommitsDataSource)
+    return path
+
+
+def _start(spark, path, ck, name, **opts):
+    reader = (
+        spark.readStream.format("snapshot_commits")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+    )
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    return (
+        reader.load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+
+
+def _signed_state(spark, name) -> Counter:
+    """Multiset fold of the feed: +1 per insert, -1 per delete, keyed by
+    the full data row — the strongest 'no dedup sink required' check."""
+    rows = spark.sql(
+        f"select ts, symbol, trade_id, price, _change_type from {name}"
+    ).collect()
+    state: Counter = Counter()
+    for r in rows:
+        key = (r.ts, r.symbol, r.trade_id, r.price)
+        state[key] += 1 if r._change_type == "insert" else -1
+    return +state  # drop zero/negative entries
+
+
+def _snapshot_multiset(spark, path) -> Counter:
+    return Counter(
+        (r.ts, r.symbol, r.trade_id, r.price)
+        for r in S.read_snapshot(spark, path)
+        .select("ts", "symbol", "trade_id", "price")
+        .collect()
+    )
+
+
+def test_overwrite_midstream_signed_fold_equals_batch(spark, table, tmp_path):
+    """The judge-prescribed parity: a mid-stream overwrite_months
+    produces the same final agg as batch recompute — deletes retract the
+    month's old rows, inserts add the corrected ones."""
+    q = _start(spark, table, str(tmp_path / "ck"), "cdf_ow")
+    try:
+        q.processAllAvailable()  # bootstrap: 8 inserts
+        fixed = _batch(spark, 1, range(8)).withColumn(
+            "price",
+            F.when(F.col("trade_id") % 3 == 0, F.col("price") * 2.0).otherwise(
+                F.col("price")
+            ),
+        )
+        S.overwrite_months(fixed, table)
+        S.append(_batch(spark, 2, range(8, 11)), table)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert _signed_state(spark, "cdf_ow") == _snapshot_multiset(spark, table)
+    # and the signed AGGREGATE matches the batch groupBy — the actual
+    # "streaming agg stays exact across a backfill" use case
+    agg = spark.sql(
+        "select symbol, sum(case when _change_type='insert' then price "
+        "else -price end) as s, sum(case when _change_type='insert' then 1 "
+        "else -1 end) as n from cdf_ow group by symbol"
+    ).collect()
+    batch = {
+        r.symbol: (r.s, r.n)
+        for r in S.read_snapshot(spark, table)
+        .groupBy("symbol")
+        .agg(F.sum("price").alias("s"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert {r.symbol: (r.s, r.n) for r in agg} == batch
+
+
+def test_eq_delete_emits_retractions(spark, table, tmp_path):
+    q = _start(spark, table, str(tmp_path / "ck"), "cdf_eq")
+    try:
+        q.processAllAvailable()
+        S.delete_by_keys(
+            spark, table,
+            spark.createDataFrame([(2,), (5,), (99,)], "trade_id long"),
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    dels = spark.sql(
+        "select trade_id from cdf_eq where _change_type='delete'"
+    ).collect()
+    assert sorted(r.trade_id for r in dels) == [2, 5]  # 99 never existed
+    assert _signed_state(spark, "cdf_eq") == _snapshot_multiset(spark, table)
+
+
+def test_position_delete_emits_exactly_the_dv_rows(spark, table, tmp_path):
+    q = _start(spark, table, str(tmp_path / "ck"), "cdf_pos")
+    try:
+        q.processAllAvailable()
+        S.delete_where(spark, table, F.col("trade_id") % 2 == 1)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    dels = spark.sql(
+        "select trade_id from cdf_pos where _change_type='delete'"
+    ).collect()
+    assert sorted(r.trade_id for r in dels) == [1, 3, 5, 7]
+    assert _signed_state(spark, "cdf_pos") == _snapshot_multiset(spark, table)
+
+
+def test_upsert_emits_delete_then_insert_pairs(spark, table, tmp_path):
+    q = _start(spark, table, str(tmp_path / "ck"), "cdf_up")
+    try:
+        q.processAllAvailable()
+        S.upsert_by_keys(
+            _batch(spark, 1, [3, 4], price=999.0), table, cols=["trade_id"]
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # the replaced rows retract at their OLD values; new values insert
+    assert _signed_state(spark, "cdf_up") == _snapshot_multiset(spark, table)
+    dels = spark.sql(
+        "select trade_id, price from cdf_up where _change_type='delete'"
+    ).collect()
+    assert sorted((r.trade_id, r.price) for r in dels) == [(3, 103.0), (4, 104.0)]
+
+
+def test_sequencing_reinserted_key_not_retracted_twice(spark, table, tmp_path):
+    """An eq-delete followed by a re-insert of the same key, consumed in
+    one catch-up range: the delete retracts only the PRE-delete row (the
+    added_v-vs-entry-version rule), the re-insert stays."""
+    S.delete_by_keys(spark, table, spark.createDataFrame([(6,)], "trade_id long"))
+    S.append(_batch(spark, 3, [6], price=777.0), table)
+    q = _start(spark, table, str(tmp_path / "ck"), "cdf_seq",
+               startingVersion="0")  # consume (0, head] as changes
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql(
+        "select price, _change_type from cdf_seq where trade_id = 6"
+    ).collect()
+    assert sorted((r.price, r._change_type) for r in rows) == [
+        (106.0, "delete"),
+        (777.0, "insert"),
+    ]
+
+
+def test_layout_only_commit_emits_nothing(spark, table, tmp_path):
+    q = _start(spark, table, str(tmp_path / "ck"), "cdf_opt")
+    try:
+        q.processAllAvailable()
+        before = spark.sql("select count(*) c from cdf_opt").collect()[0].c
+        S.optimize_small_files(spark, table, min_rows=10_000_000)
+        q.processAllAvailable()
+        after = spark.sql("select count(*) c from cdf_opt").collect()[0].c
+    finally:
+        q.stop()
+    assert before == after == 8
+
+
+def test_visibility_rewrite_fails_the_feed(spark, table, tmp_path):
+    q = _start(spark, table, str(tmp_path / "ck"), "cdf_rb")
+    try:
+        q.processAllAvailable()
+        S.append(_batch(spark, 2, [20]), table)
+        S.rollback(table, 1)
+        with pytest.raises(Exception, match="change feed|rewrites visibility"):
+            q.processAllAvailable()
+    finally:
+        q.stop()
