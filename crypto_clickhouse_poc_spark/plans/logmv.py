@@ -60,6 +60,27 @@ from pyspark.sql import functions as F
 from ..streaming.bars import partial_bars, reaggregate_bars
 from . import snapshots as S
 
+_warned_scope_key: set[str] = set()
+
+
+def _warn_scope_key_once(base_path: str, cols: list[str]) -> None:
+    """One warning per base table per process: the manifest carries key
+    stats for a group column but the refresh was not told to use them."""
+    if base_path in _warned_scope_key:
+        return
+    _warned_scope_key.add(base_path)
+    import warnings
+
+    warnings.warn(
+        f"base table {base_path!r} is key-clustered (manifest has "
+        f"[min,max] stats for group column(s) {cols}) but the scoped "
+        "refresh was not passed scope_key_col — it will scan the "
+        "affected groups' full time-slice width. Pass "
+        f"scope_key_col={cols[0]!r} if partial_fn passes that column "
+        "through unchanged to enable file-level pruning.",
+        stacklevel=3,
+    )
+
 # fall back to rebuild when a delete touches more groups than this: the
 # affected-key set is driver-collected (for the scope bounds and the
 # eq-delete key file) and broadcast into the scoped semi-joins, and past
@@ -503,6 +524,19 @@ def _refresh_scoped(
         extra_prune = lambda fs: S.prune_files_by_values(  # noqa: E731
             fs, scope_key_col, key_vals
         )
+    elif scope_key_col is None:
+        # discoverability (r13 verdict wrong #4): the caller clustered
+        # the base (its manifest carries key [min,max] stats for a group
+        # column) but didn't opt into the key prune — the scoped refresh
+        # will scan the groups' full time-slice width. Say so ONCE; never
+        # prune un-opted (logmv can't prove partial_fn passes the column
+        # through unchanged, which is the opt-in's contract).
+        stats_cols = set().union(
+            *(f.get("cols", {}).keys() for f in S.manifest(base_path, head)["files"])
+        )
+        hinted = [c for c in group_cols[1:] if c in stats_cols]
+        if hinted:
+            _warn_scope_key_once(base_path, hinted)
     base = S.read_snapshot(
         spark,
         base_path,

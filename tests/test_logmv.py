@@ -584,3 +584,58 @@ def test_scoped_refresh_over_group_fraction_falls_back_to_rebuild(spark, paths):
     assert _rows(M.read_rollup(spark, mv)) == _rows(
         bars_batch(S.read_snapshot(spark, base))
     )
+
+
+def test_clustered_base_without_scope_key_col_warns_once(spark, paths):
+    """r13 verdict wrong #4: the caller clustered the base (manifest key
+    stats exist for the 'symbol' group column) but didn't pass
+    scope_key_col — the scoped refresh warns ONCE naming the knob, and
+    the prune never fires un-opted (the spy sees the full file set)."""
+    import warnings as W
+
+    base, mv = paths
+    M._warned_scope_key.discard(base)
+    S.append(_batch(spark, range(60)), base, cluster_cols=("symbol",), n_files=4)
+    M.refresh_rollup(spark, base, mv)
+    S.delete_where(spark, base, "trade_id = 7")  # forces the scoped path
+    pruned_calls = []
+    real = S.prune_files_by_values
+
+    def spy(files, col, vals):
+        pruned_calls.append(col)
+        return real(files, col, vals)
+
+    S.prune_files_by_values = spy
+    try:
+        with W.catch_warnings(record=True) as rec:
+            W.simplefilter("always")
+            M.refresh_rollup(spark, base, mv)
+        hits = [w for w in rec if "scope_key_col" in str(w.message)]
+        assert len(hits) == 1 and "'symbol'" in str(hits[0].message)
+        assert pruned_calls == []  # never prunes un-opted
+        # second scoped refresh: no repeat warning (once per table)
+        S.delete_where(spark, base, "trade_id = 8")
+        with W.catch_warnings(record=True) as rec2:
+            W.simplefilter("always")
+            M.refresh_rollup(spark, base, mv)
+        assert not [w for w in rec2 if "scope_key_col" in str(w.message)]
+    finally:
+        S.prune_files_by_values = real
+    # correctness unchanged either way
+    assert _rows(M.read_rollup(spark, mv)) == _rows(
+        bars_batch(S.read_snapshot(spark, base))
+    )
+
+
+def test_unclustered_base_without_scope_key_col_stays_silent(spark, paths):
+    import warnings as W
+
+    base, mv = paths
+    M._warned_scope_key.discard(base)
+    S.append(_batch(spark, range(60)), base)  # no cluster stats
+    M.refresh_rollup(spark, base, mv)
+    S.delete_where(spark, base, "trade_id = 7")
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        M.refresh_rollup(spark, base, mv)
+    assert not [w for w in rec if "scope_key_col" in str(w.message)]
