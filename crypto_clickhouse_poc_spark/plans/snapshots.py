@@ -1813,7 +1813,7 @@ def _inline_eq_filter(tagged: DataFrame, m: dict, path: str, eq: list[dict]):
     import pyarrow.parquet as pq
 
     dtypes = dict(tagged.dtypes)
-    key_sets = []
+    key_sets = []  # (key SQL expr string, [value SQL literals], entry v)
     for e in eq:
         col = e["cols"][0]
         fcol = e.get("fcols", e["cols"])[0]  # name as written in the key file
@@ -1821,40 +1821,67 @@ def _inline_eq_filter(tagged: DataFrame, m: dict, path: str, eq: list[dict]):
         if fcol != col:
             t = t.rename_columns([col])
         ftype = t.schema.field(col).type
+        qcol = "`" + col.replace("`", "``") + "`"
         if pa.types.is_timestamp(ftype):
             if dtypes.get(col) != "timestamp":
                 return None
             vals = [
-                v
+                str(v)
                 for v in t.column(col)
                 .cast(pa.timestamp("us", tz="UTC"))
                 .cast(pa.int64())
                 .to_pylist()
                 if v is not None
             ]
-            key_sets.append((F.unix_micros(F.col(col)), vals, int(e["v"])))
+            key_sets.append((f"unix_micros({qcol})", vals, int(e["v"])))
         elif pa.types.is_date(ftype):
             if dtypes.get(col) != "date":
                 return None
             vals = [
-                v
+                str(v)
                 for v in t.column(col).cast(pa.int32()).to_pylist()
                 if v is not None
             ]
-            key_sets.append((F.unix_date(F.col(col)), vals, int(e["v"])))
+            key_sets.append((f"unix_date({qcol})", vals, int(e["v"])))
         else:
-            vals = [v for v in t.column(col).to_pylist() if v is not None]
-            key_sets.append((F.col(col), vals, int(e["v"])))
-    added_v = F.coalesce(
-        F.element_at(_added_v_map(m["files"]), tagged[_DV_FILE]), F.lit(0)
+            raw = [v for v in t.column(col).to_pylist() if v is not None]
+            vals = []
+            for v in raw:
+                if isinstance(v, bool):
+                    vals.append("true" if v else "false")
+                elif isinstance(v, int):
+                    vals.append(f"{v}L")
+                elif isinstance(v, float):
+                    from ..functions.vectors import _dbl_sql
+
+                    vals.append(_dbl_sql(v))
+                elif isinstance(v, str):
+                    vals.append(_sql_str(v))
+                else:
+                    return None  # binary/decimal keys: the join path
+            key_sets.append((qcol, vals, int(e["v"])))
+    # the whole merge as ONE parsed row filter (r14 — the last per-value
+    # py4j site in the read path: Column.isin costs one round trip per
+    # key, ~0.55 ms each measured r13; one expr parse is flat in both
+    # key count and file count). Null semantics match the join path:
+    # a null key compares null -> the coalesce keeps the row.
+    entries = ",".join(
+        f"{_sql_str(f['path'])},{int(f.get('added_v', 0))}L"
+        for f in m["files"]
     )
-    keep = F.lit(True)
-    for key_expr, vals, v in key_sets:
-        if not vals:
-            continue
-        drop = key_expr.isin(vals) & (added_v < F.lit(v))
-        keep = keep & ~F.coalesce(drop, F.lit(False))
-    return tagged.where(keep)
+    added_sql = (
+        f"coalesce(element_at(map({entries}), `{_DV_FILE}`), 0L)"
+    )
+    drops = [
+        f"(({key_sql} IN ({','.join(vals)})) AND ({added_sql} < {v}L))"
+        for key_sql, vals, v in key_sets
+        if vals
+    ]
+    if not drops:
+        return tagged
+    return tagged.where(
+        F.expr(f"NOT coalesce({' OR '.join(drops)}, false)")
+    )
 
 
 def _write_local_eq_keys(

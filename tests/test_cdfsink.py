@@ -1,0 +1,137 @@
+"""Retraction-aware CDF rollup sink gates (streaming/cdfsink, r14).
+
+The invertible-aggregate half of the IVM story: a streaming sum/count
+rollup fed by the change feed stays EXACT across overwrite backfills,
+upserts and deletes — verified against the batch groupBy after every
+change, plus the exactly-once replay gate and the full-retraction
+(ghost-group) gate.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from crypto_clickhouse_poc_spark.plans import snapshots as S
+from crypto_clickhouse_poc_spark.streaming import cdfsink as C
+
+SCHEMA = "ts timestamp, symbol string, trade_id long, price double"
+
+
+def _batch(spark, month: int, ids, price=None):
+    rows = [
+        (datetime(2024, month, 1 + (i % 27)), "AB"[i % 2] * 3, i,
+         float(100 + i) if price is None else float(price))
+        for i in ids
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _expect(spark, base):
+    return sorted(
+        (r.symbol, r.price, r._n)
+        for r in S.read_snapshot(spark, base)
+        .groupBy("symbol")
+        .agg(F.sum("price").alias("price"), F.count("*").alias("_n"))
+        .collect()
+    )
+
+
+def _got(spark, mv):
+    return sorted(
+        (r.symbol, r.price, r._n)
+        for r in C.read_cdf_rollup(spark, mv, ["ts", "symbol"], ["price"])
+        .groupBy("symbol")
+        .agg(F.sum("price").alias("price"), F.sum("_n").alias("_n"))
+        .collect()
+    )
+
+
+def test_rollup_exact_across_backfill_upsert_and_deletes(spark, tmp_path):
+    base, mv = str(tmp_path / "base"), str(tmp_path / "mv")
+    S.append(_batch(spark, 1, range(10)), base)
+    q = C.start_cdf_sum_rollup(
+        spark, base, mv, str(tmp_path / "ck"), ["ts", "symbol"], ["price"]
+    )
+    try:
+        q.processAllAvailable()
+        assert _got(spark, mv) == _expect(spark, base)
+        # overwrite backfill: month 1 re-published with corrected prices
+        S.overwrite_months(_batch(spark, 1, range(10), price=7.0), base)
+        q.processAllAvailable()
+        assert _got(spark, mv) == _expect(spark, base)
+        # upsert two keys + eq-delete one + position-delete one
+        S.upsert_by_keys(_batch(spark, 1, [3], price=999.0), base, cols=["trade_id"])
+        S.delete_by_keys(spark, base, spark.createDataFrame([(4,)], "trade_id long"))
+        S.delete_where(spark, base, F.col("trade_id") == 5)
+        S.append(_batch(spark, 2, range(10, 13)), base)
+        q.processAllAvailable()
+        assert _got(spark, mv) == _expect(spark, base)
+    finally:
+        q.stop()
+
+
+def test_full_retraction_leaves_no_ghost_group(spark, tmp_path):
+    base, mv = str(tmp_path / "base"), str(tmp_path / "mv")
+    S.append(_batch(spark, 1, [0, 2, 4]), base)  # all symbol AAA
+    S.append(_batch(spark, 1, [1]), base)  # one BBB
+    q = C.start_cdf_sum_rollup(
+        spark, base, mv, str(tmp_path / "ck"), ["ts", "symbol"], ["price"]
+    )
+    try:
+        q.processAllAvailable()
+        S.delete_by_keys(
+            spark, base, spark.createDataFrame([(1,)], "trade_id long")
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = _got(spark, mv)
+    assert [s for s, _, _ in got] == ["AAA"]  # BBB fully retracted: gone
+    assert got == _expect(spark, base)
+
+
+def test_replayed_batch_is_a_metadata_noop(spark, tmp_path):
+    """foreachBatch is at-least-once; the (app, batchId) watermark makes
+    a replay commit nothing — re-running the SAME fold by hand leaves
+    the rollup table's head untouched."""
+    base, mv = str(tmp_path / "base"), str(tmp_path / "mv")
+    S.append(_batch(spark, 1, range(6)), base)
+    q = C.start_cdf_sum_rollup(
+        spark, base, mv, str(tmp_path / "ck"), ["ts", "symbol"], ["price"]
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    head = S.latest_version(mv)
+    last = S.last_txn(mv, C.CDF_APP)
+    replay = (
+        _batch(spark, 1, range(6))
+        .groupBy("ts", "symbol")
+        .agg(F.sum("price").alias("price"), F.count("*").alias("_n"))
+    )
+    assert (
+        S.append(replay, mv, ts_col="ts", txn_app=C.CDF_APP, txn_id=last)
+        == head
+    )
+    assert S.latest_version(mv) == head
+
+
+def test_restart_resumes_from_the_checkpoint_exactly_once(spark, tmp_path):
+    base, mv, ck = str(tmp_path / "base"), str(tmp_path / "mv"), str(tmp_path / "ck")
+    S.append(_batch(spark, 1, range(6)), base)
+    q = C.start_cdf_sum_rollup(spark, base, mv, ck, ["ts", "symbol"], ["price"])
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    S.overwrite_months(_batch(spark, 1, range(6), price=5.0), base)
+    q2 = C.start_cdf_sum_rollup(spark, base, mv, ck, ["ts", "symbol"], ["price"])
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert _got(spark, mv) == _expect(spark, base)
