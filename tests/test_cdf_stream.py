@@ -213,3 +213,41 @@ def test_visibility_rewrite_fails_the_feed(spark, table, tmp_path):
             q.processAllAvailable()
     finally:
         q.stop()
+
+
+def test_cdf_eq_delete_leg_prunes_clustered_files(spark, tmp_path):
+    """The feed's one non-O(new-data) leg (eq-delete candidate scan) is
+    manifest-key-stat-pruned on a clustered layout: the delete partitions
+    cover a strict SUBSET of the pre-commit manifest."""
+    from crypto_clickhouse_poc_spark.sources.snapstream import (
+        SnapshotStreamReader,
+    )
+
+    path = str(tmp_path / "clustered")
+    rows = [
+        (datetime(2024, 1, 2), f"S{i:03d}", i, float(i)) for i in range(256)
+    ]
+    S.append(
+        spark.createDataFrame(rows, SCHEMA), path,
+        cluster_cols=("symbol",), n_files=8,
+    )
+    n_files = len(S.manifest(path, 0)["files"])
+    assert n_files > 1
+    S.delete_by_keys(
+        spark, path, spark.createDataFrame([("S000",), ("S001",)], "symbol string")
+    )
+    reader = SnapshotStreamReader(
+        path, 0,
+        [("ts", "timestamp"), ("symbol", "string"), ("trade_id", "bigint"),
+         ("price", "double")],
+        change_feed=True,
+    )
+    parts = reader._cdc_partitions(0, 1)
+    dels = [p for p in parts if p.value[4] == "delete"]
+    assert 0 < len(dels) < n_files  # strict subset of the manifest
+    # and the selected rows are exactly the victims
+    victims = []
+    for p in dels:
+        for b in reader.read(p):
+            victims += b.column("symbol").to_pylist()
+    assert sorted(victims) == ["S000", "S001"]
