@@ -787,6 +787,12 @@ def _commit(
             body["renames"] = renames_meta
         if retired_meta:
             body["retired"] = retired_meta
+        # CHECK constraints are table CONTRACTS: carried across every op
+        # incl. total rewrites (a compact's rows already satisfied them;
+        # a rebuild's frame was validated at its write) — rollback alone
+        # restores the target's set through meta_edit
+        if head_m.get("constraints"):
+            body["constraints"] = head_m["constraints"]
         if meta_edit is not None:
             # metadata-only ops (rename/drop column, rollback's restore):
             # computed INSIDE the retry loop against the head that will
@@ -1126,6 +1132,7 @@ def append(
     can cluster while ad-hoc appends stay cheap."""
     if (txn_app is None) != (txn_id is None):
         raise ValueError("txn_app and txn_id must be provided together")
+    _enforce_constraints(df, path)
     if txn_app is not None:
         seen = last_txn(path, txn_app)
         if seen is not None and txn_id <= seen:
@@ -2181,6 +2188,7 @@ def upsert_by_keys(
         raise FileNotFoundError(f"no snapshots at {path}")
     if (txn_app is None) != (txn_id is None):
         raise ValueError("txn_app and txn_id must be provided together")
+    _enforce_constraints(df, path)
     if txn_app is not None:
         seen = last_txn(path, txn_app)
         if seen is not None and txn_id <= seen:
@@ -2533,6 +2541,7 @@ def overwrite_months(
     ``append`` — a replayed backfill job is a detected no-op."""
     if (txn_app is None) != (txn_id is None):
         raise ValueError("txn_app and txn_id must be provided together")
+    _enforce_constraints(df, path)
     head = latest_version(path)
     if head is None:
         raise FileNotFoundError(
@@ -2674,6 +2683,8 @@ def rollback(path: str, to_version: int) -> int:
         meta_edit=lambda _hm, _v: {
             "renames": _version_body(path, to_version).get("renames") or None,
             "retired": _version_body(path, to_version).get("retired") or None,
+            "constraints": _version_body(path, to_version).get("constraints")
+            or None,
         },
     )
 
@@ -2707,6 +2718,13 @@ def rename_column(path: str, old: str, new: str) -> int:
             raise ValueError(f"no column {old!r} in {names}")
         if new in names:
             raise ValueError(f"column {new!r} already exists")
+        for cname, c in head_m.get("constraints", {}).items():
+            if old in c.get("cols", []):
+                raise ValueError(
+                    f"column {old!r} is referenced by CHECK constraint "
+                    f"{cname!r} ({c['expr']}) — drop the constraint "
+                    "first, rename, then re-add it on the new name"
+                )
         fields = [
             {**f, "name": new} if f["name"] == old else f
             for f in sch["fields"]
@@ -2736,6 +2754,114 @@ def rename_column(path: str, old: str, new: str) -> int:
 
     return _commit(
         path, lambda hf: hf, "rename_column", data_change=False,
+        meta_edit=edit,
+    )
+
+
+def _violation_cond(expr: str):
+    """SQL CHECK semantics: a row violates when the expression evaluates
+    to FALSE — NULL passes (the standard's unknown-is-satisfied rule,
+    Delta CHECK parity)."""
+    return ~F.coalesce(F.expr(expr), F.lit(True))
+
+
+def _enforce_constraints(df: DataFrame, path: str) -> None:
+    """Validate a write's frame against the head's CHECK constraints —
+    called by every row-adding writer BEFORE files are written. Zero
+    cost on constraint-free tables (one head-body JSON read); one
+    combined filter job otherwise, with a per-constraint re-check only
+    on failure to name the culprit. The add-vs-in-flight-write race is
+    the Delta one: a constraint added after a writer read the head does
+    not gate that writer's commit (the add itself validated all rows
+    visible to IT)."""
+    head = latest_version(path)
+    if head is None:
+        return
+    cons = _version_body(path, head).get("constraints", {})
+    if not cons:
+        return
+    any_bad = None
+    for c in cons.values():
+        v = _violation_cond(c["expr"])
+        any_bad = v if any_bad is None else (any_bad | v)
+    hit = df.where(any_bad).limit(1).collect()
+    if not hit:
+        return
+    row = hit[0].asDict()
+    # failure path only: one extra filter per constraint to NAME the
+    # culprit in the error (constraints are few by construction)
+    for name, c in cons.items():
+        if df.where(_violation_cond(c["expr"])).limit(1).count():
+            raise ValueError(
+                f"CHECK constraint {name!r} ({c['expr']}) violated by "
+                f"row {row}"
+            )
+    raise ValueError(f"CHECK constraint violated by row {row}")
+
+
+def _constraint_cols(df: DataFrame, expr: str) -> list[str]:
+    """The table columns a constraint expression references — derived by
+    probing the expression against single-column projections (analysis
+    errors mean the column is required). Conservative by construction:
+    used only to REFUSE rename/drop of referenced columns."""
+    out = []
+    for c in df.columns:
+        probe = df.drop(c)
+        try:
+            # analysis only, no job. Must be a PROJECT: Spark resolves a
+            # Filter's missing references against the child (the
+            # df.drop(c).where(c) leniency), which would hide the
+            # dependency — select() gets no such resolution.
+            probe.select(F.expr(expr)).schema
+        except Exception:
+            out.append(c)
+    return out
+
+
+def add_constraint(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT ... CHECK (Delta parity, r14): one
+    metadata commit recording {name: expr}; every subsequent row-adding
+    write validates its frame and FAILS the write on a violating row
+    (SQL CHECK semantics: NULL passes). The add itself first validates
+    every existing row — a constraint the current data violates is
+    refused, so readers can rely on it from its commit onward.
+    Constraints survive compaction (they are table contracts, not file
+    metadata); rollback restores the target version's set; columns a
+    constraint references refuse rename/drop while it exists."""
+    df = read_snapshot(spark, path)
+    bad = df.where(_violation_cond(expr)).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"cannot add CHECK constraint {name!r} ({expr}): existing "
+            f"row violates it: {bad[0].asDict()}"
+        )
+    cols = _constraint_cols(df.drop(TXN_COL, PARTITION_COL), expr)
+
+    def edit(head_m: dict, version: int) -> dict:
+        cons = dict(head_m.get("constraints", {}))
+        if name in cons:
+            raise ValueError(f"constraint {name!r} already exists")
+        cons[name] = {"expr": expr, "cols": cols}
+        return {"constraints": cons}
+
+    return _commit(
+        path, lambda hf: hf, "add_constraint", data_change=False,
+        meta_edit=edit,
+    )
+
+
+def drop_constraint(path: str, name: str) -> int:
+    def edit(head_m: dict, version: int) -> dict:
+        cons = dict(head_m.get("constraints", {}))
+        if name not in cons:
+            raise ValueError(f"no constraint {name!r}")
+        del cons[name]
+        return {"constraints": cons or None}
+
+    return _commit(
+        path, lambda hf: hf, "drop_constraint", data_change=False,
         meta_edit=edit,
     )
 
@@ -2771,6 +2897,12 @@ def drop_column(path: str, name: str) -> int:
                 raise ValueError(
                     f"column {name!r} keys live equality-delete entries "
                     "— compact_snapshot first to materialize them"
+                )
+        for cname, c in head_m.get("constraints", {}).items():
+            if name in c.get("cols", []):
+                raise ValueError(
+                    f"column {name!r} is referenced by CHECK constraint "
+                    f"{cname!r} ({c['expr']}) — drop the constraint first"
                 )
         return {
             "schema": {
@@ -3085,6 +3217,9 @@ def merge_into(
     of a matched key is updated/deleted, exactly Delta's behavior.
     """
     keys = list(keys)
+    # the source rows become table rows (whether inserted or rewritten
+    # into the merge output) — gate them like any other write
+    _enforce_constraints(source, path)
     read_v = latest_version(path)
     if read_v is None:
         raise FileNotFoundError(f"no snapshots at {path}")
