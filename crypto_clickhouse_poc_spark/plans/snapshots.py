@@ -2780,6 +2780,15 @@ def _enforce_constraints(df: DataFrame, path: str) -> None:
     cons = _version_body(path, head).get("constraints", {})
     if not cons:
         return
+    # a frame missing a constrained column writes NULLs for it (the
+    # evolution null-fill), and NULL satisfies CHECK — so constraints
+    # referencing absent columns are skipped EXACTLY, not crashed on
+    have = set(df.columns)
+    cons = {
+        n: c for n, c in cons.items() if set(c.get("cols", [])) <= have
+    }
+    if not cons:
+        return
     any_bad = None
     for c in cons.values():
         v = _violation_cond(c["expr"])

@@ -124,3 +124,13 @@ def test_multi_column_constraint_pins_both(spark, table):
         "id_vs_price"
     ]["cols"]
     assert set(cols) == {"price", "trade_id"}
+
+
+def test_frame_missing_the_constrained_column_passes_exactly(spark, table):
+    """Schema-evolution interplay: a write whose frame lacks the
+    constrained column null-fills it, and NULL satisfies CHECK — the
+    gate skips such constraints instead of crashing analysis."""
+    S.add_constraint(spark, table, "pos_price", "price > 0")
+    S.append(_batch(spark, 2, [9]).drop("price"), table)
+    got = {r.trade_id: r.price for r in S.read_snapshot(spark, table).collect()}
+    assert got[9] is None and len(got) == 7
