@@ -1202,7 +1202,7 @@ def read_changes(
         schema=_version_body(path, to).get("schema"),
         renames=_version_body(path, to).get("renames"),
     )
-    return df.drop(TXN_COL)
+    return df.drop(TXN_COL, _DV_FILE, _DV_POS)
 
 
 CDC_TYPE = "_change_type"
@@ -1336,7 +1336,7 @@ def read_changes_cdc(
 
     def _tag(df: DataFrame, kind: str, v: int) -> None:
         pieces.append(
-            df.drop(TXN_COL)
+            df.drop(TXN_COL, _DV_FILE, _DV_POS)
             .withColumn(CDC_TYPE, F.lit(kind))
             .withColumn(CDC_VERSION, F.lit(v))
         )
@@ -1604,6 +1604,23 @@ def _dv_file_expr():
     )
 
 
+def _file_expr_for(df: DataFrame):
+    """Each row's table-relative source-file path: the column the era
+    read materialized (a union of scans cannot resolve the `_metadata`
+    pseudo-column through Project/Union — found by the r14 model check),
+    else the pseudo-column expression directly over the scan."""
+    return df[_DV_FILE] if _DV_FILE in df.columns else _dv_file_expr()
+
+
+def _pos_expr_for(df: DataFrame):
+    """Each row's in-file position — same materialized-or-pseudo rule."""
+    return (
+        df[_DV_POS]
+        if _DV_POS in df.columns
+        else F.col("_metadata.row_index")
+    )
+
+
 def _apply_dvs(spark: SparkSession, df: DataFrame, m: dict, path: str) -> DataFrame:
     """Merge-on-read: anti-join the scan against the snapshot's deletion
     vectors. Two kinds, same seam:
@@ -1623,11 +1640,12 @@ def _apply_dvs(spark: SparkSession, df: DataFrame, m: dict, path: str) -> DataFr
     by a delete."""
     dvs, eq = m.get("dvs", []), m.get("eq_dvs", [])
     if not dvs and not eq:
-        return df
-    tagged = df.withColumn(_DV_FILE, _dv_file_expr())
+        # drop is a no-op unless the era read materialized them
+        return df.drop(_DV_FILE, _DV_POS)
+    tagged = df.withColumn(_DV_FILE, _file_expr_for(df))
     if dvs:
         dv = spark.read.parquet(*[str(Path(path) / e["path"]) for e in dvs])
-        tagged = tagged.withColumn(_DV_POS, F.col("_metadata.row_index"))
+        tagged = tagged.withColumn(_DV_POS, _pos_expr_for(tagged))
         cond = (tagged[_DV_FILE] == dv[_DV_FILE]) & (tagged[_DV_POS] == dv[_DV_POS])
         tagged = tagged.join(F.broadcast(dv), cond, "left_anti").drop(_DV_POS)
     if eq:
@@ -1636,7 +1654,7 @@ def _apply_dvs(spark: SparkSession, df: DataFrame, m: dict, path: str) -> DataFr
             tagged = inline
         else:
             tagged = _join_eq_filter(spark, tagged, m, path, eq)
-    return tagged.drop(_DV_FILE)
+    return tagged.drop(_DV_FILE, _DV_POS)
 
 
 # driver-side key-read bound for the LOCAL join plan: the scoped-swap
@@ -2035,11 +2053,13 @@ def delete_where(
     # delete_where followed an eq_delete — found by the r10 CDC model
     # check). Private aliases so they can't collide with _apply_dvs's own
     # working columns.
-    scan = (
-        _read_files(spark, path, files, merge_schema=True, schema=m.get("schema"), renames=m.get("renames"))
-        .withColumn("_hit_file", _dv_file_expr())
-        .withColumn("_hit_pos", F.col("_metadata.row_index"))
+    base_scan = _read_files(
+        spark, path, files, merge_schema=True, schema=m.get("schema"),
+        renames=m.get("renames"),
     )
+    scan = base_scan.withColumn(
+        "_hit_file", _file_expr_for(base_scan)
+    ).withColumn("_hit_pos", _pos_expr_for(base_scan))
     df = _apply_dvs(spark, scan, m, path)
     hits = df.where(predicate)
     # the scope is applied EXACTLY to the rows too — a stats-less file
@@ -2300,6 +2320,14 @@ def _read_files(
                     ],
                 }
                 df = _read_files(spark, path, fs, schema=era_schema)
+                # the `_metadata` pseudo-column resolves only directly
+                # over a scan — never through the Union below — so the
+                # DV/merge machinery's (file, position) inputs must be
+                # materialized per era HERE; _apply_dvs and the plain
+                # read exits drop them from user-visible output
+                df = df.withColumn(_DV_FILE, _dv_file_expr()).withColumn(
+                    _DV_POS, F.col("_metadata.row_index")
+                )
                 if mapping:
                     df = df.withColumnsRenamed(
                         {w: l for l, w in mapping.items()}
@@ -3319,15 +3347,18 @@ def merge_into(
         candidates = []
     if candidates:
         src_keys = source.select(*keys).distinct()
-        tagged = (
-            _read_files(
-                spark, path, candidates, merge_schema=True,
-                schema=m.get("schema"), renames=m.get("renames"),
-            )
-            .select(*keys, F.col("_metadata.file_path").alias("_file"))
+        cand_scan = _read_files(
+            spark, path, candidates, merge_schema=True,
+            schema=m.get("schema"), renames=m.get("renames"),
+        )
+        # _file_expr_for already yields the table-RELATIVE path (the
+        # data/txn=... form the manifest stores) on both the direct-scan
+        # and the era-union form
+        tagged = cand_scan.select(
+            *keys, _file_expr_for(cand_scan).alias("_file")
         )
         touched_rel = {
-            _rel_path(r["_file"], path)
+            r["_file"]
             for r in tagged.join(F.broadcast(src_keys), keys, "left_semi")
             .select("_file")
             .distinct()

@@ -258,3 +258,29 @@ def test_rename_input_validation(spark, table):
         S.rename_column(table, "price", "price")
     with pytest.raises(ValueError, match="last column|no column"):
         S.drop_column(table, "nope")
+
+
+def test_position_delete_and_dv_read_on_mixed_era_table(spark, table):
+    """The r14 model-check find: an era-union read cannot resolve the
+    `_metadata` pseudo-column, so DV machinery must ride the
+    materialized per-era (file, position) columns. Pin: delete_where
+    AFTER a rename (scan to find positions over mixed eras), then the
+    merge-on-read read applies the DV — and no helper column leaks."""
+    S.rename_column(table, "price", "px")
+    S.append(_batch(spark, 2, [6, 7]).withColumnRenamed("price", "px"), table)
+    S.delete_where(spark, table, "trade_id in (1, 6)")  # one victim per era
+    got = S.read_snapshot(spark, table)
+    assert sorted(r.trade_id for r in got.collect()) == [0, 2, 3, 4, 5, 7]
+    assert not [c for c in got.columns if c.startswith("_dv_")]
+    # CDC across the delete stays clean too
+    feed = S.read_changes_cdc(spark, table, 2)
+    assert not [c for c in feed.columns if c.startswith("_dv_")]
+    assert sorted(r.trade_id for r in feed.collect()) == [1, 6]
+
+
+def test_merge_into_touches_the_right_files_across_eras(spark, table):
+    S.rename_column(table, "price", "px")
+    src = _batch(spark, 1, [2], price=777.0).withColumnRenamed("price", "px")
+    S.merge_into(spark, table, src, keys=["ts", "symbol", "trade_id"])
+    rows = {r.trade_id: r.px for r in S.read_snapshot(spark, table).collect()}
+    assert rows[2] == 777.0 and rows[3] == 103.0 and len(rows) == 6

@@ -369,28 +369,44 @@ def test_random_op_sequences_match_pure_model(spark, tmp_path, seed, monkeypatch
         return sorted(best.values())
 
     model_versions: list[list] = []  # version -> rows [(trade_id, ver, month)]
+    names_at: list[str] = []  # version -> logical name of the version col
+    vname = "ingested_at"  # current logical name (r14 rename op toggles)
     cur: list = []
     next_id = 0
+
+    def _named(df):
+        # post-rename appends must carry the CURRENT logical name — the
+        # retired-name commit gate refuses the old one (by design)
+        return (
+            df if vname == "ingested_at"
+            else df.withColumnRenamed("ingested_at", vname)
+        )
+
     for step in range(10):
         ops = [
             "append", "append_dup", "compact", "drop", "rollback",
-            "merge", "delete", "eq_delete", "optimize",
+            "merge", "delete", "eq_delete", "optimize", "rename",
         ]
         op = r.choice(ops if model_versions else ["append"])
         if op == "append":
             ids = list(range(next_id, next_id + r.randint(1, 4)))
             next_id += len(ids)
             month = r.choice([1, 2, 3])
-            S.append(_batch(spark, month, ids, version=step), path)
+            S.append(_named(_batch(spark, month, ids, version=step)), path)
             cur = cur + [(i, step, month) for i in ids]
         elif op == "append_dup" and cur:
             tid, _, month = r.choice(cur)
-            S.append(_batch(spark, month, [tid], version=step), path)
+            S.append(_named(_batch(spark, month, [tid], version=step)), path)
             cur = cur + [(tid, step, month)]
         elif op == "append_dup":
             continue
         elif op == "compact":
-            S.compact_snapshot(spark, path, keys=("ts", "symbol", "trade_id"))
+            # post-rename the dedup version column carries the CURRENT
+            # logical name — the realistic caller contract
+            S.compact_snapshot(
+                spark, path, keys=("ts", "symbol", "trade_id"),
+                version_col=vname,
+            )
             cur = dedup(cur)
         elif op == "drop":
             cutoff = f"20240{r.choice([2, 3])}"
@@ -405,7 +421,9 @@ def test_random_op_sequences_match_pure_model(spark, tmp_path, seed, monkeypatch
             src = _batch(spark, month, [tid], version=step).union(
                 _batch(spark, month_new, [next_id], version=step)
             )
-            S.merge_into(spark, path, src, keys=["ts", "symbol", "trade_id"])
+            S.merge_into(
+                spark, path, _named(src), keys=["ts", "symbol", "trade_id"]
+            )
             cur = [
                 (t, step if (t == tid and m == month) else v, m)
                 for t, v, m in cur
@@ -430,6 +448,13 @@ def test_random_op_sequences_match_pure_model(spark, tmp_path, seed, monkeypatch
                 spark.range(1).select(_F.lit(tid).alias("trade_id")),
             )
             cur = [t for t in cur if t[0] != tid]
+        elif op == "rename":
+            # metadata-only rename of the MODEL-READ column (r14): old
+            # files keep serving through the era map; every later read —
+            # including time travel and post-compact — must translate
+            new = "ingested_v2" if vname == "ingested_at" else "ingested_at"
+            S.rename_column(path, vname, new)
+            vname = new
         elif op == "optimize":
             # pure re-layout (r9): bin-pack sub-threshold files, carry
             # the rest; position deletes on rewritten files materialize,
@@ -444,7 +469,9 @@ def test_random_op_sequences_match_pure_model(spark, tmp_path, seed, monkeypatch
             v = r.randrange(len(model_versions))
             S.rollback(path, v)
             cur = list(model_versions[v])
+            vname = names_at[v]  # restore includes the era map
         model_versions.append(list(cur))
+        names_at.append(vname)
 
         # checkpoint invariants (r9)
         (Path(path) / S.LOG_DIR / "_head.hint").unlink(missing_ok=True)
@@ -461,7 +488,7 @@ def test_random_op_sequences_match_pure_model(spark, tmp_path, seed, monkeypatch
         assert S.history(path) == want_hist, f"step {step} op {op}"
 
         got = sorted(
-            (rr.trade_id, rr.ingested_at, int(str(rr.p_month)[-2:]))
+            (rr.trade_id, rr[vname], int(str(rr.p_month)[-2:]))
             for rr in S.read_snapshot(spark, path).collect()
         ) if cur else None
         if cur:
@@ -473,7 +500,7 @@ def test_random_op_sequences_match_pure_model(spark, tmp_path, seed, monkeypatch
         if not want:
             continue
         got = sorted(
-            (rr.trade_id, rr.ingested_at, int(str(rr.p_month)[-2:]))
+            (rr.trade_id, rr[names_at[v]], int(str(rr.p_month)[-2:]))
             for rr in S.read_snapshot(spark, path, version=v).collect()
         )
         assert got == want, f"version {v}"
