@@ -251,3 +251,65 @@ def test_cdf_eq_delete_leg_prunes_clustered_files(spark, tmp_path):
         for b in reader.read(p):
             victims += b.column("symbol").to_pylist()
     assert sorted(victims) == ["S000", "S001"]
+
+
+@pytest.mark.parametrize("seed", [11, 37])
+def test_random_op_interleaving_signed_fold_matches_batch(spark, tmp_path, seed):
+    """Model check for the change feed: a LIVE stream consuming any
+    interleaving of append / overwrite / upsert / eq-delete /
+    position-delete / optimize keeps the signed fold equal to the batch
+    recompute after EVERY micro-batch — the retraction contract under
+    composition, not just per-op."""
+    import random as rnd
+
+    from crypto_clickhouse_poc_spark.plans import snapshots as S2
+
+    r = rnd.Random(seed)
+    spark.dataSource.register(SnapshotCommitsDataSource)
+    path = str(tmp_path / "model")
+    S.append(_batch(spark, 1, range(6)), path)
+    next_id = 6
+    q = _start(spark, path, str(tmp_path / "ck"), f"cdf_model_{seed}")
+    try:
+        q.processAllAvailable()
+        for step in range(8):
+            op = r.choice(
+                ["append", "overwrite", "upsert", "eq_delete", "delete", "optimize"]
+            )
+            live = [
+                row.trade_id
+                for row in S.read_snapshot(spark, path)
+                .select("trade_id").collect()
+            ]
+            if op == "append":
+                ids = list(range(next_id, next_id + r.randint(1, 3)))
+                next_id += len(ids)
+                S.append(_batch(spark, r.choice([1, 2]), ids), path)
+            elif op == "overwrite":
+                # re-publish month 1 with shifted prices (keeps its ids)
+                S.overwrite_months(
+                    _batch(spark, 1, range(6), price=float(step)), path
+                )
+            elif op == "upsert" and live:
+                tid = r.choice(live)
+                S.upsert_by_keys(
+                    _batch(spark, 1, [tid], price=500.0 + step), path,
+                    cols=["trade_id"],
+                )
+            elif op == "eq_delete" and live:
+                S.delete_by_keys(
+                    spark, path,
+                    spark.createDataFrame([(r.choice(live),)], "trade_id long"),
+                )
+            elif op == "delete" and live:
+                S.delete_where(spark, path, F.col("trade_id") == r.choice(live))
+            elif op == "optimize":
+                S2.optimize_small_files(spark, path, min_rows=10_000_000)
+            else:
+                continue
+            q.processAllAvailable()
+            assert _signed_state(spark, f"cdf_model_{seed}") == _snapshot_multiset(
+                spark, path
+            ), f"step {step} op {op}"
+    finally:
+        q.stop()
