@@ -74,6 +74,15 @@ types → Spark DDL; evolved columns null-filled for files that predate
 them) + the two path-derived string columns; like every snapshot
 reader, files are never listed from storage — the manifest is the
 listing.
+
+Known boundary — admission control: Delta's ``maxFilesPerTrigger``
+pacing is NOT implementable on Spark 4's Python DataSource streaming
+API — ``latestOffset()`` receives neither the start offset nor a
+ReadLimit, so a capped offset computed from reader-local state could
+land BELOW a restart's checkpoint and make the engine re-emit the gap
+(offset regression = duplicates). Until the API grows admission
+control, a large catch-up range arrives as one micro-batch; bound it
+operationally with ``startingVersion``.
 """
 
 from __future__ import annotations
