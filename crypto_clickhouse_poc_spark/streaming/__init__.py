@@ -1,3 +1,3 @@
 """Structured Streaming: ingest pipeline, incremental OHLCV bars, lifecycle."""
 
-from . import bars, collector, ingest  # noqa: F401
+from . import bars, cdfsink, collector, ingest  # noqa: F401
