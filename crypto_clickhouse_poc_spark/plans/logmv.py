@@ -524,19 +524,24 @@ def _refresh_scoped(
         extra_prune = lambda fs: S.prune_files_by_values(  # noqa: E731
             fs, scope_key_col, key_vals
         )
-    elif scope_key_col is None:
+    elif scope_key_col is None and base_path not in _warned_scope_key:
         # discoverability (r13 verdict wrong #4): the caller clustered
         # the base (its manifest carries key [min,max] stats for a group
         # column) but didn't opt into the key prune — the scoped refresh
         # will scan the groups' full time-slice width. Say so ONCE; never
         # prune un-opted (logmv can't prove partial_fn passes the column
-        # through unchanged, which is the opt-in's contract).
+        # through unchanged, which is the opt-in's contract). The
+        # once-per-table set is checked FIRST so steady state never pays
+        # the O(files) stats sweep below.
         stats_cols = set().union(
-            *(f.get("cols", {}).keys() for f in S.manifest(base_path, head)["files"])
+            set(),
+            *(f.get("cols", {}).keys() for f in S.manifest(base_path, head)["files"]),
         )
         hinted = [c for c in group_cols[1:] if c in stats_cols]
         if hinted:
             _warn_scope_key_once(base_path, hinted)
+        else:
+            _warned_scope_key.add(base_path)  # unclustered: never re-sweep
     base = S.read_snapshot(
         spark,
         base_path,
