@@ -430,9 +430,15 @@ def _maybe_files(
     got: dict[str, dict[int, int]] = {}
     for r in rows:
         got.setdefault(r.file, {})[r.word] = r.bits
-    # a file survives if SOME value's words are all present with all
-    # bits set; a missing word row means an unset bit -> that value is
-    # ruled out for that file
+    return _survivors(got, needs), meta
+
+
+def _survivors(
+    got: dict[str, dict[int, int]], needs: dict[str, dict[int, int]]
+) -> set[str]:
+    """A file survives if SOME value's words are all present with all
+    bits set; a missing word row means an unset bit -> that value is
+    ruled out for that file."""
     return {
         f
         for f, words in got.items()
@@ -440,7 +446,63 @@ def _maybe_files(
             all(words.get(w, 0) & req == req for w, req in need.items())
             for need in needs.values()
         )
-    }, meta
+    }
+
+
+def maybe_files_local(
+    path: str, key_col: str, values: list
+) -> tuple[set[str], dict] | None:
+    """SparkSession-less twin of :func:`_maybe_files` (pyarrow dataset
+    read with a pushed ``word IN`` filter) for contexts that plan reads
+    without a session — the streaming source's ``partitions()`` runs in
+    the driver's Python worker where no SparkSession exists. Identical
+    hash positions and survivor rule, so the two probes prune the same
+    files; cost is one filtered scan of the sidecar's word rows."""
+    prior = _read_pointer(path, key_col)
+    if prior is None:
+        return None
+    meta, _gen = prior
+    bits = meta.get("bits", _MIN_BITS)
+    needs = {str(v): _need_words(v, bits) for v in values}
+    all_words = {int(w) for need in needs.values() for w in need}
+    if not all_words:
+        return set(), meta
+    import pyarrow.dataset as ds
+
+    # pyarrow datasets take FILE lists, not directory lists
+    srcs = [
+        str(f)
+        for d in _dirs_of(meta)
+        for f in sorted((Path(path) / IDX_DIR / d).glob("*.parquet"))
+    ]
+    dset = ds.dataset(srcs, format="parquet")
+    t = dset.to_table(
+        columns=["file", "word", "bits"],
+        filter=ds.field("word").isin(sorted(all_words)),
+    )
+    got: dict[str, dict[int, int]] = {}
+    for f, w, b in zip(
+        t.column("file").to_pylist(),
+        t.column("word").to_pylist(),
+        t.column("bits").to_pylist(),
+    ):
+        got.setdefault(f, {})[w] = b
+    return _survivors(got, needs), meta
+
+
+def prune_file_list_local(
+    path: str, key_col: str, values: list, files: list[dict]
+) -> list[dict]:
+    """SparkSession-less twin of :func:`prune_file_list` — same coverage
+    contract (files outside the indexed version are always kept)."""
+    probed = maybe_files_local(path, key_col, values)
+    if probed is None:
+        return files
+    maybe, meta = probed
+    covered = {f["path"] for f in S.manifest(path, meta["version"])["files"]}
+    return [
+        f for f in files if f["path"] not in covered or f["path"] in maybe
+    ]
 
 
 def maybe_rebuild_bloom_index(

@@ -594,16 +594,25 @@ class SnapshotStreamReader(DataSourceStreamReader):
                     pre_eq = _eq_filters(self.path, pb.get("eq_dvs", []))
                     for cols, keys, _ev in _eq_filters(self.path, new_eq):
                         files = m_prev["files"]
-                        # advisory per-file key [min,max] prune — bites on
-                        # a clustered layout, exact IN re-applied below
+                        # advisory per-file prunes — key [min,max] stats
+                        # (bite on a clustered layout) chained with the
+                        # Bloom sidecar when one is published for a key
+                        # column (bites on ANY layout); exact IN
+                        # re-applied below, so both are semantics-free
+                        from ..plans import bloomidx as _bidx
+
                         for ci, c in enumerate(cols):
                             vals = [
-                                (k if len(cols) == 1 else k[ci])
+                                x
                                 for k in keys
+                                for x in [(k if len(cols) == 1 else k[ci])]
+                                if x is not None
                             ]
-                            files = prune_files_by_values(
-                                files, c, [x for x in vals if x is not None]
-                            )
+                            files = prune_files_by_values(files, c, vals)
+                            if files and _bidx.index_exists(self.path, c):
+                                files = _bidx.prune_file_list_local(
+                                    self.path, c, vals, files
+                                )
                         for f in files:
                             parts.append(
                                 self._part(

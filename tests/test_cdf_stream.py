@@ -313,3 +313,42 @@ def test_random_op_interleaving_signed_fold_matches_batch(spark, tmp_path, seed)
             ), f"step {step} op {op}"
     finally:
         q.stop()
+
+
+def test_cdf_eq_delete_leg_prunes_via_bloom_sidecar(spark, tmp_path):
+    """On an UNCLUSTERED layout key stats prune nothing — the published
+    Bloom sidecar still cuts the feed's eq-delete candidate scan, through
+    the SparkSession-less probe (partitions() has no session). Both
+    probes must agree file-for-file."""
+    from crypto_clickhouse_poc_spark.plans import bloomidx as B
+    from crypto_clickhouse_poc_spark.sources.snapstream import (
+        SnapshotStreamReader,
+    )
+
+    path = str(tmp_path / "bloomed")
+    for j in range(4):  # 4 commits -> multiple files, ids disjoint
+        S.append(_batch(spark, 1, range(j * 50, (j + 1) * 50)), path)
+    B.build_bloom_index(spark, path, "trade_id")
+    head = S.latest_version(path)
+    S.delete_by_keys(
+        spark, path, spark.createDataFrame([(3,), (7,)], "trade_id long")
+    )
+    # probe parity: the local (pyarrow) probe sees what the Spark one sees
+    spark_maybe = B._maybe_files(spark, path, "trade_id", [3, 7])[0]
+    local_maybe = B.maybe_files_local(path, "trade_id", [3, 7])[0]
+    assert spark_maybe == local_maybe
+    reader = SnapshotStreamReader(
+        path, head,
+        [("ts", "timestamp"), ("symbol", "string"), ("trade_id", "bigint"),
+         ("price", "double")],
+        change_feed=True,
+    )
+    parts = reader._cdc_partitions(head, head + 1)
+    dels = [p for p in parts if p.value[4] == "delete"]
+    n_files = len(S.manifest(path, head)["files"])
+    assert 0 < len(dels) < n_files  # the sidecar cut the candidate scan
+    victims = []
+    for p in dels:
+        for b in reader.read(p):
+            victims += b.column("trade_id").to_pylist()
+    assert sorted(victims) == [3, 7]
