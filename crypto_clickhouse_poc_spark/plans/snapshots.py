@@ -787,12 +787,14 @@ def _commit(
             body["renames"] = renames_meta
         if retired_meta:
             body["retired"] = retired_meta
-        # CHECK constraints are table CONTRACTS: carried across every op
-        # incl. total rewrites (a compact's rows already satisfied them;
-        # a rebuild's frame was validated at its write) — rollback alone
-        # restores the target's set through meta_edit
+        # CHECK constraints and column DEFAULTS are table CONTRACTS:
+        # carried across every op incl. total rewrites (a compact's rows
+        # already satisfied them; a rebuild's frame was validated at its
+        # write) — rollback alone restores the target's through meta_edit
         if head_m.get("constraints"):
             body["constraints"] = head_m["constraints"]
+        if head_m.get("defaults"):
+            body["defaults"] = head_m["defaults"]
         if meta_edit is not None:
             # metadata-only ops (rename/drop column, rollback's restore):
             # computed INSIDE the retry loop against the head that will
@@ -1132,6 +1134,7 @@ def append(
     can cluster while ad-hoc appends stay cheap."""
     if (txn_app is None) != (txn_id is None):
         raise ValueError("txn_app and txn_id must be provided together")
+    df = _apply_defaults(df, path)
     _enforce_constraints(df, path)
     if txn_app is not None:
         seen = last_txn(path, txn_app)
@@ -2208,6 +2211,7 @@ def upsert_by_keys(
         raise FileNotFoundError(f"no snapshots at {path}")
     if (txn_app is None) != (txn_id is None):
         raise ValueError("txn_app and txn_id must be provided together")
+    df = _apply_defaults(df, path)
     _enforce_constraints(df, path)
     if txn_app is not None:
         seen = last_txn(path, txn_app)
@@ -2569,6 +2573,7 @@ def overwrite_months(
     ``append`` — a replayed backfill job is a detected no-op."""
     if (txn_app is None) != (txn_id is None):
         raise ValueError("txn_app and txn_id must be provided together")
+    df = _apply_defaults(df, path)
     _enforce_constraints(df, path)
     head = latest_version(path)
     if head is None:
@@ -2713,6 +2718,8 @@ def rollback(path: str, to_version: int) -> int:
             "retired": _version_body(path, to_version).get("retired") or None,
             "constraints": _version_body(path, to_version).get("constraints")
             or None,
+            "defaults": _version_body(path, to_version).get("defaults")
+            or None,
         },
     )
 
@@ -2768,8 +2775,12 @@ def rename_column(path: str, old: str, new: str) -> int:
                     "cols": [new if c == old else c for c in e["cols"]],
                 }
             eq.append(e)
+        dfl = dict(head_m.get("defaults", {}))
+        if old in dfl:
+            dfl[new] = dfl.pop(old)
         return {
             "schema": {"type": "struct", "fields": fields},
+            "defaults": dfl or None,
             "renames": head_m.get("renames", [])
             + [{"v": version, "from": old, "to": new}],
             # renaming BACK to a retired name revives it (B->A after
@@ -2782,6 +2793,88 @@ def rename_column(path: str, old: str, new: str) -> int:
 
     return _commit(
         path, lambda hf: hf, "rename_column", data_change=False,
+        meta_edit=edit,
+    )
+
+
+def _apply_defaults(df: DataFrame, path: str) -> DataFrame:
+    """Write-side DEFAULT fill (ALTER COLUMN SET DEFAULT parity): a
+    frame MISSING a defaulted column gets it appended as the default
+    expression cast to the column's logged type — so the new files
+    physically carry the value. Existing rows are untouched (the Delta
+    rule: defaults apply to writes AFTER the default was set; history
+    reads back as written, i.e. null for pre-default files). Zero cost
+    when no defaults are set (one head-body JSON read)."""
+    head = latest_version(path)
+    if head is None:
+        return df
+    body = _version_body(path, head)
+    defaults = body.get("defaults", {})
+    if not defaults:
+        return df
+    sch = body.get("schema")
+    types = (
+        {f["name"]: f for f in sch["fields"]} if sch is not None else {}
+    )
+    out = df
+    for c, expr in defaults.items():
+        if c in out.columns:
+            continue
+        col = F.expr(expr)
+        if c in types:
+            from pyspark.sql.types import StructType
+
+            dt = StructType.fromJson(
+                {"type": "struct", "fields": [types[c]]}
+            )[c].dataType
+            col = col.cast(dt)
+        out = out.withColumn(c, col)
+    return out
+
+
+def set_column_default(
+    spark: SparkSession, path: str, col: str, expr: str
+) -> int:
+    """ALTER TABLE ALTER COLUMN SET DEFAULT (r14): one metadata commit
+    recording {col: expr}; every later row-adding write whose frame
+    LACKS the column writes the default instead of null (writes carrying
+    the column are untouched — this engine's writers are full-row, so a
+    per-row "use default" marker has no meaning here). The expression
+    must be SELF-CONTAINED (literals / deterministic functions, no
+    column references — the Delta restriction), validated against a
+    one-row frame at set time. Defaults are table contracts: carried
+    across every op, restored by rollback, moved by rename, cleared by
+    drop_column."""
+    probe = spark.range(1).select(F.expr(expr))  # raises on column refs
+    probe.schema
+
+    def edit(head_m: dict, version: int) -> dict:
+        sch = head_m.get("schema")
+        if sch is None:
+            raise ValueError(
+                "set_column_default requires a schema-logged table — "
+                "compact or rebuild once to upgrade a legacy table"
+            )
+        if col not in [f["name"] for f in sch["fields"]]:
+            raise ValueError(f"no column {col!r} to default")
+        return {"defaults": {**head_m.get("defaults", {}), col: expr}}
+
+    return _commit(
+        path, lambda hf: hf, "set_default", data_change=False,
+        meta_edit=edit,
+    )
+
+
+def drop_column_default(path: str, col: str) -> int:
+    def edit(head_m: dict, version: int) -> dict:
+        d = dict(head_m.get("defaults", {}))
+        if col not in d:
+            raise ValueError(f"no default on column {col!r}")
+        del d[col]
+        return {"defaults": d or None}
+
+    return _commit(
+        path, lambda hf: hf, "drop_default", data_change=False,
         meta_edit=edit,
     )
 
@@ -2941,11 +3034,15 @@ def drop_column(path: str, name: str) -> int:
                     f"column {name!r} is referenced by CHECK constraint "
                     f"{cname!r} ({c['expr']}) — drop the constraint first"
                 )
+        dfl = {
+            k: v for k, v in head_m.get("defaults", {}).items() if k != name
+        }
         return {
             "schema": {
                 "type": "struct",
                 "fields": [f for f in sch["fields"] if f["name"] != name],
             },
+            "defaults": dfl or None,
             "retired": sorted(set(head_m.get("retired", [])) | {name}),
         }
 
@@ -3255,7 +3352,11 @@ def merge_into(
     """
     keys = list(keys)
     # the source rows become table rows (whether inserted or rewritten
-    # into the merge output) — gate them like any other write
+    # into the merge output) — defaults fill and gates apply like any
+    # other write (this engine's merge is full-row replacement, so a
+    # defaulted column missing from the source takes the default for
+    # matched rows too — the upsert contract)
+    source = _apply_defaults(source, path)
     _enforce_constraints(source, path)
     read_v = latest_version(path)
     if read_v is None:
