@@ -257,6 +257,9 @@ def test_table_history_and_timestamp_time_travel(spark, tmp_path):
 
     path = str(tmp_path / "t")
     S.append(_batch(spark, range(3)), path)  # v0
+    # committed_at rounds to 3 decimals (round HALF-UP can exceed the
+    # true stamp by 0.5 ms) — outrun it or t_mid lands "before" v0
+    time.sleep(0.002)
     t_mid = time.time()
     time.sleep(0.05)
     S.append(_batch(spark, range(3, 5)), path)  # v1
