@@ -2724,6 +2724,42 @@ def rollback(path: str, to_version: int) -> int:
     )
 
 
+def table_details(path: str, version: int | None = None) -> dict:
+    """DESCRIBE DETAIL parity (r14): one metadata-read summary of a
+    table version — the head by default — unifying everything the
+    manifest knows: schema, CHECK constraints, column defaults, the
+    column-mapping era map and tombstones, merge-on-read debt, writer
+    watermarks and file/row totals. Pure driver-side JSON (O(month
+    shards), zero Spark jobs), so a catalog/UI can poll it per table
+    per tick at any table count."""
+    head = latest_version(path) if version is None else version
+    if head is None:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    m = manifest(path, head)
+    files = m["files"]
+    months = sorted({f.get("p_month") for f in files if f.get("p_month")})
+    return {
+        "version": m["version"],
+        "op": m["op"],
+        "committed_at": m.get("committed_at"),
+        "data_change": m.get("data_change", True),
+        "num_files": len(files),
+        # raw per-file row counts: an UPPER bound under merge-on-read
+        # (position/equality deletes subtract at read; compaction
+        # re-trues it) — the same caveat Delta's numRecords has
+        "num_rows_upper": sum(f.get("rows", 0) for f in files),
+        "months": months,
+        "num_dvs": len(m.get("dvs", [])),
+        "num_eq_dvs": len(m.get("eq_dvs", [])),
+        "schema": m.get("schema"),
+        "constraints": m.get("constraints", {}),
+        "defaults": m.get("defaults", {}),
+        "renames": m.get("renames", []),
+        "retired": m.get("retired", []),
+        "txns": m.get("txns", {}),
+    }
+
+
 def rename_column(path: str, old: str, new: str) -> int:
     """METADATA-ONLY column rename (Delta column-mapping semantics, r14
     — VERDICT r13 missing #1): one commit, zero files rewritten. The

@@ -306,9 +306,16 @@ class SnapshotCommitsDataSource(DataSource):
         return st
 
     def streamReader(self, schema) -> "SnapshotStreamReader":
+        sv = str(self.options.get("startingVersion", "-1"))
+        if sv.lower() == "latest":
+            # Delta parity: tail only commits made AFTER the stream
+            # starts — resolve the current head once, here (a fresh
+            # checkpoint stores it; restarts resume from theirs)
+            head = _head(self.options["path"])
+            sv = "-1" if head is None else str(head)
         return SnapshotStreamReader(
             self.options["path"],
-            int(self.options.get("startingVersion", "-1")),
+            int(sv),
             [(f.name, f.dataType.simpleString()) for f in schema.fields],
             ignore_deletes=self._flag("ignoreDeletes"),
             ignore_changes=self._flag("ignoreChanges"),

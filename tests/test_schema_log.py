@@ -353,3 +353,29 @@ def test_primitive_type_change_still_fails_the_commit(spark, tmp_path):
     S.append(spark.range(2).select(ts, "id", F.array(F.lit(1.0)).alias("v")), path)
     with pytest.raises(ValueError, match="schema evolution"):
         S.append(spark.range(2).select(ts, "id", F.array(F.lit("s")).alias("v")), path)
+
+
+def test_table_details_unifies_the_metadata(spark, tmp_path):
+    """DESCRIBE DETAIL parity: one metadata read reporting schema,
+    contracts, era map, debt and totals — no Spark job."""
+    path = str(tmp_path / "det")
+    S.append(_batch(spark, range(4)), path)
+    S.add_constraint(spark, path, "pos", "price > 0")
+    S.set_column_default(spark, path, "price", "1.0")
+    S.rename_column(path, "symbol", "sym")
+    S.delete_by_keys(spark, path, spark.createDataFrame([(1,)], "trade_id long"))
+    d = S.table_details(path)
+    assert d["op"] == "eq_delete" and d["num_eq_dvs"] == 1
+    assert d["num_files"] >= 1 and d["num_rows_upper"] == 4
+    assert d["constraints"]["pos"]["expr"] == "price > 0"
+    assert d["defaults"] == {"price": "1.0"}
+    assert d["renames"][0]["from"] == "symbol" and d["retired"] == ["symbol"]
+    assert [f["name"] for f in d["schema"]["fields"]] == [
+        "ts", "sym", "trade_id", "price"
+    ]
+    assert d["months"] == ["202401"]
+    # pre-rename version reports its own era
+    d0 = S.table_details(path, version=0)
+    assert d0["renames"] == [] and "symbol" in [
+        f["name"] for f in d0["schema"]["fields"]
+    ]

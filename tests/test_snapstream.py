@@ -439,3 +439,18 @@ def test_bootstrap_applies_single_column_equality_deletes(spark, table, tmp_path
         assert got.count(7) == 1  # the ETH twin survives the BTC tuple
     finally:
         q2.stop()
+
+
+def test_starting_version_latest_tails_only_new_commits(spark, table, tmp_path):
+    """Delta parity: startingVersion=latest skips the bootstrap snapshot
+    and emits only commits made AFTER the stream started."""
+    q = _start(spark, table, str(tmp_path / "ck_latest"), "ss_latest",
+               startingVersion="latest")
+    try:
+        q.processAllAvailable()
+        assert _ids(spark, "ss_latest") == []  # no bootstrap
+        S.append(_batch(spark, 3, [50, 51]), table)
+        q.processAllAvailable()
+        assert _ids(spark, "ss_latest") == [50, 51]
+    finally:
+        q.stop()
