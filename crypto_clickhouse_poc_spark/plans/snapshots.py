@@ -2789,6 +2789,34 @@ def rename_column(path: str, old: str, new: str) -> int:
             raise ValueError(f"no column {old!r} in {names}")
         if new in names:
             raise ValueError(f"column {new!r} already exists")
+        if new in head_m.get("retired", []):
+            # Reusing a retired name is only safe when it REVIVES the
+            # same lineage (A->B then B->A): per-file [min,max] stats
+            # and Bloom sidecars are keyed by the PHYSICAL written name,
+            # so renaming a DIFFERENT column into a retired name would
+            # probe old files' stats for the original column with the
+            # new column's values — wrongly pruning files out of CDC
+            # eq-delete legs and scoped MV refreshes. The revive is
+            # legitimate exactly when the LATEST rename entry that
+            # retired `new` moved it to `old` (same lineage coming
+            # back); a name retired by drop_column (no such entry) or by
+            # a rename to somewhere else requires a compact/rebuild
+            # first (which rewrites files under logical names and
+            # clears the tombstone).
+            # chronological walk of the era map traces where the name
+            # `new` went: A->B then B->C ends at C, so C->A is a revive
+            cur = new
+            for e in head_m.get("renames", []):
+                if e["from"] == cur:
+                    cur = e["to"]
+            if cur != old:
+                raise ValueError(
+                    f"column name {new!r} is retired and {old!r} is not "
+                    "its rename lineage — per-file stats/Bloom sidecars "
+                    "keyed by the old physical name would mis-prune; "
+                    "compact_snapshot first to rewrite files and clear "
+                    "the tombstone"
+                )
         for cname, c in head_m.get("constraints", {}).items():
             if old in c.get("cols", []):
                 raise ValueError(
@@ -2881,7 +2909,11 @@ def set_column_default(
     one-row frame at set time. Defaults are table contracts: carried
     across every op, restored by rollback, moved by rename, cleared by
     drop_column."""
-    probe = spark.range(1).select(F.expr(expr))  # raises on column refs
+    # probe against a ZERO-column one-row frame so ANY column reference
+    # fails analysis — spark.range(1) itself carries a column named
+    # `id`, which an expression referencing a column literally named
+    # `id` would silently bind to
+    probe = spark.range(1).drop("id").select(F.expr(expr))
     probe.schema
 
     def edit(head_m: dict, version: int) -> dict:
@@ -2934,30 +2966,49 @@ def _enforce_constraints(df: DataFrame, path: str) -> None:
     head = latest_version(path)
     if head is None:
         return
-    cons = _version_body(path, head).get("constraints", {})
+    body = _version_body(path, head)
+    cons = body.get("constraints", {})
     if not cons:
         return
     # a frame missing a constrained column writes NULLs for it (the
-    # evolution null-fill), and NULL satisfies CHECK — so constraints
-    # referencing absent columns are skipped EXACTLY, not crashed on
+    # evolution null-fill) — so the CHECK must be evaluated over the
+    # VALUES THAT WILL LAND: null-fill the missing constrained columns
+    # (cast to the logged type, like _apply_defaults) and run every
+    # constraint. Skipping instead would silently bypass null-rejecting
+    # expressions (`price IS NOT NULL`, `coalesce(price,-1) > 0`) for
+    # any writer that omits the column, while rejecting the same rows
+    # when the NULLs are explicit — an inconsistent table contract.
     have = set(df.columns)
-    cons = {
-        n: c for n, c in cons.items() if set(c.get("cols", [])) <= have
-    }
-    if not cons:
-        return
+    need = {c for con in cons.values() for c in con.get("cols", [])} - have
+    probe = df
+    if need:
+        sch = body.get("schema")
+        types = (
+            {f["name"]: f for f in sch["fields"]} if sch is not None else {}
+        )
+        from pyspark.sql.types import StructType
+
+        for c in sorted(need):
+            col = F.lit(None)
+            if c in types:
+                col = col.cast(
+                    StructType.fromJson(
+                        {"type": "struct", "fields": [types[c]]}
+                    )[c].dataType
+                )
+            probe = probe.withColumn(c, col)
     any_bad = None
     for c in cons.values():
         v = _violation_cond(c["expr"])
         any_bad = v if any_bad is None else (any_bad | v)
-    hit = df.where(any_bad).limit(1).collect()
+    hit = probe.where(any_bad).limit(1).collect()
     if not hit:
         return
     row = hit[0].asDict()
     # failure path only: one extra filter per constraint to NAME the
     # culprit in the error (constraints are few by construction)
     for name, c in cons.items():
-        if df.where(_violation_cond(c["expr"])).limit(1).count():
+        if probe.where(_violation_cond(c["expr"])).limit(1).count():
             raise ValueError(
                 f"CHECK constraint {name!r} ({c['expr']}) violated by "
                 f"row {row}"

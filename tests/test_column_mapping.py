@@ -284,3 +284,38 @@ def test_merge_into_touches_the_right_files_across_eras(spark, table):
     S.merge_into(spark, table, src, keys=["ts", "symbol", "trade_id"])
     rows = {r.trade_id: r.px for r in S.read_snapshot(spark, table).collect()}
     assert rows[2] == 777.0 and rows[3] == 103.0 and len(rows) == 6
+
+
+def test_rename_into_retired_name_from_other_lineage_refused(spark, table):
+    """Per-file stats/Bloom sidecars are keyed by the PHYSICAL written
+    name — renaming a DIFFERENT column into a retired name would probe
+    old files' stats with the wrong column's values (r15 — ADVICE fix).
+    Only a true lineage revive may reuse the name; otherwise compact
+    first."""
+    S.rename_column(table, "price", "px")
+    with pytest.raises(ValueError, match="retired"):
+        S.rename_column(table, "symbol", "price")
+    # a compact rewrites files under logical names and clears tombstones
+    S.compact_snapshot(spark, table)
+    S.rename_column(table, "symbol", "price")
+    got = S.read_snapshot(spark, table)
+    assert "price" in got.columns and "symbol" not in got.columns
+
+
+def test_rename_into_dropped_name_refused_until_compact(spark, table):
+    S.drop_column(table, "price")
+    with pytest.raises(ValueError, match="retired"):
+        S.rename_column(table, "symbol", "price")
+
+
+def test_transitive_lineage_revive_is_allowed(spark, table):
+    """A->B then B->C then C->A is the SAME lineage coming home: old
+    files' stats keyed A are exactly this column's stats, so the revive
+    is safe and allowed."""
+    S.rename_column(table, "price", "px")
+    S.rename_column(table, "px", "quote")
+    S.rename_column(table, "quote", "price")
+    got = S.read_snapshot(spark, table).select("trade_id", "price").collect()
+    assert sorted((r.trade_id, r.price) for r in got) == [
+        (i, 100.0 + i) for i in range(6)
+    ]

@@ -134,3 +134,36 @@ def test_frame_missing_the_constrained_column_passes_exactly(spark, table):
     S.append(_batch(spark, 2, [9]).drop("price"), table)
     got = {r.trade_id: r.price for r in S.read_snapshot(spark, table).collect()}
     assert got[9] is None and len(got) == 7
+
+
+def test_null_rejecting_constraint_gates_omitted_column(spark, table):
+    """A writer OMITTING the constrained column must face the same CHECK
+    as one carrying explicit NULLs (the landing value is NULL either
+    way): null-rejecting expressions are evaluated over the null-filled
+    frame, not skipped (r15 — ADVICE fix)."""
+    # existing rows all carry a price, so the add validates
+    S.add_constraint(spark, table, "price_present", "price IS NOT NULL")
+    with pytest.raises(ValueError, match="price_present"):
+        S.append(_batch(spark, 2, [9]).drop("price"), table)
+    with pytest.raises(ValueError, match="price_present"):
+        S.append(_batch(spark, 2, [9], price="null"), table)  # parity
+    assert S.read_snapshot(spark, table).count() == 6  # nothing landed
+
+
+def test_null_sensitive_coalesce_constraint_gates_omitted_column(spark, table):
+    S.add_constraint(spark, table, "pos_price", "coalesce(price, -1.0) > 0")
+    with pytest.raises(ValueError, match="pos_price"):
+        S.append(_batch(spark, 2, [9]).drop("price"), table)
+    S.append(_batch(spark, 2, [9]), table)  # carried price still fine
+    assert S.read_snapshot(spark, table).count() == 7
+
+
+def test_default_fills_before_the_check_on_omitted_column(spark, table):
+    """Order of write-side contracts: DEFAULT fill runs first, so an
+    omitted column with a default is checked at its DEFAULT value, not
+    at NULL."""
+    S.set_column_default(spark, table, "price", "3.5")
+    S.add_constraint(spark, table, "price_present", "price IS NOT NULL")
+    S.append(_batch(spark, 2, [9]).drop("price"), table)  # default passes
+    got = {r.trade_id: r.price for r in S.read_snapshot(spark, table).collect()}
+    assert got[9] == 3.5

@@ -99,3 +99,15 @@ def test_default_applies_on_upsert_and_overwrite(spark, table):
     S.overwrite_months(_batch(spark, 1, range(4)).drop("price"), table)
     rows = {r.trade_id: r.price for r in S.read_snapshot(spark, table).collect()}
     assert set(rows.values()) == {3.5}
+
+
+def test_default_expr_named_id_is_still_refused(spark, table):
+    """The self-containment probe runs against a ZERO-column frame (r15
+    — ADVICE fix): an expression referencing a column literally named
+    `id` must fail like any other column reference instead of silently
+    binding to spark.range's own output column."""
+    with pytest.raises(Exception):
+        S.set_column_default(spark, table, "price", "id + 1")
+    with pytest.raises(Exception):
+        S.set_column_default(spark, table, "price", "id")
+    S.set_column_default(spark, table, "price", "cast(42 as double)")
