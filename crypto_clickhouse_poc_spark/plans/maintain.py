@@ -66,6 +66,27 @@ class MVSpec:
 
 
 @dataclass(frozen=True)
+class CdfMVSpec:
+    """One retraction-aware signed-sum rollup (r15 — streaming/cdfsink).
+    The rollup is REFRESHED by its own streaming query (the CDF fold);
+    the tick's only job is bounding its read cost: once the partial
+    count passes ``max_live_files``, compact through
+    ``logmv.compact_rollup`` with the closed signed-sum merge
+    (``cdfsink.merge_cdf_fn`` — reads invariant, fully-retracted
+    all-zero groups shed). Safe next to the live sink: the compact
+    rebases over interleaved stream appends (``rebase_appends``) and
+    the (app, batchId) txn watermark lives in the log history, so
+    replayed micro-batches stay no-ops after compaction."""
+
+    mv_path: str
+    group_cols: Sequence[str] = ("ts", "symbol")
+    sum_cols: Sequence[str] | None = None
+    # None → group_cols[0], matching start_cdf_sum_rollup's default
+    ts_col: str | None = None
+    max_live_files: int = 64
+
+
+@dataclass(frozen=True)
 class EnrichedMVSpec:
     """One fact ⋈ dim rollup maintained from BOTH tables' logs (r12 —
     plans/joinmv). ``dim_path`` is the dimension snapshot table; the tick
@@ -89,6 +110,7 @@ def maintenance_tick(
     path: str,
     mvs: Sequence[MVSpec] = (),
     enriched_mvs: Sequence[EnrichedMVSpec] = (),
+    cdf_mvs: Sequence[CdfMVSpec] = (),
     bloom_keys: Sequence[str] = (),
     min_rows: int = 50_000,
     ts_col: str = "ts",
@@ -165,6 +187,23 @@ def maintenance_tick(
                 )
             except S.CommitConflict:
                 report[f"joinmv-compact:{espec.mv_path}"] = "conflict-deferred"
+    for cspec in cdf_mvs:
+        head = S.latest_version(cspec.mv_path)
+        if (
+            head is not None
+            and S._n_files(cspec.mv_path, head) > cspec.max_live_files
+        ):
+            from ..streaming.cdfsink import merge_cdf_fn
+
+            try:
+                report[f"cdf-compact:{cspec.mv_path}"] = M.compact_rollup(
+                    spark,
+                    cspec.mv_path,
+                    merge_fn=merge_cdf_fn(cspec.group_cols, cspec.sum_cols),
+                    ts_col=cspec.ts_col or cspec.group_cols[0],
+                )
+            except S.CommitConflict:
+                report[f"cdf-compact:{cspec.mv_path}"] = "conflict-deferred"
     try:
         v = S.optimize_small_files(spark, path, min_rows=min_rows, ts_col=ts_col)
         report["optimize"] = v

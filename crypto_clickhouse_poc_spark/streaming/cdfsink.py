@@ -15,9 +15,15 @@ to zero (fully-retracted groups disappear, no ghost rows).
 
 Scale shape: the fold is one map-side-combined groupBy per micro-batch
 over O(change rows); the rollup table is append-only partials whose
-read-time merge cost is bounded by the partial-compaction pattern
-(``compact_rollup``-style) — at 100 TB base scale the rollup's size is
-O(groups), never O(base). Contrast with ``plans/logmv``: logmv recomputes
+read-time merge cost is bounded by compaction — :func:`merge_cdf_fn` is
+the closed signed-sum merge (registered as the ``cdf`` family in
+``streaming/compaction.COMPACTOR_FACTORIES`` and wired into
+``plans/maintain.maintenance_tick`` via ``CdfMVSpec``), applied through
+``plans/logmv.compact_rollup`` because the rollup is a SNAPSHOT table
+(commit-protocol rewrite, rebase-safe under a concurrent stream append).
+At 100 TB base scale the rollup's size is O(groups), never O(base), and
+compaction keeps reads O(groups) instead of O(flushes).
+Contrast with ``plans/logmv``: logmv recomputes
 NON-invertible algebras (bars min/max) by group-scoped swaps; this sink
 never recomputes anything because signed sums invert — the two cover the
 two halves of the incremental-view-maintenance design space.
@@ -91,6 +97,50 @@ def start_cdf_sum_rollup(
         .outputMode("append")
         .start()
     )
+
+
+def merge_cdf_fn(group_cols: Sequence[str], sum_cols: Sequence[str] | None = None):
+    """The rollup's CLOSED compaction merge: N signed partials per group
+    → one, same schema — reads through :func:`read_cdf_rollup` are
+    bit-identical before/after because the read itself is the same sum.
+    ``sum_cols`` defaults to every non-group, non-``_n`` column.
+
+    The merge MUST know the group/measure split — a split-blind variant
+    (group by every non-``_n`` column) is provably wrong: deletes carry
+    NEGATED measures, so ``(g, +x, +1)`` and ``(g, +x, -1)`` can
+    legitimately co-occur (a batch with 3 inserts and 4 deletes netting
+    +x, −1) and collapsing them by value would halve the group's measure
+    sum. Hence the factory shape, and why ``COMPACTORS`` has no fixed
+    ``cdf`` entry (see ``streaming/compaction.COMPACTOR_FACTORIES``).
+
+    Fully-retracted groups are DROPPED only when provably invisible to
+    every present and future read: net ``_n == 0`` AND every measure sum
+    is 0 (or null — null sums add nothing). A group with ``_n == 0`` but
+    a float residue in a measure (cross-batch addition-order epsilon) is
+    kept — it is already invisible to readers (``_n > 0`` filter) and
+    keeping it preserves exact sums if the group is later re-inserted."""
+
+    def merge(partials: DataFrame) -> DataFrame:
+        # a snapshot read may expose the engine's internal columns
+        # (partition month / txn) — they are rewritten by the compact's
+        # own writer, never merged
+        partials = partials.drop(S.TXN_COL, S.PARTITION_COL)
+        gset = set(group_cols)
+        sums = (
+            list(sum_cols)
+            if sum_cols is not None
+            else [c for c in partials.columns if c not in gset and c != _N]
+        )
+        merged = partials.groupBy(*group_cols).agg(
+            *[F.sum(c).alias(c) for c in sums],
+            F.sum(_N).alias(_N),
+        )
+        dead = F.coalesce(F.col(_N) == 0, F.lit(False))
+        for c in sums:
+            dead = dead & (F.col(c).isNull() | (F.col(c) == 0))
+        return merged.where(~dead).select(*partials.columns)
+
+    return merge
 
 
 def read_cdf_rollup(

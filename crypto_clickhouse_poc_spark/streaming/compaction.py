@@ -128,6 +128,31 @@ COMPACTORS: dict[str, Callable[[DataFrame], DataFrame]] = {
 }
 
 
+def _cdf_factory(group_cols, sum_cols=None):
+    from .cdfsink import merge_cdf_fn
+
+    return merge_cdf_fn(group_cols, sum_cols)
+
+
+#: family name → merge FACTORY for algebras that are parametric in the
+#: table layout. ``cdf`` (streaming/cdfsink signed-sum partials) cannot
+#: be a fixed df→df entry: the merge needs the group/measure column
+#: split — deletes carry NEGATED measures, so a split-blind merge that
+#: groups by every non-``_n`` column would collapse legitimately
+#: distinct rows like (g, +x, +1)/(g, +x, −1) and corrupt the group's
+#: measure sum (see cdfsink.merge_cdf_fn). Resolve with
+#: ``COMPACTOR_FACTORIES["cdf"](group_cols, sum_cols)``. NOTE: cdfsink
+#: rollups are SNAPSHOT tables — compact them through
+#: ``plans/logmv.compact_rollup`` (the commit-protocol rewrite, safe
+#: under a concurrent stream append via rebase), which is what
+#: ``plans/maintain.maintenance_tick``'s ``CdfMVSpec`` seat does; this
+#: module's plain-parquet ``compact_partials`` swap is for the
+#: non-transactional seats above.
+COMPACTOR_FACTORIES: dict[str, Callable[..., Callable[[DataFrame], DataFrame]]] = {
+    "cdf": _cdf_factory,
+}
+
+
 def compact_partials(
     spark: SparkSession,
     path: str,
