@@ -122,6 +122,14 @@ BENCH_QUERIES = [
     "mv_enriched_replay",
     # r13: atomic month overwrite (backfill) -> row-precise scoped refresh
     "mv_backfill_replay",
+    # NOT benched (like stream_ohlcv_replay): cdf_rollup_replay — a real
+    # Structured Streaming query whose cost is ~12s of FIXED stream
+    # start/first-batch machinery on ANY data size (measured: 1-row table
+    # start 3.0s + first batch 6.9s; sf0.01 and sf0.1 within 10% of each
+    # other), so its p50-of-3 would measure Spark's streaming bring-up,
+    # not the engine. Its data path (the signed fold + compaction merge)
+    # is benched via the snapstream throughput stage and the mv_* replays;
+    # its correctness runs under the driver hash every round.
 ]
 
 

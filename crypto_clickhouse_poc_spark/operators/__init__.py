@@ -317,6 +317,33 @@ _MODULES = (
 #                                           the fraction dispatch choosing
 #                                           rebuild-vs-scoped, against a
 #                                           corrected-data OHLCV oracle)
+# Round-15 rotation (round-14 verdict next #2): the CDF-STREAMING tier —
+# readChangeFeed over the snapshot log folded into signed per-group
+# partials by the retraction-aware rollup sink, exact across a
+# mid-stream month overwrite and an erasure, with the r15 compaction
+# seat collapsing the partials before the read — goes under the driver
+# hash:
+#   sql_corr_subquery -> cdf_rollup_replay
+#                                          (sql_corr_subquery is a strict
+#                                           twin under the hash: the SQL
+#                                           front door — spark.sql over
+#                                           registered views — is carried
+#                                           by the declared
+#                                           sql_hourly_pivot, and the
+#                                           correlated-scalar-subquery
+#                                           plan shape by the declared
+#                                           tpch_q17 (avg-per-part
+#                                           correlated filter). It stays
+#                                           pytest-DuckDB-parity-gated in
+#                                           the library + bench. The CDF
+#                                           replay adds what NO declared
+#                                           entry covered: the change-feed
+#                                           stream source, the signed
+#                                           retraction fold, exactly-once
+#                                           partial appends, and the
+#                                           signed-sum compaction seat,
+#                                           against a corrected-survivors
+#                                           batch-agg oracle)
 _DECLARED = (
     # reference §2.10 public query surface (api/server.py:57-200)
     "ev_count",
@@ -334,9 +361,9 @@ _DECLARED = (
     # temporal joins
     "asof_last_click_price",
     "range_click_activity",
-    # SQL front door + data-quality governance
+    # SQL front door + data-quality governance (sql_corr_subquery rotated
+    # to library in r15 — see the rotation note above)
     "sql_hourly_pivot",
-    "sql_corr_subquery",
     "dq_checks",
     # dedup family (exact → LSH → clusters → embedding-LSH; simhash rotated
     # to library in r10 — its banded-LSH shape twins dedup_minhash_lsh; the
@@ -396,6 +423,10 @@ _DECLARED = (
     # -> refresh dispatch), oracle = batch OHLCV over the corrected data
     "mv_enriched_replay",
     "mv_backfill_replay",
+    # CDF streaming under the hash (r15 rotation — see note above): the
+    # change feed folded into signed partials, exact across a mid-stream
+    # overwrite + erasure, compacted by the r15 seat before the read
+    "cdf_rollup_replay",
 )
 
 assert len(_DECLARED) == 50, len(_DECLARED)

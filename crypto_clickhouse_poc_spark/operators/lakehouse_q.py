@@ -244,10 +244,141 @@ def mv_backfill_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+_CDF_FIX_MOD = 107  # corrected-feed victims: event_id % 107 == 0
+_CDF_ERASE_MOD = 109  # erased keys: event_id % 109 == 0
+
+
+def cdf_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r14/r15 CDF-STREAMING tier end to end under the hash (r14
+    verdict next #2): events ingested into a snapshot table, a
+    ``readChangeFeed=true`` stream (``sources/snapstream``) folded into
+    SIGNED per-group partials by the retraction-aware rollup sink
+    (``streaming/cdfsink.start_cdf_sum_rollup`` — insert = +measure,
+    delete = −measure, exactly-once via the (app, batchId) watermark),
+    then two change sources a non-invertible consumer could not absorb
+    without recompute: the whole month atomically OVERWRITTEN with a
+    corrected frame (victims' prices doubled — deletes retract the old
+    rows, inserts add the corrected ones) and an EQUALITY-DELETE of an
+    erasure key set. After the fold, the r15 compaction seat
+    (``plans/maintain.CdfMVSpec`` → ``cdfsink.merge_cdf_fn``) collapses
+    the accumulated partials — reads are invariant by the closed-merge
+    gate — and the returned rollup equals the one-shot batch aggregate
+    over the corrected, surviving rows, which is what the oracle
+    computes.
+
+    Measures are DECIMAL(18,6): signed decimal sums are associative and
+    exact, so the retraction algebra (insert sums minus delete sums
+    across arbitrary micro-batch packings) cancels bit-exactly and the
+    final cast to DOUBLE is the same nearest-double in both engines —
+    no float-cancellation residue under the value hash.
+
+    Scale shape: the fold is one map-side-combined groupBy per
+    micro-batch over O(change rows); deletes are derived from log
+    metadata (position deletes read exactly the DV'd files, the
+    eq-delete leg is manifest-key-stat + Bloom-sidecar pruned); the
+    rollup table is O(groups) and compaction keeps its read O(groups)
+    instead of O(flushes)."""
+    t = bounded_cache(
+        f"cdf_rollup_replay:{sf_dir}",
+        _events(spark, sf_dir).select(
+            "ts",
+            F.date_trunc("minute", F.col("ts")).alias("minute"),
+            F.col("event_type").alias("symbol"),
+            F.col("event_id").alias("trade_id"),
+            F.col("price").cast("decimal(18,6)").alias("price"),
+            F.col("qty").cast("decimal(18,6)").alias("qty"),
+        ),
+    )
+    # one retry for TRANSIENT stream bring-up failures only (the raised
+    # RuntimeError below): a real Structured Streaming query can die to
+    # host contention (python-worker spawn timeouts) in a way a batch
+    # plan cannot, and each attempt is hermetic in its own tmpdir
+    last: Exception | None = None
+    for _attempt in range(2):
+        try:
+            return _cdf_rollup_once(spark, t)
+        except RuntimeError as exc:
+            last = exc
+    raise last  # type: ignore[misc]
+
+
+def _cdf_rollup_once(spark: SparkSession, t: DataFrame) -> DataFrame:
+    from ..plans.maintain import CdfMVSpec, maintenance_tick
+    from ..streaming import cdfsink as C
+
+    root = Path(tempfile.mkdtemp(prefix="cdf_rollup_"))
+    base, mv, ck = str(root / "base"), str(root / "mv"), str(root / "ck")
+    groups, sums = ["minute", "symbol"], ["price", "qty"]
+    try:
+        S.append(t, base)  # one multi-file ingest commit
+        q = C.start_cdf_sum_rollup(
+            spark, base, mv, ck, groups, sums, time_col="minute"
+        )
+        try:
+            q.processAllAvailable()  # bootstrap: the ingest as inserts
+            fixed = t.withColumn(
+                "price",
+                F.when(
+                    F.col("trade_id") % _CDF_FIX_MOD == 0,
+                    (F.col("price") * 2).cast("decimal(18,6)"),
+                ).otherwise(F.col("price")),
+            )
+            S.overwrite_months(fixed, base)  # mid-stream backfill
+            q.processAllAvailable()
+            S.delete_by_keys(
+                spark,
+                base,
+                t.select("trade_id")
+                .where(F.col("trade_id") % _CDF_ERASE_MOD == 0)
+                .distinct(),
+            )
+            q.processAllAvailable()
+        except Exception as exc:
+            # surface the stream's ROOT error: processAllAvailable's
+            # StreamingQueryException often carries no message, hiding
+            # the foreachBatch/source failure that killed the query
+            root = None
+            try:
+                root = q.exception()
+            except Exception:
+                pass
+            raise RuntimeError(
+                f"cdf stream failed: {root or exc!r}"
+            ) from exc
+        finally:
+            q.stop()
+        # the r15 maintenance seat: compact the signed partials (reads
+        # invariant), then serve the merged rollup
+        maintenance_tick(
+            spark,
+            base,
+            cdf_mvs=[
+                CdfMVSpec(mv_path=mv, group_cols=groups, sum_cols=sums,
+                          max_live_files=1)
+            ],
+            min_rows=1,
+        )
+        return (
+            C.read_cdf_rollup(spark, mv, groups, sums)
+            .select(
+                "minute",
+                "symbol",
+                F.col("price").cast("double").alias("sum_price"),
+                F.col("qty").cast("double").alias("sum_qty"),
+                F.col("_n").alias("trades"),
+            )
+            .orderBy("minute", "symbol")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 QUERIES = {
     "mv_scoped_erasure_replay": mv_scoped_erasure_replay,
     "mv_enriched_replay": mv_enriched_replay,
     "mv_backfill_replay": mv_backfill_replay,
+    "cdf_rollup_replay": cdf_rollup_replay,
 }
 
 ORACLES = {
@@ -337,5 +468,27 @@ ORACLES = {
                sum(qty) AS volume,
                count(*) AS trades
         FROM base GROUP BY minute, symbol ORDER BY minute, symbol
+    """,
+    # the retraction-aware streaming contract: the signed CDF fold
+    # (across a mid-stream month overwrite and an erasure) equals the
+    # one-shot batch aggregate over the corrected, surviving rows.
+    # Decimal accumulation on both sides keeps the sums exact; the final
+    # DOUBLE cast is the same nearest-double in both engines.
+    "cdf_rollup_replay": f"""
+        WITH t AS (
+          SELECT date_trunc('minute', ts) AS minute,
+                 event_type AS symbol,
+                 CASE WHEN event_id % {_CDF_FIX_MOD} = 0
+                      THEN CAST(CAST(value AS DECIMAL(18,6)) * 2 AS DECIMAL(18,6))
+                      ELSE CAST(value AS DECIMAL(18,6)) END AS price,
+                 CAST(CAST(json_extract_string(props, '$.k') AS DOUBLE)
+                      AS DECIMAL(18,6)) AS qty
+          FROM events WHERE event_id % {_CDF_ERASE_MOD} <> 0
+        )
+        SELECT minute, symbol,
+               CAST(sum(price) AS DOUBLE) AS sum_price,
+               CAST(sum(qty) AS DOUBLE) AS sum_qty,
+               count(*) AS trades
+        FROM t GROUP BY minute, symbol ORDER BY minute, symbol
     """,
 }

@@ -61,6 +61,7 @@ from __future__ import annotations
 import datetime as _dt
 import json
 import os
+import re as _re
 import shutil
 import time as _time
 import uuid
@@ -422,6 +423,46 @@ def _normalize_type(t):
     return t
 
 
+_INT_RANK = {"byte": 1, "short": 2, "integer": 3, "long": 4}
+_FLT_RANK = {"float": 1, "double": 2}
+_DEC_RE = _re.compile(r"decimal\((\d+),(\d+)\)$")
+
+
+def _widen_primitive(old: str, new: str) -> str | None:
+    """TYPE WIDENING (r15 — Delta ALTER COLUMN TYPE / Iceberg type
+    promotion): the LOSSLESS within-family promotions a table may take
+    without rewriting a file — byte→short→int→long, float→double, and
+    decimal growth that keeps every old value representable (scale and
+    integer digits both non-decreasing). Returns the wider type (either
+    argument order — a narrower WRITE into a widened table is also fine:
+    its files land narrow and upcast at read), or None when the pair is
+    not a widening (the caller then raises the evolution error).
+
+    Within-family ONLY, by design: Spark 4's parquet vectorized reader
+    natively upcasts these promotions at scan time (probed — int32 files
+    read under a bigint logical schema, float under double, decimal
+    under a grown decimal), so old files keep serving with ZERO rewrite
+    through the existing explicit-logical-schema read path. Cross-family
+    promotions (int→double) are refused even though Delta's preview
+    allows them: the Bloom sidecar and the driver-side probe hash keys
+    via their STRING rendering, and str(5) != str(5.0) — a widened-to-
+    double key would silently false-negative every existing Bloom probe,
+    the one error class the index promises away."""
+    if old in _INT_RANK and new in _INT_RANK:
+        return old if _INT_RANK[old] >= _INT_RANK[new] else new
+    if old in _FLT_RANK and new in _FLT_RANK:
+        return old if _FLT_RANK[old] >= _FLT_RANK[new] else new
+    mo, mn = _DEC_RE.match(old or ""), _DEC_RE.match(new or "")
+    if mo and mn:
+        po, so = int(mo.group(1)), int(mo.group(2))
+        pn, sn = int(mn.group(1)), int(mn.group(2))
+        if sn >= so and pn - sn >= po - so:
+            return new
+        if so >= sn and po - so >= pn - sn:
+            return old
+    return None
+
+
 def _merge_types(old, new, path: str):
     """Recursive type merge for the logged schema — the StructType.merge
     semantics Spark's own ``mergeSchema`` applies: nullability/
@@ -429,10 +470,16 @@ def _merge_types(old, new, path: str):
     containsNull=false where a parquet read-back gives true — both
     describe the same data), nested struct fields union additively
     (files that predate a nested ADD null-fill it via schema clipping,
-    same as a top-level ADD), and only a genuine primitive/shape
+    same as a top-level ADD), LOSSLESS within-family primitive widening
+    (:func:`_widen_primitive` — the logged schema takes the wider type,
+    old files upcast at scan), and only a genuine primitive/shape
     mismatch raises."""
     if old == new:
         return old
+    if isinstance(old, str) and isinstance(new, str):
+        w = _widen_primitive(old, new)
+        if w is not None:
+            return w
     if (
         isinstance(old, dict)
         and isinstance(new, dict)
@@ -978,19 +1025,26 @@ def _footer_stats(
             if st is None or not st.has_min_max:
                 continue
             name = col.path_in_schema
+            try:
+                smin, smax = st.min, st.max
+            except Exception:
+                # pyarrow cannot materialize some logical types' footer
+                # stats (e.g. DECIMAL raises ArrowNotImplementedError) —
+                # the documented degrade: no stats, never pruned
+                continue
             ok_str = (
                 name in declared
-                and isinstance(st.min, str)
-                and len(st.min) <= 256
-                and len(st.max) <= 256
+                and isinstance(smin, str)
+                and len(smin) <= 256
+                and len(smax) <= 256
             )
             if not ok_str and (
-                not isinstance(st.min, (int, float, _dt.datetime, _dt.date))
-                or isinstance(st.min, bool)
+                not isinstance(smin, (int, float, _dt.datetime, _dt.date))
+                or isinstance(smin, bool)
             ):
                 continue
-            mins[name] = st.min if name not in mins else min(mins[name], st.min)
-            maxs[name] = st.max if name not in maxs else max(maxs[name], st.max)
+            mins[name] = smin if name not in mins else min(mins[name], smin)
+            maxs[name] = smax if name not in maxs else max(maxs[name], smax)
     if ts_col in mins:
         out["ts_min"] = _iso(mins[ts_col])
         out["ts_max"] = _iso(maxs[ts_col])

@@ -140,7 +140,7 @@ def _stored_schema(path: str):
     unmappable = [
         (f.name, f.dataType.simpleString())
         for f in st.fields
-        if f.dataType.simpleString() not in _ARROW_FILL_TYPES
+        if not _fillable_ddl(f.dataType.simpleString())
     ]
     if unmappable:
         raise TypeError(
@@ -184,7 +184,12 @@ def _file_schema_ddl(path: str) -> str:
                 sch = pq.read_schema(str(Path(path) / fe["path"]))
                 for f in sch:
                     t = str(f.type)
-                    ddl = "timestamp" if t.startswith("timestamp") else _ARROW_TO_DDL.get(t)
+                    if t.startswith("timestamp"):
+                        ddl = "timestamp"
+                    elif t.startswith("decimal128("):
+                        ddl = "decimal" + t[len("decimal128") :].replace(" ", "")
+                    else:
+                        ddl = _ARROW_TO_DDL.get(t)
                     if ddl is None:
                         raise TypeError(f"unmapped arrow type {t} for column {f.name}")
                     if seen.setdefault(f.name, ddl) != ddl:
@@ -324,7 +329,8 @@ class SnapshotCommitsDataSource(DataSource):
 
 
 # the DDL strings read()'s null-fill can materialize (keys of
-# _arrow_type's mapping) — _stored_schema gates stream start on these
+# _arrow_type's mapping, plus parametric decimal(p,s)) —
+# _stored_schema gates stream start on these
 _ARROW_FILL_TYPES = frozenset(
     (
         "bigint", "int", "smallint", "tinyint", "double", "float",
@@ -332,12 +338,21 @@ _ARROW_FILL_TYPES = frozenset(
     )
 )
 
+_DECIMAL_DDL = __import__("re").compile(r"decimal\((\d+),(\d+)\)$")
+
+
+def _fillable_ddl(ddl: str) -> bool:
+    return ddl in _ARROW_FILL_TYPES or bool(_DECIMAL_DDL.match(ddl))
+
 
 # Spark DDL -> arrow type, for null-filling a declared column that a
 # pre-evolution file lacks (inverse of _ARROW_TO_DDL's value set)
 def _arrow_type(ddl: str):
     import pyarrow as pa
 
+    m = _DECIMAL_DDL.match(ddl)
+    if m:
+        return pa.decimal128(int(m.group(1)), int(m.group(2)))
     return {
         "bigint": pa.int64(),
         "int": pa.int32(),

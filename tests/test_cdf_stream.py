@@ -352,3 +352,40 @@ def test_cdf_eq_delete_leg_prunes_via_bloom_sidecar(spark, tmp_path):
         for b in reader.read(p):
             victims += b.column("trade_id").to_pylist()
     assert sorted(victims) == [3, 7]
+
+
+def test_decimal_columns_stream_and_null_fill_pre_evolution_files(spark, tmp_path):
+    """r15: DECIMAL(p,s) joins the stream's type surface (the exact-money
+    rollup case) — logged-schema gate passes, values arrive as decimals,
+    and a pre-evolution file's missing decimal column null-fills at the
+    declared decimal type instead of KeyError-ing the micro-batch."""
+    from decimal import Decimal
+
+    spark.dataSource.register(SnapshotCommitsDataSource)
+    path = str(tmp_path / "dec_table")
+    S.append(
+        spark.createDataFrame(
+            [(datetime(2024, 1, 1), "AAA")], "ts timestamp, symbol string"
+        ),
+        path,
+    )
+    S.append(
+        spark.createDataFrame(
+            [(datetime(2024, 1, 2), "BBB", Decimal("1.500000"))],
+            "ts timestamp, symbol string, price decimal(18,6)",
+        ),
+        path,
+    )
+    q = _start(spark, path, str(tmp_path / "ck"), "cdf_dec")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql(
+        "select symbol, price from cdf_dec order by symbol"
+    ).collect()
+    assert [(r.symbol, r.price) for r in rows] == [
+        ("AAA", None),  # pre-evolution file: typed null fill
+        ("BBB", Decimal("1.500000")),
+    ]
+    assert dict(spark.table("cdf_dec").dtypes)["price"] == "decimal(18,6)"
