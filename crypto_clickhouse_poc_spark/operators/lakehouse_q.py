@@ -137,7 +137,20 @@ def mv_enriched_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         # One ingest commit (r14): the second setup append bought only
         # per-commit latency; the two-log watermark is exercised by the
         # dim update + fact erasure commits that follow.
-        S.append(t, fact, cluster_cols=("symbol",), n_files=8)
+        # r15: the ingest lands under the PHYSICAL name `sym0` and a
+        # metadata-only RENAME moves it to `symbol` — so every fact scan
+        # below (three MV refreshes, the dim-update key-scoped swap, the
+        # eq-delete CDC leg) reads era-0 files through the column-mapping
+        # translation UNDER THE DRIVER HASH, with the oracle unchanged
+        # (r14 verdict next #6). Later writers (upsert/delete) produce
+        # logical-name files, so the reads mix eras exactly.
+        S.append(
+            t.withColumnRenamed("symbol", "sym0"),
+            fact,
+            cluster_cols=("sym0",),
+            n_files=8,
+        )
+        S.rename_column(fact, "sym0", "symbol")
         dim0 = (
             t.select("symbol")
             .distinct()

@@ -161,7 +161,10 @@ def build_bloom_index(spark: SparkSession, path: str, key_col: str) -> dict | No
     m = S.manifest(path, head)
     if not m["files"]:
         return None  # empty head (e.g. retention dropped every month)
-    df = S._read_files(spark, path, m["files"], merge_schema=True)
+    df = S._read_files(
+        spark, path, m["files"], merge_schema=True,
+        schema=m.get("schema"), renames=m.get("renames"),
+    )
     kind = df.schema[key_col].dataType.typeName()
     if kind not in ("integer", "long", "short", "byte", "string", "date"):
         raise TypeError(
@@ -346,7 +349,10 @@ def extend_bloom_index(spark: SparkSession, path: str, key_col: str) -> dict | N
             # a new file would saturate the existing filter size: re-size
             # by full rebuild (reserved for exactly this and key changes)
             return build_bloom_index(spark, path, key_col)
-        df = S._read_files(spark, path, new_files, merge_schema=True)
+        df = S._read_files(
+            spark, path, new_files, merge_schema=True,
+            schema=m.get("schema"), renames=m.get("renames"),
+        )
         kind = df.schema[key_col].dataType.typeName()
         if kind not in ("integer", "long", "short", "byte", "string", "date"):
             raise TypeError(
@@ -683,7 +689,13 @@ def read_points(
     if not files:
         return _residual(S._empty_like(spark, path).drop(S.TXN_COL))
     df = S._apply_dvs(
-        spark, S._read_files(spark, path, files, merge_schema=True), m, path
+        spark,
+        S._read_files(
+            spark, path, files, merge_schema=True,
+            schema=m.get("schema"), renames=m.get("renames"),
+        ),
+        m,
+        path,
     ).drop(S.TXN_COL)
     return _residual(df)
 

@@ -125,9 +125,12 @@ def _read_fact_keys(
     large for a literal IN."""
     m = S.manifest(fact_path, version)
     # manifest-stats key prune first (pure metadata, bites on a
-    # cluster_cols layout where each file covers a contiguous key range),
+    # cluster_cols layout where each file covers a contiguous key range;
+    # era-aware: pre-rename files' stats probe under their written name),
     # then the Bloom sidecar over the survivors
-    files = S.prune_files_by_values(m["files"], key_col, keys)
+    files = S.prune_files_by_values(
+        m["files"], key_col, keys, renames=m.get("renames")
+    )
     files = B.prune_file_list(spark, fact_path, key_col, keys, files)
 
     def _residual(df: DataFrame) -> DataFrame:
@@ -142,8 +145,18 @@ def _read_fact_keys(
 
     if not files:
         return _residual(S._empty_like(spark, fact_path).drop(S.TXN_COL))
+    # schema + renames from the pinned manifest: a column-mapped fact
+    # (RENAME COLUMN somewhere in its history) must translate each era's
+    # written names here exactly like read_snapshot does — without them
+    # the key filter would miss (or crash on) pre-rename files (r15)
     df = S._apply_dvs(
-        spark, S._read_files(spark, fact_path, files, merge_schema=True), m, fact_path
+        spark,
+        S._read_files(
+            spark, fact_path, files, merge_schema=True,
+            schema=m.get("schema"), renames=m.get("renames"),
+        ),
+        m,
+        fact_path,
     ).drop(S.TXN_COL)
     return _residual(df)
 

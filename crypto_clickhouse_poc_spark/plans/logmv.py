@@ -521,8 +521,11 @@ def _refresh_scoped(
     if scope_key_col is not None and scope_key_col in group_cols:
         ki = list(group_cols).index(scope_key_col)
         key_vals = sorted({r[ki] for r in rows})
+        # era-aware (r15): a column-mapped base's per-file stats are
+        # keyed by the written name — probe each file under its era's
+        _ren = S._version_body(base_path, head).get("renames")
         extra_prune = lambda fs: S.prune_files_by_values(  # noqa: E731
-            fs, scope_key_col, key_vals
+            fs, scope_key_col, key_vals, renames=_ren
         )
     elif scope_key_col is None and base_path not in _warned_scope_key:
         # discoverability (r13 verdict wrong #4): the caller clustered

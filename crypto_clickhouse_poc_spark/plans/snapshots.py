@@ -1096,7 +1096,10 @@ def _epoch_micros(b: _dt.datetime) -> int:
 
 
 def prune_files_by_values(
-    files: list[dict], key_col: str, values: Sequence
+    files: list[dict],
+    key_col: str,
+    values: Sequence,
+    renames: list[dict] | None = None,
 ) -> list[dict]:
     """Advisory manifest-stats prune for a SET of probe values: drop the
     files whose recorded ``cols[key_col]`` [min, max] provably contains
@@ -1110,7 +1113,16 @@ def prune_files_by_values(
     Bites only on a key-clustered layout (``cluster_cols`` writes, where
     each file covers a contiguous key range); on an unclustered table
     every file's range spans the key domain and nothing is dropped —
-    harmless, O(files · log values) driver-side metadata work."""
+    harmless, O(files · log values) driver-side metadata work.
+
+    ``renames`` (r15): a column-mapped table's per-file stats are keyed
+    by the WRITTEN name — pass the manifest's era map and each file's
+    stats are probed under its own era's name for ``key_col``. Safe
+    because a rename never crosses lineages (rename_column refuses
+    reusing a retired name outside its lineage), so the translated
+    stats are always THIS column's values; without the map, pre-rename
+    files just lack stats for the logical name and are kept (the
+    conservative contract, correct but unpruned)."""
     import bisect
 
     vals = sorted(set(values))
@@ -1118,7 +1130,12 @@ def prune_files_by_values(
         return files
     out = []
     for f in files:
-        rng = f.get("cols", {}).get(key_col)
+        written = key_col
+        if renames:
+            written = rename_map_for_file(
+                renames, [key_col], f.get("added_v", 0)
+            ).get(key_col, key_col)
+        rng = f.get("cols", {}).get(written)
         if rng is None:
             out.append(f)
             continue

@@ -17,6 +17,7 @@ from __future__ import annotations
 from datetime import datetime
 
 import pytest
+from pyspark.sql import functions as F
 
 from crypto_clickhouse_poc_spark.plans import snapshots as S
 
@@ -319,3 +320,83 @@ def test_transitive_lineage_revive_is_allowed(spark, table):
     assert sorted((r.trade_id, r.price) for r in got) == [
         (i, 100.0 + i) for i in range(6)
     ]
+
+
+def test_stats_prune_translates_names_per_era(spark, table):
+    """r15: per-file [min,max] stats are keyed by the WRITTEN name; the
+    era-aware prune probes each file under its own era's name, so a
+    rename keeps metadata pruning alive instead of degrading it to
+    keep-everything."""
+    files = [
+        {"path": "a.parquet", "added_v": 0, "cols": {"sym0": ["AAA", "CCC"]}},
+        {"path": "b.parquet", "added_v": 5, "cols": {"symbol": ["MMM", "ZZZ"]}},
+    ]
+    renames = [{"v": 3, "from": "sym0", "to": "symbol"}]
+    out = S.prune_files_by_values(files, "symbol", ["BBB"], renames=renames)
+    assert [f["path"] for f in out] == ["a.parquet"]  # era-0 stats hit
+    out = S.prune_files_by_values(files, "symbol", ["NNN"], renames=renames)
+    assert [f["path"] for f in out] == ["b.parquet"]
+    # without the era map: era-0 files lack stats under the logical
+    # name and are conservatively kept
+    out = S.prune_files_by_values(files, "symbol", ["NNN"])
+    assert [f["path"] for f in out] == ["a.parquet", "b.parquet"]
+
+
+def test_bloom_index_builds_and_probes_across_a_rename(spark, table):
+    """r15: the Bloom build/extend/point-read paths read files through
+    the era translation, so indexing a renamed key on a table whose old
+    files carry the written name works end to end."""
+    from crypto_clickhouse_poc_spark.plans import bloomidx as B
+
+    S.rename_column(table, "trade_id", "tid")
+    meta = B.build_bloom_index(spark, table, "tid")
+    assert meta is not None
+    got = B.read_point(spark, table, "tid", 3).collect()
+    assert [r.tid for r in got] == [3]
+    # post-rename append extends coverage over mixed eras
+    S.append(
+        _batch(spark, 2, [9]).withColumnRenamed("trade_id", "tid"), table
+    )
+    B.extend_bloom_index(spark, table, "tid")
+    got = B.read_point(spark, table, "tid", 9).collect()
+    assert [r.tid for r in got] == [9]
+
+
+def test_scoped_mv_refresh_prunes_through_the_rename(spark, tmp_path):
+    """r15 integration: a key-clustered base renamed mid-history still
+    serves the group-scoped MV refresh exactly (the enriched replay's
+    dataflow, unit-sized)."""
+    from crypto_clickhouse_poc_spark.plans import joinmv as J
+
+    fact, dim, mv = (str(tmp_path / p) for p in ("f", "d", "m"))
+    t = (
+        _batch(spark, 1, range(8))
+        .withColumn("symbol", F.when(F.col("trade_id") % 2 == 0, "AAA")
+                    .otherwise("BBB"))
+        .withColumnRenamed("symbol", "sym0")
+        .withColumn("qty", (F.col("trade_id") + 1).cast("double"))
+    )
+    S.append(t, fact, cluster_cols=("sym0",), n_files=2)
+    S.rename_column(fact, "sym0", "symbol")
+    dim0 = (
+        S.read_snapshot(spark, fact)
+        .select("symbol")
+        .distinct()
+        .select("symbol", F.lit("S1").alias("sector"),
+                F.to_timestamp(F.lit("2024-01-01")).alias("ts"))
+    )
+    S.append(dim0, dim)
+    J.refresh_enriched_rollup(spark, fact, dim, mv)
+    S.upsert_by_keys(
+        dim0.where(F.col("symbol") == "AAA").withColumn(
+            "sector", F.lit("S2")
+        ),
+        dim,
+        cols=["symbol"],
+    )
+    J.refresh_enriched_rollup(spark, fact, dim, mv)  # key-scoped swap
+    got = S.read_snapshot(spark, mv).groupBy("sector").agg(
+        F.sum("trades").alias("n")
+    )
+    assert {r.sector for r in got.collect()} == {"S1", "S2"}
+    assert sum(r.n for r in got.collect()) == 8

@@ -31,8 +31,8 @@ def main() -> None:
     events = []
     real = S.prune_files_by_values
 
-    def spy(files, key_col, values):
-        out = real(files, key_col, values)
+    def spy(files, key_col, values, **kw):
+        out = real(files, key_col, values, **kw)
         events.append((key_col, len(files), len(out)))
         return out
 
