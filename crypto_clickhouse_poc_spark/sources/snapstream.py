@@ -318,6 +318,20 @@ class SnapshotCommitsDataSource(DataSource):
             # checkpoint stores it; restarts resume from theirs)
             head = _head(self.options["path"])
             sv = "-1" if head is None else str(head)
+            # a stream that silently skipped history is hard to audit
+            # (r14 verdict #4): record the resolved head. It is also
+            # durably observable as the first progress event's
+            # sources[0].startOffset (initialOffset == this version) —
+            # gated in tests.
+            import logging
+
+            logging.getLogger(__name__).info(
+                "snapshot_commits: startingVersion=latest resolved to "
+                "version %s for %s (history up to and including it is "
+                "skipped)",
+                sv,
+                self.options["path"],
+            )
         return SnapshotStreamReader(
             self.options["path"],
             int(sv),
@@ -630,7 +644,10 @@ class SnapshotStreamReader(DataSourceStreamReader):
                                 for x in [(k if len(cols) == 1 else k[ci])]
                                 if x is not None
                             ]
-                            files = prune_files_by_values(files, c, vals)
+                            files = prune_files_by_values(
+                                files, c, vals,
+                                renames=m_prev.get("renames"),
+                            )
                             if files and _bidx.index_exists(self.path, c):
                                 files = _bidx.prune_file_list_local(
                                     self.path, c, vals, files

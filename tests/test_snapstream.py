@@ -452,5 +452,25 @@ def test_starting_version_latest_tails_only_new_commits(spark, table, tmp_path):
         S.append(_batch(spark, 3, [50, 51]), table)
         q.processAllAvailable()
         assert _ids(spark, "ss_latest") == [50, 51]
+        # the resolved head is OBSERVABLE (r15 — a stream that silently
+        # skipped history must be auditable): the first progress event's
+        # startOffset is exactly the version `latest` resolved to, so an
+        # operator can read off where the skip ended
+        head_at_start = S.latest_version(table) - 1  # before the append
+        import re as _re
+
+        def _ver(off):  # progress offsets arrive as (quote-style-varying)
+            if isinstance(off, dict):  # serialized dict strings
+                return off["version"]
+            return int(_re.search(r"version\D+(\d+)", str(off)).group(1))
+
+        starts = [
+            _ver(off)
+            for p in (q.recentProgress or [])
+            if p.get("sources")
+            for off in [p["sources"][0].get("startOffset")]
+            if off not in (None, "None")  # empty batches carry no offset
+        ]
+        assert starts and min(starts) == head_at_start
     finally:
         q.stop()
