@@ -203,8 +203,15 @@ def main() -> None:
     # idle r9 run both showed a ~1.2-1.3x UNIFORM slowdown on untouched
     # queries, which loadavg could not explain; the fingerprint makes
     # machine drift distinguishable from code regressions.
-    cpu_probe = _cpu_fingerprint(spark)
-    print(f"# cpu fingerprint: {cpu_probe}", flush=True)
+    # r15 (verdict wrong #2): one median-of-3 sample swung 0.99 → 1.43
+    # between idle runs of identical code, so normalized totals carried
+    # ±30% noise. The probe is now 5 interleaved samples BEFORE and 5
+    # AFTER the query block; the normalization denominator is the median
+    # of all 10, and the artifact records both halves plus the spread —
+    # a probe whose own samples disagree by >10% flags itself
+    # probe_unstable so the normalized number can't masquerade as clean.
+    cpu_probe_pre = _cpu_fingerprint(spark, rounds=5)
+    print(f"# cpu fingerprint (pre): {cpu_probe_pre}", flush=True)
 
     # one UNTIMED warmup + three timed runs per query, report the median.
     # The warmup is what the streaming stages already do, applied to the
@@ -225,6 +232,8 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(runs), 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", flush=True)
+    cpu_probe_post = _cpu_fingerprint(spark, rounds=5)
+    print(f"# cpu fingerprint (post): {cpu_probe_post}", flush=True)
     spark.stop()
 
     # streaming stages: fresh session each, so the query stage's GC debt and
@@ -264,6 +273,22 @@ def main() -> None:
     # the cpu_probe blend relative to the r11 artifact's host, so
     # round-over-round comparisons stop needing hand-normalization —
     # normalized seconds read as "what this would take on the r11 box".
+    py_all = cpu_probe_pre["py_runs"] + cpu_probe_post["py_runs"]
+    jvm_all = cpu_probe_pre["jvm_runs"] + cpu_probe_post["jvm_runs"]
+    cpu_probe = {
+        "py_loop_s": round(statistics.median(py_all), 3),
+        "jvm_range_s": round(statistics.median(jvm_all), 3),
+        "pre": {k: cpu_probe_pre[k] for k in ("py_loop_s", "jvm_range_s")},
+        "post": {k: cpu_probe_post[k] for k in ("py_loop_s", "jvm_range_s")},
+        # max/min over every sample — the honest instability signal
+        "spread": {
+            "py": round(max(py_all) / min(py_all), 3),
+            "jvm": round(max(jvm_all) / min(jvm_all), 3),
+        },
+    }
+    probe_unstable = (
+        cpu_probe["spread"]["py"] > 1.10 or cpu_probe["spread"]["jvm"] > 1.10
+    )
     speed = (
         cpu_probe["py_loop_s"] / _REF_PROBE["py_loop_s"]
         + cpu_probe["jvm_range_s"] / _REF_PROBE["jvm_range_s"]
@@ -295,6 +320,7 @@ def main() -> None:
                 "loadavg_start": [round(x, 2) for x in load_start],
                 "loadavg_end": [round(x, 2) for x in os.getloadavg()],
                 "contended": contended,
+                "probe_unstable": probe_unstable,
                 "cpu_probe": cpu_probe,
             }
         ),
@@ -308,13 +334,16 @@ def main() -> None:
 _REF_PROBE = {"py_loop_s": 0.522, "jvm_range_s": 0.777}
 
 
-def _cpu_fingerprint(spark) -> dict:
-    """Single-thread host-speed probes, median of 3: a pure-CPython
-    arithmetic loop and a whole-stage-codegen JVM fold over a fixed
-    range. Both are repo-independent constants — only the machine moves
-    them."""
+def _cpu_fingerprint(spark, rounds: int = 3) -> dict:
+    """Single-thread host-speed probes, median of ``rounds`` INTERLEAVED
+    samples (py, jvm, py, jvm, ...): a pure-CPython arithmetic loop and
+    a whole-stage-codegen JVM fold over a fixed range. Both are
+    repo-independent constants — only the machine moves them. Raw
+    samples are returned too so the caller can blend pre/post-block
+    probes and report the spread (r15 — one 3-sample probe swung ±30%
+    between idle runs)."""
     py_runs, jvm_runs = [], []
-    for _ in range(3):
+    for _ in range(rounds):
         t0 = time.perf_counter()
         x = 0
         for i in range(10_000_000):
@@ -330,6 +359,8 @@ def _cpu_fingerprint(spark) -> dict:
     return {
         "py_loop_s": round(statistics.median(py_runs), 3),
         "jvm_range_s": round(statistics.median(jvm_runs), 3),
+        "py_runs": [round(r, 4) for r in py_runs],
+        "jvm_runs": [round(r, 4) for r in jvm_runs],
     }
 
 

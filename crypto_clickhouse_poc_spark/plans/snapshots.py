@@ -2932,6 +2932,58 @@ def rename_column(path: str, old: str, new: str) -> int:
     )
 
 
+def widen_column_type(path: str, col: str, new_type: str) -> int:
+    """ALTER TABLE ALTER COLUMN TYPE (r15 — Delta type-widening parity,
+    the explicit half of :func:`_widen_primitive`): one METADATA commit
+    moving ``col``'s logged type to a strictly wider within-family type
+    (byte→short→int→long, float→double, decimal growth), no data write
+    required. Zero files rewritten — old files upcast at scan exactly
+    like the implicit widen-by-write path. Refuses anything that is not
+    a widening of the current type (including no-ops), and requires a
+    schema-logged table."""
+
+    def edit(head_m: dict, version: int) -> dict:
+        sch = head_m.get("schema")
+        if sch is None:
+            raise ValueError(
+                "widen_column_type requires a schema-logged table — "
+                "compact or rebuild once to upgrade a legacy table"
+            )
+        fields = []
+        hit = False
+        for f in sch["fields"]:
+            if f["name"] != col:
+                fields.append(f)
+                continue
+            hit = True
+            old_t = f["type"]
+            if not isinstance(old_t, str):
+                raise ValueError(
+                    f"column {col!r} has a nested type {old_t!r} — widen "
+                    "the leaf through a write, or rebuild"
+                )
+            w = _widen_primitive(old_t, new_type)
+            if w != new_type or w == old_t:
+                raise ValueError(
+                    f"{new_type!r} is not a widening of column {col!r}'s "
+                    f"current type {old_t!r} — only lossless within-"
+                    "family promotions are allowed (byte→short→int→long, "
+                    "float→double, decimal growth)"
+                )
+            fields.append({**f, "type": new_type})
+        if not hit:
+            raise ValueError(
+                f"no column {col!r} in "
+                f"{[f['name'] for f in sch['fields']]}"
+            )
+        return {"schema": {"type": "struct", "fields": fields}}
+
+    return _commit(
+        path, lambda hf: hf, "widen_column", data_change=False,
+        meta_edit=edit,
+    )
+
+
 def _apply_defaults(df: DataFrame, path: str) -> DataFrame:
     """Write-side DEFAULT fill (ALTER COLUMN SET DEFAULT parity): a
     frame MISSING a defaulted column gets it appended as the default

@@ -312,6 +312,47 @@ class SnapshotCommitsDataSource(DataSource):
 
     def streamReader(self, schema) -> "SnapshotStreamReader":
         sv = str(self.options.get("startingVersion", "-1"))
+        ts_opt = self.options.get("startingTimestamp")
+        if ts_opt is not None:
+            # Delta parity (r15): start from the first commit stamped AT
+            # OR AFTER the timestamp — resolved once here to an
+            # exclusive start version (the newest commit strictly older
+            # than the cutoff; unstamped pre-r13 commits count as
+            # infinitely old, the version_as_of convention). A cutoff
+            # predating the whole log degrades to the full bootstrap
+            # read, which a fold consumer cannot distinguish from a
+            # replay of all history.
+            if "startingVersion" in self.options:
+                raise ValueError(
+                    "startingVersion and startingTimestamp are mutually "
+                    "exclusive"
+                )
+            import datetime as _dt
+
+            try:
+                when = float(ts_opt)
+            except ValueError:
+                parsed = _dt.datetime.fromisoformat(str(ts_opt))
+                if parsed.tzinfo is None:
+                    parsed = parsed.replace(tzinfo=_dt.timezone.utc)
+                when = parsed.timestamp()
+            head = _head(self.options["path"])
+            start = -1
+            for v in range((head if head is not None else -1), -1, -1):
+                at = _version_body(self.options["path"], v).get("committed_at")
+                if at is not None and at < when:
+                    start = v
+                    break
+            sv = str(start)
+            import logging
+
+            logging.getLogger(__name__).info(
+                "snapshot_commits: startingTimestamp=%s resolved to "
+                "exclusive start version %s for %s",
+                ts_opt,
+                sv,
+                self.options["path"],
+            )
         if sv.lower() == "latest":
             # Delta parity: tail only commits made AFTER the stream
             # starts — resolve the current head once, here (a fresh

@@ -474,3 +474,38 @@ def test_starting_version_latest_tails_only_new_commits(spark, table, tmp_path):
         assert starts and min(starts) == head_at_start
     finally:
         q.stop()
+
+
+def test_starting_timestamp_resolves_to_the_commit_boundary(spark, table, tmp_path):
+    """r15 — Delta startingTimestamp parity: the stream starts at the
+    first commit stamped at or after the cutoff; both options together
+    are refused."""
+    import time as _time
+
+    _time.sleep(0.05)
+    cutoff = _time.time()  # after the fixture's bootstrap commit
+    _time.sleep(0.05)
+    S.append(_batch(spark, 3, [70, 71]), table)  # the first included commit
+    q = _start(spark, table, str(tmp_path / "ck_ts"), "ss_ts",
+               startingTimestamp=str(cutoff))
+    try:
+        q.processAllAvailable()
+        assert _ids(spark, "ss_ts") == [70, 71]  # history before cutoff skipped
+        S.append(_batch(spark, 3, [72]), table)
+        q.processAllAvailable()
+        assert _ids(spark, "ss_ts") == [70, 71, 72]
+    finally:
+        q.stop()
+    # both options together: refused at stream start (streamReader is
+    # only invoked when the query starts, so the error surfaces as a
+    # StreamingQueryException on the first batch)
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    q2 = _start(spark, table, str(tmp_path / "ck_both"), "ss_both",
+                startingVersion="0", startingTimestamp=str(cutoff))
+    try:
+        with pytest.raises(StreamingQueryException, match="mutually exclusive"):
+            q2.processAllAvailable()
+            q2.awaitTermination(30)
+    finally:
+        q2.stop()

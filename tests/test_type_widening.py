@@ -179,3 +179,35 @@ def test_widened_column_constraint_and_default_still_apply(spark, tmp_path):
     S.append(_batch(spark, SCHEMA_LONG, [2**40]), path)
     with pytest.raises(ValueError, match="pos_id"):
         S.append(_batch(spark, SCHEMA_LONG, [-5]), path)
+
+
+def test_explicit_widen_column_type_is_metadata_only(spark, tmp_path):
+    """ALTER COLUMN TYPE without writing data (r15): one commit, zero
+    file rewrites, reads upcast, narrowing and cross-family refused."""
+    path = str(tmp_path / "alter")
+    S.append(_batch(spark, SCHEMA_INT, range(4)), path)
+    files_before = {f["path"] for f in S.manifest(path, 0)["files"]}
+    v = S.widen_column_type(path, "trade_id", "long")
+    m = S.manifest(path, v)
+    assert {f["path"] for f in m["files"]} == files_before
+    assert m["op"] == "widen_column" and m["data_change"] is False
+    got = S.read_snapshot(spark, path)
+    assert dict(got.dtypes)["trade_id"] == "bigint"
+    assert sorted(r.trade_id for r in got.collect()) == [0, 1, 2, 3]
+    # wide-id write fits; price stays float so the explicit widen below
+    # is a real promotion
+    S.append(
+        _batch(spark, "ts timestamp, symbol string, trade_id long, price float",
+               [2**40]),
+        path,
+    )
+    with pytest.raises(ValueError, match="not a widening"):
+        S.widen_column_type(path, "trade_id", "integer")  # narrowing
+    with pytest.raises(ValueError, match="not a widening"):
+        S.widen_column_type(path, "trade_id", "double")  # cross-family
+    with pytest.raises(ValueError, match="not a widening"):
+        S.widen_column_type(path, "trade_id", "long")  # no-op
+    with pytest.raises(ValueError, match="no column"):
+        S.widen_column_type(path, "nope", "long")
+    S.widen_column_type(path, "price", "double")
+    assert dict(S.read_snapshot(spark, path).dtypes)["price"] == "double"
