@@ -275,24 +275,46 @@ def main() -> None:
     # normalized seconds read as "what this would take on the r11 box".
     py_all = cpu_probe_pre["py_runs"] + cpu_probe_post["py_runs"]
     jvm_all = cpu_probe_pre["jvm_runs"] + cpu_probe_post["jvm_runs"]
+    mc_all = cpu_probe_pre["mc_runs"] + cpu_probe_post["mc_runs"]
+    keys = ("py_loop_s", "jvm_range_s", "jvm_mc_s")
     cpu_probe = {
         "py_loop_s": round(statistics.median(py_all), 3),
         "jvm_range_s": round(statistics.median(jvm_all), 3),
-        "pre": {k: cpu_probe_pre[k] for k in ("py_loop_s", "jvm_range_s")},
-        "post": {k: cpu_probe_post[k] for k in ("py_loop_s", "jvm_range_s")},
-        # max/min over every sample — the honest instability signal
+        # 32-way parallel fold: the r15 dresses proved single-thread
+        # probes see only ~1/3 of the host's MULTICORE drift (d1/d2:
+        # per-query 1.29x, single-thread probe 1.11x) — VM-neighbor
+        # contention hits parallel throughput hardest, so the mc probe
+        # is the one that tracks what the queries actually feel
+        "jvm_mc_s": round(statistics.median(mc_all), 3),
+        "pre": {k: cpu_probe_pre[k] for k in keys},
+        "post": {k: cpu_probe_post[k] for k in keys},
+        # max/min over every raw sample (diagnostic only — the flag
+        # below keys on pre/post MEDIAN disagreement, since medians
+        # already suppress the single-sample outliers this records)
         "spread": {
             "py": round(max(py_all) / min(py_all), 3),
             "jvm": round(max(jvm_all) / min(jvm_all), 3),
+            "mc": round(max(mc_all) / min(mc_all), 3),
         },
     }
-    probe_unstable = (
-        cpu_probe["spread"]["py"] > 1.10 or cpu_probe["spread"]["jvm"] > 1.10
-    )
+    def _disagree(k):
+        a, b = cpu_probe_pre[k], cpu_probe_post[k]
+        return max(a, b) / max(min(a, b), 1e-9)
+    # unstable = the host changed speed ACROSS the query block (pre and
+    # post medians disagree >15% on any probe) — exactly the condition
+    # under which one blended denominator cannot be trusted
+    probe_unstable = any(_disagree(k) > 1.15 for k in keys)
     speed = (
         cpu_probe["py_loop_s"] / _REF_PROBE["py_loop_s"]
         + cpu_probe["jvm_range_s"] / _REF_PROBE["jvm_range_s"]
     ) / 2
+    # r15+ multicore-aware normalization, self-consistent from the r15
+    # reference host state (the r11 two-probe number stays for history)
+    speed_mc = (
+        cpu_probe["py_loop_s"] / _REF_PROBE_MC["py_loop_s"]
+        + cpu_probe["jvm_range_s"] / _REF_PROBE_MC["jvm_range_s"]
+        + 2 * cpu_probe["jvm_mc_s"] / _REF_PROBE_MC["jvm_mc_s"]
+    ) / 4
     normalized = {q: round(t / speed, 3) for q, t in timings.items()}
     # key order is deliberate: the artifact's tail-capture keeps the END
     # of the line, so the sacrificial per-query dicts go first and the
@@ -306,7 +328,9 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": total,
                 "value_normalized": round(total / speed, 3),
+                "value_normalized_mc": round(total / speed_mc, 3),
                 "host_speed_vs_r11": round(speed, 3),
+                "host_speed_vs_r15": round(speed_mc, 3),
                 "unit": "sec",
                 "ingest_rows_per_sec": round(ingest_rps),
                 "bars_rows_per_sec": round(bars_rps),
@@ -333,6 +357,17 @@ def main() -> None:
 # future round are directly comparable to r11's raw ones.
 _REF_PROBE = {"py_loop_s": 0.522, "jvm_range_s": 0.777}
 
+# the r15 reference host state — denominator of value_normalized_mc,
+# all three probes measured TOGETHER in one calibration run (an
+# internally consistent tuple matters more than which host state it
+# names: it is a unit definition, fixed forever like _REF_PROBE). The
+# mc probe is weighted 2x because the query block is multicore-bound
+# and the r15 dresses showed multicore drift ~3x single-thread drift
+# (d1/d2 per-query 1.29x vs single-thread probe 1.11x). The same
+# calibration session also recorded the box swinging 2x on the bare
+# CPython loop within 20 minutes — PERF.md r15 receipts.
+_REF_PROBE_MC = {"py_loop_s": 1.332, "jvm_range_s": 0.828, "jvm_mc_s": 1.544}
+
 
 def _cpu_fingerprint(spark, rounds: int = 3) -> dict:
     """Single-thread host-speed probes, median of ``rounds`` INTERLEAVED
@@ -342,7 +377,17 @@ def _cpu_fingerprint(spark, rounds: int = 3) -> dict:
     samples are returned too so the caller can blend pre/post-block
     probes and report the spread (r15 — one 3-sample probe swung ±30%
     between idle runs)."""
-    py_runs, jvm_runs = [], []
+    # one UNTIMED execution of each JVM workload first: the probe's own
+    # whole-stage codegen JITs on first execution, which otherwise
+    # inflates the PRE-block half only (measured: jvm pre-median 0.977
+    # vs post 0.784 on an idle box purely from the first samples' JIT)
+    spark.range(0, 200_000_000, 1, 1).selectExpr(
+        "sum(cast(hash(id) as bigint))"
+    ).collect()
+    spark.range(0, 6_400_000_000, 1, 32).selectExpr(
+        "sum(cast(hash(id) as bigint))"
+    ).collect()
+    py_runs, jvm_runs, mc_runs = [], [], []
     for _ in range(rounds):
         t0 = time.perf_counter()
         x = 0
@@ -356,11 +401,21 @@ def _cpu_fingerprint(spark, rounds: int = 3) -> dict:
             "sum(cast(hash(id) as bigint))"
         ).collect()
         jvm_runs.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        # the same per-core work on ALL cores at once: wall time equals
+        # the single-thread probe under zero contention and degrades
+        # exactly with the multicore throughput the queries feel
+        spark.range(0, 6_400_000_000, 1, 32).selectExpr(
+            "sum(cast(hash(id) as bigint))"
+        ).collect()
+        mc_runs.append(time.perf_counter() - t0)
     return {
         "py_loop_s": round(statistics.median(py_runs), 3),
         "jvm_range_s": round(statistics.median(jvm_runs), 3),
+        "jvm_mc_s": round(statistics.median(mc_runs), 3),
         "py_runs": [round(r, 4) for r in py_runs],
         "jvm_runs": [round(r, 4) for r in jvm_runs],
+        "mc_runs": [round(r, 4) for r in mc_runs],
     }
 
 
