@@ -79,9 +79,12 @@ class CdfMVSpec:
     replayed micro-batches stay no-ops after compaction."""
 
     mv_path: str
-    group_cols: Sequence[str] = ("ts", "symbol")
+    # None → read the split from the rollup's own table properties
+    # (cdf.group_cols / cdf.sum_cols / cdf.time_col — the sink records
+    # them on its first fold, r15), so a spec can be just the path
+    group_cols: Sequence[str] | None = None
     sum_cols: Sequence[str] | None = None
-    # None → group_cols[0], matching start_cdf_sum_rollup's default
+    # None → cdf.time_col property, else group_cols[0]
     ts_col: str | None = None
     max_live_files: int = 64
 
@@ -193,14 +196,31 @@ def maintenance_tick(
             head is not None
             and S._n_files(cspec.mv_path, head) > cspec.max_live_files
         ):
+            import json as _json
+
             from ..streaming.cdfsink import merge_cdf_fn
 
+            gcols, scols, tcol = cspec.group_cols, cspec.sum_cols, cspec.ts_col
+            if gcols is None:
+                # self-describing rollup: the sink recorded its split
+                # as table properties on the first fold (r15)
+                props = S.table_properties(cspec.mv_path)
+                if "cdf.group_cols" not in props:
+                    report[f"cdf-compact:{cspec.mv_path}"] = (
+                        "skipped: no group_cols given and the table "
+                        "carries no cdf.group_cols property"
+                    )
+                    continue
+                gcols = _json.loads(props["cdf.group_cols"])
+                if scols is None and "cdf.sum_cols" in props:
+                    scols = _json.loads(props["cdf.sum_cols"])
+                tcol = tcol or props.get("cdf.time_col")
             try:
                 report[f"cdf-compact:{cspec.mv_path}"] = M.compact_rollup(
                     spark,
                     cspec.mv_path,
-                    merge_fn=merge_cdf_fn(cspec.group_cols, cspec.sum_cols),
-                    ts_col=cspec.ts_col or cspec.group_cols[0],
+                    merge_fn=merge_cdf_fn(gcols, scols),
+                    ts_col=tcol or gcols[0],
                 )
             except S.CommitConflict:
                 report[f"cdf-compact:{cspec.mv_path}"] = "conflict-deferred"

@@ -842,6 +842,10 @@ def _commit(
             body["constraints"] = head_m["constraints"]
         if head_m.get("defaults"):
             body["defaults"] = head_m["defaults"]
+        if head_m.get("properties"):
+            body["properties"] = head_m["properties"]
+        if head_m.get("generated"):
+            body["generated"] = head_m["generated"]
         if meta_edit is not None:
             # metadata-only ops (rename/drop column, rollback's restore):
             # computed INSIDE the retry loop against the head that will
@@ -1206,6 +1210,7 @@ def append(
     if (txn_app is None) != (txn_id is None):
         raise ValueError("txn_app and txn_id must be provided together")
     df = _apply_defaults(df, path)
+    df = _apply_generated(df, path)
     _enforce_constraints(df, path)
     if txn_app is not None:
         seen = last_txn(path, txn_app)
@@ -2283,6 +2288,7 @@ def upsert_by_keys(
     if (txn_app is None) != (txn_id is None):
         raise ValueError("txn_app and txn_id must be provided together")
     df = _apply_defaults(df, path)
+    df = _apply_generated(df, path)
     _enforce_constraints(df, path)
     if txn_app is not None:
         seen = last_txn(path, txn_app)
@@ -2645,6 +2651,7 @@ def overwrite_months(
     if (txn_app is None) != (txn_id is None):
         raise ValueError("txn_app and txn_id must be provided together")
     df = _apply_defaults(df, path)
+    df = _apply_generated(df, path)
     _enforce_constraints(df, path)
     head = latest_version(path)
     if head is None:
@@ -2791,8 +2798,63 @@ def rollback(path: str, to_version: int) -> int:
             or None,
             "defaults": _version_body(path, to_version).get("defaults")
             or None,
+            "properties": _version_body(path, to_version).get("properties")
+            or None,
+            "generated": _version_body(path, to_version).get("generated")
+            or None,
         },
     )
+
+
+def set_table_properties(path: str, props: dict) -> int:
+    """ALTER TABLE SET TBLPROPERTIES (r15): one metadata commit merging
+    string key/value pairs into the table's ``properties`` map — a
+    generic durable contract surface (carried across every op incl.
+    total rewrites, restored by rollback, listed by
+    :func:`table_details`). The engine's own seats use it to make
+    tables SELF-DESCRIBING (e.g. the cdfsink rollup records its
+    group/measure split so maintenance needs no out-of-band config);
+    user keys ride along untouched."""
+    if not props:
+        raise ValueError("no properties to set")
+
+    def edit(head_m: dict, version: int) -> dict:
+        cur = dict(head_m.get("properties", {}))
+        cur.update({str(k): str(v) for k, v in props.items()})
+        return {"properties": cur}
+
+    return _commit(
+        path, lambda hf: hf, "set_properties", data_change=False,
+        meta_edit=edit,
+    )
+
+
+def unset_table_properties(path: str, keys: Sequence[str]) -> int:
+    """ALTER TABLE UNSET TBLPROPERTIES: missing keys are an error (the
+    Delta IF EXISTS form is just a pre-filter away)."""
+
+    def edit(head_m: dict, version: int) -> dict:
+        cur = dict(head_m.get("properties", {}))
+        missing = [k for k in keys if k not in cur]
+        if missing:
+            raise ValueError(f"no such properties: {missing}")
+        for k in keys:
+            del cur[k]
+        return {"properties": cur or None}
+
+    return _commit(
+        path, lambda hf: hf, "unset_properties", data_change=False,
+        meta_edit=edit,
+    )
+
+
+def table_properties(path: str, version: int | None = None) -> dict:
+    """The ``properties`` map as of ``version`` (default: head) — one
+    O(1) body read, never a shard splice."""
+    v = latest_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    return dict(_version_body(path, v).get("properties", {}))
 
 
 def table_details(path: str, version: int | None = None) -> dict:
@@ -2825,6 +2887,8 @@ def table_details(path: str, version: int | None = None) -> dict:
         "schema": m.get("schema"),
         "constraints": m.get("constraints", {}),
         "defaults": m.get("defaults", {}),
+        "properties": m.get("properties", {}),
+        "generated": m.get("generated", {}),
         "renames": m.get("renames", []),
         "retired": m.get("retired", []),
         "txns": m.get("txns", {}),
@@ -2895,6 +2959,16 @@ def rename_column(path: str, old: str, new: str) -> int:
                     f"{cname!r} ({c['expr']}) — drop the constraint "
                     "first, rename, then re-add it on the new name"
                 )
+        gen = dict(head_m.get("generated", {}))
+        for gname, g in gen.items():
+            if old in g.get("cols", []):
+                raise ValueError(
+                    f"column {old!r} is referenced by generated column "
+                    f"{gname!r} ({g['expr']}) — drop the generation "
+                    "first, rename, then re-declare it on the new name"
+                )
+        if old in gen:
+            gen[new] = gen.pop(old)  # the generated column itself moves
         fields = [
             {**f, "name": new} if f["name"] == old else f
             for f in sch["fields"]
@@ -2924,6 +2998,7 @@ def rename_column(path: str, old: str, new: str) -> int:
                 (set(head_m.get("retired", [])) | {old}) - {new}
             ),
             "eq_dvs": eq,
+            "generated": gen or None,
         }
 
     return _commit(
@@ -3048,6 +3123,11 @@ def set_column_default(
             )
         if col not in [f["name"] for f in sch["fields"]]:
             raise ValueError(f"no column {col!r} to default")
+        if col in head_m.get("generated", {}):
+            raise ValueError(
+                f"column {col!r} is GENERATED — a column is either "
+                "defaulted or generated, not both"
+            )
         return {"defaults": {**head_m.get("defaults", {}), col: expr}}
 
     return _commit(
@@ -3066,6 +3146,123 @@ def drop_column_default(path: str, col: str) -> int:
 
     return _commit(
         path, lambda hf: hf, "drop_default", data_change=False,
+        meta_edit=edit,
+    )
+
+
+def _apply_generated(df: DataFrame, path: str) -> DataFrame:
+    """Write-side GENERATED ALWAYS AS fill (r15 — Delta generated-column
+    parity): a frame MISSING a generated column gets it computed from
+    the row's other columns and cast to the logged type (the
+    partition-derivation pattern: ``minute GENERATED ALWAYS AS
+    (date_trunc('minute', ts))``). A frame CARRYING the column is
+    validated instead — every provided value must null-safe-equal the
+    computed one, the Delta rule (a writer may omit or match, never
+    contradict) — enforced with one combined filter job, culprit named.
+    Zero cost on tables without generated columns (one head-body read,
+    shared with the defaults read in the write path)."""
+    head = latest_version(path)
+    if head is None:
+        return df
+    body = _version_body(path, head)
+    gen = body.get("generated", {})
+    if not gen:
+        return df
+    sch = body.get("schema")
+    types = {f["name"]: f for f in sch["fields"]} if sch is not None else {}
+
+    def _typed(c, col):
+        if c in types:
+            from pyspark.sql.types import StructType
+
+            col = col.cast(
+                StructType.fromJson({"type": "struct", "fields": [types[c]]})[
+                    c
+                ].dataType
+            )
+        return col
+
+    out = df
+    bad = None
+    for c, g in gen.items():
+        expr = g["expr"] if isinstance(g, dict) else g
+        if c not in out.columns:
+            out = out.withColumn(c, _typed(c, F.expr(expr)))
+        else:
+            v = ~F.col(c).eqNullSafe(_typed(c, F.expr(expr)))
+            bad = v if bad is None else (bad | v)
+    if bad is not None:
+        hit = out.where(bad).limit(1).collect()
+        if hit:
+            raise ValueError(
+                "generated-column contract violated: a provided value "
+                "disagrees with its generation expression in row "
+                f"{hit[0].asDict()} (generated: {gen})"
+            )
+    return out
+
+
+def set_generated_column(
+    spark: SparkSession, path: str, col: str, expr: str
+) -> int:
+    """ALTER TABLE ... declare ``col`` GENERATED ALWAYS AS (``expr``)
+    (r15): one metadata commit. The expression references the table's
+    OTHER columns (validated by analysis at set time); existing rows
+    must already satisfy it (validated like add_constraint, so readers
+    can rely on the invariant from this commit onward). Every later
+    row-adding write fills a missing ``col`` from the expression and
+    refuses a contradicting provided value. Carried across every op,
+    restored by rollback; columns the expression references refuse
+    rename/drop while the generation exists."""
+    df = read_snapshot(spark, path)
+    names = df.drop(TXN_COL, PARTITION_COL).columns
+    if col not in names:
+        raise ValueError(f"no column {col!r} in {names}")
+    probe = df.drop(col)
+    try:
+        gcol = F.expr(expr)
+        probe.select(gcol).schema  # analysis: only OTHER columns
+    except Exception as exc:
+        raise ValueError(
+            f"generation expression {expr!r} must be computable from the "
+            f"table's other columns: {exc}"
+        ) from None
+    bad = df.where(~F.col(col).eqNullSafe(gcol)).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"cannot declare {col!r} GENERATED ALWAYS AS ({expr}): "
+            f"existing row disagrees: {bad[0].asDict()}"
+        )
+    cols = _constraint_cols(df.drop(TXN_COL, PARTITION_COL, col), expr)
+
+    def edit(head_m: dict, version: int) -> dict:
+        gen = dict(head_m.get("generated", {}))
+        if col in gen:
+            raise ValueError(f"column {col!r} is already generated")
+        if col in head_m.get("defaults", {}):
+            raise ValueError(
+                f"column {col!r} has a DEFAULT — a column is either "
+                "defaulted or generated, not both"
+            )
+        gen[col] = {"expr": expr, "cols": cols}
+        return {"generated": gen}
+
+    return _commit(
+        path, lambda hf: hf, "set_generated", data_change=False,
+        meta_edit=edit,
+    )
+
+
+def drop_generated_column_expr(path: str, col: str) -> int:
+    def edit(head_m: dict, version: int) -> dict:
+        gen = dict(head_m.get("generated", {}))
+        if col not in gen:
+            raise ValueError(f"no generation on column {col!r}")
+        del gen[col]
+        return {"generated": gen or None}
+
+    return _commit(
+        path, lambda hf: hf, "drop_generated", data_change=False,
         meta_edit=edit,
     )
 
@@ -3244,6 +3441,16 @@ def drop_column(path: str, name: str) -> int:
                     f"column {name!r} is referenced by CHECK constraint "
                     f"{cname!r} ({c['expr']}) — drop the constraint first"
                 )
+        for gname, g in head_m.get("generated", {}).items():
+            if gname != name and name in g.get("cols", []):
+                raise ValueError(
+                    f"column {name!r} is referenced by generated column "
+                    f"{gname!r} ({g['expr']}) — drop the generation first"
+                )
+        gen = {
+            k: v for k, v in head_m.get("generated", {}).items()
+            if k != name
+        }
         dfl = {
             k: v for k, v in head_m.get("defaults", {}).items() if k != name
         }
@@ -3253,6 +3460,7 @@ def drop_column(path: str, name: str) -> int:
                 "fields": [f for f in sch["fields"] if f["name"] != name],
             },
             "defaults": dfl or None,
+            "generated": gen or None,
             "retired": sorted(set(head_m.get("retired", [])) | {name}),
         }
 
@@ -3567,6 +3775,7 @@ def merge_into(
     # defaulted column missing from the source takes the default for
     # matched rows too — the upsert contract)
     source = _apply_defaults(source, path)
+    source = _apply_generated(source, path)
     _enforce_constraints(source, path)
     read_v = latest_version(path)
     if read_v is None:

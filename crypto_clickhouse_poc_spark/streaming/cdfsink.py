@@ -83,6 +83,23 @@ def start_cdf_sum_rollup(
         # one partial-append per micro-batch; (app, batchId) makes the
         # at-least-once foreachBatch delivery exactly-once on the log
         S.append(delta, mv_path, ts_col=ts_col, txn_app=app, txn_id=batch_id)
+        if batch_id == 0:
+            # self-describing rollup (r15): record the group/measure
+            # split as table properties, so the maintenance compaction
+            # seat (plans/maintain.CdfMVSpec) needs no out-of-band
+            # config — the split IS part of the table's contract (a
+            # wrong one would merge incorrectly, see merge_cdf_fn).
+            # Idempotent: a replayed batch 0 re-sets identical values.
+            import json as _json
+
+            S.set_table_properties(
+                mv_path,
+                {
+                    "cdf.group_cols": _json.dumps(list(group_cols)),
+                    "cdf.sum_cols": _json.dumps(list(sum_cols)),
+                    "cdf.time_col": ts_col,
+                },
+            )
 
     feed = (
         spark.readStream.format("snapshot_commits")
