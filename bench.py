@@ -331,6 +331,12 @@ def main() -> None:
                 "value_normalized_mc": round(total / speed_mc, 3),
                 "host_speed_vs_r11": round(speed, 3),
                 "host_speed_vs_r15": round(speed_mc, 3),
+                # the r15 probe procedure (JIT warmup, interleaved mc
+                # fold) reads the jvm workload ~20% lower than the
+                # unwarmed r11 procedure _REF_PROBE was calibrated
+                # with — vs_r11 numbers carry that bias vs r11..r14
+                # artifacts; compare r15+ rounds on value_normalized_mc
+                "norm_note": "vs_r11 procedure-biased since r15; use _mc",
                 "unit": "sec",
                 "ingest_rows_per_sec": round(ingest_rps),
                 "bars_rows_per_sec": round(bars_rps),

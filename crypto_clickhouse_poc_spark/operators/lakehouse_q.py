@@ -349,14 +349,16 @@ def _cdf_rollup_once(spark: SparkSession, t: DataFrame) -> DataFrame:
         except Exception as exc:
             # surface the stream's ROOT error: processAllAvailable's
             # StreamingQueryException often carries no message, hiding
-            # the foreachBatch/source failure that killed the query
-            root = None
+            # the foreachBatch/source failure that killed the query.
+            # (local deliberately NOT named `root` — that is the tmpdir
+            # the outer finally removes)
+            cause = None
             try:
-                root = q.exception()
+                cause = q.exception()
             except Exception:
                 pass
             raise RuntimeError(
-                f"cdf stream failed: {root or exc!r}"
+                f"cdf stream failed: {cause or exc!r}"
             ) from exc
         finally:
             q.stop()

@@ -1209,9 +1209,10 @@ def append(
     can cluster while ad-hoc appends stay cheap."""
     if (txn_app is None) != (txn_id is None):
         raise ValueError("txn_app and txn_id must be provided together")
-    df = _apply_defaults(df, path)
-    df = _apply_generated(df, path)
-    _enforce_constraints(df, path)
+    _wb = _head_body(path)
+    df = _apply_defaults(df, path, _wb)
+    df = _apply_generated(df, path, _wb)
+    _enforce_constraints(df, path, _wb)
     if txn_app is not None:
         seen = last_txn(path, txn_app)
         if seen is not None and txn_id <= seen:
@@ -2287,9 +2288,10 @@ def upsert_by_keys(
         raise FileNotFoundError(f"no snapshots at {path}")
     if (txn_app is None) != (txn_id is None):
         raise ValueError("txn_app and txn_id must be provided together")
-    df = _apply_defaults(df, path)
-    df = _apply_generated(df, path)
-    _enforce_constraints(df, path)
+    _wb = _head_body(path)
+    df = _apply_defaults(df, path, _wb)
+    df = _apply_generated(df, path, _wb)
+    _enforce_constraints(df, path, _wb)
     if txn_app is not None:
         seen = last_txn(path, txn_app)
         if seen is not None and txn_id <= seen:
@@ -2650,9 +2652,10 @@ def overwrite_months(
     ``append`` — a replayed backfill job is a detected no-op."""
     if (txn_app is None) != (txn_id is None):
         raise ValueError("txn_app and txn_id must be provided together")
-    df = _apply_defaults(df, path)
-    df = _apply_generated(df, path)
-    _enforce_constraints(df, path)
+    _wb = _head_body(path)
+    df = _apply_defaults(df, path, _wb)
+    df = _apply_generated(df, path, _wb)
+    _enforce_constraints(df, path, _wb)
     head = latest_version(path)
     if head is None:
         raise FileNotFoundError(
@@ -3059,18 +3062,19 @@ def widen_column_type(path: str, col: str, new_type: str) -> int:
     )
 
 
-def _apply_defaults(df: DataFrame, path: str) -> DataFrame:
+def _apply_defaults(df: DataFrame, path: str, body: dict | None = None) -> DataFrame:
     """Write-side DEFAULT fill (ALTER COLUMN SET DEFAULT parity): a
     frame MISSING a defaulted column gets it appended as the default
     expression cast to the column's logged type — so the new files
     physically carry the value. Existing rows are untouched (the Delta
     rule: defaults apply to writes AFTER the default was set; history
     reads back as written, i.e. null for pre-default files). Zero cost
-    when no defaults are set (one head-body JSON read)."""
-    head = latest_version(path)
-    if head is None:
+    when no defaults are set (``body`` shares the write path's single
+    head-body read)."""
+    if body is None:
+        body = _head_body(path)
+    if body is None:
         return df
-    body = _version_body(path, head)
     defaults = body.get("defaults", {})
     if not defaults:
         return df
@@ -3150,7 +3154,15 @@ def drop_column_default(path: str, col: str) -> int:
     )
 
 
-def _apply_generated(df: DataFrame, path: str) -> DataFrame:
+def _head_body(path: str) -> dict | None:
+    """The head version's raw body, or None on an empty table — fetched
+    ONCE per write and shared by the three write-side contract passes
+    (defaults, generated, constraints)."""
+    head = latest_version(path)
+    return None if head is None else _version_body(path, head)
+
+
+def _apply_generated(df: DataFrame, path: str, body: dict | None = None) -> DataFrame:
     """Write-side GENERATED ALWAYS AS fill (r15 — Delta generated-column
     parity): a frame MISSING a generated column gets it computed from
     the row's other columns and cast to the logged type (the
@@ -3159,12 +3171,15 @@ def _apply_generated(df: DataFrame, path: str) -> DataFrame:
     validated instead — every provided value must null-safe-equal the
     computed one, the Delta rule (a writer may omit or match, never
     contradict) — enforced with one combined filter job, culprit named.
-    Zero cost on tables without generated columns (one head-body read,
-    shared with the defaults read in the write path)."""
-    head = latest_version(path)
-    if head is None:
+    A frame missing a SOURCE column of an expression evaluates it over
+    the typed null the evolution fill will land (same rule as
+    constraints) rather than crashing analysis. Zero cost on tables
+    without generated columns (``body`` shares the single head-body
+    read the write path already makes)."""
+    if body is None:
+        body = _head_body(path)
+    if body is None:
         return df
-    body = _version_body(path, head)
     gen = body.get("generated", {})
     if not gen:
         return df
@@ -3182,7 +3197,19 @@ def _apply_generated(df: DataFrame, path: str) -> DataFrame:
             )
         return col
 
+    # referenced source columns absent from the frame: evaluate over
+    # the typed NULLs that will physically land (evolution null-fill) —
+    # added for evaluation only, dropped again below
+    refs = {
+        c
+        for g in gen.values()
+        if isinstance(g, dict)
+        for c in g.get("cols", [])
+    }
+    added_refs = sorted(refs - set(df.columns) - set(gen))
     out = df
+    for c in added_refs:
+        out = out.withColumn(c, _typed(c, F.lit(None)))
     bad = None
     for c, g in gen.items():
         expr = g["expr"] if isinstance(g, dict) else g
@@ -3199,7 +3226,7 @@ def _apply_generated(df: DataFrame, path: str) -> DataFrame:
                 "disagrees with its generation expression in row "
                 f"{hit[0].asDict()} (generated: {gen})"
             )
-    return out
+    return out.drop(*added_refs) if added_refs else out
 
 
 def set_generated_column(
@@ -3274,7 +3301,7 @@ def _violation_cond(expr: str):
     return ~F.coalesce(F.expr(expr), F.lit(True))
 
 
-def _enforce_constraints(df: DataFrame, path: str) -> None:
+def _enforce_constraints(df: DataFrame, path: str, body: dict | None = None) -> None:
     """Validate a write's frame against the head's CHECK constraints —
     called by every row-adding writer BEFORE files are written. Zero
     cost on constraint-free tables (one head-body JSON read); one
@@ -3283,10 +3310,10 @@ def _enforce_constraints(df: DataFrame, path: str) -> None:
     the Delta one: a constraint added after a writer read the head does
     not gate that writer's commit (the add itself validated all rows
     visible to IT)."""
-    head = latest_version(path)
-    if head is None:
+    if body is None:
+        body = _head_body(path)
+    if body is None:
         return
-    body = _version_body(path, head)
     cons = body.get("constraints", {})
     if not cons:
         return
@@ -3774,9 +3801,10 @@ def merge_into(
     # other write (this engine's merge is full-row replacement, so a
     # defaulted column missing from the source takes the default for
     # matched rows too — the upsert contract)
-    source = _apply_defaults(source, path)
-    source = _apply_generated(source, path)
-    _enforce_constraints(source, path)
+    _wb = _head_body(path)
+    source = _apply_defaults(source, path, _wb)
+    source = _apply_generated(source, path, _wb)
+    _enforce_constraints(source, path, _wb)
     read_v = latest_version(path)
     if read_v is None:
         raise FileNotFoundError(f"no snapshots at {path}")

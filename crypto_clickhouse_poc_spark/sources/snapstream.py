@@ -340,7 +340,11 @@ class SnapshotCommitsDataSource(DataSource):
             start = -1
             for v in range((head if head is not None else -1), -1, -1):
                 at = _version_body(self.options["path"], v).get("committed_at")
-                if at is not None and at < when:
+                # unstamped (pre-r13) commits are infinitely old — they
+                # satisfy any cutoff (the version_as_of convention);
+                # treating them as "no match" would fall through to a
+                # FULL bootstrap and replay history the cutoff excludes
+                if at is None or at < when:
                     start = v
                     break
             sv = str(start)

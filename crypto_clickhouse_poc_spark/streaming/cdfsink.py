@@ -68,6 +68,7 @@ def start_cdf_sum_rollup(
     spark.dataSource.register(SnapshotCommitsDataSource)
     ts_col = time_col or group_cols[0]
     sign = F.when(F.col(CDC_TYPE) == "insert", F.lit(1)).otherwise(F.lit(-1))
+    recorded = {"props": False}  # once per stream lifetime
 
     def _fold(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -83,23 +84,28 @@ def start_cdf_sum_rollup(
         # one partial-append per micro-batch; (app, batchId) makes the
         # at-least-once foreachBatch delivery exactly-once on the log
         S.append(delta, mv_path, ts_col=ts_col, txn_app=app, txn_id=batch_id)
-        if batch_id == 0:
+        if not recorded["props"]:
             # self-describing rollup (r15): record the group/measure
             # split as table properties, so the maintenance compaction
             # seat (plans/maintain.CdfMVSpec) needs no out-of-band
             # config — the split IS part of the table's contract (a
             # wrong one would merge incorrectly, see merge_cdf_fn).
-            # Idempotent: a replayed batch 0 re-sets identical values.
+            # On the FIRST NON-EMPTY batch, not batch 0 (an empty
+            # bootstrap would otherwise skip it forever — review r15);
+            # skipped when already present, so a restart costs one
+            # body read, not a commit.
             import json as _json
 
-            S.set_table_properties(
-                mv_path,
-                {
-                    "cdf.group_cols": _json.dumps(list(group_cols)),
-                    "cdf.sum_cols": _json.dumps(list(sum_cols)),
-                    "cdf.time_col": ts_col,
-                },
-            )
+            if "cdf.group_cols" not in S.table_properties(mv_path):
+                S.set_table_properties(
+                    mv_path,
+                    {
+                        "cdf.group_cols": _json.dumps(list(group_cols)),
+                        "cdf.sum_cols": _json.dumps(list(sum_cols)),
+                        "cdf.time_col": ts_col,
+                    },
+                )
+            recorded["props"] = True
 
     feed = (
         spark.readStream.format("snapshot_commits")

@@ -112,3 +112,29 @@ def test_referenced_column_refuses_rename_and_drop(spark, table):
     assert got[9] is not None
     S.drop_column(table, "bucket")
     assert S.table_details(table)["generated"] == {}
+
+
+def test_missing_source_column_evaluates_over_the_landing_null(spark, tmp_path):
+    """Review r15: a frame missing a SOURCE column of the generation
+    expression must be handled like the constraint pass handles it —
+    evaluated over the typed null that will physically land — not crash
+    analysis with an unresolved-column error. (The source here is a
+    NON-layout column: a frame missing the layout time column can never
+    be written, generated or not.)"""
+    path = str(tmp_path / "gsrc")
+    S.append(_batch(spark, 1, range(3)).withColumn(
+        "sym_uc", F.upper(F.col("symbol"))), path)
+    S.set_generated_column(spark, path, "sym_uc", "upper(symbol)")
+    # neither symbol nor sym_uc: sym_uc computes upper(null) = null
+    frame = (_batch(spark, 2, [9]).drop("minute")
+             .drop("symbol"))
+    S.append(frame, path)
+    got = {r.trade_id: (r.symbol, r.sym_uc)
+           for r in S.read_snapshot(spark, path).collect()}
+    assert got[9] == (None, None)
+    # sym_uc provided non-null while symbol is absent: contradicts the
+    # null-computed value -> the GOVERNED contract error, not analysis
+    bad = (_batch(spark, 2, [10]).drop("minute").drop("symbol")
+           .withColumn("sym_uc", F.lit("ZZZ")))
+    with pytest.raises(ValueError, match="generated-column contract"):
+        S.append(bad, path)

@@ -136,3 +136,22 @@ def test_tick_skips_a_rollup_without_the_properties(spark, tmp_path):
         min_rows=1,
     )
     assert "no group_cols" in report[f"cdf-compact:{mv}"]
+
+
+def test_props_recorded_on_first_nonempty_batch_not_batch_zero(spark, tmp_path):
+    """Review r15: a stream whose bootstrap batch is EMPTY (consumer
+    launched against an empty base) must still become self-describing
+    on the first batch that actually folds."""
+    from crypto_clickhouse_poc_spark.streaming import cdfsink as C
+
+    base, mv, ck = (str(tmp_path / p) for p in ("base", "mv", "ck"))
+    # an empty v0: the bootstrap snapshot has zero rows
+    S.append(_batch(spark, 1, []), base)
+    q = C.start_cdf_sum_rollup(spark, base, mv, ck, ["ts", "symbol"], ["price"])
+    try:
+        q.processAllAvailable()  # empty bootstrap — nothing recorded yet
+        S.append(_batch(spark, 1, range(4)), base)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert "cdf.group_cols" in S.table_properties(mv)
