@@ -122,6 +122,88 @@ def start_cdf_sum_rollup(
     )
 
 
+def start_cdf_enriched_sum_rollup(
+    spark: SparkSession,
+    base_path: str,
+    dim: DataFrame,
+    mv_path: str,
+    checkpoint_path: str,
+    join_key: str,
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    time_col: str | None = None,
+    trigger_sec: int = 0,
+    app: str = CDF_APP + "-enriched",
+) -> StreamingQuery:
+    """The ENRICHED signed fold (r15): each micro-batch's change rows
+    join a BROADCAST STATIC dimension on ``join_key`` before folding,
+    so the rollup groups by dim attributes (sector rollups from a
+    symbol-keyed feed) while staying exact across every change the feed
+    represents — a delete joins the same dim row its insert did, so the
+    retraction lands in the same group and cancels.
+
+    ``dim`` must be STATIC for the stream's lifetime (materialize it
+    with ``localCheckpoint()``; the per-batch join broadcasts it): the
+    signed algebra is only exact when enrichment is a pure function of
+    the join key. A dimension that UPDATES mid-stream re-maps keys
+    between an insert and its retraction and the fold silently drifts —
+    that regime is ``plans/joinmv``'s (key-scoped swaps from BOTH
+    tables' logs). Inner join: feed rows without a dim match drop, on
+    both the insert and the delete leg, symmetrically.
+
+    Scale shape: one broadcast hash join + one map-side-combined
+    groupBy per micro-batch over O(change rows); everything else
+    (exactly-once watermark, compaction seat, self-describing
+    properties, read merge) is inherited from the plain sink."""
+    from ..sources.snapstream import SnapshotCommitsDataSource
+
+    spark.dataSource.register(SnapshotCommitsDataSource)
+    ts_col = time_col or group_cols[0]
+    sign = F.when(F.col(CDC_TYPE) == "insert", F.lit(1)).otherwise(F.lit(-1))
+    recorded = {"props": False}
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        delta = (
+            batch.join(F.broadcast(dim), join_key, "inner")
+            .withColumn(_N, sign)
+            .groupBy(*group_cols)
+            .agg(
+                *[F.sum(F.col(c) * F.col(_N)).alias(c) for c in sum_cols],
+                F.sum(_N).alias(_N),
+            )
+        )
+        S.append(delta, mv_path, ts_col=ts_col, txn_app=app, txn_id=batch_id)
+        if not recorded["props"]:
+            import json as _json
+
+            if "cdf.group_cols" not in S.table_properties(mv_path):
+                S.set_table_properties(
+                    mv_path,
+                    {
+                        "cdf.group_cols": _json.dumps(list(group_cols)),
+                        "cdf.sum_cols": _json.dumps(list(sum_cols)),
+                        "cdf.time_col": ts_col,
+                    },
+                )
+            recorded["props"] = True
+
+    feed = (
+        spark.readStream.format("snapshot_commits")
+        .option("path", base_path)
+        .option("readChangeFeed", "true")
+        .load()
+    )
+    return (
+        feed.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(processingTime=f"{trigger_sec} seconds")
+        .outputMode("append")
+        .start()
+    )
+
+
 def merge_cdf_fn(group_cols: Sequence[str], sum_cols: Sequence[str] | None = None):
     """The rollup's CLOSED compaction merge: N signed partials per group
     → one, same schema — reads through :func:`read_cdf_rollup` are

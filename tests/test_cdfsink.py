@@ -135,3 +135,63 @@ def test_restart_resumes_from_the_checkpoint_exactly_once(spark, tmp_path):
     finally:
         q2.stop()
     assert _got(spark, mv) == _expect(spark, base)
+
+
+def test_enriched_fold_exact_across_backfill_and_deletes(spark, tmp_path):
+    """r15: the enriched signed fold — change rows join a broadcast
+    STATIC dim before folding — equals the batch join+aggregate after a
+    mid-stream overwrite and deletes (a delete joins the same dim row
+    its insert did, so retractions land in the right group)."""
+    base, mv, ck = (str(tmp_path / p) for p in ("base", "mv", "ck"))
+    S.append(_batch(spark, 1, range(10)), base)
+    dim = spark.createDataFrame(
+        [("AAA", "HEAD"), ("BBB", "TAIL")], "symbol string, sector string"
+    ).localCheckpoint()
+    q = C.start_cdf_enriched_sum_rollup(
+        spark, base, dim, mv, ck, "symbol", ["ts", "sector"], ["price"]
+    )
+    try:
+        q.processAllAvailable()
+        S.overwrite_months(_batch(spark, 1, range(10), price=7.0), base)
+        S.delete_by_keys(spark, base, spark.createDataFrame([(4,)], "trade_id long"))
+        S.append(_batch(spark, 2, range(10, 13)), base)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r.ts, r.sector, r.price, r._n)
+        for r in C.read_cdf_rollup(spark, mv, ["ts", "sector"], ["price"]).collect()
+    )
+    want = sorted(
+        (r.ts, r.sector, r.price, r._n)
+        for r in S.read_snapshot(spark, base)
+        .join(dim, "symbol")
+        .groupBy("ts", "sector")
+        .agg(F.sum("price").alias("price"), F.count("*").alias("_n"))
+        .collect()
+    )
+    assert got == want
+
+
+def test_enriched_fold_drops_unmatched_keys_symmetrically(spark, tmp_path):
+    """Inner-join semantics: feed rows without a dim match contribute
+    nothing — on the insert AND the delete leg, so a later retraction
+    of an unmatched row cannot go negative."""
+    base, mv, ck = (str(tmp_path / p) for p in ("base", "mv", "ck"))
+    S.append(_batch(spark, 1, range(4)), base)  # symbols AAA + BBB
+    dim = spark.createDataFrame(
+        [("AAA", "ONLY")], "symbol string, sector string"
+    ).localCheckpoint()
+    q = C.start_cdf_enriched_sum_rollup(
+        spark, base, dim, mv, ck, "symbol", ["ts", "sector"], ["price"]
+    )
+    try:
+        q.processAllAvailable()
+        # delete a BBB row (unmatched): must be a no-op for the rollup
+        S.delete_by_keys(spark, base, spark.createDataFrame([(1,)], "trade_id long"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = C.read_cdf_rollup(spark, mv, ["ts", "sector"], ["price"]).collect()
+    assert {r.sector for r in rows} == {"ONLY"}
+    assert all(r._n > 0 for r in rows)

@@ -125,8 +125,8 @@ def test_scoped_refresh_prunes_clustered_base_at_file_level(
     effects: list[tuple[int, int]] = []
     real = S.prune_files_by_values
 
-    def spy(files, key_col, values):
-        out = real(files, key_col, values)
+    def spy(files, key_col, values, **kw):
+        out = real(files, key_col, values, **kw)
         effects.append((len(files), len(out)))
         return out
 
@@ -170,8 +170,8 @@ def test_joinmv_fact_read_prunes_clustered_fact_at_file_level(
     effects: list[tuple[int, int]] = []
     real = S.prune_files_by_values
 
-    def spy(files, key_col, values):
-        out = real(files, key_col, values)
+    def spy(files, key_col, values, **kw):
+        out = real(files, key_col, values, **kw)
         effects.append((len(files), len(out)))
         return out
 
