@@ -389,11 +389,105 @@ def _cdf_rollup_once(spark: SparkSession, t: DataFrame) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def cdf_enriched_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIBRARY twin of ``cdf_rollup_replay`` for the r15 ENRICHED fold
+    (``streaming/cdfsink.start_cdf_enriched_sum_rollup``): the change
+    feed joins a broadcast STATIC symbol→sector dim before the signed
+    fold, so the rollup groups by (minute, sector) — exact across the
+    same mid-stream overwrite + erasure, against the corrected-survivors
+    join+aggregate oracle. Library-only (pytest DuckDB-parity gate): its
+    stream/fold/compaction machinery is already driver-hashed by the
+    declared cdf_rollup_replay; the dim join is the one new leg."""
+    from ..plans.maintain import CdfMVSpec, maintenance_tick
+    from ..streaming import cdfsink as C
+
+    t = bounded_cache(
+        f"cdf_rollup_replay:{sf_dir}",  # same frame as the declared twin
+        _events(spark, sf_dir).select(
+            "ts",
+            F.date_trunc("minute", F.col("ts")).alias("minute"),
+            F.col("event_type").alias("symbol"),
+            F.col("event_id").alias("trade_id"),
+            F.col("price").cast("decimal(18,6)").alias("price"),
+            F.col("qty").cast("decimal(18,6)").alias("qty"),
+        ),
+    )
+    dim = (
+        t.select("symbol")
+        .distinct()
+        .select(
+            "symbol",
+            F.when(F.col("symbol") < "m", "HEAD").otherwise("TAIL").alias("sector"),
+        )
+        .localCheckpoint()
+    )
+    root = Path(tempfile.mkdtemp(prefix="cdf_enriched_"))
+    base, mv, ck = str(root / "base"), str(root / "mv"), str(root / "ck")
+    groups, sums = ["minute", "sector"], ["price", "qty"]
+    try:
+        S.append(t, base)
+        q = C.start_cdf_enriched_sum_rollup(
+            spark, base, dim, mv, ck, "symbol", groups, sums,
+            time_col="minute",
+        )
+        try:
+            q.processAllAvailable()
+            fixed = t.withColumn(
+                "price",
+                F.when(
+                    F.col("trade_id") % _CDF_FIX_MOD == 0,
+                    (F.col("price") * 2).cast("decimal(18,6)"),
+                ).otherwise(F.col("price")),
+            )
+            S.overwrite_months(fixed, base)
+            q.processAllAvailable()
+            S.delete_by_keys(
+                spark,
+                base,
+                t.select("trade_id")
+                .where(F.col("trade_id") % _CDF_ERASE_MOD == 0)
+                .distinct(),
+            )
+            q.processAllAvailable()
+        except Exception as exc:
+            cause = None
+            try:
+                cause = q.exception()
+            except Exception:
+                pass
+            raise RuntimeError(
+                f"cdf enriched stream failed: {cause or exc!r}"
+            ) from exc
+        finally:
+            q.stop()
+        maintenance_tick(
+            spark,
+            base,
+            cdf_mvs=[CdfMVSpec(mv_path=mv, max_live_files=1)],
+            min_rows=1,
+        )
+        return (
+            C.read_cdf_rollup(spark, mv, groups, sums)
+            .select(
+                "minute",
+                "sector",
+                F.col("price").cast("double").alias("sum_price"),
+                F.col("qty").cast("double").alias("sum_qty"),
+                F.col("_n").alias("trades"),
+            )
+            .orderBy("minute", "sector")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 QUERIES = {
     "mv_scoped_erasure_replay": mv_scoped_erasure_replay,
     "mv_enriched_replay": mv_enriched_replay,
     "mv_backfill_replay": mv_backfill_replay,
     "cdf_rollup_replay": cdf_rollup_replay,
+    "cdf_enriched_replay": cdf_enriched_replay,
 }
 
 ORACLES = {
@@ -505,5 +599,30 @@ ORACLES = {
                CAST(sum(qty) AS DOUBLE) AS sum_qty,
                count(*) AS trades
         FROM t GROUP BY minute, symbol ORDER BY minute, symbol
+    """,
+    # the enriched fold's contract: signed fold THROUGH a static dim
+    # join equals the batch join+aggregate over the corrected survivors
+    "cdf_enriched_replay": f"""
+        WITH t AS (
+          SELECT date_trunc('minute', ts) AS minute,
+                 event_type AS symbol,
+                 CASE WHEN event_id % {_CDF_FIX_MOD} = 0
+                      THEN CAST(CAST(value AS DECIMAL(18,6)) * 2 AS DECIMAL(18,6))
+                      ELSE CAST(value AS DECIMAL(18,6)) END AS price,
+                 CAST(CAST(json_extract_string(props, '$.k') AS DOUBLE)
+                      AS DECIMAL(18,6)) AS qty
+          FROM events WHERE event_id % {_CDF_ERASE_MOD} <> 0
+        ),
+        d AS (
+          SELECT symbol,
+                 CASE WHEN symbol < 'm' THEN 'HEAD' ELSE 'TAIL' END AS sector
+          FROM (SELECT DISTINCT event_type AS symbol FROM events)
+        )
+        SELECT minute, sector,
+               CAST(sum(price) AS DOUBLE) AS sum_price,
+               CAST(sum(qty) AS DOUBLE) AS sum_qty,
+               count(*) AS trades
+        FROM t JOIN d USING (symbol)
+        GROUP BY minute, sector ORDER BY minute, sector
     """,
 }
