@@ -206,7 +206,13 @@ def _bloom_words(df: DataFrame, key_col: str, bits: int) -> DataFrame:
     absent from the index, and pruning it is correct — an equality
     probe can never match null."""
     pos = df.where(F.col(key_col).isNotNull()).select(
-        S._dv_file_expr().alias("file"),
+        # materialized-or-pseudo rule (_apply_dvs' convention): a
+        # mixed-era column-mapped scan is a Union where the `_metadata`
+        # pseudo-column no longer resolves — the era read materialized
+        # _dv_target_file per era instead (r16 ADVICE: _dv_file_expr()
+        # here crashed build/extend on any renamed table with
+        # post-rename appends)
+        S._file_expr_for(df).alias("file"),
         F.explode(
             bloom_positions(F.col(key_col).cast("string"), bits=bits)
         ).alias("pos"),

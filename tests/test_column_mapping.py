@@ -362,6 +362,34 @@ def test_bloom_index_builds_and_probes_across_a_rename(spark, table):
     assert [r.tid for r in got] == [9]
 
 
+def test_bloom_index_builds_on_a_mixed_era_table(spark, table):
+    """r16 ADVICE (medium): building over BOTH pre- and post-rename
+    files is a Union of era scans where the ``_metadata`` pseudo-column
+    no longer resolves — ``_bloom_words`` must use the materialized
+    per-era file column (``_file_expr_for``), not ``_dv_file_expr()``
+    directly, or build/extend crash on any renamed table with
+    post-rename appends (this hit maintenance_tick's bloom seat)."""
+    from crypto_clickhouse_poc_spark.plans import bloomidx as B
+
+    S.rename_column(table, "trade_id", "tid")
+    S.append(
+        _batch(spark, 2, [11]).withColumnRenamed("trade_id", "tid"), table
+    )
+    # fresh build over a head holding era-0 (trade_id) + era-1 (tid)
+    # files: the AnalysisException repro before the fix
+    meta = B.build_bloom_index(spark, table, "tid")
+    assert meta is not None and meta["n_files"] >= 2
+    assert [r.tid for r in B.read_point(spark, table, "tid", 3).collect()] == [3]
+    assert [r.tid for r in B.read_point(spark, table, "tid", 11).collect()] == [11]
+    # the saturation-rebuild fallback path shares the kernel: extend
+    # after another mixed-era append stays green too
+    S.append(
+        _batch(spark, 3, [12]).withColumnRenamed("trade_id", "tid"), table
+    )
+    B.extend_bloom_index(spark, table, "tid")
+    assert [r.tid for r in B.read_point(spark, table, "tid", 12).collect()] == [12]
+
+
 def test_scoped_mv_refresh_prunes_through_the_rename(spark, tmp_path):
     """r15 integration: a key-clustered base renamed mid-history still
     serves the group-scoped MV refresh exactly (the enriched replay's
