@@ -75,6 +75,21 @@ them) + the two path-derived string columns; like every snapshot
 reader, files are never listed from storage — the manifest is the
 listing.
 
+Schema evolution mid-stream (the declared schema is pinned at stream
+start): RENAME/DROP COLUMN in the offset range fails the batch with
+restart instructions (``_refuse_schema_edits`` — Delta's metadata-change
+behavior); ADD COLUMN null-fills like mergeSchema; TYPE WIDENING (r16)
+is ALLOWED like ADD COLUMN — every emitted column is cast to the
+stream's declared type (pre-widen narrow files upcast losslessly under
+a wide start-time schema; a widen made AFTER stream start keeps flowing
+exactly while new values still fit the narrow declared type, and the
+first value that doesn't fails the batch loudly with restart
+instructions — a restart adopts the widened logged schema). The
+eq-delete legs align key sets and file columns on a common type by
+casting the FILE column UP when a key only fits the widened type, so a
+wide erasure key matches nothing in narrow-era files instead of
+raising.
+
 Known boundary — admission control: Delta's ``maxFilesPerTrigger``
 pacing is NOT implementable on Spark 4's Python DataSource streaming
 API — ``latestOffset()`` receives neither the start offset nor a
@@ -427,6 +442,27 @@ def _arrow_type(ddl: str):
     }[ddl]
 
 
+def _align_keys(col, keys):
+    """(probe column, value set) on a common Arrow type for the
+    eq-delete legs. Keys cast DOWN to the file column's type when every
+    value fits (pyarrow's safe cast — exact or it refuses); otherwise
+    the FILE column casts UP to the key type (r16, the widen seam: an
+    erasure key that only fits the WIDENED type, probed against a
+    pre-widen narrow-era file, must match nothing — the old key-set
+    downcast raised ArrowInvalid mid-partition instead). Both directions
+    are value-exact, so the membership test is unchanged whenever the
+    old path worked at all."""
+    import pyarrow as pa
+
+    vals = pa.array(keys)
+    if vals.type == col.type:
+        return col, vals
+    try:
+        return col, vals.cast(col.type)
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        return col.cast(vals.type), vals
+
+
 class SnapshotStreamReader(DataSourceStreamReader):
     def __init__(
         self,
@@ -756,10 +792,10 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 # key is null there — nothing can match
                 continue
             if len(cols) == 1:
-                vals = pa.array(keys).cast(table.schema.field(cols[0]).type)
+                kcol, vals = _align_keys(table.column(cols[0]), keys)
                 table = table.filter(
                     pc.invert(
-                        pc.is_in(table.column(cols[0]), value_set=vals)
+                        pc.is_in(kcol, value_set=vals)
                     ).fill_null(True)
                 )
             else:
@@ -792,13 +828,9 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 victims1 = [k for k in skeys if k is not None]
                 if not victims1:
                     return
-                vals = pa.array(victims1).cast(
-                    table.schema.field(scols[0]).type
-                )
+                kcol, vals = _align_keys(table.column(scols[0]), victims1)
                 table = table.filter(
-                    pc.is_in(table.column(scols[0]), value_set=vals).fill_null(
-                        False
-                    )
+                    pc.is_in(kcol, value_set=vals).fill_null(False)
                 )
             else:
                 import numpy as np
@@ -839,6 +871,29 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 t = col.type
                 if pa.types.is_timestamp(t) and t.tz is not None:
                     col = col.cast(pa.timestamp(t.unit))  # Spark wants naive UTC
+                want = _arrow_type(ddl)
+                if col.type != want:
+                    # normalize every emitted column to the DECLARED type
+                    # (r16, the widen seam): a table widened mid-history
+                    # serves pre-widen narrow files under the wide logged
+                    # schema, and emitting them in their FILE type made
+                    # the batch schema disagree with the stream's declared
+                    # schema. The upcast is lossless by the widen rules;
+                    # the DOWNCAST case is a table widened AFTER stream
+                    # start (the declared schema is the start-time schema,
+                    # the ADD COLUMN convention) — exact while new values
+                    # fit, refused loudly the moment one doesn't.
+                    try:
+                        col = col.cast(want)
+                    except pa.ArrowInvalid as e:
+                        raise ValueError(
+                            f"column {name!r} in {rel} carries arrow type "
+                            f"{col.type} with values that do not fit the "
+                            f"stream's declared type {ddl!r} — the table "
+                            "was widened after the stream started (allowed "
+                            "while values fit, like ADD COLUMN); restart "
+                            "the stream to adopt the widened schema"
+                        ) from e
                 cols.append(col.combine_chunks())
             names.append(name)
         yield from pa.Table.from_arrays(cols, names=names).to_batches()
