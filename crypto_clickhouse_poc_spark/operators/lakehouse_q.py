@@ -259,6 +259,27 @@ def mv_backfill_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CDF_FIX_MOD = 107  # corrected-feed victims: event_id % 107 == 0
 _CDF_ERASE_MOD = 109  # erased keys: event_id % 109 == 0
+_WIDE_SHIFT = 2**32  # r16: erase victims' ids remapped above int32 range
+
+
+def _cdf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corrected-feed frame SHARED by ``cdf_rollup_replay`` and its
+    library twin ``cdf_enriched_replay`` — one helper so the
+    ``bounded_cache`` key and the projection cannot drift apart (r16
+    ADVICE: the twins duplicated this select inline while reusing the
+    same cache key, so editing one would silently serve the other a
+    stale frame under the wrong shape)."""
+    return bounded_cache(
+        f"cdf_rollup_replay:{sf_dir}",
+        _events(spark, sf_dir).select(
+            "ts",
+            F.date_trunc("minute", F.col("ts")).alias("minute"),
+            F.col("event_type").alias("symbol"),
+            F.col("event_id").alias("trade_id"),
+            F.col("price").cast("decimal(18,6)").alias("price"),
+            F.col("qty").cast("decimal(18,6)").alias("qty"),
+        ),
+    )
 
 
 def cdf_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -290,18 +311,19 @@ def cdf_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata (position deletes read exactly the DV'd files, the
     eq-delete leg is manifest-key-stat + Bloom-sidecar pruned); the
     rollup table is O(groups) and compaction keeps its read O(groups)
-    instead of O(flushes)."""
-    t = bounded_cache(
-        f"cdf_rollup_replay:{sf_dir}",
-        _events(spark, sf_dir).select(
-            "ts",
-            F.date_trunc("minute", F.col("ts")).alias("minute"),
-            F.col("event_type").alias("symbol"),
-            F.col("event_id").alias("trade_id"),
-            F.col("price").cast("decimal(18,6)").alias("price"),
-            F.col("qty").cast("decimal(18,6)").alias("qty"),
-        ),
-    )
+    instead of O(flushes).
+
+    r16 — TYPE WIDENING rotated under this hash (r15 verdict next #2):
+    the ingest lands ``trade_id`` as INT32 and an explicit
+    ``widen_column_type`` moves the logged type to LONG before the
+    stream starts, so the bootstrap serves NARROW-ERA files under the
+    wide declared schema (the emit-cast seam); the corrected frame then
+    remaps the erase victims' ids ABOVE int32 range (+2**32), making
+    the erasure key set representable only in the widened type. The
+    oracle is unchanged: ``trade_id`` feeds no aggregate — the remap is
+    visible only to the widen machinery, exactly like the r15 rename
+    rotation."""
+    t = _cdf_events(spark, sf_dir)
     # one retry for TRANSIENT stream bring-up failures only (the raised
     # RuntimeError below): a real Structured Streaming query can die to
     # host contention (python-worker spawn timeouts) in a way a batch
@@ -323,7 +345,12 @@ def _cdf_rollup_once(spark: SparkSession, t: DataFrame) -> DataFrame:
     base, mv, ck = str(root / "base"), str(root / "mv"), str(root / "ck")
     groups, sums = ["minute", "symbol"], ["price", "qty"]
     try:
-        S.append(t, base)  # one multi-file ingest commit
+        # narrow ingest + explicit widen (r16): one multi-file commit of
+        # INT32 trade_ids, then a metadata-only ALTER COLUMN TYPE to
+        # long — zero files rewritten; the stream below bootstraps the
+        # narrow-era files under the WIDE declared schema
+        S.append(t.withColumn("trade_id", F.col("trade_id").cast("int")), base)
+        S.widen_column_type(base, "trade_id", "long")
         q = C.start_cdf_sum_rollup(
             spark, base, mv, ck, groups, sums, time_col="minute"
         )
@@ -335,14 +362,25 @@ def _cdf_rollup_once(spark: SparkSession, t: DataFrame) -> DataFrame:
                     F.col("trade_id") % _CDF_FIX_MOD == 0,
                     (F.col("price") * 2).cast("decimal(18,6)"),
                 ).otherwise(F.col("price")),
+            ).withColumn(
+                # post-widen values above int32 range: the erase victims'
+                # ids shift by 2**32, so the erasure keys below exist
+                # ONLY in the widened type
+                "trade_id",
+                F.when(
+                    F.col("trade_id") % _CDF_ERASE_MOD == 0,
+                    F.col("trade_id") + F.lit(_WIDE_SHIFT),
+                ).otherwise(F.col("trade_id")),
             )
             S.overwrite_months(fixed, base)  # mid-stream backfill
             q.processAllAvailable()
             S.delete_by_keys(
                 spark,
                 base,
-                t.select("trade_id")
-                .where(F.col("trade_id") % _CDF_ERASE_MOD == 0)
+                t.where(F.col("trade_id") % _CDF_ERASE_MOD == 0)
+                .select(
+                    (F.col("trade_id") + F.lit(_WIDE_SHIFT)).alias("trade_id")
+                )
                 .distinct(),
             )
             q.processAllAvailable()
@@ -401,17 +439,7 @@ def cdf_enriched_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.maintain import CdfMVSpec, maintenance_tick
     from ..streaming import cdfsink as C
 
-    t = bounded_cache(
-        f"cdf_rollup_replay:{sf_dir}",  # same frame as the declared twin
-        _events(spark, sf_dir).select(
-            "ts",
-            F.date_trunc("minute", F.col("ts")).alias("minute"),
-            F.col("event_type").alias("symbol"),
-            F.col("event_id").alias("trade_id"),
-            F.col("price").cast("decimal(18,6)").alias("price"),
-            F.col("qty").cast("decimal(18,6)").alias("qty"),
-        ),
-    )
+    t = _cdf_events(spark, sf_dir)  # same frame/cache as the declared twin
     dim = (
         t.select("symbol")
         .distinct()
