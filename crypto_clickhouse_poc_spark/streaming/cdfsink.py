@@ -48,33 +48,35 @@ CDF_APP = "cdf-sum-rollup"
 _N = "_n"  # signed row count per group; <= 0 means fully retracted
 
 
-def start_cdf_sum_rollup(
+def _start_signed_fold(
     spark: SparkSession,
     base_path: str,
     mv_path: str,
     checkpoint_path: str,
     group_cols: Sequence[str],
     sum_cols: Sequence[str],
-    time_col: str | None = None,
-    trigger_sec: int = 0,
-    app: str = CDF_APP,
+    ts_col: str,
+    trigger_sec: int,
+    app: str,
+    enrich=None,
 ) -> StreamingQuery:
-    """Launch the signed-fold rollup: ``base_path``'s change feed →
-    per-group signed sums appended to ``mv_path`` exactly once per
-    micro-batch. ``group_cols[0]`` (or ``time_col``) must be the rollup's
-    time-bucket column — it drives the partials' month layout."""
+    """The ONE fold/feed body both sinks run (r16 — the two previously
+    copy-pasted ~60 lines differing only in the broadcast-join line, so
+    a fix applied to one would silently miss the other). ``enrich`` is
+    the per-batch change-row transform (None for the plain sink; the
+    guarded broadcast dim join for the enriched one)."""
     from ..sources.snapstream import SnapshotCommitsDataSource
 
     spark.dataSource.register(SnapshotCommitsDataSource)
-    ts_col = time_col or group_cols[0]
     sign = F.when(F.col(CDC_TYPE) == "insert", F.lit(1)).otherwise(F.lit(-1))
     recorded = {"props": False}  # once per stream lifetime
 
     def _fold(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        rows = batch if enrich is None else enrich(batch)
         delta = (
-            batch.withColumn(_N, sign)
+            rows.withColumn(_N, sign)
             .groupBy(*group_cols)
             .agg(
                 *[F.sum(F.col(c) * F.col(_N)).alias(c) for c in sum_cols],
@@ -122,6 +124,27 @@ def start_cdf_sum_rollup(
     )
 
 
+def start_cdf_sum_rollup(
+    spark: SparkSession,
+    base_path: str,
+    mv_path: str,
+    checkpoint_path: str,
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    time_col: str | None = None,
+    trigger_sec: int = 0,
+    app: str = CDF_APP,
+) -> StreamingQuery:
+    """Launch the signed-fold rollup: ``base_path``'s change feed →
+    per-group signed sums appended to ``mv_path`` exactly once per
+    micro-batch. ``group_cols[0]`` (or ``time_col``) must be the rollup's
+    time-bucket column — it drives the partials' month layout."""
+    return _start_signed_fold(
+        spark, base_path, mv_path, checkpoint_path, group_cols, sum_cols,
+        time_col or group_cols[0], trigger_sec, app,
+    )
+
+
 def start_cdf_enriched_sum_rollup(
     spark: SparkSession,
     base_path: str,
@@ -154,54 +177,47 @@ def start_cdf_enriched_sum_rollup(
     Scale shape: one broadcast hash join + one map-side-combined
     groupBy per micro-batch over O(change rows); everything else
     (exactly-once watermark, compaction seat, self-describing
-    properties, read merge) is inherited from the plain sink."""
-    from ..sources.snapstream import SnapshotCommitsDataSource
+    properties, read merge) is inherited from the plain sink.
 
-    spark.dataSource.register(SnapshotCommitsDataSource)
-    ts_col = time_col or group_cols[0]
-    sign = F.when(F.col(CDC_TYPE) == "insert", F.lit(1)).otherwise(F.lit(-1))
-    recorded = {"props": False}
+    The static-dim contract is ENFORCED at runtime (r16 — the r15
+    docstring scoped soundness correctly but nothing detected a
+    violation, so a caller passing a live-updating dim got silent
+    drift): the dim's fingerprint (row count + order-independent
+    content hash) is taken at stream start and re-checked before every
+    fold; a mutated dim KILLS the stream with a clear error instead of
+    drifting. The re-check is one aggregate over the (small,
+    broadcastable by contract) dim per micro-batch."""
+    fp0 = _dim_fingerprint(dim)
 
-    def _fold(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
-        delta = (
-            batch.join(F.broadcast(dim), join_key, "inner")
-            .withColumn(_N, sign)
-            .groupBy(*group_cols)
-            .agg(
-                *[F.sum(F.col(c) * F.col(_N)).alias(c) for c in sum_cols],
-                F.sum(_N).alias(_N),
+    def enrich(batch: DataFrame) -> DataFrame:
+        fp = _dim_fingerprint(dim)
+        if fp != fp0:
+            raise ValueError(
+                f"static-dim contract violated: the dimension changed "
+                f"mid-stream (fingerprint {fp0} at start, {fp} now) — "
+                "the signed fold is only exact when enrichment is a "
+                "pure function of the join key; materialize the dim "
+                "(localCheckpoint) for the stream's lifetime, or use "
+                "plans/joinmv for a live-updating dimension"
             )
-        )
-        S.append(delta, mv_path, ts_col=ts_col, txn_app=app, txn_id=batch_id)
-        if not recorded["props"]:
-            import json as _json
+        return batch.join(F.broadcast(dim), join_key, "inner")
 
-            if "cdf.group_cols" not in S.table_properties(mv_path):
-                S.set_table_properties(
-                    mv_path,
-                    {
-                        "cdf.group_cols": _json.dumps(list(group_cols)),
-                        "cdf.sum_cols": _json.dumps(list(sum_cols)),
-                        "cdf.time_col": ts_col,
-                    },
-                )
-            recorded["props"] = True
+    return _start_signed_fold(
+        spark, base_path, mv_path, checkpoint_path, group_cols, sum_cols,
+        time_col or group_cols[0], trigger_sec, app, enrich=enrich,
+    )
 
-    feed = (
-        spark.readStream.format("snapshot_commits")
-        .option("path", base_path)
-        .option("readChangeFeed", "true")
-        .load()
-    )
-    return (
-        feed.writeStream.foreachBatch(_fold)
-        .option("checkpointLocation", checkpoint_path)
-        .trigger(processingTime=f"{trigger_sec} seconds")
-        .outputMode("append")
-        .start()
-    )
+
+def _dim_fingerprint(dim: DataFrame) -> tuple:
+    """(row count, order-independent content hash) of the dimension —
+    cheap belt for the static-dim guard. Sum-of-row-hashes in
+    decimal(38,0) so duplicate rows still register (XOR would cancel
+    pairs) and the sum cannot overflow."""
+    row = dim.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64(*dim.columns).cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    return (row.n, row.h)
 
 
 def merge_cdf_fn(group_cols: Sequence[str], sum_cols: Sequence[str] | None = None):
@@ -236,6 +252,26 @@ def merge_cdf_fn(group_cols: Sequence[str], sum_cols: Sequence[str] | None = Non
             if sum_cols is not None
             else [c for c in partials.columns if c not in gset and c != _N]
         )
+        # fail with a DIAGNOSABLE error, not an AnalysisException
+        # mid-maintenance-tick (r16 ADVICE): a spec whose split does not
+        # cover the rollup's columns would otherwise abort the tick with
+        # an unresolved-column error naming no seat
+        missing = [
+            c for c in [*group_cols, *sums, _N] if c not in partials.columns
+        ]
+        unclaimed = [
+            c for c in partials.columns
+            if c not in gset and c not in sums and c != _N
+        ]
+        if missing or unclaimed:
+            raise ValueError(
+                f"cdf merge spec does not match the rollup's columns: "
+                f"groups {list(group_cols)} + measures {sums} + {_N!r} vs "
+                f"partials {partials.columns} (absent from partials: "
+                f"{missing}; unclaimed by the spec: {unclaimed}) — fix "
+                "the CdfMVSpec's group_cols/sum_cols, or omit sum_cols "
+                "to default to every non-group column"
+            )
         merged = partials.groupBy(*group_cols).agg(
             *[F.sum(c).alias(c) for c in sums],
             F.sum(_N).alias(_N),

@@ -195,3 +195,82 @@ def test_enriched_fold_drops_unmatched_keys_symmetrically(spark, tmp_path):
     rows = C.read_cdf_rollup(spark, mv, ["ts", "sector"], ["price"]).collect()
     assert {r.sector for r in rows} == {"ONLY"}
     assert all(r._n > 0 for r in rows)
+
+
+def test_mutated_dim_kills_the_stream_instead_of_drifting(spark, tmp_path):
+    """r16 (VERDICT r15 next #6): the static-dim contract is enforced —
+    a dim backed by a LIVE source that changes mid-stream fails the
+    next fold with a clear error, never silent drift. The dim here is a
+    parquet file overwritten in place between micro-batches."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    base, mv, ck = (str(tmp_path / p) for p in ("base", "mv", "ck"))
+    S.append(_batch(spark, 1, range(4)), base)
+    dim_file = str(tmp_path / "dim.parquet")
+    pq.write_table(
+        pa.table({"symbol": ["AAA", "BBB"], "sector": ["HEAD", "TAIL"]}),
+        dim_file,
+    )
+    dim = spark.read.parquet(dim_file)  # deliberately NOT checkpointed
+    q = C.start_cdf_enriched_sum_rollup(
+        spark, base, dim, mv, ck, "symbol", ["ts", "sector"], ["price"]
+    )
+    try:
+        q.processAllAvailable()  # bootstrap folds fine
+        pq.write_table(  # the violation: AAA re-mapped mid-stream
+            pa.table({"symbol": ["AAA", "BBB"], "sector": ["MOVED", "TAIL"]}),
+            dim_file,
+        )
+        S.append(_batch(spark, 2, [10, 11]), base)
+        with pytest.raises(StreamingQueryException) as ei:
+            q.processAllAvailable()
+        assert "static-dim contract violated" in str(q.exception() or ei.value)
+    finally:
+        q.stop()
+
+
+def test_checkpointed_dim_passes_the_guard(spark, tmp_path):
+    """The guard must not false-positive on the CONTRACTUAL usage: a
+    localCheckpoint'd dim fingerprints identically on every batch."""
+    base, mv, ck = (str(tmp_path / p) for p in ("base", "mv", "ck"))
+    S.append(_batch(spark, 1, range(4)), base)
+    dim = spark.createDataFrame(
+        [("AAA", "HEAD"), ("BBB", "TAIL")], "symbol string, sector string"
+    ).localCheckpoint()
+    q = C.start_cdf_enriched_sum_rollup(
+        spark, base, dim, mv, ck, "symbol", ["ts", "sector"], ["price"]
+    )
+    try:
+        q.processAllAvailable()
+        S.append(_batch(spark, 2, [10, 11]), base)
+        q.processAllAvailable()  # second fold re-checks the fingerprint
+    finally:
+        q.stop()
+    rows = C.read_cdf_rollup(spark, mv, ["ts", "sector"], ["price"]).collect()
+    assert sum(r._n for r in rows) == 6
+
+
+def test_merge_spec_mismatch_raises_a_named_error(spark, tmp_path):
+    """r16 ADVICE: a CdfMVSpec whose group/measure split does not cover
+    the rollup's columns fails with a diagnosable ValueError naming the
+    absent/unclaimed columns — not an AnalysisException mid-tick."""
+    base, mv, ck = (str(tmp_path / p) for p in ("base", "mv", "ck"))
+    S.append(_batch(spark, 1, range(4)), base)
+    q = C.start_cdf_sum_rollup(
+        spark, base, mv, str(tmp_path / "ck"), ["ts", "symbol"], ["price"]
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    partials = S.read_snapshot(spark, mv)
+    # subset spec: 'price' exists in the partials but goes unclaimed
+    with pytest.raises(ValueError, match="unclaimed by the spec.*price"):
+        C.merge_cdf_fn(["ts", "symbol"], [])(partials)
+    # absent group col
+    with pytest.raises(ValueError, match="absent from partials"):
+        C.merge_cdf_fn(["ts", "sector"], ["price"])(partials)
+    # the default (sum_cols=None) covers everything — no raise
+    C.merge_cdf_fn(["ts", "symbol"])(partials)
