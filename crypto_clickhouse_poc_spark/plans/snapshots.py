@@ -813,10 +813,17 @@ def _commit(
             "op": op,
             # wall-clock commit stamp (Delta commitInfo.timestamp):
             # informational for table_history, and the resolution basis
-            # for timestamp time travel (version_as_of). Claimed-at
-            # time, so stamps are non-decreasing per the os.link order
-            # up to clock skew between writers — same caveat Delta has.
-            "committed_at": round(_time.time(), 3),
+            # for timestamp time travel (version_as_of) and the stream's
+            # startingTimestamp. Clamped to the parent's stamp (r16 —
+            # Delta's in-commit-timestamp monotonicity): a writer with a
+            # skewed-backward clock would otherwise break the
+            # non-decreasing order the binary-search resolvers
+            # (_last_version_at) depend on. Non-decreasing (ties
+            # allowed) is sufficient — both resolvers use monotone
+            # predicates.
+            "committed_at": round(
+                max(_time.time(), head_m.get("committed_at") or 0.0), 3
+            ),
             "data_change": bool(data_change),
             "txns": txns,
             "dvs": sorted(
@@ -2740,14 +2747,38 @@ def table_history(path: str, limit: int | None = None) -> list[dict]:
     return out
 
 
+def _last_version_at(path: str, head: int, when: float, strict: bool) -> int:
+    """The LARGEST version in [0, head] whose ``committed_at`` is below
+    (``strict``) or at-or-below the cutoff, or -1 when none is. Binary
+    search — O(log history) version-body reads, never O(history) (r16:
+    the linear newest→oldest walk read the whole log for a cutoff near
+    its origin; at a 5 s commit cadence that is ~17k bodies/day of
+    driver-side JSON at every stream start). Sound because the
+    predicate is monotone over versions: stamps are non-decreasing by
+    the commit-time clamp (Delta's in-commit-timestamp rule), and
+    unstamped pre-r13 commits — treated as infinitely old, the
+    version_as_of convention — form a PREFIX of the log (stamping never
+    stops once started)."""
+    lo, hi, ans = 0, head, -1
+    while lo <= hi:
+        mid = (lo + hi) // 2
+        at = _version_body(path, mid).get("committed_at")
+        if at is None or (at < when if strict else at <= when):
+            ans = mid
+            lo = mid + 1
+        else:
+            hi = mid - 1
+    return ans
+
+
 def version_as_of(path: str, when) -> int:
     """Timestamp time travel (Delta ``timestampAsOf``): the newest
     version whose ``committed_at`` is at or before ``when`` (float epoch
     seconds, or a datetime — naive means UTC, the repo-wide convention).
     Commits that predate the stamp (pre-r13 manifests) are treated as
     infinitely old — they satisfy any cutoff, the conservative
-    direction. Raises when even version 0 postdates the cutoff. Walks
-    raw version bodies newest-first: O(versions since the cutoff)."""
+    direction. Raises when even version 0 postdates the cutoff.
+    O(log history) body reads via :func:`_last_version_at`."""
     if isinstance(when, _dt.datetime):
         if when.tzinfo is None:
             when = when.replace(tzinfo=_dt.timezone.utc)
@@ -2755,14 +2786,13 @@ def version_as_of(path: str, when) -> int:
     head = latest_version(path)
     if head is None:
         raise FileNotFoundError(f"no snapshots at {path}")
-    for v in range(head, -1, -1):
-        at = _version_body(path, v).get("committed_at")
-        if at is None or at <= when:
-            return v
-    raise ValueError(
-        f"no version of {path} existed at {when} (version 0 was "
-        "committed later)"
-    )
+    v = _last_version_at(path, head, when, strict=False)
+    if v < 0:
+        raise ValueError(
+            f"no version of {path} existed at {when} (version 0 was "
+            "committed later)"
+        )
+    return v
 
 
 def rollback(path: str, to_version: int) -> int:

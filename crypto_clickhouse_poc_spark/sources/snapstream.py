@@ -351,17 +351,23 @@ class SnapshotCommitsDataSource(DataSource):
                 if parsed.tzinfo is None:
                     parsed = parsed.replace(tzinfo=_dt.timezone.utc)
                 when = parsed.timestamp()
+            from ..plans.snapshots import _last_version_at
+
             head = _head(self.options["path"])
-            start = -1
-            for v in range((head if head is not None else -1), -1, -1):
-                at = _version_body(self.options["path"], v).get("committed_at")
-                # unstamped (pre-r13) commits are infinitely old — they
-                # satisfy any cutoff (the version_as_of convention);
-                # treating them as "no match" would fall through to a
-                # FULL bootstrap and replay history the cutoff excludes
-                if at is None or at < when:
-                    start = v
-                    break
+            # O(log history) binary search over the non-decreasing
+            # commit stamps (r16 — the linear walk read the WHOLE log
+            # at stream start for a cutoff near its origin). Unstamped
+            # pre-r13 commits are infinitely old — they satisfy any
+            # cutoff (the version_as_of convention); treating them as
+            # "no match" would fall through to a FULL bootstrap and
+            # replay history the cutoff excludes.
+            start = (
+                -1
+                if head is None
+                else _last_version_at(
+                    self.options["path"], head, when, strict=True
+                )
+            )
             sv = str(start)
             import logging
 

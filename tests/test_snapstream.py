@@ -540,3 +540,69 @@ def test_starting_timestamp_treats_unstamped_commits_as_old(spark, table, tmp_pa
     # v0's rows are EXCLUDED (unstamped = older than any cutoff — the
     # exclusive start lands at v0), later stamped commits stream
     assert 0 not in got and got[-1] == 80
+
+
+def test_starting_timestamp_resolution_is_olog_history(spark, tmp_path):
+    """r16 (VERDICT r15 next #3): startingTimestamp resolution
+    binary-searches the monotone commit stamps — version-body reads at
+    stream start are <= log2(history) + constant, never O(history)
+    (the old walk read ~17k bodies/day of history at a 5 s commit
+    cadence for a cutoff near the log's origin)."""
+    import math
+    import time as _time
+
+    path = str(tmp_path / "olog")
+    for i in range(21):
+        S.append(_batch(spark, 1, [i]), path)
+        _time.sleep(0.005)  # distinct 3-decimal stamps, no tie-flakiness
+    head = S.latest_version(path)
+    stamps = [
+        S._version_body(path, v)["committed_at"] for v in range(head + 1)
+    ]
+    cutoff = stamps[12]  # commits 12.. are "at or after" the cutoff
+
+    calls = {"n": 0}
+    real = S._version_body
+
+    def spy(p, v):
+        calls["n"] += 1
+        return real(p, v)
+
+    # _last_version_at resolves _version_body through snapshots globals;
+    # snapstream's own module binding (used by schema()) stays real, so
+    # the spy counts RESOLUTION reads only
+    S._version_body = spy
+    try:
+        ds = SnapshotCommitsDataSource(
+            options={"path": path, "startingTimestamp": str(cutoff)}
+        )
+        rd = ds.streamReader(ds.schema())
+    finally:
+        S._version_body = real
+    # behavior: exclusive start == the linear reference resolution
+    expected = max(
+        (v for v in range(head + 1) if stamps[v] < cutoff), default=-1
+    )
+    assert rd.start_version == expected == 11
+    assert calls["n"] <= math.ceil(math.log2(head + 1)) + 2
+
+
+def test_commit_stamps_clamp_monotone_under_skew(spark, tmp_path):
+    """r16 ADVICE: a writer with a skewed-backward clock may not break
+    the non-decreasing stamp order the binary-search resolvers depend
+    on — a commit whose parent carries a FUTURE stamp clamps to it
+    (Delta's in-commit-timestamp rule), never steps backward."""
+    import json as _json
+
+    path = str(tmp_path / "skew")
+    S.append(_batch(spark, 1, [0]), path)
+    v0 = S._log(path) / "v0.json"
+    body = _json.loads(v0.read_text())
+    forged = body["committed_at"] + 10_000  # a far-future parent stamp
+    body["committed_at"] = forged
+    v0.write_text(_json.dumps(body))
+    S.append(_batch(spark, 1, [1]), path)
+    at1 = S._version_body(path, 1)["committed_at"]
+    assert at1 >= forged  # clamped, not wall-clock
+    # and version_as_of over the clamped log stays consistent
+    assert S.version_as_of(path, forged) == 1
