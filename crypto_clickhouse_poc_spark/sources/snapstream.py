@@ -207,16 +207,44 @@ def _file_schema_ddl(path: str) -> str:
                         ddl = _ARROW_TO_DDL.get(t)
                     if ddl is None:
                         raise TypeError(f"unmapped arrow type {t} for column {f.name}")
-                    if seen.setdefault(f.name, ddl) != ddl:
-                        raise TypeError(
-                            f"column {f.name} has conflicting types across the "
-                            f"snapshot's files ({seen[f.name]} vs {ddl})"
-                        )
+                    prev = seen.setdefault(f.name, ddl)
+                    if prev != ddl:
+                        # a LEGACY table may hold mixed-width files for
+                        # one column (its writes were never type-gated);
+                        # the batch mergeSchema read widens them, so the
+                        # stream's footer union must too (r16) — the
+                        # declared type takes the wider side and read()
+                        # upcasts each file's column at emit. Only a
+                        # genuine cross-family conflict still refuses.
+                        w = _widen_ddl(prev, ddl)
+                        if w is None:
+                            raise TypeError(
+                                f"column {f.name} has conflicting types across "
+                                f"the snapshot's files ({prev} vs {ddl})"
+                            )
+                        seen[f.name] = w
             cols = [f"{n} {d}" for n, d in seen.items()]
             cols.append(f"{TXN_COL} string")
             cols.append(f"{PARTITION_COL} string")
             return ", ".join(cols)
     raise ValueError(f"{path} has no data files in any version — schema unknown")
+
+
+# Spark DDL <-> typeName bridge for _widen_primitive (which speaks
+# typeName: byte/short/integer/long; DDL says tinyint/smallint/int/bigint)
+_DDL_TO_NAME = {"tinyint": "byte", "smallint": "short", "int": "integer",
+                "bigint": "long"}
+_NAME_TO_DDL = {v: k for k, v in _DDL_TO_NAME.items()}
+
+
+def _widen_ddl(a: str, b: str) -> str | None:
+    """The wider of two DDL types under the log's LOSSLESS widening
+    rules (snapshots._widen_primitive), or None when the pair is not a
+    within-family widening."""
+    from ..plans.snapshots import _widen_primitive
+
+    w = _widen_primitive(_DDL_TO_NAME.get(a, a), _DDL_TO_NAME.get(b, b))
+    return None if w is None else _NAME_TO_DDL.get(w, w)
 
 
 def _eq_filters(
