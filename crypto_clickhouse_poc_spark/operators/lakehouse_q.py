@@ -220,7 +220,16 @@ def mv_backfill_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctly picks one clean rebuild — the same physical-choice rule
     the erasure replay exercises — and the result equals the one-shot
     batch OHLCV over the corrected data, which is what the oracle
-    computes."""
+    computes.
+
+    r16 — DROP COLUMN rotated under this hash (rename went r15, widen
+    r16's cdf replay; drop completes the schema-evolution trio): the
+    ingest carries an auditing column ``note`` that a metadata-only
+    ``drop_column`` retires BETWEEN the two refreshes, so the second
+    refresh's log walk spans the drop commit and every downstream read
+    (the overwrite CDC scope, the MV recompute, the merged read) serves
+    pre-drop files through the projection that hides the retired bytes.
+    The oracle is unchanged — the column never feeds the aggregate."""
     t = bounded_cache(
         f"mv_backfill_replay:{sf_dir}",
         _events(spark, sf_dir).select(
@@ -234,8 +243,11 @@ def mv_backfill_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = Path(tempfile.mkdtemp(prefix="mv_backfill_"))
     base, mv = str(root / "base"), str(root / "mv")
     try:
-        S.append(t, base)  # one multi-file ingest commit (r14)
+        # one multi-file ingest commit (r14), carrying the to-be-dropped
+        # auditing column (r16 — see docstring)
+        S.append(t.withColumn("note", F.lit("audit")), base)
         M.refresh_rollup(spark, base, mv)
+        S.drop_column(base, "note")  # metadata-only; zero rewrites
         fixed = t.withColumn(
             "price",
             F.when(
