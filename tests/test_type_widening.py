@@ -211,3 +211,73 @@ def test_explicit_widen_column_type_is_metadata_only(spark, tmp_path):
         S.widen_column_type(path, "nope", "long")
     S.widen_column_type(path, "price", "double")
     assert dict(S.read_snapshot(spark, path).dtypes)["price"] == "double"
+
+
+def test_bloom_index_survives_a_widen(spark, tmp_path):
+    """r16: within-family int widening keeps the STRING rendering Bloom
+    probes hash (str(3) is str(3) in int32 and int64 — the exact reason
+    cross-family promotion is refused), so an index built pre-widen
+    keeps answering, extends over wide-era appends, and point-reads
+    both narrow-era and wide-era keys."""
+    from crypto_clickhouse_poc_spark.plans import bloomidx as B
+
+    path = str(tmp_path / "bloom_widen")
+    S.append(_batch(spark, SCHEMA_INT, range(4)), path)
+    meta = B.build_bloom_index(spark, path, "trade_id")
+    assert meta is not None
+    S.widen_column_type(path, "trade_id", "long")
+    assert [r.trade_id for r in B.read_point(spark, path, "trade_id", 3).collect()] == [3]
+    S.append(_batch(spark, SCHEMA_LONG, [2**40]), path)
+    B.extend_bloom_index(spark, path, "trade_id")
+    assert [
+        r.trade_id for r in B.read_point(spark, path, "trade_id", 2**40).collect()
+    ] == [2**40]
+    assert [r.trade_id for r in B.read_point(spark, path, "trade_id", 1).collect()] == [1]
+
+
+def test_logmv_refresh_spans_a_widen_commit(spark, tmp_path):
+    """r16: the bars-MV refresh walks a commit range containing the
+    metadata-only widen commit (data_change=False — skipped like any
+    layout op) and the recompute reads narrow- and wide-era files under
+    the widened logical schema."""
+    from crypto_clickhouse_poc_spark.plans import logmv as M
+
+    base, mv = str(tmp_path / "b"), str(tmp_path / "m")
+    S.append(
+        _batch(spark, SCHEMA_INT, range(4)).withColumn(
+            "qty", F.lit(1.0).cast("double")
+        ),
+        base,
+    )
+    M.refresh_rollup(spark, base, mv)
+    S.widen_column_type(base, "trade_id", "long")
+    S.append(
+        _batch(spark, SCHEMA_LONG, [2**40], price=9.0).withColumn(
+            "qty", F.lit(1.0).cast("double")
+        ),
+        base,
+    )
+    M.refresh_rollup(spark, base, mv)  # range spans the widen commit
+    got = M.read_rollup(spark, mv)
+    assert sum(r.trades for r in got.collect()) == 5
+
+
+def test_batch_cdc_feed_over_a_widened_table(spark, tmp_path):
+    """r16: read_changes_cdc across a widen — the widen commit itself
+    is no-change; an eq-delete whose key only fits the widened type
+    still derives its retraction rows from narrow- AND wide-era files
+    without error (the batch path upcasts via the explicit logical
+    schema)."""
+    path = str(tmp_path / "cdc_widen")
+    S.append(_batch(spark, SCHEMA_INT, range(4)), path)          # v0
+    S.widen_column_type(path, "trade_id", "long")                # v1
+    S.append(_batch(spark, SCHEMA_LONG, [2**40]), path)          # v2
+    S.delete_by_keys(                                            # v3
+        spark, path,
+        spark.createDataFrame([(2**40,), (2,)], "trade_id long"),
+    )
+    feed = S.read_changes_cdc(spark, path, 0)
+    rows = [(r._change_type, r.trade_id, r._commit_version) for r in feed.collect()]
+    assert ("insert", 2**40, 2) in rows
+    assert ("delete", 2**40, 3) in rows and ("delete", 2, 3) in rows
+    assert dict(feed.dtypes)["trade_id"] == "bigint"
