@@ -63,6 +63,13 @@ BENCH_QUERIES = [
     "tpch_q5",
     "tpch_q6",
     "tpch_q10",
+    # r16: the five shapes previously blocked on the absent partsupp
+    # fixture, now running over the derived-partsupp relation
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q16",
+    "tpch_q20",
     # temporal joins (union-tag as-of sweep, bucketed range join)
     "asof_last_click_price",
     "range_click_activity",

@@ -397,6 +397,259 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DERIVED ``partsupp`` (r16 — closes the env gap that blocked TPC-H
+    q2/q9/q11/q16/q20: the fixture ships no partsupp parquet): each part
+    gets 4 suppliers by dbgen's assignment formula adapted to the
+    fixture's 0-based keys, with deterministic integer availqty and an
+    integer-CENTS supplycost so threshold comparisons (q11/q20) are
+    EXACT in both engines — the double ``ps_supplycost`` is
+    cents/100.0, bit-identical in Spark and DuckDB. The oracle mirrors
+    this derivation as a CTE (``_PS_SQL``), so the five queries carry
+    full value-hash parity despite the missing fixture.
+
+    Scale shape: |part| × 4 rows from one part scan cross-joined with a
+    broadcast 4-row range — O(part), zero shuffles; at warehouse scale
+    partsupp is ~4× the part dim and stays broadcastable where part is.
+    """
+    s_count = load(spark, sf_dir, "supplier").count()  # bounded dim scalar
+    p = load(spark, sf_dir, "part").select("p_partkey")
+    four = spark.range(4).select(F.col("id").alias("i"))
+    step = F.lit(s_count // 4) + F.expr(f"p_partkey div {s_count}")
+    return (
+        p.crossJoin(F.broadcast(four))
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            ((F.col("p_partkey") + F.col("i") * step) % s_count).alias(
+                "ps_suppkey"
+            ),
+        )
+        .distinct()
+        .select(
+            "ps_partkey",
+            "ps_suppkey",
+            ((F.col("ps_partkey") * 7 + F.col("ps_suppkey") * 3) % 9999 + 1)
+            .alias("ps_availqty"),
+            ((F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17) % 10000
+             + 100).alias("ps_costcents"),
+        )
+        .withColumn(
+            "ps_supplycost", F.col("ps_costcents").cast("double") / 100.0
+        )
+    )
+
+
+# the oracle's mirror of _partsupp — prefixed to each of the five
+# queries' SQL as `WITH {_PS_SQL} ...`
+_PS_SQL = """
+ps0 AS (
+  SELECT DISTINCT
+    p_partkey AS ps_partkey,
+    (p_partkey + t.i * ((SELECT count(*) FROM supplier) // 4
+        + p_partkey // (SELECT count(*) FROM supplier)))
+      % (SELECT count(*) FROM supplier) AS ps_suppkey
+  FROM part, range(4) t(i)
+),
+partsupp AS (
+  SELECT ps_partkey, ps_suppkey,
+         (ps_partkey * 7 + ps_suppkey * 3) % 9999 + 1 AS ps_availqty,
+         (ps_partkey * 31 + ps_suppkey * 17) % 10000 + 100 AS ps_costcents,
+         CAST((ps_partkey * 31 + ps_suppkey * 17) % 10000 + 100 AS DOUBLE)
+           / 100.0 AS ps_supplycost
+  FROM ps0
+)
+"""
+
+
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier (TPC-H Q2 shape): region-scoped partsupp,
+    correlated per-part MIN decorrelated to a groupBy + equality re-join
+    (Catalyst's own decorrelation plan). All four dims broadcast; the
+    min-cost equality compares the exact INTEGER cents column, so
+    float rendering can never flip a row. Adapted filters: ``p_type``
+    is a plain category here (equality, not LIKE '%BRASS')."""
+    ps = _partsupp(spark, sf_dir)
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eur = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("ps_partkey", "ps_costcents", "ps_supplycost",
+                "s_acctbal", "s_name", "n_name")
+    )
+    p = load(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "PROMO")
+    )
+    cand = eur.join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+    mins = eur.groupBy(F.col("ps_partkey").alias("m_partkey")).agg(
+        F.min("ps_costcents").alias("min_cents")
+    )
+    return (
+        cand.join(
+            # |part|-bounded aggregate: broadcast keeps the candidate
+            # side shuffle-free (was a sort-merge join)
+            F.broadcast(mins),
+            (F.col("ps_partkey") == F.col("m_partkey"))
+            & (F.col("ps_costcents") == F.col("min_cents")),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            F.round("ps_supplycost", 2).alias("ps_supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit (TPC-H Q9 shape): the 6-way join — profit =
+    revenue − supply cost — grouped by nation and order year.
+
+    partsupp is derived O(4×|part|) and broadcast with part/supplier/
+    nation; orders ⋈ lineitem is the one fact-fact shuffle (orderkey);
+    the final (nation, year) groupBy is map-side combined."""
+    l = load(spark, sf_dir, "lineitem")
+    ps = _partsupp(spark, sf_dir)
+    p = load(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "ps_supplycost"
+    ) * F.col("l_quantity")
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(ps),
+            (F.col("l_suppkey") == F.col("ps_suppkey"))
+            & (F.col("l_partkey") == F.col("ps_partkey")),
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important stock (TPC-H Q11 shape): per-part inventory value vs a
+    fraction of the nation's total — the group-filter-by-global-scalar
+    plan. Both the per-part value and the total accumulate the INTEGER
+    cents column, and the threshold test is ``cents × 10000 > total``
+    in pure integer arithmetic — exact in both engines regardless of
+    summation order (the one place a float HAVING could flip a
+    boundary row)."""
+    ps = _partsupp(spark, sf_dir)
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    scoped = (
+        ps.join(F.broadcast(s), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "ps_partkey",
+            (F.col("ps_costcents") * F.col("ps_availqty")).alias("v"),
+        )
+    )
+    total = scoped.agg(F.sum("v").alias("total"))
+    return (
+        scoped.groupBy("ps_partkey")
+        .agg(F.sum("v").alias("cents"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("cents") * 10000 > F.col("total"))
+        .select(
+            "ps_partkey",
+            F.round(F.col("cents").cast("double") / 100.0, 2).alias("value"),
+        )
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts/supplier relationship (TPC-H Q16 shape): distinct-supplier
+    counts per (brand, type, size) with a NOT-IN supplier exclusion —
+    the count-distinct + broadcast anti-join plan. Adapted: the
+    "customer complaints" exclusion keys on ``s_acctbal < 100`` (the
+    fixture ships no s_comment)."""
+    ps = _partsupp(spark, sf_dir)
+    p = load(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 15, 23, 45, 49)
+    )
+    bad = load(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 100.0
+    ).select("s_suppkey")
+    return (
+        ps.join(
+            F.broadcast(bad),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potential part promotion (TPC-H Q20 shape): suppliers whose
+    stock exceeds half a year's shipments of a part family — nested
+    semi-joins with a correlated aggregate threshold, decorrelated to
+    one (partkey, suppkey) aggregation + INNER join (matching SQL's
+    NULL-excluding correlated comparison: a pair with no shipments has
+    a NULL threshold and never qualifies). The threshold is exact:
+    l_quantity is integral, so 0.5×sum is dyadic and the comparison
+    with the integer availqty cannot wobble with summation order."""
+    parts = load(spark, sf_dir, "part").where(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    shipped = (
+        load(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg((0.5 * F.sum("l_quantity")).alias("half_qty"))
+    )
+    ps = _partsupp(spark, sf_dir).join(
+        F.broadcast(parts.withColumnRenamed("p_partkey", "pp_partkey")),
+        F.col("ps_partkey") == F.col("pp_partkey"),
+        "left_semi",
+    )
+    qualified = (
+        ps.join(
+            shipped,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .where(F.col("ps_availqty") > F.col("half_qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(qualified),
+            F.col("s_suppkey") == F.col("ps_suppkey"),
+            "left_semi",
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
 def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-quantity-order revenue (TPC-H Q17 shape): rows below 20% of
     their part's average quantity.
@@ -607,6 +860,11 @@ def region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "tpch_q2": tpch_q2,
+    "tpch_q9": tpch_q9,
+    "tpch_q11": tpch_q11,
+    "tpch_q16": tpch_q16,
+    "tpch_q20": tpch_q20,
     "tpch_q1": tpch_q1,
     "tpch_q3": tpch_q3,
     "tpch_q4": tpch_q4,
@@ -630,6 +888,78 @@ QUERIES = {
 }
 
 ORACLES = {
+    # the five previously-blocked shapes run against the SAME derived
+    # partsupp (the _PS_SQL CTE mirrors _partsupp exactly)
+    "tpch_q2": f"""
+        WITH {_PS_SQL},
+        eur AS (
+          SELECT ps_partkey, ps_suppkey, ps_costcents, ps_supplycost,
+                 s_acctbal, s_name, n_name
+          FROM partsupp, supplier, nation, region
+          WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+            AND n_regionkey = r_regionkey AND r_name = 'EUROPE')
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+               round(ps_supplycost, 2) AS ps_supplycost
+        FROM part, eur
+        WHERE p_partkey = ps_partkey AND p_size = 15 AND p_type = 'PROMO'
+          AND ps_costcents = (SELECT min(e2.ps_costcents) FROM eur e2
+                              WHERE e2.ps_partkey = p_partkey)
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+    """,
+    "tpch_q9": f"""
+        WITH {_PS_SQL}
+        SELECT n_name AS nation, year(o_orderdate) AS o_year,
+               round(sum(l_extendedprice * (1 - l_discount)
+                         - ps_supplycost * l_quantity), 2) AS sum_profit
+        FROM lineitem, partsupp, part, supplier, orders, nation
+        WHERE ps_suppkey = l_suppkey AND ps_partkey = l_partkey
+          AND p_partkey = l_partkey AND s_suppkey = l_suppkey
+          AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+          AND p_name LIKE '%red%'
+        GROUP BY n_name, year(o_orderdate) ORDER BY nation, o_year DESC
+    """,
+    "tpch_q11": f"""
+        WITH {_PS_SQL},
+        scoped AS (
+          SELECT ps_partkey, ps_costcents * ps_availqty AS v
+          FROM partsupp, supplier, nation
+          WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+            AND n_name = 'NATION_7')
+        SELECT ps_partkey, round(CAST(cents AS DOUBLE) / 100.0, 2) AS value
+        FROM (SELECT ps_partkey, sum(v) AS cents FROM scoped
+              GROUP BY ps_partkey)
+        WHERE cents * 10000 > (SELECT sum(v) FROM scoped)
+        ORDER BY value DESC, ps_partkey
+    """,
+    "tpch_q16": f"""
+        WITH {_PS_SQL}
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT ps_suppkey) AS supplier_cnt
+        FROM partsupp, part
+        WHERE p_partkey = ps_partkey AND p_brand <> 'Brand#1'
+          AND p_type <> 'PROMO'
+          AND p_size IN (1, 4, 7, 10, 15, 23, 45, 49)
+          AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                 WHERE s_acctbal < 100.0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    "tpch_q20": f"""
+        WITH {_PS_SQL}
+        SELECT s_name, s_acctbal
+        FROM supplier, nation
+        WHERE s_nationkey = n_nationkey AND n_name = 'NATION_3'
+          AND s_suppkey IN (
+            SELECT ps_suppkey FROM partsupp
+            WHERE ps_partkey IN (SELECT p_partkey FROM part
+                                 WHERE p_name LIKE 'small%')
+              AND ps_availqty > (
+                SELECT 0.5 * sum(l_quantity) FROM lineitem
+                WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+                  AND l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-01-01'))
+        ORDER BY s_name
+    """,
     "tpch_q1": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,
