@@ -411,12 +411,20 @@ def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: |part| × 4 rows from one part scan cross-joined with a
     broadcast 4-row range — O(part), zero shuffles; at warehouse scale
     partsupp is ~4× the part dim and stays broadcastable where part is.
+    The frame is bounded_cache'd per sf_dir (five queries share it) and
+    the supplier-count scalar is memoized so repeat invocations fire no
+    plan-build Spark job (r16 review).
     """
-    s_count = load(spark, sf_dir, "supplier").count()  # bounded dim scalar
+    from ..caching import bounded_cache
+
+    s_count = _S_COUNT.get(sf_dir)
+    if s_count is None:
+        s_count = load(spark, sf_dir, "supplier").count()  # bounded dim scalar
+        _S_COUNT[sf_dir] = s_count
     p = load(spark, sf_dir, "part").select("p_partkey")
     four = spark.range(4).select(F.col("id").alias("i"))
     step = F.lit(s_count // 4) + F.expr(f"p_partkey div {s_count}")
-    return (
+    derived = (
         p.crossJoin(F.broadcast(four))
         .select(
             F.col("p_partkey").alias("ps_partkey"),
@@ -437,6 +445,10 @@ def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ps_supplycost", F.col("ps_costcents").cast("double") / 100.0
         )
     )
+    return bounded_cache(f"tpch_partsupp:{sf_dir}", derived)
+
+
+_S_COUNT: dict[str, int] = {}
 
 
 # the oracle's mirror of _partsupp — prefixed to each of the five
@@ -472,12 +484,18 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
-    eur = (
+    from ..caching import bounded_cache
+
+    # referenced twice below (candidates + per-part mins): one cache, so
+    # the partsupp derivation and the three dim joins run once (r16
+    # review — the uncached lineage executed twice)
+    eur = bounded_cache(
+        f"tpch_q2_eur:{sf_dir}",
         ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("ps_partkey", "ps_costcents", "ps_supplycost",
-                "s_acctbal", "s_name", "n_name")
+                "s_acctbal", "s_name", "n_name"),
     )
     p = load(spark, sf_dir, "part").where(
         (F.col("p_size") == 15) & (F.col("p_type") == "PROMO")

@@ -2758,7 +2758,17 @@ def _last_version_at(path: str, head: int, when: float, strict: bool) -> int:
     the commit-time clamp (Delta's in-commit-timestamp rule), and
     unstamped pre-r13 commits — treated as infinitely old, the
     version_as_of convention — form a PREFIX of the log (stamping never
-    stops once started)."""
+    stops once started).
+
+    Legacy boundary (r16 review): a log written ENTIRELY by pre-clamp
+    writers under backward clock skew can hold a locally-decreasing
+    stamp pair, and the search may then resolve inside the skew window
+    differently from a linear walk — but such a log's timestamp
+    resolution was ALREADY unspecified inside that window (the old walk
+    silently included or dropped the skewed commits too, the r15 ADVICE
+    finding that motivated the clamp), and every commit made from now
+    on re-establishes the invariant. Delta's binary search over
+    in-commit timestamps has the same legacy caveat."""
     lo, hi, ans = 0, head, -1
     while lo <= hi:
         mid = (lo + hi) // 2

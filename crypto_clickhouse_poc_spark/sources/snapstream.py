@@ -198,14 +198,9 @@ def _file_schema_ddl(path: str) -> str:
             for fe in sample:
                 sch = pq.read_schema(str(Path(path) / fe["path"]))
                 for f in sch:
-                    t = str(f.type)
-                    if t.startswith("timestamp"):
-                        ddl = "timestamp"
-                    elif t.startswith("decimal128("):
-                        ddl = "decimal" + t[len("decimal128") :].replace(" ", "")
-                    else:
-                        ddl = _ARROW_TO_DDL.get(t)
+                    ddl = _ddl_of_arrow(f.type)
                     if ddl is None:
+                        t = str(f.type)
                         raise TypeError(f"unmapped arrow type {t} for column {f.name}")
                     prev = seen.setdefault(f.name, ddl)
                     if prev != ddl:
@@ -228,6 +223,17 @@ def _file_schema_ddl(path: str) -> str:
             cols.append(f"{PARTITION_COL} string")
             return ", ".join(cols)
     raise ValueError(f"{path} has no data files in any version — schema unknown")
+
+
+def _ddl_of_arrow(t) -> str | None:
+    """Spark DDL for an Arrow type, or None when unmapped — the one
+    translation _file_schema_ddl and the emit-cast diagnosis share."""
+    s = str(t)
+    if s.startswith("timestamp"):
+        return "timestamp"
+    if s.startswith("decimal128("):
+        return "decimal" + s[len("decimal128"):].replace(" ", "")
+    return _ARROW_TO_DDL.get(s)
 
 
 # Spark DDL <-> typeName bridge for _widen_primitive (which speaks
@@ -919,14 +925,36 @@ class SnapshotStreamReader(DataSourceStreamReader):
                     # fit, refused loudly the moment one doesn't.
                     try:
                         col = col.cast(want)
-                    except pa.ArrowInvalid as e:
+                    except (pa.ArrowInvalid, pa.ArrowNotImplementedError) as e:
+                        # diagnose precisely (r16 review): only a file
+                        # type that is the WIDER within-family twin of
+                        # the declared type means "the table was widened
+                        # after stream start" — where a restart (which
+                        # adopts the widened schema) actually fixes it.
+                        # Any other lossy cast (foreign sub-µs
+                        # timestamps, cross-family bytes) gets the
+                        # generic message, not restart advice that
+                        # would loop.
+                        fddl = _ddl_of_arrow(col.type)
+                        widened = (
+                            fddl is not None
+                            and fddl != ddl
+                            and _widen_ddl(ddl, fddl) == fddl
+                        )
+                        if widened:
+                            raise ValueError(
+                                f"column {name!r} in {rel} carries arrow "
+                                f"type {col.type} with values that do not "
+                                f"fit the stream's declared type {ddl!r} — "
+                                "the table was widened after the stream "
+                                "started (allowed while values fit, like "
+                                "ADD COLUMN); restart the stream to adopt "
+                                "the widened schema"
+                            ) from e
                         raise ValueError(
-                            f"column {name!r} in {rel} carries arrow type "
-                            f"{col.type} with values that do not fit the "
-                            f"stream's declared type {ddl!r} — the table "
-                            "was widened after the stream started (allowed "
-                            "while values fit, like ADD COLUMN); restart "
-                            "the stream to adopt the widened schema"
+                            f"column {name!r} in {rel} has arrow type "
+                            f"{col.type} that cannot losslessly cast to "
+                            f"the stream's declared type {ddl!r}: {e}"
                         ) from e
                 cols.append(col.combine_chunks())
             names.append(name)
