@@ -4056,6 +4056,127 @@ def merge_into_retry(
     )
 
 
+def update_where(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    assignments: dict,
+    ts_col: str = "ts",
+) -> int:
+    """Copy-on-write ``UPDATE ... SET ... WHERE`` (r16 — the one DML
+    verb the log lacked a direct form of; Delta/Iceberg UPDATE parity):
+    rewrite ONLY the files containing ≥1 matching row, applying each
+    assignment under the predicate (``WHEN matched THEN new ELSE old``),
+    and commit the swap atomically. Unlike :func:`merge_into` it needs
+    no key columns — the predicate is the addressing — and unlike
+    :func:`delete_where`'s merge-on-read DVs an update inherently
+    rewrites, so the 100 TB shape is merge's: one predicate scan tagged
+    with the source file (Catalyst prunes the scan to the predicate's
+    columns), a file-count-bounded driver set of hit files, a rewrite
+    of exactly those files' VISIBLE rows (existing position/equality
+    deletes applied first, so an updated file's deletes materialize and
+    a deleted row is never resurrected into an updated one), and every
+    untouched file carried by reference.
+
+    ``predicate`` and assignment values may be SQL strings or Column
+    expressions. Assigned values cast to the column's current type (a
+    type-changing update is schema evolution — do it with
+    ``widen_column_type`` first). Generated columns may not be assigned
+    (GENERATED ALWAYS AS); they are RECOMPUTED for the rewritten rows,
+    so updating a generated column's source keeps it consistent.
+    Constraints re-check the rewritten rows. Updating ``ts_col`` is
+    legal — the rewrite re-derives month partitioning, so a row moves
+    shards correctly.
+
+    Concurrency: the rewrite depends on the exact snapshot read
+    (``expected_parent``), so any interleaved commit raises
+    :class:`CommitConflict` — re-run against the new head (the same
+    contract as merge; wrap in a retry loop for multi-writer tables).
+    Rows an interleaved append would have matched are not updated:
+    snapshot-isolation semantics, Delta's UPDATE behaves the same.
+    Matching zero rows commits nothing and returns the head. Committed
+    as op ``merge`` so every CDC/stream consumer represents it with the
+    existing rewrite semantics (removed files' pre-rows as deletes,
+    added files as inserts)."""
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    if not assignments:
+        raise ValueError("update_where needs at least one assignment")
+    read_v = latest_version(path)
+    if read_v is None:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    body = _head_body(path)
+    gen = (body or {}).get("generated") or {}
+    bad = sorted(set(assignments) & set(gen))
+    if bad:
+        raise ValueError(
+            f"columns {bad} are GENERATED ALWAYS AS — assign their "
+            "source columns instead; the update recomputes them"
+        )
+    m = manifest(path, read_v)
+    files = m["files"]
+    if not files:
+        return read_v  # empty head — nothing to update
+    table_cols = set(
+        read_snapshot(spark, path, version=read_v, merge_schema=True).columns
+    ) - {PARTITION_COL}
+    unknown = sorted(set(assignments) - table_cols)
+    if unknown:
+        raise ValueError(
+            f"assigned columns {unknown} not in table columns "
+            f"{sorted(table_cols)}"
+        )
+    # -- which files hold a matching row: the scan reads only the
+    # predicate's columns + the file tag (materialized on the raw scan,
+    # the _apply_dvs era rule); the collect is bounded by FILE count
+    base_scan = _read_files(
+        spark, path, files, merge_schema=True, schema=m.get("schema"),
+        renames=m.get("renames"),
+    )
+    scan = base_scan.withColumn("_upd_file", _file_expr_for(base_scan))
+    vis = _apply_dvs(spark, scan, m, path)
+    touched_rel = {
+        r["_upd_file"]
+        for r in vis.where(cond).select("_upd_file").distinct().collect()
+    }
+    if not touched_rel:
+        return read_v  # predicate matches nothing — no-op
+    touched = [f for f in files if f["path"] in touched_rel]
+    untouched = [f for f in files if f["path"] not in touched_rel]
+    tgt = _apply_dvs(
+        spark,
+        _read_files(
+            spark, path, touched, merge_schema=True, schema=m.get("schema"),
+            renames=m.get("renames"),
+        ),
+        m,
+        path,
+    ).drop(TXN_COL, PARTITION_COL)
+    out = tgt
+    for c, e in assignments.items():
+        expr = F.expr(e) if isinstance(e, str) else e
+        out = out.withColumn(
+            c,
+            F.when(cond, expr.cast(tgt.schema[c].dataType)).otherwise(
+                F.col(c)
+            ),
+        )
+    if gen:
+        # recompute GENERATED ALWAYS AS over the rewritten rows: pure
+        # functions of the row, so untouched rows get identical values
+        out = _apply_generated(out.drop(*[g for g in gen if g in out.columns]),
+                               path, body)
+    _enforce_constraints(out, path, body)
+    new = _write_txn(out, path, ts_col)
+    return _commit(
+        path,
+        lambda _hf: untouched + new,
+        "merge",
+        expected_parent=read_v,
+        write_schema=_frame_schema(out),
+        schema_mode="merge",
+    )
+
+
 def diff_versions(
     spark: SparkSession,
     path: str,
