@@ -4177,6 +4177,32 @@ def update_where(
     )
 
 
+def update_where_retry(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    assignments: dict,
+    retries: int = 5,
+    **kw,
+) -> int:
+    """:func:`update_where` with conflict retries — the same contract as
+    :func:`merge_into_retry`: the update is a pure function of (table
+    state, predicate, assignments), so on :class:`CommitConflict` it
+    safely re-runs against the winner's head, re-doing the hit-file
+    scan and rewrite. Each failed attempt orphans its txn dir (vacuum
+    sweeps). The production caller is a correction job racing the
+    maintenance tick; single-writer tables never need it."""
+    for _ in range(max(1, retries)):
+        try:
+            return update_where(spark, path, predicate, assignments, **kw)
+        except CommitConflict:
+            continue
+    raise CommitConflict(
+        f"update lost {retries} races at {path} — check for a "
+        "maintenance loop"
+    )
+
+
 def diff_versions(
     spark: SparkSession,
     path: str,

@@ -182,3 +182,36 @@ def test_unknown_assignment_column_refused(spark, tmp_path):
     S.append(_batch(spark, 1, range(2)), path)
     with pytest.raises(ValueError, match="nope"):
         S.update_where(spark, path, "trade_id = 0", {"nope": F.lit(1)})
+
+
+def test_conflict_detected_and_retry_rereads(spark, tmp_path, monkeypatch):
+    """A commit interleaved between the update's read and its commit
+    raises CommitConflict (the rewrite depends on the exact snapshot
+    read); update_where_retry re-runs against the winner's head and
+    both writers' effects land. The interleave is forced
+    deterministically by sneaking an append in after the rewrite's
+    txn-dir write, before the CAS."""
+    path = str(tmp_path / "t")
+    S.append(_batch(spark, 1, range(3)), path)
+
+    real_write = S._write_txn
+    state = {"sneaked": False}
+
+    def sneaky(df, p, ts_col, **kw):
+        out = real_write(df, p, ts_col, **kw)
+        if not state["sneaked"]:
+            state["sneaked"] = True
+            S.append(_batch(spark, 2, [99]), path)  # interleaver wins
+        return out
+
+    monkeypatch.setattr(S, "_write_txn", sneaky)
+    with pytest.raises(S.CommitConflict):
+        S.update_where(spark, path, "trade_id = 0", {"price": F.lit(7.0)})
+    state["sneaked"] = False  # the retry's FIRST attempt conflicts too
+    v = S.update_where_retry(
+        spark, path, "trade_id = 0", {"price": F.lit(7.0)}
+    )
+    got = {r.trade_id: r.price for r in S.read_snapshot(spark, path).collect()}
+    assert got[0] == 7.0       # the update landed on the retry attempt
+    assert 99 in got           # the interleaved appends survived
+    assert v == S.latest_version(path)
