@@ -256,7 +256,9 @@ def dedup_minhash_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("jaccard"), 6).alias("max_jaccard"),
             F.min("doc_b").alias("min_dup_id"),
         )
-        .orderBy("doc_a")
+        # no presentation sort (r16 perf): the driver hash is
+        # order-insensitive and an orderBy would add a range-partitioned
+        # global sort (sample pass + exchange) over the rollup
     )
 
 

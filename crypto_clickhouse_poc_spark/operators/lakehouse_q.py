@@ -89,7 +89,12 @@ def mv_scoped_erasure_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "volume",
                 "trades",
             )
-            .orderBy("minute", "symbol")
+            # r16 perf: NO presentation sort — the driver hash and the
+            # parity harness are order-insensitive (both canonicalize row
+            # order), and an orderBy here is a full range-partitioned
+            # global sort of the |minutes × symbols| result (sample pass +
+            # exchange + sort) that the consumer immediately discards —
+            # the doc_hash_embed r9 rule applied to the replay tails.
             # the table dirs die with this call's temp root: materialize
             # the (small, |minutes x symbols|-bounded) result before the
             # caller's collect so the frame never dangles — localCheckpoint
@@ -195,7 +200,7 @@ def mv_enriched_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "minute", "sector", "open", "high", "low", "close",
                 "volume", "trades",
             )
-            .orderBy("minute", "sector")
+            # no presentation sort (r16 perf — order-insensitive hash)
             .localCheckpoint()
         )
     finally:
@@ -262,7 +267,7 @@ def mv_backfill_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "minute", "symbol", "open", "high", "low", "close",
                 "volume", "trades",
             )
-            .orderBy("minute", "symbol")
+            # no presentation sort (r16 perf — order-insensitive hash)
             .localCheckpoint()
         )
     finally:
@@ -432,7 +437,7 @@ def _cdf_rollup_once(spark: SparkSession, t: DataFrame) -> DataFrame:
                 F.col("qty").cast("double").alias("sum_qty"),
                 F.col("_n").alias("trades"),
             )
-            .orderBy("minute", "symbol")
+            # no presentation sort (r16 perf — order-insensitive hash)
             .localCheckpoint()
         )
     finally:
@@ -515,7 +520,7 @@ def cdf_enriched_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("qty").cast("double").alias("sum_qty"),
                 F.col("_n").alias("trades"),
             )
-            .orderBy("minute", "sector")
+            # no presentation sort (r16 perf — order-insensitive hash)
             .localCheckpoint()
         )
     finally:

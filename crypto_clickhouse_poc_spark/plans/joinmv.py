@@ -335,10 +335,19 @@ def refresh_enriched_rollup(
     # re-aggregates nearly the whole fact AND leaves an eq-delete entry
     # taxing every later MV read until compaction, while a rebuild is one
     # clean scan-and-swap with zero merge-on-read debt. Key count over
-    # the (checkpointed, broadcast-sized) dim approximates the affected
-    # row fraction under roughly uniform keys; a skewed key that slips
-    # through still lands inside the probe-verified scoped costs.
-    if rows and len(rows) > max_scoped_frac * max(dim.count(), 1):
+    # the dim approximates the affected row fraction under roughly
+    # uniform keys; a skewed key that slips through still lands inside
+    # the probe-verified scoped costs. r16 perf: the dim size comes from
+    # the MANIFEST row counts (driver-side metadata, zero jobs) instead
+    # of a dim.count() action — the logmv scoped path's existing proxy
+    # rule. Manifest rows ≥ live rows (deletes not subtracted), which
+    # only makes the threshold HARDER to cross, i.e. can only defer a
+    # rebuild to cases where more keys are affected — never forces one
+    # early, and the scoped swap stays exact either way.
+    dim_rows = sum(
+        f.get("rows", 0) for f in S.manifest(dim_path, dim_head)["files"]
+    )
+    if rows and len(rows) > max_scoped_frac * max(dim_rows, 1):
         return rebuild_enriched(
             spark, fact_path, dim_path, mv_path,
             join_key=join_key, dim_cols=dim_cols,
