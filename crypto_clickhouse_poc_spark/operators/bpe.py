@@ -245,9 +245,11 @@ def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver path it is also collected once and both stages work off the
     same rows (r8 review — no second corpus scan)."""
     vocab = _vocab(spark, sf_dir)
-    n = vocab.limit(BPE_DRIVER_VOCAB_MAX + 1).count()
-    if n <= BPE_DRIVER_VOCAB_MAX:
-        pdf = vocab.toPandas()  # the ONE bounded collect for train + encode
+    # ONE bounded action probes size AND collects (r16 perf — the old
+    # limit().count() + toPandas() pair ran the vocabulary aggregation
+    # twice); the cap+1 limit proves the collected set is complete
+    pdf = vocab.limit(BPE_DRIVER_VOCAB_MAX + 1).toPandas()
+    if len(pdf) <= BPE_DRIVER_VOCAB_MAX:
         rows = list(zip(pdf["word"], pdf["freq"]))
         merges = _train_bpe(spark, sf_dir, vocab_rows=rows)
         enc = _encode_vocab(vocab, merges, vocab_rows=rows)
@@ -267,7 +269,7 @@ def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_words"),
             F.sum("n_sub").cast("long").alias("n_tokens_bpe_learned"),
         )
-        .orderBy("doc_id")
+        # no presentation sort (r16 perf — order-insensitive harness)
     )
 
 

@@ -175,7 +175,11 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tok") >= 2,
             F.round(F.col("max_bigram") / (F.col("n_tok") - 1), 6),
         ).alias("top_bigram_frac"),
-    ).orderBy("doc_id")
+    )
+    # no presentation sort (r16 perf): the plan is a pure map with no
+    # exchange, so an orderBy's range-bounds SAMPLING re-runs the whole
+    # token/bigram fold a second time (the doc_hash_embed r9 lesson);
+    # the parity harness and the driver canonicalize row order anyway
 
 
 # pattern classes; Java regex and RE2 (DuckDB) read these identically

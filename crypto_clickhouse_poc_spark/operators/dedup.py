@@ -309,18 +309,13 @@ def with_cluster_sizes(lbl: DataFrame) -> DataFrame:
 CC_DRIVER_EDGE_MAX = 500_000
 
 
-def _driver_components(docs: DataFrame, e: DataFrame) -> DataFrame:
-    """Union-find on a collected (bounded) edge list; labels broadcast
-    back as a join against the node set. Identical output to the
-    distributed fixpoint: cluster = min node id of the component."""
+def _driver_components(docs: DataFrame, pdf) -> DataFrame:
+    """Union-find on a collected (bounded) edge list — a pandas frame the
+    caller already probed out of the pair plan; labels broadcast back as
+    a join against the node set. Identical output to the distributed
+    fixpoint: cluster = min node id of the component."""
     from pyspark.sql.types import StructField, StructType
 
-    # Arrow-collect a 2-column projection: pyspark Row objects carry
-    # ~100s of bytes each, which at the 500k-edge cap is a 100+ MB driver
-    # footprint; toPandas lands two int64 numpy arrays (~8 MB at the cap)
-    # (r7 ADVICE — the old comment's "~16 MB of id pairs" only held for
-    # the Arrow path)
-    pdf = e.select("doc_a", "doc_b").toPandas()
     if not len(pdf):
         return docs.select("doc_id", F.col("doc_id").alias("cluster"))
     parent: dict = {}
@@ -356,19 +351,31 @@ def min_label_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     the iterative core of ``dedup_clusters``, reused by the near-dup stage
     of ``corpus_prepare_near`` and ``corpus_assemble``.
 
-    Adaptive: the edge list is checkpointed once and counted; at or below
-    ``CC_DRIVER_EDGE_MAX`` edges a driver union-find labels the graph in
-    one pass (identical output), above it the distributed pointer-jumping
-    fixpoint runs."""
+    Adaptive: ONE bounded ``limit(cap+1).toPandas()`` probe pulls the
+    edge list; at or below ``CC_DRIVER_EDGE_MAX`` edges a driver
+    union-find labels the graph in one pass (identical output — the
+    limit cannot truncate a set it fully contains), above it the
+    distributed pointer-jumping fixpoint runs. r16 perf: the probe used
+    to be three actions (eager checkpoint of the pairs + count +
+    toPandas re-read); the fused probe is one action on the common
+    small-graph path — the big-graph path re-evaluates the pair plan
+    once more, the right trade for a branch taken only when the graph
+    is ≥500k edges (where one extra pass over pair GENERATION is noise
+    next to the fixpoint rounds it precedes)."""
     spark = docs.sparkSession
     par = spark.sparkContext.defaultParallelism
+    pdf = (
+        pairs.select("doc_a", "doc_b")
+        .limit(CC_DRIVER_EDGE_MAX + 1)
+        .toPandas()
+    )
+    if len(pdf) <= CC_DRIVER_EDGE_MAX:
+        return _driver_components(docs, pdf)
     e = (
         pairs.select("doc_a", "doc_b")
         .coalesce(par)
         .localCheckpoint(eager=True)
     )
-    if e.count() <= CC_DRIVER_EDGE_MAX:
-        return _driver_components(docs, e)
     # undirected edges, both directions, PLUS a self-loop per node: min over
     # the neighborhood-including-self is then the whole round — one join +
     # one groupBy, no separate keep-own-label left join. Checkpoint once —

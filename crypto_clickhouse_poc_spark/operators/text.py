@@ -527,7 +527,15 @@ def doc_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _hash_embed_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The hash-embedding map stage WITHOUT the presentation sort, so
     consumers that feed a TakeOrdered (``corpus_hybrid_rrf``) don't pay a
-    global sort that the limit would discard anyway."""
+    global sort that the limit would discard anyway.
+
+    r16 perf: bounded_cache'd — TWO declared queries fold the identical
+    vec frame (``doc_hash_embed`` and ``corpus_hybrid_rrf``'s dense
+    branch), so the md5 fold ran once per invocation of each; the cache
+    is O(docs) rows of (id, 32 longs) — the same trade the LSH
+    signature cache makes, and the steady state a serving deployment
+    sees. The fold still fuses into the scan on the first
+    materialization; the plan gains no exchange."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     # NULL text → empty token array → zero vector: F.aggregate over a
     # NULL array would emit 32 NULLs while the oracle's per-element
@@ -556,7 +564,9 @@ def _hash_embed_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc, lambda v, i: v + F.when(p["b"] == i, p["s"]).otherwise(F.lit(0))
         ),
     )
-    return d.select("doc_id", vec.alias("embedding"))
+    return bounded_cache(
+        "text._hash_embed", d.select("doc_id", vec.alias("embedding"))
+    )
 
 
 # ---------------------------------------------------------------------------

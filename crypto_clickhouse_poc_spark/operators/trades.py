@@ -37,6 +37,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import bounded_cache
 from ..tables import load
 
 # "now()" for these queries: the deterministic anchor expression (oracle form).
@@ -365,10 +366,20 @@ def ev_price_quantiles_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     all_types = raw.select("gk").distinct()
     e = raw.where(F.col("price").isNotNull())
-    stats = e.groupBy("gk").agg(
-        F.count("*").alias("n"),
-        F.min("price").alias("lo"),
-        F.max("price").alias("hi"),
+    # r16 perf: the per-type stats and the bucketed rows are each
+    # referenced by SEVERAL downstream branches (eb by hist + boundary,
+    # stats by eb + ranks); uncached, Catalyst re-derives the subplan per
+    # reference and the plan held 18 parquet scans / 42 exchanges for a
+    # 2-pass algorithm. bounded_cache collapses it to the two passes the
+    # algorithm actually needs — stats is O(types) rows, eb O(rows) of
+    # (gk, price, b) — the dsir-weights precedent.
+    stats = bounded_cache(
+        "trades.q2p_stats",
+        e.groupBy("gk").agg(
+            F.count("*").alias("n"),
+            F.min("price").alias("lo"),
+            F.max("price").alias("hi"),
+        ),
     )
     width = (F.col("hi") - F.col("lo")) / F.lit(QUANTILE_BUCKETS)
     # degenerate all-equal group → single bucket 0
@@ -378,8 +389,11 @@ def ev_price_quantiles_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor((F.col("price") - F.col("lo")) / width),
         )
     )
-    eb = e.join(F.broadcast(stats), "gk").select(
-        "gk", "price", bucket.cast("int").alias("b")
+    eb = bounded_cache(
+        "trades.q2p_eb",
+        e.join(F.broadcast(stats), "gk").select(
+            "gk", "price", bucket.cast("int").alias("b")
+        ),
     )
     hist = eb.groupBy("gk", "b").agg(F.count("*").alias("c"))
     wcum = Window.partitionBy("gk").orderBy("b")
