@@ -168,9 +168,10 @@ def _train_bpe(
     vocab = _vocab(spark, sf_dir) if vocab is None else vocab
     if force_distributed:
         return _train_bpe_distributed(vocab, n_merges)
-    n = vocab.limit(BPE_DRIVER_VOCAB_MAX + 1).count()
-    if n <= BPE_DRIVER_VOCAB_MAX:
-        pdf = vocab.toPandas()  # bounded 2-column Arrow collect
+    # one bounded action probes size AND collects (r16 perf — the old
+    # limit().count() + toPandas() pair ran the vocabulary agg twice)
+    pdf = vocab.limit(BPE_DRIVER_VOCAB_MAX + 1).toPandas()
+    if len(pdf) <= BPE_DRIVER_VOCAB_MAX:
         rows = list(zip(pdf["word"], pdf["freq"]))
         merges = _train_bpe_driver(rows, n_merges)
     else:
@@ -216,9 +217,11 @@ def _encode_vocab(
                 "word string, n_sub int",
             )
         )
-    n = vocab.limit(BPE_DRIVER_VOCAB_MAX + 1).count()
-    if n <= BPE_DRIVER_VOCAB_MAX:
-        words = [w for (w,) in vocab.select("word").toPandas().itertuples(index=False)]
+    # one bounded action probes size AND collects (r16 perf, same fusion
+    # as _train_bpe — the probe-then-collect pair ran the agg twice)
+    wpdf = vocab.select("word").limit(BPE_DRIVER_VOCAB_MAX + 1).toPandas()
+    if len(wpdf) <= BPE_DRIVER_VOCAB_MAX:
+        words = [w for (w,) in wpdf.itertuples(index=False)]
         return F.broadcast(
             spark.createDataFrame(
                 [(w, len(encode_word_py(w, merges))) for w in words],
