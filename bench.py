@@ -30,6 +30,23 @@ Methodology (round 3 — attributable numbers):
   idle re-runs matched PERF.md's clean numbers. The JSON also records
   os.getloadavg() at start and end, so a contended run is self-evident in
   the artifact instead of needing post-hoc adjudication.
+- (round 17, measurement-bug fix per the r16 verdict) `spark.catalog
+  .clearCache()` runs before EVERY timed repetition, stamped
+  `cache_cleared: true` in the artifact. The untimed warmup used to
+  materialize each query's `bounded_cache` entries, so timed runs of
+  cache-bearing entries (doc_hash_embed, corpus_hybrid_rrf, tpch_q2/9/
+  11/16/20, dedup_*) read memoised intermediates instead of computing
+  them. With the cache cleared per repetition, intra-plan caches
+  repopulate INSIDE the timed region (keeping their legitimate §2.4
+  benefit) and pure cross-invocation memoisation stops counting.
+  Numbers for those entries read HIGHER than r16's as a result — that
+  is the honest baseline, not a regression (r16 VERDICT "What's wrong"
+  #1 documents the flattered values).
+- (round 17) the artifact line no longer carries `queries_normalized`
+  (derivable: divide each `queries` entry by `host_speed_vs_r11`) — the
+  r15 round-over-round comparison was lost to driver-side tail
+  truncation of the ~4 KB line; halving it keeps every scalar AND the
+  per-query dict inside any plausible tail capture. Still ONE JSON line.
 """
 
 from __future__ import annotations
@@ -234,6 +251,12 @@ def main() -> None:
         qs[name](spark, sf_dir).collect()  # warmup: JIT/codegen, untimed
         runs, n = [], 0
         for _ in range(3):
+            # every timed repetition starts cache-cold (r17): the warmup
+            # materialized bounded_cache entries that otherwise serve
+            # memoised intermediates to the timed runs — intra-plan
+            # caches repopulate inside the timed region and keep their
+            # benefit; cross-invocation memoisation stops counting
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             n = len(qs[name](spark, sf_dir).collect())
             runs.append(time.perf_counter() - t0)
@@ -322,16 +345,17 @@ def main() -> None:
         + cpu_probe["jvm_range_s"] / _REF_PROBE_MC["jvm_range_s"]
         + 2 * cpu_probe["jvm_mc_s"] / _REF_PROBE_MC["jvm_mc_s"]
     ) / 4
-    normalized = {q: round(t / speed, 3) for q, t in timings.items()}
     # key order is deliberate: the artifact's tail-capture keeps the END
-    # of the line, so the sacrificial per-query dicts go first and the
+    # of the line, so the sacrificial per-query dict goes first and the
     # headline scalars / probe / streaming rates go last (r11's artifact
-    # was cut mid-line and lost the totals)
+    # was cut mid-line and lost the totals; r15's lost the per-query dict
+    # entirely — hence r17 dropped the derivable queries_normalized dict
+    # to halve the line)
     print(
         json.dumps(
             {
                 "queries": timings,
-                "queries_normalized": normalized,
+                "cache_cleared": True,
                 "metric": "headline_queries_total",
                 "value": total,
                 "value_normalized": round(total / speed, 3),

@@ -142,7 +142,6 @@ def corpus_bloom_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         verdicts.groupBy("status")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("status")
     )
 
 

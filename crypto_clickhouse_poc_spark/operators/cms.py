@@ -117,7 +117,7 @@ def corpus_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "freq",
         "cms_est",
         (F.col("cms_est") - F.col("freq")).alias("overcount"),
-    ).orderBy(F.col("freq").desc(), F.col("token"))
+    )
 
 
 QUERIES = {"corpus_cms_freq": corpus_cms_freq}

@@ -29,7 +29,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..caching import bounded_cache
 from ..functions import text as T
 from ..tables import load
 from .dedup import shingles_from_tokens
@@ -61,19 +60,18 @@ def holdout_grams(d: DataFrame) -> DataFrame:
     shared by corpus_decontaminate and corpus_assemble. ``d`` must carry
     (doc_id, text).
 
-    r16 perf: bounded_cache'd — the set is O(holdout grams) rows (~3% of
-    the corpus exploded once), consumed as a broadcast by BOTH declared
-    decontamination consumers, and its plan is a pure function of the
-    input scan, so repeated invocations (serving, the bench's warm runs)
-    reuse one materialization instead of re-exploding the holdout."""
-    return bounded_cache(
-        "curation.holdout_grams",
+    NOT cached (r17): each consumer broadcasts this frame exactly ONCE
+    per invocation — the r16 bounded_cache had zero intra-plan reuse and
+    only memoised the materialization across invocations (the r16
+    verdict's bench-artifact finding); with the bench clearing caches per
+    timed run, the cache write was pure overhead."""
+    return (
         d.where(_is_holdout(F.col("doc_id")))
         .withColumn("w", F.split(F.col("text"), " "))
         .select(
             F.explode(shingles_from_tokens(F.col("w"), DECONTAM_NGRAM)).alias("gram")
         )
-        .distinct(),
+        .distinct()
     )
 
 
@@ -130,7 +128,6 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.col("n_contaminated"), F.lit(0)) / F.col("n_train"), 6
             ).alias("contamination_rate"),
         )
-        .orderBy("lang")
     )
 
 
@@ -218,7 +215,6 @@ def corpus_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("ipv4_n") > 0).cast("int")).alias("docs_with_ipv4"),
             F.sum("ipv4_n").alias("ipv4_hits"),
         )
-        .orderBy("source")
     )
 
 

@@ -694,7 +694,6 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("ccos", 6).alias("centroid_cos"),
             F.coalesce("rm", F.lit(False)).alias("removed"),
         )
-        .orderBy("vec_id")
     )
 
 

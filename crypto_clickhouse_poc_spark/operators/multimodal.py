@@ -493,7 +493,6 @@ def mm_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_n",
             (F.col("media_id") == F.col("cluster")).cast("int").alias("is_canonical"),
         )
-        .orderBy("media_id")
     )
 
 

@@ -67,7 +67,7 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = checks[0]
     for chk in checks[1:]:
         out = out.unionAll(chk)
-    return out.orderBy("check")
+    return out
 
 
 _STATS_TABLE = "orders"

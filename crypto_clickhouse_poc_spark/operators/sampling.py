@@ -295,7 +295,6 @@ def pack_accounting(d: DataFrame) -> DataFrame:
     return (
         packed.groupBy("shard", "pack_id")
         .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
-        .orderBy("shard", "pack_id")
     )
 
 
@@ -400,7 +399,7 @@ def corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     lbl = min_label_clusters(docs, pairs).select("doc_id", "cluster")
     return lbl.select(
         "doc_id", "cluster", split_of_cluster(F.col("cluster")).alias("split")
-    ).orderBy("doc_id")
+    )
 
 
 QUERIES = {

@@ -225,7 +225,6 @@ def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         assigned.groupBy("label", "centroid_label")
         .agg(F.count("*").alias("n"))
-        .orderBy("label", "centroid_label")
     )
 
 

@@ -62,7 +62,6 @@ def ev_user_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ),
         )
-        .orderBy("event_type")
     )
 
 

@@ -149,7 +149,6 @@ def ev_skip_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 6).alias("sum_value"),
         )
-        .orderBy("event_type")
     )
 
 

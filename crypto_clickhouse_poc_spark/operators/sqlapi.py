@@ -21,7 +21,7 @@ _PIVOT_SQL = """
            count(*) FILTER (WHERE event_type = 'view') AS views,
            count(*) FILTER (WHERE event_type = 'purchase') AS purchases,
            count(*) AS total
-    FROM events GROUP BY hour(ts) ORDER BY hr
+    FROM events GROUP BY hour(ts)
 """
 
 _CORR_SQL = """

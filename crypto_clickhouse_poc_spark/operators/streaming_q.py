@@ -94,7 +94,6 @@ def stream_ohlcv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         B.reaggregate_bars(spark.read.parquet(str(partials_dir)))
         .select("minute", "symbol", "open", "high", "low", "close", "volume", "trades")
-        .orderBy("minute", "symbol")
     )
 
 
@@ -225,7 +224,7 @@ def quantile_partials_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             e.where(F.col("event_id") % 3 == i), value_col="price", key="event_type"
         )
         parts = p if parts is None else parts.unionAll(p)
-    return Q.merge_quantiles(parts).orderBy("key")
+    return Q.merge_quantiles(parts)
 
 
 QUERIES = {

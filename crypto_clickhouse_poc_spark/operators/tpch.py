@@ -52,7 +52,6 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
     )
 
 
@@ -111,7 +110,6 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "revenue"
             )
         )
-        .orderBy(F.col("revenue").desc())
     )
 
 
@@ -153,7 +151,6 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         matched.groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
-        .orderBy("o_orderpriority")
     )
 
 
@@ -552,7 +549,6 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").alias("o_year"),
         )
         .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
-        .orderBy("nation", F.desc("o_year"))
     )
 
 
@@ -585,7 +581,6 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ps_partkey",
             F.round(F.col("cents").cast("double") / 100.0, 2).alias("value"),
         )
-        .orderBy(F.desc("value"), "ps_partkey")
     )
 
 
@@ -613,7 +608,6 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
-        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
     )
 
 
@@ -664,7 +658,6 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_semi",
         )
         .select("s_name", "s_acctbal")
-        .orderBy("s_name")
     )
 
 
@@ -873,7 +866,6 @@ def region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("order_count"),
             F.round(F.sum("o_totalprice"), 2).alias("total_value"),
         )
-        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
     )
 
 

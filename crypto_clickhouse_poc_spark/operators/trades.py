@@ -134,7 +134,6 @@ def ev_ohlcv_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("qty").alias("volume"),
             F.count("*").alias("trades"),
         )
-        .orderBy("minute")
     )
 
 
@@ -212,7 +211,6 @@ def ev_buy_sell_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         _lookback(e.where(F.col("event_type") == "purchase"), e, "2 DAYS")
         .groupBy(F.date_trunc("minute", F.col("ts")).alias("minute"))
         .agg(*_buy_sell_aggs(), F.count("*").alias("trades"))
-        .orderBy("minute")
     )
 
 
@@ -252,7 +250,7 @@ def ev_user_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(clicks.subtract(purchases).withColumn("grp", F.lit("click_only")))
         .unionByName(purchases.subtract(clicks).withColumn("grp", F.lit("purchase_only")))
     )
-    return tagged.groupBy("grp").agg(F.count("*").alias("n_users")).orderBy("grp")
+    return tagged.groupBy("grp").agg(F.count("*").alias("n_users"))
 
 
 def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -290,7 +288,6 @@ def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("dur_sec").alias("max_session_sec"),
             F.round(F.avg("dur_sec"), 6).alias("avg_session_sec"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -310,7 +307,6 @@ def ev_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.percentile("price", F.lit(0.9)), 6).alias("p90"),
             F.round(F.percentile("price", F.lit(0.99)), 6).alias("p99"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -389,11 +385,14 @@ def ev_price_quantiles_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor((F.col("price") - F.col("lo")) / width),
         )
     )
-    eb = bounded_cache(
-        "trades.q2p_eb",
-        e.join(F.broadcast(stats), "gk").select(
-            "gk", "price", bucket.cast("int").alias("b")
-        ),
+    # NOT cached (r17, per ADVICE): eb is O(all input rows) — caching it
+    # writes the entire fact projection to MEMORY_AND_DISK, which at the
+    # 100 TB target is strictly worse than the second compressed columnar
+    # parquet scan the two consumers (hist, boundary ranking) cost
+    # uncached. The algorithm is two-pass BY DESIGN; only the O(types)
+    # stats frame above is worth pinning.
+    eb = e.join(F.broadcast(stats), "gk").select(
+        "gk", "price", bucket.cast("int").alias("b")
     )
     hist = eb.groupBy("gk", "b").agg(F.count("*").alias("c"))
     wcum = Window.partitionBy("gk").orderBy("b")
@@ -494,7 +493,6 @@ def ev_price_quantiles_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         all_types.join(quant, "gk", "left")
         .select(decode.alias("event_type"), "p50", "p90", "p99")
-        .orderBy("event_type")
     )
 
 
@@ -589,9 +587,6 @@ def ev_type_user_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.cube("event_type", "side")
         .agg(F.count("*").alias("n"), F.sum("qty").alias("volume"))
-        .orderBy(
-            F.col("event_type").asc_nulls_first(), F.col("side").asc_nulls_first()
-        )
     )
 
 
@@ -686,7 +681,6 @@ def ev_ohlcv_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("trades", F.lit(0)).alias("trades"),
             F.when(F.col("close").isNull(), 1).otherwise(0).alias("is_gap"),
         )
-        .orderBy("minute")
     )
 
 
@@ -712,7 +706,6 @@ def ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("user_id").alias("n_users"))
-        .orderBy("cohort_week", "week_offset")
     )
 
 
@@ -799,7 +792,6 @@ def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
             F.round(F.col("n_users") / F.col("n_base"), 6).alias("conversion"),
         )
-        .orderBy("stage")
     )
 
 
@@ -896,7 +888,6 @@ def ev_layout_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.round(F.sum("value"), 6).alias("sum_value"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -958,7 +949,6 @@ def ev_ohlcv_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_hours"),
             F.sum("n_minutes").alias("n_minutes"),
         )
-        .orderBy("day")
     )
 
 
@@ -1079,7 +1069,6 @@ def ev_user_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact",
             F.round(kmv_estimate(F.col("k_eff"), F.col("h_k")), 2).alias("n_kmv"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -1116,7 +1105,6 @@ def ev_type_activity_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
-        .orderBy("event_type")
     )
 
 

@@ -216,9 +216,9 @@ def scd2_merge(dim: DataFrame, upd: DataFrame, batch_ts: str) -> DataFrame:
 def cust_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fixture SCD2 query: initial ``customer`` load merged with the
     deterministic T1 update batch (see ``scd2_merge`` for the dataflow;
-    output ordering only for the deterministic oracle hash)."""
+    no presentation sort — the driver hash is order-insensitive, r17)."""
     dim, upd = _scd2_inputs(spark, sf_dir)
-    return scd2_merge(dim, upd, SCD2_T1).orderBy("key", "effective_from")
+    return scd2_merge(dim, upd, SCD2_T1)
 
 
 QUERIES = {

@@ -107,6 +107,33 @@ def enriched_status(mv_path: str, app: str = "joinmv") -> dict | None:
 # parquet scan.
 _MAX_ISIN_KEYS = 128
 
+# r17: bound for materializing the PROJECTED dim on the driver. The dim
+# is broadcast-sized by contract (every enrich ships it through a
+# BroadcastExchange, whose build is itself a driver-side collect), so a
+# driver copy of (join_key, *dim_cols) is the same memory class the
+# plan already pays — and it turns the merge-on-read dim plan that the
+# scoped path used to localCheckpoint (r13) into a LocalTableScan: the
+# dup check becomes a Python count (zero jobs), the enrich joins build
+# their broadcast from local rows (zero scan stages), and the fraction
+# fallback's denominator becomes the EXACT live dim row count — closing
+# the r16 ADVICE gap where the manifest-row proxy over-counts a
+# dim_view'd (SCD2) dim so badly the fallback never fires. A dim larger
+# than this keeps the r13 localCheckpoint + distributed-count path.
+_DIM_LOCAL_MAX_ROWS = 65_536
+
+
+def _collect_dim_local(
+    dim: DataFrame, join_key: str, dim_cols: Sequence[str]
+) -> list | None:
+    """The projected dim's rows, or None when it exceeds
+    ``_DIM_LOCAL_MAX_ROWS`` (fall back to the distributed path)."""
+    rows = (
+        dim.select(join_key, *dim_cols)
+        .limit(_DIM_LOCAL_MAX_ROWS + 1)
+        .collect()
+    )
+    return None if len(rows) > _DIM_LOCAL_MAX_ROWS else rows
+
 
 def _read_fact_keys(
     spark: SparkSession,
@@ -269,9 +296,16 @@ def refresh_enriched_rollup(
     # the dim is broadcast-sized by contract but its merge-on-read plan
     # (upserts leave equality-delete anti-joins on the read) is NOT free
     # — and the scoped path consumes it three times (dup check, scoped
-    # enrich, fresh enrich). Materialize it once (r13: the dup check
-    # alone was re-running the whole DV plan, ~40% of a dim-tick refresh)
-    dim = dim.localCheckpoint()
+    # enrich, fresh enrich). Materialize the PROJECTED dim on the driver
+    # once (r17 — see _DIM_LOCAL_MAX_ROWS); past the bound, keep the r13
+    # localCheckpoint so each consumer at least reads a materialized plan
+    dim_local = _collect_dim_local(dim, join_key, dim_cols)
+    if dim_local is None:
+        dim = dim.localCheckpoint()
+    else:
+        dim = spark.createDataFrame(
+            dim_local, schema=dim.select(join_key, *dim_cols).schema
+        )
     if fact_head > fact_w:
         # overwrite ranges take the file-level CDC (see logmv: the
         # row-precise diff is a wide full-row shuffle over the whole
@@ -304,26 +338,53 @@ def refresh_enriched_rollup(
             dim_cdc = dim_view(dim_cdc)
         affected = affected.unionByName(dim_cdc.select(join_key))
     gdf = affected.distinct()
-    # ONE action collects the affected keys AND each key's dim
-    # multiplicity (the dup check): a duplicate dim key fans out partials
-    # and double-counts silently; a dup can only ARISE through a dim
-    # change, and every dim change routes its keys through here — so
-    # checking the AFFECTED keys (bounded set) plus rebuild's full check
-    # covers every path a dup can enter by
-    counts = dim.groupBy(join_key).agg(F.count(F.lit(1)).alias("_dim_n"))
-    rows = (
-        gdf.join(counts, join_key, "left")
-        .limit(max_scoped_keys + 1)
-        .collect()
-    )
+    if dim_local is not None:
+        # r17: the dup check is a Python count over the local dim rows
+        # (zero jobs — a duplicate dim key fans out partials and
+        # double-counts silently; a dup can only ARISE through a dim
+        # change, and every dim change routes its keys through here), the
+        # affected-keys collect plans without the counts join, and the
+        # fraction denominator is the EXACT live dim count — the r16
+        # manifest-row proxy's dim_view blind spot (ADVICE) is gone on
+        # this path because the rows are counted AFTER dim_view applied.
+        from collections import Counter
+
+        key_n = Counter(r[0] for r in dim_local)
+        rows = gdf.limit(max_scoped_keys + 1).collect()
+        dup = next((r for r in rows if key_n.get(r[0], 0) > 1), None)
+        dim_rows = len(dim_local)
+    else:
+        # ONE action collects the affected keys AND each key's dim
+        # multiplicity (the dup check); checking the AFFECTED keys
+        # (bounded set) plus rebuild's full check covers every path a
+        # dup can enter by
+        counts = dim.groupBy(join_key).agg(F.count(F.lit(1)).alias("_dim_n"))
+        rows = (
+            gdf.join(counts, join_key, "left")
+            .limit(max_scoped_keys + 1)
+            .collect()
+        )
+        dup = next((r for r in rows if (r["_dim_n"] or 0) > 1), None)
+        # fraction fallback denominator — the r16 driver-side manifest
+        # proxy (zero jobs). Manifest rows ≥ live rows (deletes not
+        # subtracted), so it can only DEFER a rebuild, never force one
+        # early. A stats-less file entry must not read as 0 rows (r16
+        # ADVICE: that UNDER-counts — the wrong direction), so any entry
+        # without stats makes the proxy unbounded: the fallback then
+        # never fires from this branch, the conservative direction.
+        ents = S.manifest(dim_path, dim_head)["files"]
+        dim_rows = (
+            sum(f["rows"] for f in ents)
+            if all("rows" in f for f in ents)
+            else 1 << 62
+        )
     if len(rows) > max_scoped_keys:
         return rebuild_enriched(
             spark, fact_path, dim_path, mv_path,
             join_key=join_key, dim_cols=dim_cols,
             partial_fn=partial_fn, app=app, ts_col=ts_col,
-            dim_view=dim_view,
+            dim_view=dim_view, _dim_local=dim_local,
         )
-    dup = next((r for r in rows if (r["_dim_n"] or 0) > 1), None)
     if dup is not None:
         raise ValueError(
             f"dim {dim_path} has duplicate join key {dup[0]!r} at "
@@ -337,22 +398,13 @@ def refresh_enriched_rollup(
     # clean scan-and-swap with zero merge-on-read debt. Key count over
     # the dim approximates the affected row fraction under roughly
     # uniform keys; a skewed key that slips through still lands inside
-    # the probe-verified scoped costs. r16 perf: the dim size comes from
-    # the MANIFEST row counts (driver-side metadata, zero jobs) instead
-    # of a dim.count() action — the logmv scoped path's existing proxy
-    # rule. Manifest rows ≥ live rows (deletes not subtracted), which
-    # only makes the threshold HARDER to cross, i.e. can only defer a
-    # rebuild to cases where more keys are affected — never forces one
-    # early, and the scoped swap stays exact either way.
-    dim_rows = sum(
-        f.get("rows", 0) for f in S.manifest(dim_path, dim_head)["files"]
-    )
+    # the probe-verified scoped costs.
     if rows and len(rows) > max_scoped_frac * max(dim_rows, 1):
         return rebuild_enriched(
             spark, fact_path, dim_path, mv_path,
             join_key=join_key, dim_cols=dim_cols,
             partial_fn=partial_fn, app=app, ts_col=ts_col,
-            dim_view=dim_view,
+            dim_view=dim_view, _dim_local=dim_local,
         )
     keys = [r[0] for r in rows]
     if not keys:
@@ -424,10 +476,17 @@ def rebuild_enriched(
     app: str = "joinmv",
     ts_col: str = "minute",
     dim_view: Callable[[DataFrame], DataFrame] | None = None,
+    _dim_local: list | None = None,
 ) -> int:
     """Full recompute from both pinned heads in ONE manifest swap (the
     logmv rebuild contract, two logs). Fails loudly on a duplicate-key
-    dim — fanning out partials would silently double-count forever."""
+    dim — fanning out partials would silently double-count forever.
+
+    ``_dim_local`` (r17, internal): the projected dim rows a falling-back
+    scoped refresh already collected at THIS dim head — passed through so
+    the rebuild doesn't re-plan and re-collect the dim's merge-on-read
+    read (the dim-collect showed up 2-3× per refresh in the job
+    profile)."""
     fact_head = S.latest_version(fact_path)
     dim_head = S.latest_version(dim_path)
     if fact_head is None or dim_head is None:
@@ -435,12 +494,38 @@ def rebuild_enriched(
     dim = S.read_snapshot(spark, dim_path, version=dim_head)
     if dim_view is not None:
         dim = dim_view(dim)
-    dup = (
-        dim.groupBy(join_key).count().where(F.col("count") > 1).limit(1).collect()
+    # r17: one bounded collect of the projected dim replaces the separate
+    # dup-check action AND the distributed dim leg of the enrich join —
+    # the dup check becomes a Python count (zero jobs) and the rebuild's
+    # big fact-scan plan broadcasts a LocalTableScan instead of
+    # re-planning the dim's merge-on-read read. Same memory class as the
+    # BroadcastExchange the join already builds driver-side; an
+    # over-bound dim keeps the distributed path.
+    dim_local = (
+        _dim_local
+        if _dim_local is not None
+        else _collect_dim_local(dim, join_key, dim_cols)
     )
+    if dim_local is not None:
+        from collections import Counter
+
+        counts = Counter(r[0] for r in dim_local)
+        dup = [k for k, n in counts.items() if n > 1][:1]
+        dim = spark.createDataFrame(
+            dim_local, schema=dim.select(join_key, *dim_cols).schema
+        )
+    else:
+        dup = [
+            r[0]
+            for r in dim.groupBy(join_key)
+            .count()
+            .where(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        ]
     if dup:
         raise ValueError(
-            f"dim {dim_path} has duplicate join key {dup[0][0]!r} at "
+            f"dim {dim_path} has duplicate join key {dup[0]!r} at "
             f"v{dim_head} — an enriched rollup over it would double-count; "
             "dedup the dim (SCD2 current view) first"
         )

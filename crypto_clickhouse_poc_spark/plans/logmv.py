@@ -435,6 +435,37 @@ def _refresh_scoped(
     nothing; ``precise=False`` (overwrite ranges) takes the file-level
     delete rows instead — a SUPERSET of the truly-changed groups, which
     only widens the (exact) recompute, never the answer."""
+    if not precise:
+        # r17 dispatch shortcut for overwrite ranges, driver-side and
+        # before any Spark job: the file-level CDC's delete rows are ALL
+        # rows of the removed files, so the manifest's per-file row
+        # counts bound the fraction of the base a "scoped" recompute
+        # would re-aggregate. When the rewrite replaced >= the fraction
+        # threshold of the live rows, the len(groups) fallback below
+        # would fire anyway — after paying the CDC delete pass and a
+        # bounded group collect (a whole-table backfill paid ~1.5 s of
+        # discarded work at fixture scale). Rows stand proxy for groups
+        # (time-bucketed groups scale with rows); dispatch is a pure
+        # cost choice — both paths are exact. Files without row stats
+        # disable the shortcut (conservative: proceed to the exact
+        # group-count check).
+        head_m = S.manifest(base_path, head)
+        head_paths = {f["path"] for f in head_m["files"]}
+        removed = [
+            f
+            for f in S.manifest(base_path, consumed)["files"]
+            if f["path"] not in head_paths
+        ]
+        if removed and all(
+            "rows" in f for f in removed + head_m["files"]
+        ):
+            base_rows = sum(f["rows"] for f in head_m["files"])
+            if sum(f["rows"] for f in removed) > max_scoped_frac * max(
+                base_rows, 1
+            ):
+                return rebuild_rollup(
+                    spark, base_path, mv_path, partial_fn, app, ts_col=ts_col
+                )
     cdc = S.read_changes_cdc(
         spark, base_path, consumed, head, precise_merge=precise
     )
@@ -464,9 +495,17 @@ def _refresh_scoped(
     # side upper proxy for the group count (partials ≥ groups: duplicate
     # partials only loosen the threshold, never force a rebuild early).
     mv_head = S.latest_version(mv_path)
+    mv_ents = (
+        S.manifest(mv_path, mv_head)["files"] if mv_head is not None else []
+    )
+    # proxy invariant: manifest rows >= live rows, so the threshold can
+    # only be HARDER to cross (defers a rebuild, never forces one early).
+    # A stats-less entry must therefore not read as 0 rows (r16 ADVICE —
+    # that under-counts, the wrong direction); it disables the fallback
+    # instead (mv_rows=0 skips the check below), the conservative defer.
     mv_rows = (
-        sum(f.get("rows", 0) for f in S.manifest(mv_path, mv_head)["files"])
-        if mv_head is not None
+        sum(f["rows"] for f in mv_ents)
+        if mv_ents and all("rows" in f for f in mv_ents)
         else 0
     )
     if mv_rows and len(rows) > max_scoped_frac * mv_rows:

@@ -982,17 +982,30 @@ def _write_txn(
             conf.unset(key)
         else:
             conf.set(key, saved)
+    # footer-stat reads are independent per-file metadata IO — thread
+    # them (pyarrow releases the GIL on reads); sequential reads were
+    # pure added driver latency on every commit (r17, guide §7.3)
+    from concurrent.futures import ThreadPoolExecutor
+
+    files = sorted(dest.rglob("*.parquet"))
+    if not files:
+        return []
+    with ThreadPoolExecutor(max_workers=min(8, len(files))) as pool:
+        stats = list(
+            pool.map(
+                lambda f: _footer_stats(f, ts_col, stat_cols=cluster_cols),
+                files,
+            )
+        )
     out = []
-    for f in dest.rglob("*.parquet"):
+    for f, st in zip(files, stats):
         rel = f.relative_to(Path(path))
         month = next(
             part.split("=", 1)[1]
             for part in rel.parts
             if part.startswith(f"{PARTITION_COL}=")
         )
-        entry = {"path": str(rel), "p_month": month}
-        entry.update(_footer_stats(f, ts_col, stat_cols=cluster_cols))
-        out.append(entry)
+        out.append({"path": str(rel), "p_month": month, **st})
     return out
 
 
@@ -2232,9 +2245,23 @@ def delete_by_keys(
     # ONE part file: keys are small by contract (O(keys) is the op's
     # point), and each part file becomes an eq_dvs entry that costs
     # every future read its own anti-join — a 200-partition distinct
-    # would turn one delete into 200 chained joins
-    key_rows = keys.select(*cols).distinct().coalesce(1)
-    entries = _write_dv_entries(key_rows, path, "eqdv", {"cols": cols})
+    # would turn one delete into 200 chained joins.
+    # r17: a key set within the driver-side bound is collected and
+    # written with pyarrow (_write_local_eq_keys — the scoped refreshers'
+    # existing shape): one bounded collect replaces the distributed
+    # distinct+coalesce(1) write job AND its footer-stat read, ~3 jobs
+    # per erasure at fixture scale. Larger key sets keep the
+    # distributed write.
+    kdf = keys.select(*cols)
+    probe = kdf.distinct().limit(_EQ_LOCAL_MAX_KEYS + 1).collect()
+    if len(probe) <= _EQ_LOCAL_MAX_KEYS:
+        entries = _write_local_eq_keys(
+            kdf, path, cols, [tuple(r) for r in probe]
+        )
+    else:
+        entries = _write_dv_entries(
+            kdf.distinct().coalesce(1), path, "eqdv", {"cols": cols}
+        )
     if not entries:
         return head  # empty key set — no-op
     return _commit(
@@ -2323,12 +2350,20 @@ def upsert_by_keys(
         entries = _write_local_eq_keys(df, path, cols, keys)
     else:
         key_rows = (keys if keys is not None else df).select(*cols).distinct()
-        # ONE part file per entry, like delete_by_keys: each entry costs
-        # every future read a broadcast anti-join until compaction
-        # materializes it
-        entries = _write_dv_entries(
-            key_rows.coalesce(1), path, "eqdv", {"cols": cols}
-        )
+        # r17: bounded key sets collect and write driver-side, like
+        # delete_by_keys — one collect replaces the distributed
+        # coalesce(1) write job + footer read; larger sets keep the
+        # distributed ONE-part-file write (each entry costs every future
+        # read a broadcast anti-join until compaction materializes it)
+        probe = key_rows.limit(_EQ_LOCAL_MAX_KEYS + 1).collect()
+        if len(probe) <= _EQ_LOCAL_MAX_KEYS:
+            entries = _write_local_eq_keys(
+                df, path, cols, [tuple(r) for r in probe]
+            )
+        else:
+            entries = _write_dv_entries(
+                key_rows.coalesce(1), path, "eqdv", {"cols": cols}
+            )
     new = _write_txn(df, path, ts_col=ts_col)
     txn = (txn_app, int(txn_id)) if txn_app is not None else None
     return _commit(
