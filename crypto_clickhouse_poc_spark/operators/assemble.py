@@ -103,9 +103,16 @@ def assembled_docs(
     canonical = exact_canonical(gated).select("doc_id", "text", "lang")
     if cache:
         # referenced three times (LSH side, component node set, near join)
-        # — cache the deduped survivors once instead of re-running the
-        # gate + digest window per reference
-        canonical = bounded_cache("assemble.canonical", canonical)
+        # — materialize the deduped survivors once instead of re-running
+        # the gate + digest window per reference. r17: localCheckpoint,
+        # not cache — a cache dedupes EXECUTION but every reference still
+        # inlines the full gate+window subtree into Catalyst, and with 8
+        # band-join references downstream the optimizer alone cost ~0.9 s
+        # per invocation (job-profile gap receipt, plans/r17). The
+        # checkpoint truncates the plan at the materialization boundary
+        # (guide §3.3); fault tolerance of this intermediate is
+        # irrelevant inside one query invocation.
+        canonical = canonical.localCheckpoint(eager=True)
 
     # token arrays materialized as their own column before every n-gram
     # pass — shingles_from_tokens' hot-path contract (slicing an attribute,
@@ -133,7 +140,10 @@ def assembled_docs(
         F.size(T.tokens(F.col("text"))).alias("n_tok"),
     )
     if cache:
-        mix_in = bounded_cache("assemble.mix_in", mix_in)
+        # same plan-truncation rule as `canonical` above: the mix's four
+        # references (bounds collect, full leg, boundary leg, pack) each
+        # re-planned the whole gates→LSH→decontaminate chain
+        mix_in = mix_in.localCheckpoint(eager=True)
     return _mix_kept_from(mix_in, extra_cols=("n_tok",)).select(
         "doc_id", "lang", "n_tok"
     )

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..tables import load
+from ..tables import load, scan_parallel
 
 CMS_D = 4  # independent hash rows
 CMS_W = 256  # buckets per row (eps = e / W ~ 1.1%)
@@ -64,11 +64,16 @@ def _fanout(token: Column) -> Column:
 
 
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        load(spark, sf_dir, "documents")
-        .where(F.col("text").isNotNull())
-        .select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    # scan_parallel (r17, guide §2.5): a single-file corpus reads as ONE
+    # scan partition, serializing the 4×md5 grid fan-out downstream — the
+    # 10×-data core-scaling probe measured corpus_cms_freq FLAT at 8 vs 32
+    # cores (7.98 vs 8.01 s) because of exactly this. No-op on a parallel
+    # (production multi-file) scan.
+    d = scan_parallel(
+        load(spark, sf_dir, "documents").where(F.col("text").isNotNull()),
+        spark,
     )
+    return d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
 
 
 def _cms_cells(toks: DataFrame) -> DataFrame:

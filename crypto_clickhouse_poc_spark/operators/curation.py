@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as T
-from ..tables import load
+from ..tables import load, scan_parallel
 from .dedup import shingles_from_tokens
 from .sampling import _bucket16
 
@@ -97,8 +97,12 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     is distinct-ed (shuffles only holdout-sized data) and broadcast; the
     training side is explode → broadcast semi-join → distinct doc — the
     fact table is scanned once and never shuffled before the final
-    per-language rollup."""
-    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    per-language rollup. (scan_parallel — guide §2.5 — un-starves the
+    single-file fixture scan so the n-gram explode parallelizes; no-op
+    on a production multi-file scan.)"""
+    d = scan_parallel(
+        load(spark, sf_dir, "documents"), spark
+    ).select("doc_id", "lang", "text")
     hold = holdout_grams(d)
     train = d.where(~_is_holdout(F.col("doc_id")))
     # survivors of the broadcast semi-join are contaminated (doc, gram)
@@ -154,8 +158,14 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio, top-token concentration, top-bigram concentration. All three
     are in-row HOF folds over the token array — a 100 TB corpus computes
     this as a pure map with zero shuffles (vs. the naive explode →
-    groupBy(doc, token) → max, which shuffles every token)."""
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    groupBy(doc, token) → max, which shuffles every token). The in-row
+    folds are the expensive leg — scan_parallel (guide §2.5) un-starves
+    the single-file fixture scan so they run on every core; no-op on a
+    production multi-file scan, keeping the ≤1-exchange lock honest at
+    scale."""
+    d = scan_parallel(
+        load(spark, sf_dir, "documents"), spark
+    ).select("doc_id", "text")
     d = d.withColumn("toks", T.tokens(F.col("text")))
     bigrams = F.when(
         F.size("toks") >= 2,
@@ -196,8 +206,12 @@ PII_IPV4 = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
 def corpus_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source PII pattern accounting: docs flagged and total hits per
     pattern class. Per-row ``regexp_count`` maps + one rollup keyed by
-    source — the scan-and-report step that precedes redaction."""
-    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    source — the scan-and-report step that precedes redaction.
+    scan_parallel (guide §2.5): the three per-row regexp scans run on
+    every core instead of the single fixture-scan partition."""
+    d = scan_parallel(
+        load(spark, sf_dir, "documents"), spark
+    ).select("doc_id", "source", "text")
     counts = d.select(
         "source",
         F.regexp_count(F.col("text"), F.lit(PII_EMAIL)).alias("email_n"),

@@ -182,7 +182,11 @@ def lsh_pairs_from_shingles(toks: DataFrame) -> DataFrame:
     # without a cache each reference recomputes the shingle + 8×md5 signature
     # pass (~45% of query time measured at sf0.1). One row per doc with a
     # short hash array — O(docs) memory, the right trade at any scale;
-    # bounded_cache keeps at most one live copy across repeated invocations.
+    # bounded_cache keeps at most one live cache across repeated invocations.
+    # r17 A/B note: swapping this cache for a plan-truncating localCheckpoint
+    # was measured (~0 on dedup_minhash_summary) and reverted — the
+    # checkpoint's GC-deferred storage release breaks the bounded-storage
+    # contract (test_lsh_quality: <=1 persistent RDD per call site).
     d = bounded_cache("dedup._lsh_pairs", d)
     a, b = d.alias("a"), d.alias("b")
     common = F.size(F.array_intersect("a.ht", "b.ht"))
@@ -548,7 +552,9 @@ def srp_pairs(e: DataFrame) -> DataFrame:
     DataFrame — the dataflow behind ``dedup_embedding_lsh`` (see there for
     the anatomy and the recall contract)."""
     e = e.withColumn("nrm", V.norm(F.col("v")))
-    # band joins reference the sketch 8×; bounded (see caching module)
+    # band joins reference the sketch 8×; bounded (see caching module).
+    # r17 A/B note: a plan-truncating localCheckpoint here won ~12% but was
+    # reverted for the same bounded-storage contract as lsh_pairs above.
     d = bounded_cache(
         "dedup.srp_pairs", e.select("vec_id", "v", "nrm", *V.srp_band_keys(F.col("v")))
     )

@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..caching import bounded_cache
-from ..tables import load
+from ..tables import load, scan_parallel
 
 DSIR_BUCKETS = 64
 DSIR_TARGET_LANG = "en"
@@ -122,8 +122,13 @@ def dsir_weights_frame(
 def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document DSIR importance weight against the ``lang='en'``
     target slice. Higher = more target-like; feed to top-k selection or
-    weighted sampling (``corpus_mix``-style threshold pass)."""
-    return dsir_weights_frame(load(spark, sf_dir, "documents"))
+    weighted sampling (``corpus_mix``-style threshold pass).
+    scan_parallel (r17, guide §2.5): the per-doc n-gram scoring fold runs
+    on every core instead of the single fixture-scan partition; no-op on
+    a production multi-file scan."""
+    return dsir_weights_frame(
+        scan_parallel(load(spark, sf_dir, "documents"), spark)
+    )
 
 
 DSIR_SELECT_N = 100

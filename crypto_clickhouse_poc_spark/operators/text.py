@@ -20,7 +20,7 @@ from pyspark.sql.window import Window
 
 from ..caching import bounded_cache
 from ..functions import text as T
-from ..tables import load
+from ..tables import load, scan_parallel
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -526,9 +526,14 @@ def doc_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _hash_embed_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The hash-embedding map stage WITHOUT the presentation sort, so
     consumers that feed a TakeOrdered (``corpus_hybrid_rrf``) don't pay a
-    global sort that the limit would discard anyway. Uncached — see the
-    note at the return (r17)."""
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    global sort that the limit would discard anyway.
+    scan_parallel (r17, guide §2.5): the 32-lane fold runs on every core
+    instead of the single fixture-scan partition (the plan lock allows
+    the one guarded round-robin exchange this adds at fixture scale —
+    it is a no-op on a production multi-file scan)."""
+    d = scan_parallel(
+        load(spark, sf_dir, "documents"), spark
+    ).select("doc_id", "text")
     # NULL text → empty token array → zero vector: F.aggregate over a
     # NULL array would emit 32 NULLs while the oracle's per-element
     # coalesce emits 32 zeros (r7 review finding)

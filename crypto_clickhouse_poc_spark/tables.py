@@ -90,6 +90,25 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def scan_parallel(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Un-starve a single-file scan (guide §2.5 "input skew: one huge
+    unsplittable file — repartition immediately after the read"): the
+    deterministic fixture tables are single-row-group parquet, so a raw
+    scan opens as ONE partition and any expensive per-row work downstream
+    (md5 grid fan-outs, in-row HOF folds, regexp scans, Pandas-UDF
+    kernels) runs serially — the r17 10×-data core-scaling probe measured
+    corpus_cms_freq FLAT at 8 vs 32 cores because of exactly this.
+
+    Guarded: a no-op (no shuffle added) when the scan already has at
+    least half the session's parallelism — the production multi-file
+    case, where adding a corpus-wide shuffle would be scale-wrong. Same
+    rule the LSH/simhash paths have applied since r2."""
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, par // 2):
+        return df.repartition(par)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view (for spark.sql entry points)."""
     for name in TABLE_NAMES:

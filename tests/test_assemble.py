@@ -45,7 +45,10 @@ def test_assemble_plan_shape(spark):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 16, plan.count(
         "Exchange"
     )
-    assert len(re.findall(r"Exchange rangepartitioning", plan)) == 1
+    # r17: ZERO range exchanges — the one that was here was the terminal
+    # presentation sort (orderBy(shard, pack_id)), removed because every
+    # consumer (driver hash, parity gate) canonicalizes row order
+    assert len(re.findall(r"Exchange rangepartitioning", plan)) == 0
     assert "Exchange SinglePartition" not in plan
 
 

@@ -475,13 +475,18 @@ def test_twopass_quantiles_no_value_buffering(spark):
 
 def test_hash_embed_is_scan_fused_map(spark):
     """doc_hash_embed: the featurizer is a pure per-row fold+generate
-    with NO exchange at all (r9: the presentation sort was dropped —
-    its range-partition bounds sampling re-ran the md5 fold, 3.82 →
-    2.08 s at sf0.1; the driver canonicalizes row order itself)."""
+    (r9: the presentation sort was dropped — its range-partition bounds
+    sampling re-ran the md5 fold, 3.82 → 2.08 s at sf0.1; the driver
+    canonicalizes row order itself). r17: the ONLY exchange allowed is
+    scan_parallel's guarded ROUND-ROBIN repartition (guide §2.5 — the
+    single-file fixture scan starves the 32-lane fold; the guard makes
+    it a no-op on a production multi-file scan), never a hash/range
+    exchange and never a join."""
     plan = _plan(spark, "doc_hash_embed")
     assert "Join" not in plan
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
-    assert "Exchange" not in plan
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+    assert plan.count("Exchange") <= 1  # the guarded round-robin only
 
 
 def test_dsir_weights_scan_the_corpus_once(spark):

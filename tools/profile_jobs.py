@@ -41,6 +41,8 @@ def main() -> None:
     )
     qs = operators.library_queries()
     qs[name](spark, sf_dir).collect()  # warmup (JIT/codegen), unprofiled
+    # cache-cold profiled run — the bench's exact per-repetition state
+    spark.catalog.clearCache()
     # mark the profiled run's start so warmup jobs can be excluded
     t_mark = int(time.time() * 1000)
     t0 = time.perf_counter()

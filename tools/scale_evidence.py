@@ -84,7 +84,7 @@ def gen(k: int) -> str:
 
     emb = pq.read_table(f"{SRC}/embeddings.parquet").to_pandas()
     eparts = []
-    dim = len(emb["v"].iloc[0])
+    dim = len(emb["embedding"].iloc[0])
     for i in range(k):
         e = emb.copy()
         e["vec_id"] = e["vec_id"] + i * ID_SHIFT
@@ -92,7 +92,7 @@ def gen(k: int) -> str:
             # deterministic ±1 mask per replica: flip dim j iff bit j of
             # (i * 2654435761 mod 2^dim-ish) — cheap, norm-preserving
             mask = [1.0 if ((i * 2654435761) >> (j % 31)) & 1 == 0 else -1.0 for j in range(dim)]
-            e["v"] = e["v"].map(
+            e["embedding"] = e["embedding"].map(
                 lambda v, m=mask: [x * s for x, s in zip(v, m)]
             )
         eparts.append(e)
@@ -110,10 +110,11 @@ def run(sf_dir: str, names: list[str]) -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(f"scale-evidence-{cpus}")
     qs = operators.library_queries()
+    n_runs = int(os.environ.get("SCALE_RUNS", "2"))
     for name in names:
         qs[name](spark, sf_dir).collect()  # warmup
         runs = []
-        for _ in range(2):
+        for _ in range(n_runs):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             n = len(qs[name](spark, sf_dir).collect())
