@@ -45,7 +45,15 @@ _SQL_ANCHOR = "(SELECT max(ts) FROM events)"
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with the trade-surface columns: price, qty, side."""
+    """events with the trade-surface columns: price, qty, side.
+
+    NO scan_parallel here (r17 A/B): unlike the documents paths (4xmd5
+    grid fan-outs, 32-lane folds per row), the per-row work is ONE JSON
+    field extraction — repartitioning the full event rows costs more
+    than it parallelizes (keyless repartition additionally pays a local
+    sort, SPARK-23207): measured ev_ohlcv_1m 0.36->0.82 s, twopass
+    1.61->2.82 s WITH the repartition. The family parallelizes at its
+    first aggregation exchange instead."""
     return (
         load(spark, sf_dir, "events")
         .withColumn("price", F.col("value"))
