@@ -36,7 +36,15 @@ N_QUERY_VECS = 5  # fixture query set: vec_id < 5
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings").select(
+    # scan_parallel (r17, guide §2.5): the single-file embeddings scan
+    # opens as ONE partition and everything downstream of _vectors is
+    # heavy per-row arithmetic (O(k·d) centroid-ranking folds, SRP
+    # sketches, pair cosines) that would otherwise run serially at
+    # fixture scale; no-op on a production multi-file scan. The shuffled
+    # rows are (id, label, d doubles) — small next to the work they feed.
+    from ..tables import scan_parallel
+
+    e = scan_parallel(load(spark, sf_dir, "embeddings"), spark).select(
         "vec_id", "label", V.as_double(F.col("embedding")).alias("v")
     )
     return e.withColumn("nrm", V.norm(F.col("v")))

@@ -419,17 +419,29 @@ def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
         s_count = load(spark, sf_dir, "supplier").count()  # bounded dim scalar
         _S_COUNT[sf_dir] = s_count
     p = load(spark, sf_dir, "part").select("p_partkey")
-    four = spark.range(4).select(F.col("id").alias("i"))
     step = F.lit(s_count // 4) + F.expr(f"p_partkey div {s_count}")
-    derived = (
-        p.crossJoin(F.broadcast(four))
-        .select(
-            F.col("p_partkey").alias("ps_partkey"),
-            ((F.col("p_partkey") + F.col("i") * step) % s_count).alias(
-                "ps_suppkey"
-            ),
+    # r17: the 4-supplier fan-out is an IN-ROW array (array_distinct +
+    # explode), not a crossJoin + DISTINCT — a duplicate (partkey,
+    # suppkey) pair can only arise WITHIN one part's 4 assignments
+    # (cross-part rows differ in ps_partkey by construction), so the
+    # per-row dedup is exactly the old global distinct minus its full
+    # shuffle. Removes one Exchange from all five derived-partsupp
+    # queries (q2/q9/q11/q16/q20); the oracle's SELECT DISTINCT is
+    # unchanged — same row set either way.
+    supps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(3)),
+            # one-param lambda: a 2-arg transform lambda would be
+            # (element, index) and silently change the formula
+            lambda i: (F.col("p_partkey") + i.cast("bigint") * step)
+            % s_count,
         )
-        .distinct()
+    )
+    derived = (
+        p.select(
+            F.col("p_partkey").alias("ps_partkey"),
+            F.explode(supps).alias("ps_suppkey"),
+        )
         .select(
             "ps_partkey",
             "ps_suppkey",

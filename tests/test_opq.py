@@ -162,7 +162,11 @@ def test_opq_encode_plan_is_map_only(spark, opq_sf):
     books = S._train_pq(spark, opq_sf, rotation=rot)
     enc = S._pq_encode(S._vectors(spark, opq_sf), coarse, books, rotation=rot)
     plan = str(enc._jdf.queryExecution().executedPlan())
-    assert "Exchange" not in plan
+    # r17: the ONLY exchange allowed is _vectors' guarded scan_parallel
+    # round-robin repartition (guide §2.5 — a no-op on a production
+    # multi-file scan); the encode itself must add no hash/range shuffle
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+    assert plan.count("Exchange") <= 1
     assert "MapInPandas" in plan
 
 

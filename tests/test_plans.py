@@ -98,12 +98,16 @@ def test_ivf_assign_stage_is_shuffle_free(spark):
         "vec_id", S._ranking(spark, SF_CORRECT)[0]["cid"].alias("cluster")
     )
     plan = str(assigned._jdf.queryExecution().executedPlan())
-    assert "Exchange" not in plan
+    # r17: the ONLY exchange allowed is _vectors' guarded scan_parallel
+    # round-robin repartition (guide §2.5 — no-op on a production
+    # multi-file scan); the assign itself adds no hash/range shuffle
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+    assert plan.count("Exchange") <= 1
     assert "Join" not in plan
     assert "Generate" not in plan  # no explode-based fan-out either
     # and the full contingency query keeps exactly one Exchange (the groupBy)
     full = _plan(spark, "ann_ivf_assign")
-    assert full.count("Exchange") <= 2  # partial→final agg + ordering
+    assert full.count("Exchange") <= 3  # round-robin + partial→final agg
     assert "Join" not in full
 
 
@@ -481,7 +485,15 @@ def test_hash_embed_is_scan_fused_map(spark):
     scan_parallel's guarded ROUND-ROBIN repartition (guide §2.5 — the
     single-file fixture scan starves the 32-lane fold; the guard makes
     it a no-op on a production multi-file scan), never a hash/range
-    exchange and never a join."""
+    exchange and never a join. The live cache from an earlier test is
+    popped first (the dsir-lock precedent below): a materialized
+    InMemoryRelation repeats its child plan in the dump, double-counting
+    the one allowed exchange."""
+    from crypto_clickhouse_poc_spark import caching
+
+    prev = caching._LIVE.pop("text._hash_embed", None)
+    if prev is not None:
+        prev.unpersist()
     plan = _plan(spark, "doc_hash_embed")
     assert "Join" not in plan
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
